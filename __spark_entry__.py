@@ -1,38 +1,249 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (smoke, sf0.001).
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL per query key.
+
+Every computed column is aliased identically on both sides, and floating
+aggregates are rounded to a fixed number of decimals on both sides with
+the *same* arithmetic expression order, so the order-insensitive value
+hash matches despite engine-level summation-order differences.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from lightcurvesclassifier_spark.functions.curves import (
+    curve_features,
+    lc_stats,
+    abbe_value,
+    skewness_kurtosis,
+)
+from lightcurvesclassifier_spark.plans.query_compiler import (
+    apply_queries,
+    range_predicate,
+)
+from lightcurvesclassifier_spark.sources import testdata
+
+SF0001 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB side) — must mirror sources/testdata.py.
+_OBS = testdata.OBS_SQL
+
+# CustomDecider-style boundary ranges for the flagship Abbe filter
+# (mirrors the reference's Abbe workflow, README.md:575-611: AbbeValueDescr
+# feature + CustomDecider range predicate).
+ABBE_RANGES = {"abbe": (None, 0.95), "std_mag": (35.0, None)}
+
+
+def _round6(df: DataFrame, *cols: str) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), 6))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Spark-side query implementations
+
+
+def q_curve_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = testdata.observations(spark, sf_dir)
+    return _round6(
+        lc_stats(obs), "mean_mag", "std_mag", "timespan", "curve_density"
+    )
+
+
+def q_abbe_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = testdata.observations(spark, sf_dir)
+    return _round6(abbe_value(obs), "abbe")
+
+
+def q_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = testdata.observations(spark, sf_dir)
+    return _round6(skewness_kurtosis(obs), "skewness", "kurtosis")
+
+
+def q_abbe_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: per-star features in one pass → CustomDecider range
+    predicate → passed stars (the reference's `lcc filter_stars` shape)."""
+    obs = testdata.observations(spark, sf_dir)
+    feats = _round6(
+        curve_features(obs),
+        "mean_mag",
+        "std_mag",
+        "timespan",
+        "curve_density",
+        "abbe",
+    )
+    return feats.filter(range_predicate(ABBE_RANGES))
+
+
+def q_custom_decider(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CustomDecider boundary predicate on lineitem
+    (lcc/stars_processing/deciders/custom_decider.py:43-78)."""
+    li = testdata.load_table(spark, sf_dir, "lineitem")
+    pred = range_predicate(
+        {"l_quantity": (10.0, 40.0), "l_discount": (0.02, 0.08)}
+    )
+    return li.filter(pred).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    )
+
+
+def q_query_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dict query language (equality / range / comparison forms,
+    lcc/db_tier/TAP_query.py:116-171) compiled to one pushed-down scan."""
+    part = testdata.load_table(spark, sf_dir, "part")
+    queries = [
+        {"p_brand": "Brand#13", "p_size": (5, 20)},
+        {"p_type": "ECONOMY", "p_retailprice": "<905"},
+    ]
+    return apply_queries(part, queries).select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"
+    )
+
+
+def q_plan_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume semantics: planned queries minus already-searched
+    (StatusResolver.getUnsearchedQuery,
+    lcc/data_manager/status_resolver.py:257-264) as a left-anti join."""
+    orders = testdata.load_table(spark, sf_dir, "orders")
+    li = testdata.load_table(spark, sf_dir, "lineitem")
+    done = li.filter(F.col("l_shipdate") < F.lit("1997-01-01").cast("date")).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return orders.join(done, "o_orderkey", "left_anti").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_abbe_filter(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "curve_stats": q_curve_stats,
+        "abbe_value": q_abbe_value,
+        "skew_kurtosis": q_skew_kurtosis,
+        "abbe_filter": q_abbe_filter,
+        "custom_decider": q_custom_decider,
+        "query_dsl": q_query_dsl,
+        "plan_anti_join": q_plan_anti_join,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# DuckDB-side mirrors. NOTE: expression order inside each aggregate matches
+# the Spark implementation exactly (same power-sum formulas), and outputs
+# are rounded to 6 decimals on both sides.
+_CURVE_FEATURES_SQL = f"""
+WITH obs AS ({_OBS}),
+d AS (
+  SELECT star_id, mag, t,
+         mag - lag(mag) OVER (PARTITION BY star_id ORDER BY t, mag) AS dmag
+  FROM obs
+),
+agg AS (
+  SELECT star_id,
+         count(mag) AS n,
+         sum(dmag * dmag) AS sum_sq_diff,
+         sum(mag) AS s1,
+         sum(mag * mag) AS s2,
+         min(t) AS tmin,
+         max(t) AS tmax
+  FROM d GROUP BY star_id
+)
+SELECT star_id,
+       n AS n_obs,
+       round(s1 / n, 6) AS mean_mag,
+       round(sqrt((s2 - s1 * s1 / n) / n), 6) AS std_mag,
+       round(tmax - tmin, 6) AS timespan,
+       round(n / (tmax - tmin), 6) AS curve_density,
+       round(n / (2.0 * (n - 1.0)) * sum_sq_diff / (s2 - s1 * s1 / n), 6) AS abbe
+FROM agg
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "curve_stats": f"""
+WITH obs AS ({_OBS}),
+agg AS (
+  SELECT star_id, count(mag) AS n, sum(mag) AS s1, sum(mag * mag) AS s2,
+         min(t) AS tmin, max(t) AS tmax
+  FROM obs GROUP BY star_id
+)
+SELECT star_id, n AS n_obs,
+       round(s1 / n, 6) AS mean_mag,
+       round(sqrt((s2 - s1 * s1 / n) / n), 6) AS std_mag,
+       round(tmax - tmin, 6) AS timespan,
+       round(n / (tmax - tmin), 6) AS curve_density
+FROM agg
+""",
+        "abbe_value": f"""
+WITH obs AS ({_OBS}),
+d AS (
+  SELECT star_id, mag,
+         mag - lag(mag) OVER (PARTITION BY star_id ORDER BY t, mag) AS dmag
+  FROM obs
+)
+SELECT star_id, count(mag) AS n_obs,
+       round(count(mag) / (2.0 * (count(mag) - 1.0)) * sum(dmag * dmag)
+             / (sum(mag * mag) - sum(mag) * sum(mag) / count(mag)), 6) AS abbe
+FROM d GROUP BY star_id
+""",
+        "skew_kurtosis": f"""
+WITH obs AS ({_OBS}),
+agg AS (
+  SELECT star_id, count(mag) AS n, sum(mag) AS s1, sum(mag * mag) AS s2,
+         sum(mag * mag * mag) AS s3, sum(mag * mag * mag * mag) AS s4
+  FROM obs GROUP BY star_id
+),
+m AS (
+  SELECT star_id, n,
+         s1 / n AS m1,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3 * (s1 / n) * s2 / n + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         s4 / n - 4 * (s1 / n) * s3 / n + 6 * (s1 / n) * (s1 / n) * s2 / n
+           - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM agg
+)
+SELECT star_id, n AS n_obs,
+       round(m3 / pow(m2, 1.5), 6) AS skewness,
+       round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
+FROM m
+""",
+        "abbe_filter": f"""
+WITH feats AS ({_CURVE_FEATURES_SQL})
+SELECT * FROM feats WHERE abbe < 0.95 AND std_mag > 35.0
+""",
+        "custom_decider": """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+FROM lineitem
+WHERE l_quantity > 10.0 AND l_quantity < 40.0
+  AND l_discount > 0.02 AND l_discount < 0.08
+""",
+        "query_dsl": """
+SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+FROM part
+WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 5 AND 20)
+   OR (p_type = 'ECONOMY' AND p_retailprice < 905)
+""",
+        "plan_anti_join": """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate < DATE '1997-01-01'
+)
+""",
+    }

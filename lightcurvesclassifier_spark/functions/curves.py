@@ -1,0 +1,162 @@
+"""Per-curve features as built-in Spark SQL expressions (the fast path).
+
+Each function here is a *descriptor* from the reference re-expressed as
+declarative DataFrame aggregations over the long-format ``observations``
+table — whole-stage-codegen'd, shuffle once per groupBy, no Python in the
+hot path. Descriptors that genuinely need array-at-a-time logic (SAX,
+variogram, ekvi-PAA parity) live in ``curve_udfs.py`` instead.
+
+Mirrored semantics (file:line into /root/reference):
+
+- Abbe value: lcc/utils/data_analysis.py:167-193 via window lag.
+- mean/std magnitude: lcc/entities/light_curve.py:125-131 (population std).
+- curve density: lcc/stars_processing/descriptors/curve_density_descr.py.
+- skewness/kurtosis: descriptors skewness_desc.py / kurtosis_desc.py
+  (scipy defaults: biased skew, Fisher excess kurtosis).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+KEY = "star_id"
+
+
+def _pop_moments(mag: str = "mag") -> list[Column]:
+    """Power sums — the building blocks for population moments computed
+    identically in Spark and the DuckDB oracle (same cancellation, same
+    rounding behaviour)."""
+    m = F.col(mag)
+    return [
+        F.count(m).alias("_n"),
+        F.sum(m).alias("_s1"),
+        F.sum(m * m).alias("_s2"),
+        F.sum(m * m * m).alias("_s3"),
+        F.sum(m * m * m * m).alias("_s4"),
+    ]
+
+
+def lc_stats(obs: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Per-star curve summary: n_obs, mean/std magnitude (population std —
+    numpy semantics, data_analysis.py:164), timespan and curve density.
+
+    One shuffle on the group key; at 100 TB this is a straight partial→final
+    hash aggregate with map-side combine, no skew risk (group = one star).
+    """
+    keys = keys or [KEY]
+    agg = obs.groupBy(*keys).agg(
+        F.count("mag").alias("n_obs"),
+        F.sum("mag").alias("_s1"),
+        F.sum(F.col("mag") * F.col("mag")).alias("_s2"),
+        F.min("t").alias("t_min"),
+        F.max("t").alias("t_max"),
+    )
+    n = F.col("n_obs")
+    mean = F.col("_s1") / n
+    ss = F.col("_s2") - F.col("_s1") * F.col("_s1") / n
+    return agg.select(
+        *keys,
+        "n_obs",
+        mean.alias("mean_mag"),
+        F.sqrt(ss / n).alias("std_mag"),
+        (F.col("t_max") - F.col("t_min")).alias("timespan"),
+        (n / (F.col("t_max") - F.col("t_min"))).alias("curve_density"),
+    )
+
+
+def abbe_value(obs: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Abbe value per star: ``n/(2(n-1)) * Σ(Δmag)² / Σ(mag-mean)²``
+    (lcc/utils/data_analysis.py:167-193), computed with a window lag for
+    the numerator and power sums for the denominator.
+
+    The window and the aggregate share the same partitioning key, so the
+    sort-within-partition for ``lag`` and the final groupBy reuse one
+    shuffle (Catalyst reuses the hash partitioning on ``star_id``).
+    """
+    keys = keys or [KEY]
+    w = Window.partitionBy(*keys).orderBy("t", "mag")
+    d = F.col("mag") - F.lag("mag").over(w)
+    agg = (
+        obs.withColumn("_d", d)
+        .groupBy(*keys)
+        .agg(
+            F.count("mag").alias("_n"),
+            F.sum(F.col("_d") * F.col("_d")).alias("_sum_sq_diff"),
+            F.sum("mag").alias("_s1"),
+            F.sum(F.col("mag") * F.col("mag")).alias("_s2"),
+        )
+    )
+    n = F.col("_n")
+    ss = F.col("_s2") - F.col("_s1") * F.col("_s1") / n
+    return agg.select(
+        *keys,
+        n.alias("n_obs"),
+        (n / (2.0 * (n - 1.0)) * F.col("_sum_sq_diff") / ss).alias("abbe"),
+    )
+
+
+def curve_features(obs: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """All cheap per-curve features in ONE pass: n_obs, mean/std mag,
+    timespan, curve density, Abbe value.
+
+    Single shuffle on ``star_id``: the lag window sorts within partitions,
+    then the hash aggregate reuses the same partitioning — the plan at
+    100 TB is scan → shuffle(star_id) → sort → window → partial/final agg,
+    with no second exchange (verified via .explain: one Exchange node).
+    """
+    keys = keys or [KEY]
+    w = Window.partitionBy(*keys).orderBy("t", "mag")
+    d = F.col("mag") - F.lag("mag").over(w)
+    agg = (
+        obs.withColumn("_d", d)
+        .groupBy(*keys)
+        .agg(
+            F.count("mag").alias("_n"),
+            F.sum(F.col("_d") * F.col("_d")).alias("_sum_sq_diff"),
+            F.sum("mag").alias("_s1"),
+            F.sum(F.col("mag") * F.col("mag")).alias("_s2"),
+            F.min("t").alias("_tmin"),
+            F.max("t").alias("_tmax"),
+        )
+    )
+    n = F.col("_n")
+    mean = F.col("_s1") / n
+    ss = F.col("_s2") - F.col("_s1") * F.col("_s1") / n
+    span = F.col("_tmax") - F.col("_tmin")
+    return agg.select(
+        *keys,
+        n.alias("n_obs"),
+        mean.alias("mean_mag"),
+        F.sqrt(ss / n).alias("std_mag"),
+        span.alias("timespan"),
+        (n / span).alias("curve_density"),
+        (n / (2.0 * (n - 1.0)) * F.col("_sum_sq_diff") / ss).alias("abbe"),
+    )
+
+
+def skewness_kurtosis(obs: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Biased (population) skewness and Fisher excess kurtosis — the scipy
+    defaults used by SkewnessDescr / KurtosisDescr
+    (lcc/stars_processing/descriptors/skewness_desc.py:50-60,
+    kurtosis_desc.py:50-61). Computed from power sums so the DuckDB oracle
+    can reproduce them with the identical formula (Spark's built-in
+    ``skewness``/``kurtosis`` use a different accumulation order).
+    """
+    keys = keys or [KEY]
+    agg = obs.groupBy(*keys).agg(*_pop_moments())
+    n = F.col("_n")
+    m1 = F.col("_s1") / n
+    m2 = F.col("_s2") / n - m1 * m1
+    m3 = F.col("_s3") / n - 3 * m1 * F.col("_s2") / n + 2 * m1 * m1 * m1
+    m4 = (
+        F.col("_s4") / n
+        - 4 * m1 * F.col("_s3") / n
+        + 6 * m1 * m1 * F.col("_s2") / n
+        - 3 * m1 * m1 * m1 * m1
+    )
+    return agg.select(
+        *keys,
+        n.alias("n_obs"),
+        (m3 / F.pow(m2, 1.5)).alias("skewness"),
+        (m4 / (m2 * m2) - 3.0).alias("kurtosis"),
+    )

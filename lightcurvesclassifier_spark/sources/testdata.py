@@ -1,0 +1,124 @@
+"""Loaders for the driver's synthetic parquet testdata (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file each under ``{sf_dir}/``.
+
+The astronomy-shaped views are derived deterministically so the DuckDB
+oracle can reproduce them with plain SQL:
+
+- ``observations``: the ``events`` table as a photometric time series
+  (user → star, ts → t in days since 2024-01-01, value → mag). The
+  reference's analog is one light curve per star
+  (lcc/entities/light_curve.py).
+- ``stars``: the ``customer`` table as a star catalog with synthetic
+  sky coordinates derived from the key (golden-angle spiral — evenly
+  spreads points over the sphere, deterministic in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Nano-epoch of 2024-01-01 UTC; events ts → float days since then.
+# events.ts is parquet TIMESTAMP(NANOS): Spark reads it as long nanos
+# (spark.sql.legacy.parquet.nanosAsLong), DuckDB as TIMESTAMP_NS — both
+# sides derive t from the identical int64 nanosecond value.
+_EPOCH_NS = 1_704_067_200_000_000_000
+_NS_PER_DAY = 86_400_000_000_000.0
+
+# SQL fragment the DuckDB oracle uses for the same observations view.
+OBS_SQL = (
+    "SELECT user_id AS star_id, event_type AS band, "
+    f"(epoch_ns(ts) - {_EPOCH_NS}) / {_NS_PER_DAY} AS t, "
+    "value AS mag FROM events"
+)
+
+# Synthetic star catalog from `customer`: golden-angle RA, key-spread dec.
+STARS_SQL = (
+    "SELECT c_custkey AS star_id, c_name AS name, "
+    "fmod(c_custkey * 137.508, 360.0) AS ra_deg, "
+    "fmod(c_custkey * 61.803, 180.0) - 90.0 AS dec_deg, "
+    "c_mktsegment AS star_class, c_acctbal AS acctbal "
+    "FROM customer"
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → OBSERVATIONS long format. t is float days since 2024-01-01,
+    computed from integer nanoseconds so Spark and DuckDB agree bit-for-bit.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        F.col("user_id").alias("star_id"),
+        F.col("event_type").alias("band"),
+        ((F.col("ts") - F.lit(_EPOCH_NS)) / F.lit(_NS_PER_DAY)).alias("t"),
+        F.col("value").alias("mag"),
+        F.lit(None).cast("double").alias("err"),
+    )
+
+
+def stars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → synthetic star catalog with deterministic coordinates.
+
+    ``ra_deg = (key * 137.508) mod 360`` (golden angle) and
+    ``dec_deg = (key * 61.803) mod 180 - 90`` give a deterministic
+    pseudo-uniform sky scatter reproducible in ANSI SQL (``fmod``).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("star_id"),
+        F.col("c_name").alias("name"),
+        (F.col("c_custkey") * F.lit(137.508) % F.lit(360.0)).alias("ra_deg"),
+        ((F.col("c_custkey") * F.lit(61.803) % F.lit(180.0)) - F.lit(90.0)).alias(
+            "dec_deg"
+        ),
+        F.col("c_mktsegment").alias("star_class"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+
+
+def curves(spark: SparkSession, sf_dir: str, per_band: bool = False) -> DataFrame:
+    """Collected array view of ``observations`` for per-curve kernels.
+
+    One row per star (or per star+band): time/mag arrays sorted by t.
+    This is the scale-sensitive step — `collect_list` after an explicit
+    in-partition sort; group sizes are bounded by per-star sample counts
+    (thousands), not by table size, so it shards cleanly at 100 TB.
+    """
+    obs = observations(spark, sf_dir)
+    keys = ["star_id", "band"] if per_band else ["star_id"]
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col("t"), F.col("mag")))
+    )
+    return (
+        obs.groupBy(*keys)
+        .agg(pairs.alias("pairs"))
+        .select(
+            *keys,
+            F.col("pairs.t").alias("time"),
+            F.col("pairs.mag").alias("mag"),
+        )
+    )

@@ -1,0 +1,60 @@
+"""Local mirror of the driver's t2 correctness gate: run every
+``__spark_entry__.queries()`` entry on Spark at sf0.01 and compare with
+its DuckDB ``oracle_sql()`` — row count, column set, and values (rows
+sorted by all columns, order-insensitive)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_ORACLE
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def _compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column mismatch {sorted(spark_pdf.columns)} vs "
+        f"{sorted(duck_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}"
+    )
+    s, d = _normalize(spark_pdf), _normalize(duck_pdf)
+    for col in s.columns:
+        sv, dv = s[col].to_numpy(), d[col].to_numpy()
+        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(
+            dv.dtype, np.floating
+        ):
+            assert np.allclose(
+                sv.astype(float), dv.astype(float), rtol=0, atol=0, equal_nan=True
+            ), f"{name}.{col}: max diff {np.nanmax(np.abs(sv.astype(float) - dv.astype(float)))}"
+        else:
+            assert (sv == dv).all(), f"{name}.{col}: value mismatch"
+
+
+QUERIES = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    fn = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql().get(name)
+    spark_pdf = fn(spark, SF_ORACLE).toPandas()
+    if sql is None:
+        assert len(spark_pdf) >= 0  # rows-only check for non-SQL ops
+        return
+    duck_pdf = duck.execute(sql).df()
+    _compare(spark_pdf, duck_pdf, name)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    n = df.count()
+    assert n > 0
+    assert len(df.columns) > 0
