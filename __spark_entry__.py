@@ -22,6 +22,18 @@ from lightcurvesclassifier_spark.functions.curves import (
     abbe_value,
     skewness_kurtosis,
 )
+from lightcurvesclassifier_spark.operators.comparative import (
+    comparative_scores,
+    reduce_scores,
+)
+from lightcurvesclassifier_spark.operators.cone_search import (
+    cone_search,
+    cone_search_sql,
+)
+from lightcurvesclassifier_spark.operators.crossmatch import (
+    crossmatch,
+    crossmatch_sql,
+)
 from lightcurvesclassifier_spark.plans.query_compiler import (
     apply_queries,
     range_predicate,
@@ -121,6 +133,77 @@ def q_plan_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cone-search center: the synthetic coordinates of star_id=42 (computed
+# driver-side once; embedded as identical literals in Spark and SQL).
+_CONE_RA = (42 * 137.508) % 360.0
+_CONE_DEC = ((42 * 61.803) % 180.0) - 90.0
+_CONE_DELTA = 5.0
+
+
+def q_cone_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-prefilter + exact great-circle refine
+    (lcc/db_tier/base_query.py:38-91)."""
+    st = testdata.stars(spark, sf_dir)
+    out = cone_search(st, _CONE_RA, _CONE_DEC, _CONE_DELTA)
+    return out.select(
+        "star_id", "name", "ra_deg", "dec_deg", F.round("sep_deg", 9).alias("sep_deg")
+    )
+
+
+def q_cone_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`nearest=True` → argmin-separation star (base_query.py:80-82)."""
+    st = testdata.stars(spark, sf_dir)
+    out = cone_search(st, _CONE_RA, _CONE_DEC, _CONE_DELTA, nearest=True)
+    return out.select("star_id", F.round("sep_deg", 9).alias("sep_deg"))
+
+
+def q_crossmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-bucketed spherical crossmatch at EPS=0.5 arcsec
+    (Star.__eq__, lcc/entities/star.py:107-119) — stars × jittered
+    re-detections."""
+    st = testdata.stars(spark, sf_dir)
+    det = testdata.detections(spark, sf_dir)
+    out = crossmatch(st, det, right_cols=["det_id", "star_id"])
+    return out.select(
+        "l_star_id",
+        "r_det_id",
+        "r_star_id",
+        F.round("sep_deg", 9).alias("sep_deg"),
+    )
+
+
+def _comparative(spark, sf_dir, kind, meth, **params):
+    curves = testdata.curves(spark, sf_dir)
+    templates = curves.filter(F.col("star_id").isin([0, 1, 2]))
+    scores = comparative_scores(curves, templates, kind, **params)
+    out = reduce_scores(scores, meth, n_templates=3)
+    return out.select("star_id", F.round("feature", 6).alias("feature"))
+
+
+def q_comp_curves_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CurvesShapeDescr: sliding-SAX dissimilarity vs broadcast templates,
+    mean-reduced (lcc/stars_processing/descriptors/curves_shape_descr.py).
+    Non-SQL-expressible (sliding re-SAX) → rows-only driver check."""
+    return _comparative(
+        spark, sf_dir, "curves_shape", "average",
+        days_per_bin=2.0, alphabet_size=10, slide=0.25,
+    )
+
+
+def q_comp_hist_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HistShapeDescr: SAX over magnitude histograms, closest-reduced."""
+    return _comparative(
+        spark, sf_dir, "hist_shape", "closest", bins=10, alphabet_size=10
+    )
+
+
+def q_comp_variogram_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariogramShapeDescr: SAX over log-log variograms, best-2-reduced."""
+    return _comparative(
+        spark, sf_dir, "variogram_shape", "best2", bins=10, alphabet_size=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 
@@ -139,6 +222,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custom_decider": q_custom_decider,
         "query_dsl": q_query_dsl,
         "plan_anti_join": q_plan_anti_join,
+        "cone_search": q_cone_search,
+        "cone_nearest": q_cone_nearest,
+        "crossmatch": q_crossmatch,
+        "comp_curves_shape": q_comp_curves_shape,
+        "comp_hist_shape": q_comp_hist_shape,
+        "comp_variogram_shape": q_comp_variogram_shape,
     }
 
 
@@ -246,4 +335,38 @@ WHERE NOT EXISTS (
   WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate < DATE '1997-01-01'
 )
 """,
+        "cone_search": (
+            "SELECT star_id, name, ra_deg, dec_deg, round(sep_deg, 9) AS sep_deg "
+            "FROM ("
+            + cone_search_sql(
+                testdata.STARS_SQL,
+                _CONE_RA,
+                _CONE_DEC,
+                _CONE_DELTA,
+                extra_cols="star_id, name, ra_deg, dec_deg",
+            )
+            + ")"
+        ),
+        "cone_nearest": (
+            "SELECT star_id, round(sep_deg, 9) AS sep_deg FROM ("
+            + cone_search_sql(
+                testdata.STARS_SQL,
+                _CONE_RA,
+                _CONE_DEC,
+                _CONE_DELTA,
+                nearest=True,
+                extra_cols="star_id",
+            )
+            + ")"
+        ),
+        "crossmatch": (
+            "SELECT l_star_id, r_det_id, r_star_id, round(sep_deg, 9) AS sep_deg "
+            "FROM ("
+            + crossmatch_sql(
+                testdata.STARS_SQL,
+                testdata.DETECTIONS_SQL,
+                right_cols=["det_id", "star_id"],
+            )
+            + ")"
+        ),
     }

@@ -98,16 +98,17 @@ def to_ekvi_paa(
     xmin, xmax = x.min(), x.max()
     half_step = (xmax - xmin) / bins / 2.0
     borders = np.linspace(xmin - half_step, xmax + half_step, bins + 1)
-    x_out = np.empty(bins)
-    y_out = np.empty(bins)
-    for i in range(bins):
-        mask = (x >= borders[i]) & (x < borders[i + 1])
-        if mask.any():
-            x_out[i] = x[mask].mean() if mean_time else (borders[i] + borders[i + 1]) / 2
-            y_out[i] = y[mask].mean()
-        else:
-            x_out[i] = (borders[i] + borders[i + 1]) / 2
-            y_out[i] = np.nan
+    # vectorized bin assignment with the exact border semantics
+    # (x >= borders[i]) & (x < borders[i+1]): searchsorted on the right edge
+    idx = np.searchsorted(borders, x, side="right") - 1
+    idx = np.clip(idx, 0, bins - 1)  # x == borders[-1] can't occur (half-step pad)
+    counts = np.bincount(idx, minlength=bins).astype(float)
+    sum_x = np.bincount(idx, weights=x, minlength=bins)
+    sum_y = np.bincount(idx, weights=y, minlength=bins)
+    centers = (borders[:-1] + borders[1:]) / 2
+    with np.errstate(invalid="ignore"):
+        x_out = np.where(counts > 0, sum_x / counts, centers) if mean_time else centers.copy()
+        y_out = np.where(counts > 0, sum_y / counts, np.nan)
     if fix_nans:
         x_out, y_out = fix_missing(x_out, y_out)
     return x_out, y_out

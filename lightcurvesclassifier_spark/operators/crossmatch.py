@@ -1,0 +1,109 @@
+"""Spherical crossmatch join — the reference's ``Star.__eq__`` at scale.
+
+Reference semantics (lcc/entities/star.py:107-119): two stars match if
+any shared database key has an identical ident dict, OR their angular
+separation is below ``EPS = 0.000138`` deg ≈ 0.5″ (star.py:57). The
+README's crossmatch workflow (README.md:259-266) is a nested loop over
+catalogs — O(n·m) driver-side. That dies at 100 TB.
+
+Spark-first strategy (zone join, the classic sky-join decomposition):
+
+1. bucket both sides into declination *zones* of height ``zone_deg``
+   (≥ eps);
+2. explode the smaller side into its zone ±1 so any pair within eps
+   shares a zone key;
+3. shuffle equi-join on the zone key — Catalyst picks broadcast when one
+   side is small, sort-merge otherwise; zones are dense and uniformly
+   loaded for realistic catalogs, so no skew salt is needed;
+4. cheap RA band prefilter (conservative, wrap-aware) before
+5. the exact haversine refine ``sep < eps``.
+
+The candidate set per pair is O(1), so total work is O(n + m + matches)
+after the shuffle — no cross join anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..schemas import CROSSMATCH_EPS_DEG
+from .sky import separation_deg, separation_sql
+
+
+def crossmatch(
+    left: DataFrame,
+    right: DataFrame,
+    eps_deg: float = CROSSMATCH_EPS_DEG,
+    zone_deg: float | None = None,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Pairs (left × right) with angular separation < ``eps_deg``.
+
+    Returns left_cols + right_cols + ``sep_deg``. Columns must be
+    disambiguated by the caller (e.g. pre-aliased ``a_star_id`` /
+    ``b_star_id``); defaults keep ``<side>.star_id`` only.
+    """
+    zone_deg = zone_deg or eps_deg
+    left_cols = left_cols or ["star_id"]
+    right_cols = right_cols or ["star_id"]
+
+    l = left.select(
+        *[F.col(c).alias(f"l_{c}") for c in left_cols],
+        F.col("ra_deg").alias("l_ra"),
+        F.col("dec_deg").alias("l_dec"),
+        F.floor(F.col("dec_deg") / F.lit(zone_deg)).alias("_zone"),
+    )
+    r = right.select(
+        *[F.col(c).alias(f"r_{c}") for c in right_cols],
+        F.col("ra_deg").alias("r_ra"),
+        F.col("dec_deg").alias("r_dec"),
+        F.explode(
+            F.array(
+                F.floor(F.col("dec_deg") / F.lit(zone_deg)) - 1,
+                F.floor(F.col("dec_deg") / F.lit(zone_deg)),
+                F.floor(F.col("dec_deg") / F.lit(zone_deg)) + 1,
+            )
+        ).alias("_zone"),
+    )
+
+    # Conservative wrap-aware RA band (prefilter only — exactness comes
+    # from the haversine refine). 89.9° dec cap avoids the pole blowup.
+    dra = F.abs(F.col("l_ra") - F.col("r_ra"))
+    dra = F.least(dra, 360.0 - dra)
+    ra_band = F.lit(eps_deg) / F.cos(
+        F.radians(F.least(F.greatest(F.abs(F.col("l_dec")), F.abs(F.col("r_dec"))), F.lit(89.9)))
+    )
+    sep = separation_deg(
+        F.col("l_ra"), F.col("l_dec"), F.col("r_ra"), F.col("r_dec")
+    )
+
+    return (
+        l.join(r, "_zone")
+        .filter(dra <= ra_band)
+        .withColumn("sep_deg", sep)
+        .filter(F.col("sep_deg") < F.lit(eps_deg))
+        .drop("_zone", "l_ra", "l_dec", "r_ra", "r_dec")
+    )
+
+
+def crossmatch_sql(
+    left_sql: str,
+    right_sql: str,
+    eps_deg: float = CROSSMATCH_EPS_DEG,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+) -> str:
+    """DuckDB oracle: brute-force distance join with the identical
+    haversine expression (fine at oracle scale; the zone join is the
+    scale path, this is the semantics definition)."""
+    left_cols = left_cols or ["star_id"]
+    right_cols = right_cols or ["star_id"]
+    sel_l = ", ".join(f"l.{c} AS l_{c}" for c in left_cols)
+    sel_r = ", ".join(f"r.{c} AS r_{c}" for c in right_cols)
+    sep = separation_sql("l.ra_deg", "l.dec_deg", "r.ra_deg", "r.dec_deg")
+    return (
+        f"SELECT {sel_l}, {sel_r}, {sep} AS sep_deg "
+        f"FROM ({left_sql}) l, ({right_sql}) r "
+        f"WHERE {sep} < {float(eps_deg)!r}"
+    )

@@ -47,12 +47,25 @@ OBS_SQL = (
 )
 
 # Synthetic star catalog from `customer`: golden-angle RA, key-spread dec.
+# `e0` suffixes force DOUBLE literals in DuckDB (it parses bare decimal
+# literals as DECIMAL, which would diverge from Spark's double arithmetic).
 STARS_SQL = (
     "SELECT c_custkey AS star_id, c_name AS name, "
-    "fmod(c_custkey * 137.508, 360.0) AS ra_deg, "
-    "fmod(c_custkey * 61.803, 180.0) - 90.0 AS dec_deg, "
+    "fmod(c_custkey * 137.508e0, 360.0e0) AS ra_deg, "
+    "fmod(c_custkey * 61.803e0, 180.0e0) - 90.0e0 AS dec_deg, "
     "c_mktsegment AS star_class, c_acctbal AS acctbal "
     "FROM customer"
+)
+
+
+# Synthetic detection catalog from `orders`: each order is a "detection" of
+# its customer's star, jittered by a deterministic sub-arcsecond offset —
+# some within the 0.5″ crossmatch EPS, some beyond (exercises the refine).
+DETECTIONS_SQL = (
+    "SELECT o_orderkey AS det_id, o_custkey AS star_id, "
+    "fmod(o_custkey * 137.508e0, 360.0e0) + ((o_orderkey % 7) - 3) * 7e-5 AS ra_deg, "
+    "fmod(o_custkey * 61.803e0, 180.0e0) - 90.0e0 + ((o_orderkey % 5) - 2) * 4e-5 AS dec_deg "
+    "FROM orders"
 )
 
 
@@ -97,6 +110,25 @@ def stars(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("c_mktsegment").alias("star_class"),
         F.col("c_acctbal").alias("acctbal"),
+    )
+
+
+def detections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → jittered re-detections of the customer stars (see
+    DETECTIONS_SQL). Used to exercise the crossmatch join."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("det_id"),
+        F.col("o_custkey").alias("star_id"),
+        (
+            (F.col("o_custkey") * F.lit(137.508) % F.lit(360.0))
+            + ((F.col("o_orderkey") % 7) - 3) * F.lit(7e-5)
+        ).alias("ra_deg"),
+        (
+            (F.col("o_custkey") * F.lit(61.803) % F.lit(180.0))
+            - F.lit(90.0)
+            + ((F.col("o_orderkey") % 5) - 2) * F.lit(4e-5)
+        ).alias("dec_deg"),
     )
 
 
