@@ -34,6 +34,7 @@ from lightcurvesclassifier_spark.operators.crossmatch import (
     crossmatch,
     crossmatch_sql,
 )
+from lightcurvesclassifier_spark.ml.stars_filter import combine_probabilities
 from lightcurvesclassifier_spark.plans.query_compiler import (
     apply_queries,
     range_predicate,
@@ -172,6 +173,86 @@ def q_crossmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic pseudo-decider probabilities on customer (integer-derived
+# so both engines agree exactly) — stand-ins for model outputs when
+# exercising ensemble/threshold/stat semantics against a SQL oracle.
+_P1 = "(c_custkey % 100) / 100.0"
+_P2 = "(c_custkey % 7) / 7.0"
+_P3 = "(c_custkey % 13) / 13.0"
+
+
+def q_ensemble_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """evaluateCoordinates combine semantics (stars_filter.py:291-327):
+    mean / lowest / highest of decider probabilities, rounded to 2; pass
+    when the mean combine clears the threshold (>= 0.5 here)."""
+    c = testdata.load_table(spark, sf_dir, "customer")
+    df = c.select(
+        F.col("c_custkey").alias("star_id"),
+        ((F.col("c_custkey") % 100) / 100.0).alias("p1"),
+        ((F.col("c_custkey") % 7) / 7.0).alias("p2"),
+        ((F.col("c_custkey") % 13) / 13.0).alias("p3"),
+    )
+    df = combine_probabilities(df, ["p1", "p2", "p3"], "mean", "prob_mean")
+    df = combine_probabilities(df, ["p1", "p2", "p3"], "lowest", "prob_lowest")
+    df = combine_probabilities(df, ["p1", "p2", "p3"], "highest", "prob_highest")
+    return df.filter(F.col("prob_mean") >= 0.5).select(
+        "star_id", "prob_mean", "prob_lowest", "prob_highest"
+    )
+
+
+def q_confusion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getStatistic confusion-matrix aggregate
+    (lcc/stars_processing/utilities/base_decider.py:133-197): prediction =
+    CustomDecider box, label = (l_returnflag = 'R'); one output row."""
+    li = testdata.load_table(spark, sf_dir, "lineitem")
+    pred = range_predicate({"l_quantity": (10.0, 40.0)}).cast("long")
+    label = (F.col("l_returnflag") == "R").cast("long")
+    agg = li.select(pred.alias("pred"), label.alias("label")).agg(
+        F.sum(F.col("pred") * F.col("label")).alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("label"))).alias("fp"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("label"))).alias("tn"),
+        F.sum((1 - F.col("pred")) * F.col("label")).alias("fn"),
+    )
+    tp, fp, tn, fn = [F.col(c) for c in ("tp", "fp", "tn", "fn")]
+    return agg.select(
+        tp,
+        fp,
+        tn,
+        fn,
+        F.round(tp / (tp + fp), 3).alias("precision"),
+        F.round((tp + tn) / (tp + fp + tn + fn), 6).alias("accuracy"),
+        F.round(2 * tp / (2 * tp + fp + fn), 6).alias("f1_score"),
+        F.round(tp / (tp + fn), 3).alias("true_positive_rate"),
+        F.round(tn / (tn + fp), 3).alias("true_negative_rate"),
+    )
+
+
+def q_roc_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC sweep (stars_filter.py:370-376): 30 thresholds in [0.01, 0.99],
+    one (threshold, fpr, tpr) row each — computed in a single scan via a
+    broadcast threshold table, not 30 passes."""
+    c = testdata.load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        ((F.col("c_custkey") % 100) / 100.0).alias("prob"),
+        (F.col("c_acctbal") > 5000.0).cast("long").alias("label"),
+    )
+    thr = spark.range(30).select(
+        (0.01 + F.col("id") * (0.98 / 29.0)).alias("threshold")
+    )
+    joined = pts.crossJoin(F.broadcast(thr))
+    agg = joined.groupBy("threshold").agg(
+        F.sum(((F.col("prob") >= F.col("threshold")) & (F.col("label") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("prob") >= F.col("threshold")) & (F.col("label") == 0)).cast("long")).alias("fp"),
+        F.sum((F.col("label") == 1).cast("long")).alias("pos"),
+        F.sum((F.col("label") == 0).cast("long")).alias("neg"),
+    )
+    return agg.select(
+        F.round("threshold", 6).alias("threshold"),
+        F.round(F.col("fp") / F.col("neg"), 6).alias("fpr"),
+        F.round(F.col("tp") / F.col("pos"), 6).alias("tpr"),
+    )
+
+
 def _comparative(spark, sf_dir, kind, meth, **params):
     curves = testdata.curves(spark, sf_dir)
     templates = curves.filter(F.col("star_id").isin([0, 1, 2]))
@@ -228,6 +309,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comp_curves_shape": q_comp_curves_shape,
         "comp_hist_shape": q_comp_hist_shape,
         "comp_variogram_shape": q_comp_variogram_shape,
+        "ensemble_combine": q_ensemble_combine,
+        "confusion_stats": q_confusion_stats,
+        "roc_sweep": q_roc_sweep,
     }
 
 
@@ -369,4 +453,61 @@ WHERE NOT EXISTS (
             )
             + ")"
         ),
+        "ensemble_combine": f"""
+WITH probs AS (
+  SELECT c_custkey AS star_id, {_P1} AS p1, {_P2} AS p2, {_P3} AS p3
+  FROM customer
+),
+comb AS (
+  SELECT star_id,
+         round((p1 + p2 + p3) / 3, 2) AS prob_mean,
+         round(least(p1, p2, p3), 2) AS prob_lowest,
+         round(greatest(p1, p2, p3), 2) AS prob_highest
+  FROM probs
+)
+SELECT * FROM comb WHERE prob_mean >= 0.5
+""",
+        "confusion_stats": """
+WITH flags AS (
+  SELECT CASE WHEN l_quantity > 10.0 AND l_quantity < 40.0 THEN 1 ELSE 0 END AS pred,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label
+  FROM lineitem
+),
+agg AS (
+  SELECT CAST(sum(pred * label) AS BIGINT) AS tp,
+         CAST(sum(pred * (1 - label)) AS BIGINT) AS fp,
+         CAST(sum((1 - pred) * (1 - label)) AS BIGINT) AS tn,
+         CAST(sum((1 - pred) * label) AS BIGINT) AS fn
+  FROM flags
+)
+SELECT tp, fp, tn, fn,
+       round(tp / (tp + fp), 3) AS precision,
+       round((tp + tn) / (tp + fp + tn + fn), 6) AS accuracy,
+       round(2 * tp / (2 * tp + fp + fn), 6) AS f1_score,
+       round(tp / (tp + fn), 3) AS true_positive_rate,
+       round(tn / (tn + fp), 3) AS true_negative_rate
+FROM agg
+""",
+        "roc_sweep": f"""
+WITH pts AS (
+  SELECT {_P1} AS prob,
+         CASE WHEN c_acctbal > 5000.0 THEN 1 ELSE 0 END AS label
+  FROM customer
+),
+thr AS (
+  SELECT 0.01e0 + i * (0.98e0 / 29.0e0) AS threshold FROM range(30) t(i)
+),
+agg AS (
+  SELECT threshold,
+         CAST(sum(CASE WHEN prob >= threshold AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN prob >= threshold AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(label) AS BIGINT) AS pos,
+         CAST(sum(1 - label) AS BIGINT) AS neg
+  FROM pts, thr GROUP BY threshold
+)
+SELECT round(threshold, 6) AS threshold,
+       round(fp / neg, 6) AS fpr,
+       round(tp / pos, 6) AS tpr
+FROM agg
+""",
     }

