@@ -35,6 +35,9 @@ from lightcurvesclassifier_spark.operators.crossmatch import (
     crossmatch_sql,
 )
 from lightcurvesclassifier_spark.ml.stars_filter import combine_probabilities
+from lightcurvesclassifier_spark.operators import dedup as dedup_ops
+from lightcurvesclassifier_spark.operators import similarity as sim_ops
+from lightcurvesclassifier_spark.operators import text as text_ops
 from lightcurvesclassifier_spark.plans.query_compiler import (
     apply_queries,
     range_predicate,
@@ -285,6 +288,67 @@ def q_comp_variogram_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- training-data pipeline operators (dedup / similarity / text) ---------
+
+
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = testdata.load_table(spark, sf_dir, "documents")
+    return text_ops.quality_features(docs)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = testdata.load_table(spark, sf_dir, "documents")
+    return text_ops.lang_id(docs)
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = testdata.load_table(spark, sf_dir, "documents")
+    return text_ops.fingerprint(docs)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = testdata.dedup_corpus(spark, sf_dir)
+    return dedup_ops.exact_dedup(corpus)
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = testdata.dedup_corpus(spark, sf_dir)
+    return dedup_ops.ngram_jaccard_pairs(corpus, threshold=0.6)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates (MLlib banding — hash-seed dependent, so
+    rows-only driver check; exactness is covered by dedup_ngram)."""
+    corpus = testdata.dedup_corpus(spark, sf_dir)
+    return dedup_ops.minhash_pairs(corpus, threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash band-join near-dups (xxhash64-dependent → rows-only)."""
+    corpus = testdata.dedup_corpus(spark, sf_dir)
+    return dedup_ops.simhash_pairs(corpus, max_hamming=3)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = testdata.load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return sim_ops.cosine_topk(emb, queries_df, k=10)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = testdata.load_table(spark, sf_dir, "embeddings")
+    return sim_ops.embedding_neardup_pairs(emb, threshold=0.42)
+
+
+def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN path (LSH buckets + exact re-rank) — candidate set
+    depends on MLlib hash seeds → rows-only check; exact recall is
+    asserted in tests against cosine_topk."""
+    emb = testdata.load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return sim_ops.lsh_topk(emb, queries_df, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 
@@ -312,6 +376,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ensemble_combine": q_ensemble_combine,
         "confusion_stats": q_confusion_stats,
         "roc_sweep": q_roc_sweep,
+        "text_features": q_text_features,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram": q_dedup_ngram,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_topk": q_embedding_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_lsh_topk": q_embedding_lsh_topk,
     }
 
 
@@ -509,5 +583,34 @@ SELECT round(threshold, 6) AS threshold,
        round(fp / neg, 6) AS fpr,
        round(tp / pos, 6) AS tpr
 FROM agg
+""",
+        "text_features": text_ops.quality_features_sql(),
+        "lang_id": text_ops.lang_id_sql(),
+        "doc_fingerprint": text_ops.FINGERPRINT_SQL,
+        "dedup_exact": f"""
+WITH corpus AS ({testdata.DEDUP_CORPUS_SQL})
+SELECT md5(text) AS fingerprint,
+       min(doc_id) AS canonical_id,
+       count(*) AS group_size
+FROM corpus GROUP BY md5(text)
+""",
+        "dedup_ngram": dedup_ops.ngram_jaccard_sql(
+            testdata.DEDUP_CORPUS_SQL, threshold=0.6
+        ),
+        "embedding_topk": sim_ops.cosine_topk_sql(k=10, query_pred="vec_id < 5"),
+        "embedding_neardup": """
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos
+  FROM vecs a, vecs b WHERE a.vec_id < b.vec_id
+)
+SELECT * FROM pairs WHERE cos >= 0.42
 """,
     }

@@ -1,0 +1,203 @@
+"""Deduplication operators — exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+The scale-first designs:
+
+- **exact**: hash-groupBy on a content fingerprint (md5) — one shuffle,
+  no pairwise work.
+- **n-gram Jaccard**: token-shingle inverted index self-join
+  (doc↔shingle, join on shingle, count intersections) — work is
+  proportional to true shingle collisions, never O(n²) over documents.
+- **MinHash-LSH**: MLlib ``MinHashLSH`` over hashed shingle vectors —
+  banding reduces candidates to probable near-dups; the standard
+  100 TB-scale path.
+- **SimHash**: 64-bit weighted-bit fingerprint; candidate pairs share at
+  least one of four 16-bit bands (pigeonhole: hamming ≤ 3 ⇒ some band
+  equal), verified by exact hamming distance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SHINGLE_N = 4  # token n-gram size
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by md5 fingerprint: canonical id = min id,
+    plus group size. One hash aggregate."""
+    fp = F.md5(F.col(text_col))
+    return (
+        df.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("group_size"),
+        )
+    )
+
+
+def shingles(df: DataFrame, n: int = SHINGLE_N, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Distinct token n-gram shingles per document (long format)."""
+    toks = F.split(F.col(text_col), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, n: int = SHINGLE_N, threshold: float = 0.6,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by shingle-set Jaccard ≥ threshold.
+
+    Inverted-index plan: shingle self-join → per-pair intersection count →
+    |A∩B| / (|A| + |B| − |A∩B|). The join key is the shingle, so work
+    scales with real collisions; a hot shingle (stopword run) would be the
+    skew risk — AQE skew-join handles it, and SHINGLE_N=4 keeps shingles
+    rare.
+    """
+    sh = shingles(df, n, text_col, id_col).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_sql(corpus_sql: str, n: int = SHINGLE_N, threshold: float = 0.6) -> str:
+    """DuckDB mirror of :func:`ngram_jaccard_pairs` (same relational plan)."""
+    return f"""
+WITH corpus AS ({corpus_sql}),
+toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[g:g+{n - 1}], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, len(tk) - {n - 1})) AS t(g)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}
+"""
+
+
+def minhash_pairs(
+    df: DataFrame, threshold: float = 0.5, num_hashes: int = 8,
+    text_col: str = "text", id_col: str = "doc_id", seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates via MLlib: shingles → hashed binary
+    vectors → ``MinHashLSH.approxSimilarityJoin`` at the given Jaccard
+    *distance* threshold. Returns (id_a, id_b, jaccard_dist)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    toks = F.split(F.col(text_col), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (SHINGLE_N - 1)),
+        lambda i: F.array_join(F.slice(toks, i, SHINGLE_N), " "),
+    )
+    docs = df.select(F.col(id_col), sh.alias("sh"))
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(docs)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=seed)
+    model = mh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, threshold, distCol="jaccard_dist")
+    return (
+        joined.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash as four 16-bit band columns.
+
+    Token-level: each token votes its xxhash64 bits (+1/−1); fingerprint
+    bit b is the sign of the vote sum. Banding into 4×16 bits supports the
+    pigeonhole candidate join (hamming ≤ 3 ⇒ at least one band equal).
+    Pure built-in expressions: explode → 64 conditional sums → band ints.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    bands = []
+    for band in range(4):
+        expr = F.lit(0)
+        for i in range(16):
+            b = band * 16 + i
+            expr = expr + F.when(F.col(f"v{b}") > 0, F.lit(1 << i)).otherwise(0)
+        bands.append(expr.alias(f"band{band}"))
+    return agg.select(F.col(id_col), *bands)
+
+
+def simhash_pairs(
+    df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ ``max_hamming``
+    (≤ 3 guarantees a shared 16-bit band — no O(n²) scan)."""
+    fp = simhash(df, text_col, id_col).cache()
+    long = fp.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band_idx"), F.col(f"band{i}").alias("band_val"))
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select(id_col, "b.band_idx", "b.band_val")
+    a = long.select(F.col(id_col).alias("id_a"), "band_idx", "band_val")
+    b = long.select(F.col(id_col).alias("id_b"), "band_idx", "band_val")
+    cands = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = fp.select(F.col(id_col).alias("id_a"), *[F.col(f"band{i}").alias(f"a{i}") for i in range(4)])
+    fb = fp.select(F.col(id_col).alias("id_b"), *[F.col(f"band{i}").alias(f"b{i}") for i in range(4)])
+    ham = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}"))) for i in range(4)
+    )
+    return (
+        cands.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

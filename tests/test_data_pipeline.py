@@ -1,0 +1,85 @@
+"""Dedup / similarity / multimodal operator semantics: planted duplicates
+are found, approximate methods agree with exact ones, binary plumbing
+produces the right shapes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lightcurvesclassifier_spark.operators import dedup, multimodal, similarity
+from lightcurvesclassifier_spark.sources import testdata
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return testdata.dedup_corpus(spark, SF_ORACLE).cache()
+
+
+def test_exact_dedup_finds_planted_copies(spark, corpus):
+    groups = dedup.exact_dedup(corpus).filter(F.col("group_size") > 1).toPandas()
+    # doc_id % 7 == 0 → exact copy planted (500 docs → ids 0,7,...,497)
+    expected = len([i for i in range(500) if i % 7 == 0])
+    assert len(groups) == expected
+    assert (groups["group_size"] == 2).all()
+    assert (groups["canonical_id"] < 500).all()  # canonical = original
+
+
+def test_ngram_pairs_include_neardups(spark, corpus):
+    pairs = dedup.ngram_jaccard_pairs(corpus, threshold=0.6).toPandas()
+    pair_set = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    # exact copies: jaccard 1.0
+    assert (0, 2000000) in pair_set
+    # ' zz' copies: high but < 1.0 jaccard
+    near = pairs[(pairs.id_a == 0) & (pairs.id_b == 1000000)]
+    assert len(near) == 1 and 0.6 <= near.jaccard.iloc[0] < 1.0
+
+
+def test_minhash_recall_vs_exact(spark, corpus):
+    exact = dedup.ngram_jaccard_pairs(corpus, threshold=0.6).toPandas()
+    mh = dedup.minhash_pairs(corpus, threshold=0.5).toPandas()
+    exact_set = {(a, b) for a, b in zip(exact.id_a, exact.id_b)}
+    mh_set = {(a, b) for a, b in zip(mh.id_a, mh.id_b)}
+    recall = len(exact_set & mh_set) / len(exact_set)
+    assert recall > 0.9, f"minhash recall {recall}"
+
+
+def test_simhash_finds_exact_and_near(spark, corpus):
+    pairs = dedup.simhash_pairs(corpus, max_hamming=3).toPandas()
+    pair_set = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    # exact copies have identical simhash (hamming 0)
+    ham0 = pairs[pairs.hamming == 0]
+    assert (0, 2000000) in pair_set
+    assert len(ham0) >= len([i for i in range(500) if i % 7 == 0])
+
+
+def test_embedding_topk_and_lsh_recall(spark):
+    emb = testdata.load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, queries, k=10).toPandas()
+    assert set(exact.groupby("query_id").size()) == {10}
+    # ranks are 1..10 per query, cos non-increasing
+    for _, g in exact.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, 11))
+        assert (g["cos"].diff().dropna() <= 1e-12).all()
+    approx = similarity.lsh_topk(emb, queries, k=10).toPandas()
+    e = {(q, v) for q, v in zip(exact.query_id, exact.vec_id)}
+    a = {(q, v) for q, v in zip(approx.query_id, approx.vec_id)}
+    recall = len(e & a) / len(e)
+    assert recall > 0.9, f"lsh recall {recall}"
+
+
+def test_multimodal_plumbing(spark):
+    docs = testdata.load_table(spark, SF_ORACLE, "documents").limit(50)
+    media = multimodal.documents_as_media(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = multimodal.decode_features(media).toPandas()
+    assert len(feats) == 50
+    assert (feats["n_bytes"] > 0).all()
+    assert feats["feature"].map(len).eq(8).all()
+    assert feats["checksum"].str.len().eq(32).all()
+    # deterministic: same payload → same feature
+    f2 = multimodal.decode_features(media).toPandas()
+    m1 = feats.set_index("media_id")["checksum"].sort_index()
+    m2 = f2.set_index("media_id")["checksum"].sort_index()
+    assert (m1 == m2).all()
