@@ -34,6 +34,7 @@ from lightcurvesclassifier_spark.operators.crossmatch import (
     crossmatch,
     crossmatch_sql,
 )
+from lightcurvesclassifier_spark.functions import descriptors as descr
 from lightcurvesclassifier_spark.ml.stars_filter import combine_probabilities
 from lightcurvesclassifier_spark.operators import dedup as dedup_ops
 from lightcurvesclassifier_spark.operators import similarity as sim_ops
@@ -288,6 +289,73 @@ def q_comp_variogram_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- simple descriptors over the map-typed star catalog -------------------
+
+
+def q_color_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColorIndexDescr: more[b_mag] - more[v_mag] through the MapType path
+    (lcc/stars_processing/descriptors/color_index_descr.py:5-98); stars
+    with a missing magnitude dropped (the downstream dropna,
+    stars_filter.py:203)."""
+    sm = testdata.stars_more(spark, sf_dir)
+    return descr.color_index(sm, [("b_mag", "v_mag")]).na.drop()
+
+
+def q_property_descr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PropertyDescr: float(more[k]) with ifnot default
+    (lcc/stars_processing/descriptors/property_desc.py:4-70)."""
+    sm = testdata.stars_more(spark, sf_dir)
+    return descr.property_descr(sm, ["period", "b_mag"], ifnot=-1.0)
+
+
+def q_position_descr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PositionDescriptor: (ra, dec) feature pair
+    (lcc/stars_processing/descriptors/position_descriptor.py:4-29)."""
+    return descr.position_descr(testdata.stars(spark, sf_dir))
+
+
+def q_curve_descr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CurveDescr: PAA-reduced curve scaled to unit range, mean-centered
+    (curve_descr.py:12-121), long format — pure higher-order functions."""
+    return descr.curve_descr(testdata.curves(spark, sf_dir), bins=10)
+
+
+def q_phase_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase folding by a broadcast (star_id, period) dim
+    (lcc/db_tier/vizier_tap_base.py:268-298, asas.py:45-66)."""
+    obs = testdata.observations(spark, sf_dir)
+    return descr.phase_fold(obs, testdata.periods(spark, sf_dir))
+
+
+def q_ekvi_paa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-equidistant PAA binning, declarative (to_ekvi_PAA bin rule,
+    lcc/utils/data_analysis.py:54-140; empty bins dropped — NaN
+    interpolation lives in the pandas-UDF parity path)."""
+    obs = testdata.observations(spark, sf_dir)
+    return descr.ekvi_paa_bins(obs, bins=16)
+
+
+def q_mag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized magnitude histogram per star (histogram kernel,
+    data_analysis.py:249-299 + normalize :143-164)."""
+    obs = testdata.observations(spark, sf_dir)
+    return descr.mag_histogram(obs, bins=12)
+
+
+def q_sample_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ':N' random-N slice (stars_handling.py:123-133), deterministic:
+    md5-ordered top-N — executes as TakeOrderedAndProject, no global sort."""
+    st = testdata.stars(spark, sf_dir)
+    return descr.sample_head(st, "star_id", 100).select("star_id", "name")
+
+
+def q_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The '%frac' Bernoulli sample, engine-portable md5 variant
+    (stars_handling.py:134-170) — shuffle-free filter."""
+    st = testdata.stars(spark, sf_dir)
+    return descr.sample_fraction(st, "star_id", 0.25).select("star_id", "name")
+
+
 # --- training-data pipeline operators (dedup / similarity / text) ---------
 
 
@@ -376,6 +444,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ensemble_combine": q_ensemble_combine,
         "confusion_stats": q_confusion_stats,
         "roc_sweep": q_roc_sweep,
+        "color_index": q_color_index,
+        "property_descr": q_property_descr,
+        "position_descr": q_position_descr,
+        "curve_descr": q_curve_descr,
+        "phase_fold": q_phase_fold,
+        "ekvi_paa": q_ekvi_paa,
+        "mag_histogram": q_mag_histogram,
+        "sample_head": q_sample_head,
+        "sample_fraction": q_sample_fraction,
         "text_features": q_text_features,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -583,6 +660,38 @@ SELECT round(threshold, 6) AS threshold,
        round(fp / neg, 6) AS fpr,
        round(tp / pos, 6) AS tpr
 FROM agg
+""",
+        "color_index": f"""
+SELECT c_custkey AS star_id,
+       round(({testdata.B_MAG_SQL}) - ({testdata.V_MAG_SQL}), 6) AS b_mag_v_mag
+FROM customer
+WHERE c_custkey % 11 <> 0
+""",
+        "property_descr": f"""
+SELECT c_custkey AS star_id,
+       round(coalesce({testdata.PERIOD_SQL}, -1.0e0), 6) AS period,
+       round(coalesce({testdata.B_MAG_SQL}, -1.0e0), 6) AS b_mag
+FROM customer
+""",
+        "position_descr": f"""
+SELECT star_id, round(ra_deg, 6) AS ra_deg, round(dec_deg, 6) AS dec_deg
+FROM ({testdata.STARS_SQL})
+""",
+        "curve_descr": descr.curve_descr_sql(_OBS, bins=10),
+        "phase_fold": f"""
+SELECT o.star_id, round(o.t, 6) AS t,
+       round(fmod(o.t, p.period) / p.period, 6) AS phase
+FROM ({_OBS}) o JOIN ({testdata.PERIODS_SQL}) p USING (star_id)
+""",
+        "ekvi_paa": descr.ekvi_paa_bins_sql(_OBS, bins=16),
+        "mag_histogram": descr.mag_histogram_sql(_OBS, bins=12),
+        "sample_head": f"""
+SELECT star_id, name FROM ({testdata.STARS_SQL})
+ORDER BY md5(CAST(star_id AS VARCHAR)), star_id LIMIT 100
+""",
+        "sample_fraction": f"""
+SELECT star_id, name FROM ({testdata.STARS_SQL})
+WHERE substring(md5(CAST(star_id AS VARCHAR)), 1, 8) < '{format(int(0.25 * 16**8), "08x")}'
 """,
         "text_features": text_ops.quality_features_sql(),
         "lang_id": text_ops.lang_id_sql(),

@@ -58,6 +58,49 @@ STARS_SQL = (
 )
 
 
+# Deterministic `more` properties layered onto the star catalog, so the
+# map-typed open-schema path (Star.more, lcc/entities/star.py:40-45) is
+# exercisable with an exact SQL oracle. Some keys are deliberately missing
+# for some stars (NULL map values) to cover the pass_not_found / ifnot
+# default paths of ColorIndexDescr / PropertyDescr.
+#   b_mag  : 10 + (key % 97)/10, missing when key % 11 == 0
+#   v_mag  : 10 + (key % 89)/10, always present
+#   period : 0.5 + (key % 40)/8, missing when key % 3 == 1
+B_MAG_SQL = "CASE WHEN c_custkey % 11 <> 0 THEN 10.0e0 + (c_custkey % 97) / 10.0e0 END"
+V_MAG_SQL = "10.0e0 + (c_custkey % 89) / 10.0e0"
+PERIOD_SQL = "CASE WHEN c_custkey % 3 <> 1 THEN 0.5e0 + (c_custkey % 40) / 8.0e0 END"
+
+PERIODS_SQL = (
+    f"SELECT c_custkey AS star_id, 0.5e0 + (c_custkey % 40) / 8.0e0 AS period "
+    "FROM customer WHERE c_custkey % 3 <> 1"
+)
+
+
+def stars_more(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star catalog + open-schema ``more`` map (MapType path of the engine).
+
+    Values are derived from the key so DuckDB can mirror the *contents*
+    (B_MAG_SQL / V_MAG_SQL / PERIOD_SQL) without needing map types."""
+    k = F.col("star_id")
+    b_mag = F.when(k % 11 != 0, 10.0 + (k % 97) / F.lit(10.0))
+    v_mag = 10.0 + (k % 89) / F.lit(10.0)
+    period = F.when(k % 3 != 1, 0.5 + (k % 40) / F.lit(8.0))
+    return stars(spark, sf_dir).withColumn(
+        "more",
+        F.create_map(
+            F.lit("b_mag"), b_mag, F.lit("v_mag"), v_mag, F.lit("period"), period
+        ),
+    )
+
+
+def periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small (star_id, period) dimension for phase folding — broadcast side."""
+    sm = stars_more(spark, sf_dir)
+    return sm.select(
+        "star_id", F.element_at("more", "period").alias("period")
+    ).filter(F.col("period").isNotNull())
+
+
 # Synthetic detection catalog from `orders`: each order is a "detection" of
 # its customer's star, jittered by a deterministic sub-arcsecond offset —
 # some within the 0.5″ crossmatch EPS, some beyond (exercises the refine).
