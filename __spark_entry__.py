@@ -34,7 +34,9 @@ from lightcurvesclassifier_spark.operators.crossmatch import (
     crossmatch,
     crossmatch_sql,
 )
+from lightcurvesclassifier_spark.functions import curve_udfs
 from lightcurvesclassifier_spark.functions import descriptors as descr
+from lightcurvesclassifier_spark.operators import multimodal as mm_ops
 from lightcurvesclassifier_spark.ml.stars_filter import combine_probabilities
 from lightcurvesclassifier_spark.operators import dedup as dedup_ops
 from lightcurvesclassifier_spark.operators import similarity as sim_ops
@@ -342,6 +344,44 @@ def q_mag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return descr.mag_histogram(obs, bins=12)
 
 
+def q_variogram_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariogramSlopeDescr via Arrow-batched pandas UDF
+    (lcc/stars_processing/descriptors/variogram_slope_descr.py:5-53).
+    O(bins²) pair enumeration per curve → not SQL-expressible → rows-only
+    driver check; exactness is asserted against the numpy kernel in
+    tests/test_curve_udfs.py."""
+    curves = testdata.curves(spark, sf_dir)
+    out = curve_udfs.variogram_slope(curves, bins=20)
+    return out.select("star_id", F.round("variogram_slope", 6).alias("variogram_slope"))
+
+
+def q_ekvi_paa_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-parity to_ekvi_PAA incl. fix_missing NaN interpolation
+    (lcc/utils/data_analysis.py:54-140, :354-412) — sequential fill is
+    imperative → mapInPandas, rows-only check (declarative ekvi_paa
+    carries the value-checked variant)."""
+    curves = testdata.curves(spark, sf_dir)
+    out = curve_udfs.ekvi_paa_exact(curves, bins=16)
+    return out.select(
+        "star_id",
+        "bin",
+        F.round("t_red", 6).alias("t_red"),
+        F.round("mag_red", 6).alias("mag_red"),
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media pipeline: opaque payload → typed features via
+    mapInPandas (decode stubbed deterministically — no codec libs here;
+    the Spark plumbing (schema, Arrow batches, binary transfer) is real)."""
+    docs = testdata.load_table(spark, sf_dir, "documents")
+    media = mm_ops.documents_as_media(docs)
+    out = mm_ops.decode_features(media)
+    return out.select(
+        "media_id", "media_type", "n_bytes", "checksum", "width", "height"
+    )
+
+
 def q_sample_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ':N' random-N slice (stars_handling.py:123-133), deterministic:
     md5-ordered top-N — executes as TakeOrderedAndProject, no global sort."""
@@ -450,6 +490,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curve_descr": q_curve_descr,
         "phase_fold": q_phase_fold,
         "ekvi_paa": q_ekvi_paa,
+        "ekvi_paa_exact": q_ekvi_paa_exact,
+        "variogram_slope": q_variogram_slope,
+        "multimodal_features": q_multimodal_features,
         "mag_histogram": q_mag_histogram,
         "sample_head": q_sample_head,
         "sample_fraction": q_sample_fraction,
@@ -684,6 +727,14 @@ SELECT o.star_id, round(o.t, 6) AS t,
 FROM ({_OBS}) o JOIN ({testdata.PERIODS_SQL}) p USING (star_id)
 """,
         "ekvi_paa": descr.ekvi_paa_bins_sql(_OBS, bins=16),
+        "multimodal_features": """
+SELECT doc_id AS media_id, 'blob' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS checksum,
+       CAST(1 + octet_length(encode(text)) % 64 AS INT) AS width,
+       CAST(1 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height
+FROM documents
+""",
         "mag_histogram": descr.mag_histogram_sql(_OBS, bins=12),
         "sample_head": f"""
 SELECT star_id, name FROM ({testdata.STARS_SQL})

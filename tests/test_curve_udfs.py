@@ -1,0 +1,55 @@
+"""The pandas-UDF surface must agree with the numpy kernel library —
+the UDFs *are* the kernels, but the Arrow round trip (array columns,
+batching, null handling) is what these tests pin down."""
+
+import numpy as np
+import pytest
+
+from lightcurvesclassifier_spark.functions import curve_udfs, kernels
+from lightcurvesclassifier_spark.sources import testdata
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def curve_rows(spark):
+    return {
+        r["star_id"]: (np.array(r["time"]), np.array(r["mag"]))
+        for r in testdata.curves(spark, SF_SMOKE).collect()
+    }
+
+
+def test_variogram_slope_matches_kernel(spark, curve_rows):
+    out = {
+        r["star_id"]: r["variogram_slope"]
+        for r in curve_udfs.variogram_slope(
+            testdata.curves(spark, SF_SMOKE), bins=20
+        ).collect()
+    }
+    assert set(out) == set(curve_rows)
+    for sid, (t, m) in curve_rows.items():
+        expected = kernels.variogram_slope(t, m, bins=20)
+        assert out[sid] == pytest.approx(expected, rel=1e-12), sid
+
+
+def test_ekvi_paa_exact_matches_kernel(spark, curve_rows):
+    rows = curve_udfs.ekvi_paa_exact(
+        testdata.curves(spark, SF_SMOKE), bins=16
+    ).collect()
+    by_star: dict[int, list] = {}
+    for r in rows:
+        by_star.setdefault(r["star_id"], []).append(r)
+    assert set(by_star) == set(curve_rows)
+    for sid, (t, m) in curve_rows.items():
+        x, y = kernels.to_ekvi_paa(t, m, bins=16)
+        got = sorted(by_star[sid], key=lambda r: r["bin"])
+        assert len(got) == len(x)
+        np.testing.assert_allclose([r["t_red"] for r in got], x, rtol=1e-12)
+        np.testing.assert_allclose([r["mag_red"] for r in got], y, rtol=1e-12)
+
+
+def test_variogram_slope_all_finite(spark):
+    out = curve_udfs.variogram_slope(
+        testdata.curves(spark, SF_SMOKE), bins=20
+    ).collect()
+    vals = [r["variogram_slope"] for r in out]
+    assert all(v is not None and np.isfinite(v) for v in vals)
