@@ -1,0 +1,277 @@
+"""Minimal FITS reader/writer + distributed scan — no astropy needed.
+
+The reference persists stars as FITS (primary header carrying
+identifiers/coords/class/properties, one BINTABLE extension per light
+curve with Time/Magnitudes/error columns — lcc/db_tier/connectors/
+file_manager.py:255-404). This container has no astropy, so this module
+implements the required *subset* of the public FITS standard directly
+(2880-byte blocks, 80-char header cards, big-endian BINTABLE payloads;
+NASA FITS 4.0 spec): enough for a faithful round trip of the layout the
+reference writes, swap-in point for astropy on a cluster that has it.
+
+Spark integration: ``spark.read.format("binaryFile")`` over a glob →
+``mapInPandas`` parse (whole-file payloads stream through Arrow in
+bounded batches) → long observations + a per-star header map. There is
+no built-in FITS DataSource; binaryFile + UDF is the idiomatic shape
+(SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import Iterator
+
+import numpy as np
+
+BLOCK = 2880
+CARD = 80
+
+_TFORM_DTYPE = {"E": ">f4", "D": ">f8", "J": ">i4", "K": ">i8", "I": ">i2"}
+
+
+# ---------------------------------------------------------------------------
+# Card-level encode/decode
+
+
+def _fmt_value(v) -> str:
+    if isinstance(v, bool):
+        return "T" if v else "F"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, float):
+        return repr(float(v))
+    return str(v)
+
+
+def _card(key: str, value, comment: str = "") -> bytes:
+    if len(key) <= 8 and key.isupper() and all(
+        c.isalnum() or c in "-_" for c in key
+    ):
+        head = f"{key:<8}= "
+    else:
+        head = f"HIERARCH {key} = "
+    body = head + _fmt_value(value)
+    if comment:
+        body += f" / {comment}"
+    return body[:CARD].ljust(CARD).encode("ascii")
+
+
+def _parse_value(raw: str):
+    raw = raw.strip()
+    if raw.startswith("'"):
+        return raw[1:].rsplit("'", 1)[0].replace("''", "'").rstrip()
+    if raw in ("T", "F"):
+        return raw == "T"
+    try:
+        return int(raw)
+    except ValueError:
+        pass
+    try:
+        return float(raw)
+    except ValueError:
+        return raw
+
+
+def _parse_header(buf: io.BytesIO) -> dict:
+    header: dict = {}
+    while True:
+        block = buf.read(BLOCK)
+        if len(block) < BLOCK:
+            raise ValueError("truncated FITS header")
+        done = False
+        for i in range(0, BLOCK, CARD):
+            card = block[i : i + CARD].decode("ascii", errors="replace")
+            key = card[:8].strip()
+            if key == "END":
+                done = True
+                break
+            if key in ("", "COMMENT", "HISTORY"):
+                continue
+            if key == "HIERARCH":
+                k, _, v = card[9:].partition("=")
+                header[k.strip()] = _parse_value(v.split(" / ")[0])
+                continue
+            if card[8:10] != "= ":
+                continue
+            header[key] = _parse_value(card[10:].split(" / ")[0])
+        if done:
+            return header
+
+
+# ---------------------------------------------------------------------------
+# Whole-file write/read
+
+
+def write_star_fits(
+    header: dict,
+    curves: list[dict],
+) -> bytes:
+    """Serialize one star. ``header``: scalar cards for the primary HDU
+    (identifiers, coords, class, ``more`` properties). ``curves``: each
+    ``{"band": str, "time": arr, "mag": arr, "err": arr|None}`` becomes a
+    BINTABLE extension with Time/Magnitudes/error float32 columns — the
+    reference's layout (file_manager.py:350-404)."""
+    out = bytearray()
+    cards = [
+        _card("SIMPLE", True, "conforms to FITS standard"),
+        _card("BITPIX", 8),
+        _card("NAXIS", 0),
+        _card("EXTEND", True),
+    ]
+    for k, v in header.items():
+        cards.append(_card(k, v))
+    cards.append(b"END".ljust(CARD))
+    head = b"".join(cards)
+    out += head.ljust((len(head) + BLOCK - 1) // BLOCK * BLOCK)
+
+    for curve in curves:
+        time = np.asarray(curve["time"], dtype=">f4")
+        mag = np.asarray(curve["mag"], dtype=">f4")
+        err = curve.get("err")
+        cols = [("Time", "days", time), ("Magnitudes", "mag", mag)]
+        if err is not None:
+            cols.append(("error", "mag", np.asarray(err, dtype=">f4")))
+        n = len(time)
+        row_bytes = 4 * len(cols)
+        cards = [
+            _card("XTENSION", "BINTABLE", "binary table extension"),
+            _card("BITPIX", 8),
+            _card("NAXIS", 2),
+            _card("NAXIS1", row_bytes),
+            _card("NAXIS2", n),
+            _card("PCOUNT", 0),
+            _card("GCOUNT", 1),
+            _card("TFIELDS", len(cols)),
+        ]
+        for i, (name, unit, _) in enumerate(cols, start=1):
+            cards.append(_card(f"TTYPE{i}", name))
+            cards.append(_card(f"TFORM{i}", "E"))
+            cards.append(_card(f"TUNIT{i}", unit))
+        cards.append(_card("EXTNAME", str(curve.get("band", "lc"))))
+        cards.append(b"END".ljust(CARD))
+        head = b"".join(cards)
+        out += head.ljust((len(head) + BLOCK - 1) // BLOCK * BLOCK)
+        data = np.empty(
+            n, dtype=[(name, ">f4") for name, _, _ in cols]
+        )
+        for (name, _, arr) in cols:
+            data[name] = arr
+        raw = data.tobytes()
+        out += raw.ljust((len(raw) + BLOCK - 1) // BLOCK * BLOCK, b"\x00")
+    return bytes(out)
+
+
+def read_star_fits(payload: bytes) -> tuple[dict, list[dict]]:
+    """Inverse of :func:`write_star_fits` (also reads the reference's own
+    float32 Time/Magnitudes/error layout)."""
+    buf = io.BytesIO(payload)
+    primary = _parse_header(buf)
+    curves = []
+    while buf.tell() < len(payload):
+        try:
+            ext = _parse_header(buf)
+        except ValueError:
+            break
+        if ext.get("XTENSION", "").strip() != "BINTABLE":
+            continue
+        n = int(ext["NAXIS2"])
+        tfields = int(ext["TFIELDS"])
+        names = [str(ext.get(f"TTYPE{i}", f"col{i}")) for i in range(1, tfields + 1)]
+        forms = [str(ext.get(f"TFORM{i}", "E")).strip() for i in range(1, tfields + 1)]
+        dtype = np.dtype(
+            [
+                (names[i], _TFORM_DTYPE.get(forms[i][-1], ">f4"))
+                for i in range(tfields)
+            ]
+        )
+        nbytes = dtype.itemsize * n
+        raw = buf.read(nbytes)
+        buf.read((-nbytes) % BLOCK)  # skip padding
+        rec = np.frombuffer(raw, dtype=dtype)
+        by_name = {nm.lower(): rec[nm].astype(float) for nm in names}
+        curves.append(
+            {
+                "band": str(ext.get("EXTNAME", "lc")),
+                "time": by_name.get("time"),
+                "mag": by_name.get("magnitudes"),
+                "err": by_name.get("error"),
+            }
+        )
+    return primary, curves
+
+
+# ---------------------------------------------------------------------------
+# Spark-level scan / sink
+
+
+FITS_OBS_SCHEMA = (
+    "star_id string, band string, t double, mag double, err double"
+)
+
+
+def load_fits_curves(spark, path_glob: str):
+    """Distributed FITS scan: binaryFile source → parse UDF → long obs.
+
+    Column pruning note: binaryFile pushes a path filter but always
+    ships `content`; partition count follows
+    spark.sql.files.maxPartitionBytes, so many small FITS files batch
+    into few tasks instead of one task per file.
+    """
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                name = os.path.basename(row["path"]).rsplit(".", 1)[0]
+                primary, curves = read_star_fits(bytes(row["content"]))
+                sid = str(primary.get("IDENT", name))
+                for c in curves:
+                    time, mag = c["time"], c["mag"]
+                    err = c["err"]
+                    for i in range(len(time)):
+                        rows.append(
+                            {
+                                "star_id": sid,
+                                "band": c["band"],
+                                "t": float(time[i]),
+                                "mag": float(mag[i]),
+                                "err": float(err[i]) if err is not None else None,
+                            }
+                        )
+            yield pd.DataFrame(
+                rows, columns=["star_id", "band", "t", "mag", "err"]
+            )
+
+    return files.select("path", "content").mapInPandas(
+        parse, schema=FITS_OBS_SCHEMA
+    )
+
+
+def save_fits_curves(curves_df, path: str) -> None:
+    """Write one ``<star_id>.fits`` per star from the array-typed curves
+    view — executor-side via foreachPartition (the FITS sink,
+    file_manager.py:350-404 / utils/stars.py:15-50)."""
+    os.makedirs(path, exist_ok=True)
+
+    def write_partition(rows) -> None:
+        for r in rows:
+            d = r.asDict()
+            payload = write_star_fits(
+                {"IDENT": str(d["star_id"])},
+                [
+                    {
+                        "band": str(d.get("band", "lc")),
+                        "time": d["time"],
+                        "mag": d["mag"],
+                        "err": d.get("err"),
+                    }
+                ],
+            )
+            with open(os.path.join(path, f"{d['star_id']}.fits"), "wb") as f:
+                f.write(payload)
+
+    curves_df.foreachPartition(write_partition)

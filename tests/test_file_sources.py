@@ -1,0 +1,129 @@
+"""File sources: dat scan round trip, query-file round trip, FITS codec
+and distributed FITS scan round trip (mirrors the reference's
+FITS save/load equality test, test/db_tier/test_connectors.py:~100)."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from lightcurvesclassifier_spark.sources import files, fits, testdata
+from tests.conftest import SF_SMOKE
+
+
+def test_dat_scan_parses_and_filters(spark, tmp_path):
+    d = tmp_path / "dat"
+    d.mkdir()
+    (d / "star_a.dat").write_text(
+        "1.0 10.5 0.1\n2.0 -99 0.1\n# comment\n3.0 11.25 -99\n\n4.0 nan 0.2\n"
+    )
+    (d / "star_b.dat").write_text("5.5  12.125\t0.3\n")
+    out = files.load_dat_curves(spark, str(d)).orderBy("star_id", "t").collect()
+    # star_a: row t=2 dropped (mag sentinel), t=4 dropped (nan mag),
+    # t=3 kept with err=None; star_b whitespace-mixed row parses.
+    assert [(r["star_id"], r["t"], r["mag"], r["err"]) for r in out] == [
+        ("star_a", 1.0, 10.5, 0.1),
+        ("star_a", 3.0, 11.25, None),
+        ("star_b", 5.5, 12.125, 0.3),
+    ]
+
+
+def test_dat_files_limit_and_class(spark, tmp_path):
+    d = tmp_path / "dat2"
+    d.mkdir()
+    for i in range(4):
+        (d / f"s{i}.dat").write_text("1.0 1.0 0.0\n")
+    out = files.load_dat_curves(
+        spark, str(d), files_limit=2, star_class="qso"
+    ).collect()
+    assert sorted(r["star_id"] for r in out) == ["s0", "s1"]
+    assert all(r["star_class"] == "qso" for r in out)
+
+
+def test_dat_round_trip(spark, tmp_path):
+    obs = testdata.observations(spark, SF_SMOKE).filter(F.col("star_id") < 3)
+    target = tmp_path / "dat_out"
+    files.save_dat_curves(obs, str(target))
+    back = files.load_dat_curves(spark, str(target))
+    orig = obs.select(
+        F.col("star_id").cast("string").alias("star_id"),
+        F.round("t", 3).alias("t"),
+        F.round("mag", 3).alias("mag"),
+    )
+    got = back.select("star_id", "t", "mag")
+    assert got.count() == orig.count()
+    assert got.exceptAll(orig).count() == 0
+
+
+def test_query_file_round_trip(spark, tmp_path):
+    p = tmp_path / "queries.txt"
+    p.write_text("#ra;dec;delta\n1.5;2.5;10\n3.0;4.0;20\n")
+    q = files.load_query_file(spark, str(p))
+    assert q.columns == ["ra", "dec", "delta"]
+    assert q.count() == 2
+    p2 = tmp_path / "queries_out.txt"
+    files.save_query_file(q, str(p2))
+    assert p2.read_text() == "#ra;dec;delta\n1.5;2.5;10\n3.0;4.0;20\n"
+
+
+def test_fits_codec_round_trip():
+    time = np.array([1.0, 2.5, 3.25], dtype=np.float32)
+    mag = np.array([10.0, 10.5, 11.0], dtype=np.float32)
+    err = np.array([0.1, 0.2, 0.3], dtype=np.float32)
+    header = {
+        "IDENT": "star_42",
+        "RA": 123.456,
+        "DEC": -45.5,
+        "CLASS": "quasar",
+        "macho_name": "1.4418.1930",
+        "b_mag": 17.25,
+    }
+    payload = fits.write_star_fits(
+        header, [{"band": "B", "time": time, "mag": mag, "err": err}]
+    )
+    assert len(payload) % fits.BLOCK == 0
+    hdr, curves = fits.read_star_fits(payload)
+    assert hdr["IDENT"] == "star_42"
+    assert hdr["RA"] == pytest.approx(123.456)
+    assert hdr["CLASS"] == "quasar"
+    assert hdr["macho_name"] == "1.4418.1930"  # HIERARCH long keyword
+    assert hdr["b_mag"] == pytest.approx(17.25)
+    (c,) = curves
+    assert c["band"] == "B"
+    np.testing.assert_allclose(c["time"], time)
+    np.testing.assert_allclose(c["mag"], mag)
+    np.testing.assert_allclose(c["err"], err)
+
+
+def test_fits_spark_round_trip(spark, tmp_path):
+    curves = testdata.curves(spark, SF_SMOKE).filter(F.col("star_id") < 5)
+    target = tmp_path / "fits_out"
+    fits.save_fits_curves(curves, str(target))
+    assert len(list(target.glob("*.fits"))) == 5
+    back = fits.load_fits_curves(spark, str(target / "*.fits"))
+    stats = (
+        back.groupBy("star_id")
+        .agg(F.count("*").alias("n"), F.round(F.avg("mag"), 3).alias("m"))
+        .collect()
+    )
+    orig = {
+        str(r["star_id"]): r["n"]
+        for r in testdata.observations(spark, SF_SMOKE)
+        .filter(F.col("star_id") < 5)
+        .groupBy("star_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert {r["star_id"]: r["n"] for r in stats} == orig
+    # float32 storage: means agree to ~1e-3
+    orig_means = {
+        str(r["star_id"]): r["m"]
+        for r in testdata.observations(spark, SF_SMOKE)
+        .filter(F.col("star_id") < 5)
+        .groupBy("star_id")
+        .agg(F.round(F.avg("mag"), 3).alias("m"))
+        .collect()
+    }
+    for r in stats:
+        assert r["m"] == pytest.approx(orig_means[r["star_id"]], abs=2e-3)
