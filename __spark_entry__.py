@@ -39,6 +39,7 @@ from lightcurvesclassifier_spark.functions import descriptors as descr
 from lightcurvesclassifier_spark.operators import multimodal as mm_ops
 from lightcurvesclassifier_spark.ml.stars_filter import combine_probabilities
 from lightcurvesclassifier_spark.operators import dedup as dedup_ops
+from lightcurvesclassifier_spark.operators import searcher as search_ops
 from lightcurvesclassifier_spark.operators import similarity as sim_ops
 from lightcurvesclassifier_spark.operators import text as text_ops
 from lightcurvesclassifier_spark.plans.query_compiler import (
@@ -291,6 +292,25 @@ def q_comp_variogram_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Systematic-search plan: three id-range queries (overlapping, so one
+# star can be found by several queries — exercising the per-(query, star)
+# ledger grain of stars_searcher.py:188-215).
+_SEARCH_PLAN = [(0, 49), (40, 99), (100, 200)]
+
+
+def q_systematic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StarsSearcher as one plan: query dimension broadcast-range-joined
+    against per-star features, CustomDecider passed flag — the ledger
+    (lcc/systematic_search/stars_searcher.py:63-106, 188-215)."""
+    obs = testdata.observations(spark, sf_dir)
+    feats = _round6(
+        curve_features(obs),
+        "mean_mag", "std_mag", "timespan", "curve_density", "abbe",
+    )
+    qdf = search_ops.queries_df(spark, _SEARCH_PLAN)
+    return search_ops.run_search(feats, qdf, ABBE_RANGES)
+
+
 # --- simple descriptors over the map-typed star catalog -------------------
 
 
@@ -473,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_kurtosis": q_skew_kurtosis,
         "abbe_filter": q_abbe_filter,
         "custom_decider": q_custom_decider,
+        "systematic_search": q_systematic_search,
         "query_dsl": q_query_dsl,
         "plan_anti_join": q_plan_anti_join,
         "cone_search": q_cone_search,
@@ -598,6 +619,14 @@ SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
 FROM lineitem
 WHERE l_quantity > 10.0 AND l_quantity < 40.0
   AND l_discount > 0.02 AND l_discount < 0.08
+""",
+        "systematic_search": f"""
+WITH feats AS ({_CURVE_FEATURES_SQL}),
+q(query_id, lo, hi) AS (VALUES {", ".join(f"({i}, {lo}, {hi})" for i, (lo, hi) in enumerate(_SEARCH_PLAN))})
+SELECT q.query_id, f.star_id, f.n_obs, f.mean_mag, f.std_mag, f.timespan,
+       f.curve_density, f.abbe, TRUE AS found,
+       (f.abbe < 0.95 AND f.std_mag > 35.0) AS passed
+FROM feats f JOIN q ON f.star_id >= q.lo AND f.star_id <= q.hi
 """,
         "query_dsl": """
 SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
