@@ -342,6 +342,25 @@ def q_curve_descr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return descr.curve_descr(testdata.curves(spark, sf_dir), bins=10)
 
 
+def q_curve_descr_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CurveDescr red_dim path: PAA vector → fitted MLlib PCA
+    (curve_descr.py:113-121, statefulness made explicit). PCA basis has
+    sign/rotation freedom → rows-only driver check; determinism and
+    order-independence are pinned in tests/test_curve_pca.py."""
+    from lightcurvesclassifier_spark.ml.curve_pca import fit_curve_pca
+
+    curves = testdata.curves(spark, sf_dir)
+    model = fit_curve_pca(curves, bins=16, red_dim=3)
+    out = model.transform(curves)
+    return out.select(
+        "star_id",
+        *[
+            F.round(F.col("features")[i], 6).alias(f"pc{i + 1}")
+            for i in range(3)
+        ],
+    )
+
+
 def q_phase_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phase folding by a broadcast (star_id, period) dim
     (lcc/db_tier/vizier_tap_base.py:268-298, asas.py:45-66)."""
@@ -509,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "property_descr": q_property_descr,
         "position_descr": q_position_descr,
         "curve_descr": q_curve_descr,
+        "curve_descr_pca": q_curve_descr_pca,
         "phase_fold": q_phase_fold,
         "ekvi_paa": q_ekvi_paa,
         "ekvi_paa_exact": q_ekvi_paa_exact,
