@@ -1,0 +1,90 @@
+"""Custom stateful streaming operator: incremental per-star curve stats.
+
+The reference has no streaming semantics (SURVEY.md §2.6) — its closest
+shape is the ever-growing status ledger. This operator is the engine's
+forward-looking streaming surface: as observations arrive unbounded,
+each star's running photometric state (count, mean/std via power sums,
+latest timestamp, outlier count) is maintained with
+``applyInPandasWithState`` and emitted per micro-batch — the building
+block for online anomaly alerts (a new observation deviating > kσ from
+the star's running mean) without recomputing history.
+
+State is O(1) per star (five scalars) — the 100 TB story: state size
+scales with #stars, not #observations, and Spark shards it by the
+group key across executors with checkpointed fault tolerance.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "n long, s1 double, s2 double, t_max double, outliers long"
+OUTPUT_SCHEMA = (
+    "star_id long, n_obs long, mean_mag double, std_mag double, "
+    "t_max double, outliers long"
+)
+
+
+def _update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold the batch into the running power sums; count k-sigma outliers
+    against the state *as of each batch's start* (deterministic within a
+    batch regardless of row order)."""
+    if state.exists:
+        n, s1, s2, t_max, outliers = state.get
+    else:
+        n, s1, s2, t_max, outliers = 0, 0.0, 0.0, float("-inf"), 0
+
+    k_sigma = 3.0
+    for pdf in pdfs:
+        mags = pdf["mag"].to_numpy(dtype=float)
+        ts = pdf["t"].to_numpy(dtype=float)
+        if n >= 2:
+            mean = s1 / n
+            var = s2 / n - mean * mean
+            std = math.sqrt(var) if var > 0 else 0.0
+            if std > 0:
+                outliers += int((abs(mags - mean) > k_sigma * std).sum())
+        n += len(mags)
+        s1 += float(mags.sum())
+        s2 += float((mags * mags).sum())
+        if len(ts):
+            t_max = max(t_max, float(ts.max()))
+
+    state.update((n, s1, s2, t_max, outliers))
+    mean = s1 / n if n else float("nan")
+    var = s2 / n - mean * mean if n else float("nan")
+    std = math.sqrt(var) if n and var > 0 else 0.0
+    yield pd.DataFrame(
+        [
+            {
+                "star_id": key[0],
+                "n_obs": n,
+                "mean_mag": mean,
+                "std_mag": std,
+                "t_max": t_max,
+                "outliers": outliers,
+            }
+        ]
+    )
+
+
+def running_curve_stats(obs_stream: DataFrame) -> DataFrame:
+    """obs stream (star_id, t, mag, …) → per-star running stats, one
+    updated row per star per micro-batch it appears in."""
+    return obs_stream.groupBy("star_id").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
