@@ -26,6 +26,13 @@ def main() -> None:
 
     spark = get_spark("lcc-spark-bench")
 
+    # warm the JVM + parquet footers once so per-query timings measure
+    # the plans, not session bring-up (first-query listing/codegen)
+    from lightcurvesclassifier_spark.sources.testdata import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entry_mod.queries().items():

@@ -153,17 +153,18 @@ def variogram(
     xp = to_paa(x, bins)
     yp = to_paa(y, bins)
     n = len(xp)
-    lags, vals = [], []
-    for i in range(n):
-        for j in range(n):
-            if i == j:
-                continue
-            lag = abs(xp[i] - xp[j])
-            val = (yp[i] - yp[j]) ** 2
-            if not (np.isnan(xp[i]) or np.isnan(yp[i]) or np.isnan(lag) or np.isnan(val)):
-                lags.append(lag)
-                vals.append(val)
-    lags, vals = sort_pairs(np.array(lags), np.array(vals))
+    # vectorized all-ordered-pairs enumeration in the same (i-major,
+    # j-minor, i≠j) order as the reference's double loop — identical
+    # values in identical order, so the sort permutation matches too
+    off = ~np.eye(n, dtype=bool)
+    lag_m = np.abs(xp[:, None] - xp[None, :])
+    d_m = yp[:, None] - yp[None, :]
+    val_m = d_m * d_m  # multiply, not **2: correctly-rounded, SIMD-stable
+    # NaN policy faithful to the reference: checks x_i, y_i (row side
+    # only) plus the pair values themselves
+    nan_i = (np.isnan(xp) | np.isnan(yp))[:, None] & np.ones(n, dtype=bool)
+    keep = off & ~nan_i & ~np.isnan(lag_m) & ~np.isnan(val_m)
+    lags, vals = sort_pairs(lag_m[keep], val_m[keep])
     vx = to_paa(lags, bins)
     vy = to_paa(vals, bins)
     if log_opt:

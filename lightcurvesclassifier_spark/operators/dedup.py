@@ -50,6 +50,29 @@ def shingles(df: DataFrame, n: int = SHINGLE_N, text_col: str = "text",
     )
 
 
+def shingles_hashed(
+    df: DataFrame, n: int = SHINGLE_N, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct shingles as xxhash64 longs — 8-byte join/shuffle keys
+    instead of ~25-char strings (collision odds ~|shingles|²/2⁶⁴,
+    negligible). Shared by the Jaccard and MinHash paths so their
+    cached plans are identical (one materialization per run)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.size(F.split(F.col(text_col), " ")) - (n - 1)
+                ),
+                lambda i: F.xxhash64(
+                    F.array_join(F.slice(F.split(F.col(text_col), " "), i, n), " ")
+                ),
+            )
+        ).alias("shingle"),
+    ).distinct()
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, n: int = SHINGLE_N, threshold: float = 0.6,
     text_col: str = "text", id_col: str = "doc_id",
@@ -62,7 +85,7 @@ def ngram_jaccard_pairs(
     skew risk — AQE skew-join handles it, and SHINGLE_N=4 keeps shingles
     rare.
     """
-    sh = shingles(df, n, text_col, id_col).cache()
+    sh = shingles_hashed(df, n, text_col, id_col).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -129,7 +152,7 @@ def minhash_pairs(
     pipeline is codegen'd joins/aggregates).
     """
     rows = num_hashes // bands
-    sh = shingles(df, SHINGLE_N, text_col, id_col).cache()
+    sh = shingles_hashed(df, SHINGLE_N, text_col, id_col).cache()
     sig = sh.groupBy(id_col).agg(
         F.count("*").alias("n_sh"),
         *[
