@@ -35,14 +35,17 @@ def to_paa(x: np.ndarray, bins: int) -> np.ndarray:
     n = len(x)
     step_f = n / float(bins)
     step = int(math.ceil(step_f))
-    out = []
-    i = 0
-    start = 0
-    while start <= n - step:
-        out.append(np.mean(x[start : start + step]))
-        i += 1
-        start = int(i * step_f)
-    return np.array(out)
+    if n - step + 1 <= 0:
+        return np.array([])
+    # vectorized form of the reference loop: frame starts int(i*step_f)
+    # are non-decreasing (duplicates kept when bins > n — faithful), so
+    # the while-condition equals filtering starts <= n - step; per-frame
+    # means via a strided window gather (same pairwise mean per row as
+    # np.mean on each slice)
+    starts = (np.arange(int(bins) + 2) * step_f).astype(np.int64)
+    starts = starts[starts <= n - step]
+    win = np.lib.stride_tricks.sliding_window_view(x, step)
+    return win[starts].mean(axis=1)
 
 
 def paa_frames(n: int, bins: int) -> list[tuple[int, int]]:
