@@ -188,6 +188,31 @@ _P2 = "(c_custkey % 7) / 7.0"
 _P3 = "(c_custkey % 13) / 13.0"
 
 
+def q_stars_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The make_filter → filter_stars lifecycle end-to-end (SURVEY §3.1/
+    §3.2): curve features as descriptors, a closed-form LDA decider
+    trained on deterministic populations (high-abbe vs low-abbe stars),
+    ensemble probability + threshold filter. Closed-form fit on
+    deterministic input → deterministic output, but the probability
+    surface isn't SQL-expressible (matrix inverse) → rows-only check;
+    determinism is pinned in tests/test_deciders.py."""
+    from lightcurvesclassifier_spark.ml.deciders import make_decider
+    from lightcurvesclassifier_spark.ml.stars_filter import StarsFilter
+
+    obs = testdata.observations(spark, sf_dir)
+    feats = _round6(
+        curve_features(obs),
+        "mean_mag", "std_mag", "timespan", "curve_density", "abbe",
+    ).cache()
+    cols = ["mean_mag", "std_mag", "abbe"]
+    searched = feats.filter(F.col("abbe") < 0.9)
+    others = feats.filter(F.col("abbe") >= 0.9)
+    filt = StarsFilter([make_decider("LDADec", threshold=0.5)], cols)
+    filt.learn(searched, others)
+    out = filt.filter_stars(feats, pass_method="mean")
+    return out.select("star_id", F.round("prob", 2).alias("prob"))
+
+
 def q_ensemble_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """evaluateCoordinates combine semantics (stars_filter.py:291-327):
     mean / lowest / highest of decider probabilities, rounded to 2; pass
@@ -521,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comp_curves_shape": q_comp_curves_shape,
         "comp_hist_shape": q_comp_hist_shape,
         "comp_variogram_shape": q_comp_variogram_shape,
+        "stars_filter_pipeline": q_stars_filter_pipeline,
         "ensemble_combine": q_ensemble_combine,
         "confusion_stats": q_confusion_stats,
         "roc_sweep": q_roc_sweep,

@@ -130,3 +130,17 @@ def test_params_estimator(spark, populations):
     assert len(results) == 2
     assert best_combo["decider"] in ("GaussianNBDec", "TreeDec")
     assert all("precision" in r for r in results)
+
+
+def test_stars_filter_pipeline_query_deterministic(spark):
+    """The trained-LDA contract query returns identical rows across
+    independent runs (closed-form fit on deterministic input)."""
+    import __spark_entry__ as em
+    from tests.conftest import SF_SMOKE
+
+    a = em.q_stars_filter_pipeline(spark, SF_SMOKE).toPandas()
+    b = em.q_stars_filter_pipeline(spark, SF_SMOKE).toPandas()
+    a = a.sort_values("star_id").reset_index(drop=True)
+    b = b.sort_values("star_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) > 0
