@@ -32,6 +32,7 @@ from lightcurvesclassifier_spark.operators.cone_search import (
 )
 from lightcurvesclassifier_spark.operators.crossmatch import (
     crossmatch,
+    crossmatch_full,
     crossmatch_sql,
 )
 from lightcurvesclassifier_spark.functions import curve_udfs
@@ -48,7 +49,12 @@ from lightcurvesclassifier_spark.plans.query_compiler import (
 )
 from lightcurvesclassifier_spark.sources import testdata
 
+from lightcurvesclassifier_spark.operators.sky import separation_sql
+from lightcurvesclassifier_spark.schemas import CROSSMATCH_EPS_DEG
+
 SF0001 = "/root/testdata/sf0.001"
+
+_sky_sep_sql = separation_sql("l.ra_deg", "l.dec_deg", "r.ra_deg", "r.dec_deg")
 
 # ---------------------------------------------------------------------------
 # Shared SQL fragments (DuckDB side) — must mirror sources/testdata.py.
@@ -178,6 +184,16 @@ def q_crossmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_star_id",
         F.round("sep_deg", 9).alias("sep_deg"),
     )
+
+
+def q_crossmatch_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete Star.__eq__ crossmatch: shared-ident equi-join OR
+    angular separation < 0.5″ (lcc/entities/star.py:107-119) — the
+    ident map explodes to (db, name) rows; matched pairs are the
+    distinct union of both halves."""
+    st = testdata.stars_ident(spark, sf_dir)
+    det = testdata.detections_ident(spark, sf_dir)
+    return crossmatch_full(st, det, right_cols=["det_id"])
 
 
 # Deterministic pseudo-decider probabilities on customer (integer-derived
@@ -543,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cone_search": q_cone_search,
         "cone_nearest": q_cone_nearest,
         "crossmatch": q_crossmatch,
+        "crossmatch_full": q_crossmatch_full,
         "comp_curves_shape": q_comp_curves_shape,
         "comp_hist_shape": q_comp_hist_shape,
         "comp_variogram_shape": q_comp_variogram_shape,
@@ -722,6 +739,13 @@ WHERE NOT EXISTS (
             )
             + ")"
         ),
+        "crossmatch_full": f"""
+WITH l AS ({testdata.STARS_IDENT_SQL}), r AS ({testdata.DETECTIONS_IDENT_SQL})
+SELECT DISTINCT l.star_id AS l_star_id, r.det_id AS r_det_id
+FROM l, r
+WHERE (r.ident_name IS NOT NULL AND l.ident_name = r.ident_name)
+   OR ({_sky_sep_sql} < {CROSSMATCH_EPS_DEG!r})
+""",
         "ensemble_combine": f"""
 WITH probs AS (
   SELECT c_custkey AS star_id, {_P1} AS p1, {_P2} AS p2, {_P3} AS p3

@@ -87,6 +87,51 @@ def crossmatch(
     )
 
 
+def crossmatch_ident(
+    left: DataFrame,
+    right: DataFrame,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """The ident half of ``Star.__eq__`` (star.py:107-113): two stars
+    match when any shared database key carries the same identifier.
+
+    MapType ``ident`` columns explode to (db, name) rows; the match is a
+    plain equi-join on that pair — hash-partitioned, broadcastable,
+    no geometry involved.
+    """
+    left_cols = left_cols or ["star_id"]
+    right_cols = right_cols or ["star_id"]
+    l = left.select(
+        *[F.col(c).alias(f"l_{c}") for c in left_cols],
+        F.explode(F.col("ident")).alias("_db", "_name"),
+    )
+    r = right.select(
+        *[F.col(c).alias(f"r_{c}") for c in right_cols],
+        F.explode(F.col("ident")).alias("_db", "_name"),
+    )
+    return l.join(r, ["_db", "_name"]).drop("_db", "_name").distinct()
+
+
+def crossmatch_full(
+    left: DataFrame,
+    right: DataFrame,
+    eps_deg: float = CROSSMATCH_EPS_DEG,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Complete ``Star.__eq__``: ident match OR separation < eps
+    (star.py:107-119). Distinct matched key pairs from the union of the
+    ident equi-join and the zone-bucketed coordinate join."""
+    left_cols = left_cols or ["star_id"]
+    right_cols = right_cols or ["star_id"]
+    ident = crossmatch_ident(left, right, left_cols, right_cols)
+    coords = crossmatch(left, right, eps_deg, None, left_cols, right_cols).select(
+        *[f"l_{c}" for c in left_cols], *[f"r_{c}" for c in right_cols]
+    )
+    return ident.unionByName(coords).distinct()
+
+
 def crossmatch_sql(
     left_sql: str,
     right_sql: str,

@@ -199,6 +199,39 @@ def detections(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Ident-carrying variants for the full Star.__eq__ crossmatch: every
+# star's ident is {"main": name}; every third detection carries an ident
+# pointing at a DIFFERENT star (key+7) — matches the ident path without
+# (usually) matching the coordinate path, so both join halves do work.
+STARS_IDENT_SQL = (
+    "SELECT *, printf('Customer#%09d', star_id) AS ident_name "
+    f"FROM ({STARS_SQL})"
+)
+DETECTIONS_IDENT_SQL = (
+    "SELECT *, CASE WHEN det_id % 3 = 0 "
+    "THEN printf('Customer#%09d', (star_id + 7)) END AS ident_name "
+    f"FROM ({DETECTIONS_SQL})"
+)
+
+
+def stars_ident(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = stars(spark, sf_dir)
+    return st.withColumn(
+        "ident", F.create_map(F.lit("main"), F.col("name"))
+    )
+
+
+def detections_ident(spark: SparkSession, sf_dir: str) -> DataFrame:
+    det = detections(spark, sf_dir)
+    name = F.format_string("Customer#%09d", F.col("star_id") + 7)
+    return det.withColumn(
+        "ident",
+        F.when(
+            F.col("det_id") % 3 == 0, F.create_map(F.lit("main"), name)
+        ),
+    )
+
+
 def curves(spark: SparkSession, sf_dir: str, per_band: bool = False) -> DataFrame:
     """Collected array view of ``observations`` for per-curve kernels.
 
