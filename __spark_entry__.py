@@ -88,6 +88,17 @@ def q_abbe_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(abbe_value(obs), "abbe")
 
 
+def q_curve_stats_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(star, band) curve summary — the reference's multi-band model
+    (MACHO returns B and R curves per star, vizier_tap_base.py:306-325);
+    the same single-shuffle aggregate keyed by (star_id, band)."""
+    obs = testdata.observations(spark, sf_dir)
+    return _round6(
+        lc_stats(obs, keys=["star_id", "band"]),
+        "mean_mag", "std_mag", "timespan", "curve_density",
+    )
+
+
 def q_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = testdata.observations(spark, sf_dir)
     return _round6(skewness_kurtosis(obs), "skewness", "kurtosis")
@@ -528,6 +539,15 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.embedding_neardup_pairs(emb, threshold=0.42)
 
 
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: KMeans coarse cells + probed exact re-rank — the
+    billion-scale inverted-file layout (cell assignment k-means-seed
+    dependent → rows-only; recall vs exact pinned in tests)."""
+    emb = testdata.load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return sim_ops.ivf_topk(emb, queries_df, k=10)
+
+
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN path (LSH buckets + exact re-rank) — candidate set
     depends on MLlib hash seeds → rows-only check; exact recall is
@@ -549,6 +569,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "curve_stats": q_curve_stats,
+        "curve_stats_band": q_curve_stats_band,
         "abbe_value": q_abbe_value,
         "skew_kurtosis": q_skew_kurtosis,
         "abbe_filter": q_abbe_filter,
@@ -589,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
     }
 
@@ -634,6 +656,20 @@ agg AS (
   FROM obs GROUP BY star_id
 )
 SELECT star_id, n AS n_obs,
+       round(s1 / n, 6) AS mean_mag,
+       round(sqrt((s2 - s1 * s1 / n) / n), 6) AS std_mag,
+       round(tmax - tmin, 6) AS timespan,
+       round(n / (tmax - tmin), 6) AS curve_density
+FROM agg
+""",
+        "curve_stats_band": f"""
+WITH obs AS ({_OBS}),
+agg AS (
+  SELECT star_id, band, count(mag) AS n, sum(mag) AS s1, sum(mag * mag) AS s2,
+         min(t) AS tmin, max(t) AS tmax
+  FROM obs GROUP BY star_id, band
+)
+SELECT star_id, band, n AS n_obs,
        round(s1 / n, 6) AS mean_mag,
        round(sqrt((s2 - s1 * s1 / n) / n), 6) AS std_mag,
        round(tmax - tmin, 6) AS timespan,

@@ -182,6 +182,79 @@ def embedding_neardup_pairs(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: KMeans coarse quantizer → probe the
+    ``n_probe`` nearest centroids per query → exact cosine re-rank
+    inside the probed cells.
+
+    The inverted-file layout is the classic billion-scale ANN shape:
+    the corpus scan per query batch shrinks to n_probe/n_lists of the
+    data, and the cell assignment is a one-off (in production, written
+    as a partition column so probes prune files). Deterministic given
+    the seed; recall vs exact top-k is pinned in tests.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # L2-normalize so euclidean cells order like cosine
+    c_norm = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_arr"),
+    ).withColumn(
+        "_unit",
+        F.transform(
+            "_arr",
+            lambda x: x
+            / F.sqrt(F.aggregate("_arr", F.lit(0.0), lambda a, v: a + v * v)),
+        ),
+    ).withColumn("_vec", array_to_vector("_unit"))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_vec", predictionCol="_cell")
+    model = km.fit(c_norm)
+    assigned = model.transform(c_norm).select(id_col, "_arr", "_cell")
+
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    q_pdf = queries.select(id_col, vec_col).toPandas()
+    q_ids = q_pdf[id_col].to_numpy()
+    q_mat = np.vstack(q_pdf[vec_col].to_numpy()).astype(np.float64)
+    q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # probe lists per query: nearest centroids by euclidean on the sphere
+    d2 = ((q_unit[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(d2, axis=1)[:, :n_probe]
+
+    spark = corpus.sparkSession
+    probe_rows = [
+        (int(q_ids[i]), q_mat[i].tolist(), int(cell))
+        for i in range(len(q_ids))
+        for cell in probe[i]
+    ]
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, q_vec array<double>, _cell int"
+    )
+    cand = assigned.join(F.broadcast(probes), "_cell").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+    scored = cand.select(
+        "query_id",
+        id_col,
+        F.round(cosine(F.col("q_vec"), F.col("_arr")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("query_id", id_col, "cos", F.col("_rk").alias("rank"))
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -83,3 +83,15 @@ def test_multimodal_plumbing(spark):
     m1 = feats.set_index("media_id")["checksum"].sort_index()
     m2 = f2.set_index("media_id")["checksum"].sort_index()
     assert (m1 == m2).all()
+
+
+def test_embedding_ivf_recall(spark):
+    emb = testdata.load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, queries, k=10).toPandas()
+    ivf = similarity.ivf_topk(emb, queries, k=10, n_lists=16, n_probe=6).toPandas()
+    assert set(ivf.groupby("query_id").size()) == {10}
+    e = {(q, v) for q, v in zip(exact.query_id, exact.vec_id)}
+    a = {(q, v) for q, v in zip(ivf.query_id, ivf.vec_id)}
+    recall = len(e & a) / len(e)
+    assert recall > 0.8, f"ivf recall {recall}"
