@@ -394,6 +394,27 @@ def q_curve_descr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return descr.curve_descr(testdata.curves(spark, sf_dir), bins=10)
 
 
+def q_obs_meta_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-schema observation metadata: the LightCurve.meta dict
+    (lcc/entities/light_curve.py:35-40) as a JSON column, parsed
+    JVM-side (get_json_object) and aggregated per (star, band) —
+    schema-on-read without a Python step."""
+    e = testdata.load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        e.select(
+            F.col("user_id").alias("star_id"),
+            F.col("event_type").alias("band"),
+            k.alias("k"),
+        )
+        .groupBy("star_id", "band")
+        .agg(
+            F.count("k").alias("n_meta"),
+            F.round(F.avg("k"), 6).alias("k_mean"),
+        )
+    )
+
+
 def q_curve_descr_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CurveDescr red_dim path: PAA vector → fitted MLlib PCA
     (curve_descr.py:113-121, statefulness made explicit). PCA basis has
@@ -596,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phase_fold": q_phase_fold,
         "ekvi_paa": q_ekvi_paa,
         "ekvi_paa_exact": q_ekvi_paa_exact,
+        "obs_meta_json": q_obs_meta_json,
         "variogram_slope": q_variogram_slope,
         "multimodal_features": q_multimodal_features,
         "mag_histogram": q_mag_histogram,
@@ -862,6 +884,12 @@ SELECT o.star_id, round(o.t, 6) AS t,
 FROM ({_OBS}) o JOIN ({testdata.PERIODS_SQL}) p USING (star_id)
 """,
         "ekvi_paa": descr.ekvi_paa_bins_sql(_OBS, bins=16),
+        "obs_meta_json": """
+SELECT user_id AS star_id, event_type AS band,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_meta,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS k_mean
+FROM events GROUP BY user_id, event_type
+""",
         "multimodal_features": """
 SELECT doc_id AS media_id, 'blob' AS media_type,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
