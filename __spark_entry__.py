@@ -526,6 +526,30 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.fingerprint(docs)
 
 
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = testdata.load_table(spark, sf_dir, "documents")
+    return text_ops.bpe_token_count(docs)
+
+
+def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = testdata.load_table(spark, sf_dir, "documents")
+    return text_ops.rolling_fingerprint(docs, window=8)
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage plumbing (stub codec — first w*h bytes; md5-checked
+    against a byte-arithmetic oracle)."""
+    docs = testdata.load_table(spark, sf_dir, "documents")
+    return mm_ops.resize_stub(mm_ops.documents_as_media(docs), 32, 24)
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage plumbing (stub decoder — equal byte chunks,
+    md5 per frame)."""
+    docs = testdata.load_table(spark, sf_dir, "documents")
+    return mm_ops.frame_sample_stub(mm_ops.documents_as_media(docs), n_frames=4)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = testdata.dedup_corpus(spark, sf_dir)
     return dedup_ops.exact_dedup(corpus)
@@ -626,6 +650,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": q_text_features,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
         "dedup_minhash": q_dedup_minhash,
@@ -910,6 +938,27 @@ WHERE substring(md5(CAST(star_id AS VARCHAR)), 1, 8) < '{format(int(0.25 * 16**8
         "text_features": text_ops.quality_features_sql(),
         "lang_id": text_ops.lang_id_sql(),
         "doc_fingerprint": text_ops.FINGERPRINT_SQL,
+        "text_bpe_tokens": text_ops.BPE_TOKEN_COUNT_SQL,
+        "doc_rolling_fingerprint": text_ops.rolling_fingerprint_sql(window=8),
+        # documents text is pure ASCII at every SF (verified), so VARCHAR
+        # substring/md5 equal the Spark side's byte slicing exactly
+        "multimodal_resize": """
+SELECT doc_id AS media_id, CAST(32 AS INT) AS width, CAST(24 AS INT) AS height,
+       CAST(least(length(text), 768) AS BIGINT) AS n_bytes_out,
+       md5(substring(text, 1, 768)) AS checksum
+FROM documents
+""",
+        "multimodal_frames": """
+WITH b AS (
+  SELECT doc_id, text, length(text) // 4 AS flen
+  FROM documents
+)
+SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+       CAST(flen AS BIGINT) AS frame_bytes,
+       md5(substring(text, i * flen + 1, flen)) AS frame_md5
+FROM b, range(4) t(i)
+WHERE flen > 0
+""",
         "dedup_exact": f"""
 WITH corpus AS ({testdata.DEDUP_CORPUS_SQL})
 SELECT md5(text) AS fingerprint,

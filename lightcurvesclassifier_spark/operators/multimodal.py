@@ -97,6 +97,76 @@ def decode_features(media: DataFrame, batch_hint: int | None = None) -> DataFram
     return media.mapInPandas(process, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "media_id long, width int, height int, n_bytes_out long, checksum string"
+)
+FRAME_SCHEMA = "media_id long, frame_idx int, frame_bytes long, frame_md5 string"
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image-resize stage: real Spark plumbing (mapInPandas over binary
+    payloads, Arrow transfer, typed output), STUB codec — no image libs
+    in this container, so the "resized" payload is the first
+    ``width*height`` bytes (swap the body for PIL/libvips thumbnailing
+    on a real cluster; the schema and batch shape don't change)."""
+    target = int(width) * int(height)
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"]) if row["payload"] is not None else b""
+                out = payload[:target]
+                rows.append(
+                    {
+                        "media_id": row["media_id"],
+                        "width": width,
+                        "height": height,
+                        "n_bytes_out": len(out),
+                        "checksum": hashlib.md5(out).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "n_bytes_out", "checksum"])
+
+    return media.mapInPandas(process, schema=RESIZE_SCHEMA)
+
+
+def frame_sample_stub(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video frame-sampling stage: one row per sampled frame, STUB
+    decoder — frames are equal ``floor(n/k)``-byte chunks of the payload
+    (a real build decodes with pyav/ffmpeg per Arrow batch; the
+    explode-to-frames shape, schema and partitioning stay as-is).
+    Frames are emitted as (index, size, md5) so results are engine-
+    comparable without shipping payloads to the driver."""
+    k = int(n_frames)
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"]) if row["payload"] is not None else b""
+                flen = len(payload) // k
+                if flen == 0:
+                    continue
+                for i in range(k):
+                    frame = payload[i * flen : (i + 1) * flen]
+                    rows.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_idx": i,
+                            "frame_bytes": len(frame),
+                            "frame_md5": hashlib.md5(frame).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_bytes", "frame_md5"])
+
+    return media.mapInPandas(process, schema=FRAME_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as opaque media payloads so the
     binary pipeline is exercisable with the driver's testdata."""

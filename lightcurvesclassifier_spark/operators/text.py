@@ -121,6 +121,63 @@ FROM counts
 """
 
 
+# Regex shared by both engines (Java regex and RE2 agree on this
+# subset): letter runs, digit runs, or single punctuation marks — the
+# BPE-pretokenizer shape (word/number/symbol boundaries).
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting, twice: whitespace tokens and a BPE-ish regex
+    pretokenization (letters/digits/punct split) — the usual
+    cost-estimation signals for training-data pipelines. Pure JVM
+    regexp_count, no Python."""
+    t = F.col(text_col)
+    return df.select(
+        "doc_id",
+        token_count(t).alias("ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_TOKEN_RE)).alias("bpe_tokens"),
+    )
+
+
+BPE_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS bpe_tokens
+FROM documents
+"""
+
+
+def rolling_fingerprint(
+    df: DataFrame, window: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-style): hash every
+    sliding ``window``-token span, keep the minimum — robust to local
+    edits anywhere outside the minimizing span, unlike the whole-text
+    md5. Built-ins only: sequence → transform(md5 of each span) →
+    array_min; md5-hex ordering is shared with the oracle."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    spans = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1))),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, window), " ")),
+    )
+    return df.select(
+        "doc_id", F.array_min(spans).alias("rolling_fp")
+    )
+
+
+def rolling_fingerprint_sql(window: int = 8) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+SELECT doc_id,
+       list_min(list_transform(
+         generate_series(1, greatest(len(tk) - {window - 1}, 1)),
+         i -> md5(array_to_string(tk[i:i+{window - 1}], ' ')))) AS rolling_fp
+FROM toks
+"""
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the case-folded, whitespace-collapsed
     text (content-defined identity for exact dedup; both engines share
