@@ -26,10 +26,17 @@ CONE_KEYS = {"ra", "dec", "delta", "nearest"}
 
 
 def compile_condition(col: str, value: Any) -> Column:
-    """One predicate: the three forms of TAP_query.py:116-171."""
+    """One predicate: the three forms of TAP_query.py:116-171, plus the
+    Kepler connector's ``"lo..hi"`` range token (kepler.py:111-146)."""
     c = F.col(col)
     if isinstance(value, (tuple, list)) and len(value) == 2:
         return c.between(F.lit(value[0]), F.lit(value[1]))
+    if isinstance(value, str) and ".." in value:
+        lo, _, hi = value.partition("..")
+        try:
+            return c.between(F.lit(float(lo)), F.lit(float(hi)))
+        except ValueError:
+            pass  # not numeric — fall through to the comparison forms
     if isinstance(value, str) and value[:1] in ("<", ">", "="):
         op, raw = value[0], value[1:].strip()
         try:

@@ -47,6 +47,12 @@ def adql_condition(col: str, value: Any) -> str:
     q = _quote_ident(col)
     if isinstance(value, (tuple, list)) and len(value) == 2:
         return f"({q} BETWEEN {_fmt_val(value[0])} AND {_fmt_val(value[1])})"
+    if isinstance(value, str) and ".." in value:
+        lo, _, hi = value.partition("..")
+        try:
+            return f"({q} BETWEEN {float(lo)} AND {float(hi)})"
+        except ValueError:
+            pass
     if isinstance(value, str) and value[:1] in ("<", ">", "="):
         op, raw = value[0], value[1:].strip()
         try:

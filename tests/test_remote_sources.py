@@ -109,3 +109,18 @@ def test_query_fanout_adql_per_query():
     assert len(sqls) == 2
     assert '"Vmag" BETWEEN 8 AND 12' in sqls[0]
     assert '"Per" > 100' in sqls[1]
+
+
+def test_range_token_form():
+    # Kepler's "lo..hi" range token (kepler.py:111-146)
+    assert remote.adql_condition("kic_num", "100..200") == (
+        '("kic_num" BETWEEN 100.0 AND 200.0)'
+    )
+
+
+def test_range_token_spark(spark):
+    from lightcurvesclassifier_spark.plans.query_compiler import apply_queries
+
+    df = spark.range(500).withColumnRenamed("id", "kic_num")
+    out = apply_queries(df, [{"kic_num": "100..200"}])
+    assert out.count() == 101
