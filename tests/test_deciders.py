@@ -144,3 +144,33 @@ def test_stars_filter_pipeline_query_deterministic(spark):
     b = b.sort_values("star_id").reset_index(drop=True)
     assert a.equals(b)
     assert len(a) > 0
+
+
+def test_filter_save_load_round_trip(spark, populations, tmp_path):
+    """Trained-filter persistence (FiltersSerializer analog,
+    lcc/data_manager/filter_serializer.py:35-62): saved and reloaded
+    filters produce identical predictions."""
+    from lightcurvesclassifier_spark.ml.persistence import load_filter, save_filter
+
+    searched, others = populations
+    filt = StarsFilter(
+        [
+            make_decider("LDADec"),
+            make_decider("RandomForestDec"),
+            make_decider("CustomDecider", ranges={"f0": (0.2, None)}),
+        ],
+        FEATURES,
+    )
+    filt.learn(searched, others)
+    before = filt.filter_stars(searched, pass_method="mean").toPandas()
+
+    path = str(tmp_path / "model.filter")
+    save_filter(filt, path)
+    loaded = load_filter(spark, path)
+    assert loaded.learned
+    after = loaded.filter_stars(searched, pass_method="mean").toPandas()
+
+    before = before.sort_values(list(before.columns)).reset_index(drop=True)
+    after = after.sort_values(list(after.columns)).reset_index(drop=True)
+    assert before.equals(after)
+    assert len(before) > 0
