@@ -137,6 +137,11 @@ def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet stores TIMESTAMP(NANOS), which Spark's reader
+    # rejects unless nanos are read as raw longs. The conf is runtime-
+    # settable, so set it defensively — sessions built outside
+    # session.get_spark (e.g. a driver harness) work unchanged.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
