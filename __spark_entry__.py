@@ -422,7 +422,7 @@ def q_curve_descr_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independence are pinned in tests/test_curve_pca.py."""
     from lightcurvesclassifier_spark.ml.curve_pca import fit_curve_pca
 
-    curves = testdata.curves(spark, sf_dir)
+    curves = testdata.curves(spark, sf_dir).cache()
     model = fit_curve_pca(curves, bins=16, red_dim=3)
     out = model.transform(curves)
     return out.select(

@@ -27,25 +27,6 @@ from pyspark.sql import DataFrame, Window, functions as F, types as T
 from ..functions import sax as sax_mod
 
 
-def _pair_udf(kernel: Callable[..., float], **params):
-    @F.pandas_udf(T.DoubleType())
-    def score(
-        time_a: pd.Series, mag_a: pd.Series, time_b: pd.Series, mag_b: pd.Series
-    ) -> pd.Series:
-        out = np.empty(len(time_a))
-        for i in range(len(time_a)):
-            out[i] = kernel(
-                np.asarray(time_a[i], dtype=float),
-                np.asarray(mag_a[i], dtype=float),
-                np.asarray(time_b[i], dtype=float),
-                np.asarray(mag_b[i], dtype=float),
-                **params,
-            )
-        return pd.Series(out)
-
-    return score
-
-
 KERNELS = {
     "curves_shape": sax_mod.compare_curves_sax,
     "hist_shape": sax_mod.compare_hists_sax,
@@ -136,16 +117,40 @@ def comparative_scores(
         )
 
     kernel = KERNELS[kind]
-    t = templates.select(
-        F.col("star_id").alias("template_id"),
-        F.col("time").alias("t_time"),
-        F.col("mag").alias("t_mag"),
+    # Templates are a handful by contract (the reference holds them in a
+    # list): collect once, broadcast as plain arrays, and stream each
+    # inspected curve through Arrow exactly ONCE, scoring all templates
+    # per row — versus the crossJoin shape, which copies every star's
+    # arrays through Arrow once per template. Same kernel, same scores.
+    t_rows = templates.select("star_id", "time", "mag").collect()
+    t_data = [
+        (
+            r["star_id"],
+            np.asarray(r["time"], dtype=float),
+            np.asarray(r["mag"], dtype=float),
+        )
+        for r in t_rows
+    ]
+    b_templates = inspected.sparkSession.sparkContext.broadcast(t_data)
+
+    def score_batches(batches):
+        for pdf in batches:
+            out_sid, out_tid, out_score = [], [], []
+            for i in range(len(pdf)):
+                ta = np.asarray(pdf["time"].iloc[i], dtype=float)
+                ma = np.asarray(pdf["mag"].iloc[i], dtype=float)
+                sid = pdf["star_id"].iloc[i]
+                for tid, tt, tm in b_templates.value:
+                    out_sid.append(sid)
+                    out_tid.append(tid)
+                    out_score.append(kernel(ta, ma, tt, tm, **params))
+            yield pd.DataFrame(
+                {"star_id": out_sid, "template_id": out_tid, "score": out_score}
+            )
+
+    return inspected.select("star_id", "time", "mag").mapInPandas(
+        score_batches, schema="star_id long, template_id long, score double"
     )
-    pairs = inspected.crossJoin(F.broadcast(t))
-    score = _pair_udf(kernel, **params)(
-        F.col("time"), F.col("mag"), F.col("t_time"), F.col("t_mag")
-    )
-    return pairs.select("star_id", "template_id", score.alias("score"))
 
 
 def reduce_scores(
