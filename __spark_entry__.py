@@ -259,6 +259,23 @@ def q_ensemble_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_best_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getBestCoord: the feature row with the highest ensemble
+    probability (lcc/stars_processing/utilities/base_decider.py:83-112)
+    — a global argmax executed as TakeOrderedAndProject, star_id
+    tie-break."""
+    c = testdata.load_table(spark, sf_dir, "customer")
+    df = c.select(
+        F.col("c_custkey").alias("star_id"),
+        F.round(
+            ((F.col("c_custkey") % 100) / 100.0 + (F.col("c_custkey") % 7) / 7.0)
+            / 2.0,
+            6,
+        ).alias("prob"),
+    )
+    return df.orderBy(F.desc("prob"), "star_id").limit(1)
+
+
 def q_confusion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """getStatistic confusion-matrix aggregate
     (lcc/stars_processing/utilities/base_decider.py:133-197): prediction =
@@ -631,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comp_variogram_shape": q_comp_variogram_shape,
         "stars_filter_pipeline": q_stars_filter_pipeline,
         "ensemble_combine": q_ensemble_combine,
+        "best_coords": q_best_coords,
         "confusion_stats": q_confusion_stats,
         "roc_sweep": q_roc_sweep,
         "color_index": q_color_index,
@@ -845,6 +863,12 @@ comb AS (
   FROM probs
 )
 SELECT * FROM comb WHERE prob_mean >= 0.5
+""",
+        "best_coords": f"""
+SELECT c_custkey AS star_id,
+       round((({_P1}) + ({_P2})) / 2.0, 6) AS prob
+FROM customer
+ORDER BY prob DESC, star_id LIMIT 1
 """,
         "confusion_stats": """
 WITH flags AS (
