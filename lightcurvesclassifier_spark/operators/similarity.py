@@ -217,7 +217,11 @@ def ivf_topk(
             / F.sqrt(F.aggregate("_arr", F.lit(0.0), lambda a, v: a + v * v)),
         ),
     ).withColumn("_vec", array_to_vector("_unit"))
-    km = KMeans(k=n_lists, seed=seed, featuresCol="_vec", predictionCol="_cell")
+    # a coarse quantizer doesn't need convergence — 8 iterations place
+    # centroids well enough for bucketing, and cap the fit cost
+    km = KMeans(
+        k=n_lists, seed=seed, maxIter=8, featuresCol="_vec", predictionCol="_cell"
+    )
     model = km.fit(c_norm)
     assigned = model.transform(c_norm).select(id_col, "_arr", "_cell")
 
