@@ -17,8 +17,6 @@ map-side score × one aggregate.
 
 from __future__ import annotations
 
-from typing import Callable
-
 import numpy as np
 import pandas as pd
 
