@@ -38,12 +38,22 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def shingles(df: DataFrame, n: int = SHINGLE_N, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
-    """Distinct token n-gram shingles per document (long format)."""
+    """Distinct token n-gram shingles per document (long format).
+
+    Documents with fewer than ``n`` tokens yield no shingles (and hence no
+    rows): without the guard, ``F.sequence(1, size-(n-1))`` would produce a
+    *descending* sequence when the stop is ≤ 0 and ``slice`` would throw.
+    The DuckDB mirror's ``generate_series`` is empty for the same doc, so
+    the guard also keeps engine and oracle aligned.
+    """
     toks = F.split(F.col(text_col), " ")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col), F.explode(sh).alias("shingle"))
         .distinct()
@@ -57,20 +67,19 @@ def shingles_hashed(
     """Distinct shingles as xxhash64 longs — 8-byte join/shuffle keys
     instead of ~25-char strings (collision odds ~|shingles|²/2⁶⁴,
     negligible). Shared by the Jaccard and MinHash paths so their
-    cached plans are identical (one materialization per run)."""
-    return df.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(1), F.size(F.split(F.col(text_col), " ")) - (n - 1)
-                ),
-                lambda i: F.xxhash64(
-                    F.array_join(F.slice(F.split(F.col(text_col), " "), i, n), " ")
-                ),
-            )
-        ).alias("shingle"),
-    ).distinct()
+    cached plans are identical (one materialization per run).
+
+    Short documents (< ``n`` tokens) yield no rows — same guard (and same
+    rationale) as :func:`shingles`."""
+    toks = F.split(F.col(text_col), " ")
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return df.select(F.col(id_col), F.explode(sh).alias("shingle")).distinct()
 
 
 def ngram_jaccard_pairs(

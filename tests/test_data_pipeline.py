@@ -34,6 +34,29 @@ def test_ngram_pairs_include_neardups(spark, corpus):
     assert len(near) == 1 and 0.6 <= near.jaccard.iloc[0] < 1.0
 
 
+def test_short_docs_yield_no_shingles(spark):
+    """Docs with < n tokens must produce zero shingles, not crash.
+
+    Regression: F.sequence(1, size-(n-1)) yields a *descending* sequence
+    when the stop is <= 0 and slice() then throws
+    INVALID_PARAMETER_VALUE.START; the DuckDB oracle's generate_series is
+    empty for the same doc, so the guarded form is also what keeps engine
+    and oracle aligned."""
+    docs = spark.createDataFrame(
+        [(1, "only two"), (2, "a b c"), (3, ""), (4, "w x y z")],
+        "doc_id long, text string",
+    )
+    sh = dedup.shingles(docs, n=4).toPandas()
+    assert set(sh.doc_id) == {4}          # only the 4-token doc shingles
+    hashed = dedup.shingles_hashed(docs, n=4).toPandas()
+    assert set(hashed.doc_id) == {4}
+    # pair paths inherit the guard: no crash, short docs just absent
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.1).toPandas()
+    assert len(pairs) == 0
+    mh = dedup.minhash_pairs(docs, threshold=0.1).toPandas()
+    assert len(mh) == 0
+
+
 def test_minhash_recall_vs_exact(spark, corpus):
     exact = dedup.ngram_jaccard_pairs(corpus, threshold=0.6).toPandas()
     mh = dedup.minhash_pairs(corpus, threshold=0.5).toPandas()
