@@ -68,19 +68,22 @@ def crossmatch(
     )
 
     # Conservative wrap-aware RA band (prefilter only — exactness comes
-    # from the haversine refine). 89.9° dec cap avoids the pole blowup.
+    # from the haversine refine). Above 89.9° dec the true RA spread of a
+    # sub-eps pair can exceed eps/cos(89.9), so the band is treated as
+    # unbounded there rather than clamped (clamping would drop genuine
+    # near-pole matches).
     dra = F.abs(F.col("l_ra") - F.col("r_ra"))
     dra = F.least(dra, 360.0 - dra)
-    ra_band = F.lit(eps_deg) / F.cos(
-        F.radians(F.least(F.greatest(F.abs(F.col("l_dec")), F.abs(F.col("r_dec"))), F.lit(89.9)))
-    )
+    max_abs_dec = F.greatest(F.abs(F.col("l_dec")), F.abs(F.col("r_dec")))
+    ra_band = F.lit(eps_deg) / F.cos(F.radians(F.least(max_abs_dec, F.lit(89.9))))
+    ra_ok = (max_abs_dec > F.lit(89.9)) | (dra <= ra_band)
     sep = separation_deg(
         F.col("l_ra"), F.col("l_dec"), F.col("r_ra"), F.col("r_dec")
     )
 
     return (
         l.join(r, "_zone")
-        .filter(dra <= ra_band)
+        .filter(ra_ok)
         .withColumn("sep_deg", sep)
         .filter(F.col("sep_deg") < F.lit(eps_deg))
         .drop("_zone", "l_ra", "l_dec", "r_ra", "r_dec")

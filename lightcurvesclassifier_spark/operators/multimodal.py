@@ -3,10 +3,11 @@
 The Spark-side plumbing is real — schema, partition-friendly batch
 processing via ``mapInPandas``, Arrow transfer of binary columns, typed
 feature output. The actual codec work is stubbed: this container has no
-image/audio libraries, so ``decode`` either routes to a real library when
-one is importable (PIL) or to a deterministic fake "decoder" that derives
-metadata from the bytes themselves — clearly marked, swap-in point for a
-real decoder on a production cluster.
+image/audio libraries, so ``decode`` uses a deterministic fake "decoder"
+that derives metadata from the bytes themselves — clearly marked; the
+swap-in point for a real decoder (PIL/libvips) is the ``_fake_decode``
+call in :func:`decode_features`, and behavior never depends on which
+libraries happen to be importable.
 """
 
 from __future__ import annotations
@@ -35,15 +36,6 @@ FEATURE_SCHEMA = (
 _FEATURE_DIM = 8
 
 
-def _have_pil() -> bool:
-    try:
-        import PIL  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
 def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Deterministic stand-in for image decode: derives a fake (width,
     height) and an ``_FEATURE_DIM``-dim feature vector from byte content.
@@ -67,8 +59,6 @@ def decode_features(media: DataFrame, batch_hint: int | None = None) -> DataFram
     Arrow batch size (no whole-partition materialization), which is what
     makes this safe on multi-GB media partitions at 100 TB.
     """
-    use_pil = _have_pil()
-
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
@@ -76,10 +66,10 @@ def decode_features(media: DataFrame, batch_hint: int | None = None) -> DataFram
             rows = []
             for _, row in pdf.iterrows():
                 payload = bytes(row["payload"]) if row["payload"] is not None else b""
-                if use_pil and row["media_type"] == "image":
-                    raise NotImplementedError(
-                        "real image decode not wired in this environment"
-                    )
+                # Real decode is not wired yet; always use the
+                # deterministic stub so behavior doesn't depend on which
+                # libraries happen to be importable on the cluster. Swap
+                # this call for a PIL/libvips decode to go live.
                 width, height, feature = _fake_decode(payload)
                 rows.append(
                     {

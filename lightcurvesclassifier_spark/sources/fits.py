@@ -174,6 +174,20 @@ def read_star_fits(payload: bytes) -> tuple[dict, list[dict]]:
         except ValueError:
             break
         if ext.get("XTENSION", "").strip() != "BINTABLE":
+            # Skip this HDU's data blocks before reading the next header,
+            # else raw data bytes get parsed as header cards. FITS data
+            # size = |BITPIX|/8 × GCOUNT × (PCOUNT + ∏NAXISn), rounded up
+            # to the 2880-byte block (zero when NAXIS = 0).
+            naxis = int(ext.get("NAXIS", 0))
+            shape = 1
+            for i in range(1, naxis + 1):
+                shape *= int(ext.get(f"NAXIS{i}", 0))
+            nbytes = (
+                abs(int(ext.get("BITPIX", 8))) // 8
+                * int(ext.get("GCOUNT", 1))
+                * (int(ext.get("PCOUNT", 0)) + (shape if naxis else 0))
+            )
+            buf.read(nbytes + ((-nbytes) % BLOCK))
             continue
         n = int(ext["NAXIS2"])
         tfields = int(ext["TFIELDS"])

@@ -37,23 +37,25 @@ def _update(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     """Fold the batch into the running power sums; count k-sigma outliers
-    against the state *as of each batch's start* (deterministic within a
-    batch regardless of row order)."""
+    against the state *as of the batch's start* — the mean/std snapshot is
+    taken once before the chunk loop, so the count is deterministic no
+    matter how Arrow splits the batch into pandas chunks."""
     if state.exists:
         n, s1, s2, t_max, outliers = state.get
     else:
         n, s1, s2, t_max, outliers = 0, 0.0, 0.0, float("-inf"), 0
 
     k_sigma = 3.0
+    snap_mean = snap_std = None
+    if n >= 2:
+        snap_mean = s1 / n
+        var = s2 / n - snap_mean * snap_mean
+        snap_std = math.sqrt(var) if var > 0 else 0.0
     for pdf in pdfs:
         mags = pdf["mag"].to_numpy(dtype=float)
         ts = pdf["t"].to_numpy(dtype=float)
-        if n >= 2:
-            mean = s1 / n
-            var = s2 / n - mean * mean
-            std = math.sqrt(var) if var > 0 else 0.0
-            if std > 0:
-                outliers += int((abs(mags - mean) > k_sigma * std).sum())
+        if snap_std:
+            outliers += int((abs(mags - snap_mean) > k_sigma * snap_std).sum())
         n += len(mags)
         s1 += float(mags.sum())
         s2 += float((mags * mags).sum())

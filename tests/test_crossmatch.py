@@ -1,0 +1,47 @@
+"""Crossmatch zone-join semantics, including the near-pole edge case."""
+
+import math
+
+from lightcurvesclassifier_spark.operators.crossmatch import crossmatch
+
+
+def test_near_pole_pair_survives_ra_prefilter(spark):
+    """At |dec| > 89.9 the RA spread of a genuinely matching pair can
+    exceed eps/cos(89.9); the prefilter must not drop it (regression:
+    the clamped cosine silently filtered such pairs)."""
+    eps = 0.000138  # 0.5 arcsec, the reference's EPS
+    dec = 89.99995
+    # Two points on the 89.9999-deg parallel, 90 deg apart in RA:
+    # true separation ≈ sqrt(2) * 0.0001 deg ≈ 0.5 arcsec < eps... compute:
+    # sep = 2*asin(sin(45deg)*cos(dec)) ~ sqrt(2)/2 * 2 * (9e-5 rad-ish)
+    sep = math.degrees(
+        2
+        * math.asin(
+            math.sin(math.radians(45.0)) * math.cos(math.radians(dec))
+        )
+    )
+    assert sep < eps  # sanity: this IS a genuine match
+    left = spark.createDataFrame(
+        [(1, 10.0, dec)], "star_id long, ra_deg double, dec_deg double"
+    )
+    right = spark.createDataFrame(
+        [(2, 100.0, dec)], "star_id long, ra_deg double, dec_deg double"
+    )
+    out = crossmatch(left, right, eps_deg=eps).collect()
+    assert len(out) == 1
+    assert out[0]["l_star_id"] == 1 and out[0]["r_star_id"] == 2
+
+
+def test_mid_latitude_prefilter_still_prunes(spark):
+    """Away from the poles the RA band still rejects far pairs before the
+    haversine refine (same final answer, fewer refined rows)."""
+    eps = 0.000138
+    left = spark.createDataFrame(
+        [(1, 10.0, 45.0)], "star_id long, ra_deg double, dec_deg double"
+    )
+    right = spark.createDataFrame(
+        [(2, 10.00005, 45.0), (3, 11.0, 45.0)],
+        "star_id long, ra_deg double, dec_deg double",
+    )
+    out = crossmatch(left, right, eps_deg=eps).collect()
+    assert [r["r_star_id"] for r in out] == [2]

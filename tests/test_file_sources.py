@@ -95,6 +95,43 @@ def test_fits_codec_round_trip():
     np.testing.assert_allclose(c["err"], err)
 
 
+def test_fits_skips_image_extension_data():
+    """A non-BINTABLE HDU (e.g. IMAGE) between extensions must be skipped
+    *including its data blocks* — otherwise the next header parse reads
+    raw pixel bytes as cards and yields garbage curves."""
+    time = np.array([1.0, 2.0], dtype=np.float32)
+    mag = np.array([10.0, 11.0], dtype=np.float32)
+    payload = fits.write_star_fits(
+        {"IDENT": "s1"}, [{"band": "V", "time": time, "mag": mag}]
+    )
+    # splice a 10×10 float32 IMAGE extension between primary and BINTABLE
+    img_cards = [
+        fits._card("XTENSION", "IMAGE", "image extension"),
+        fits._card("BITPIX", -32),
+        fits._card("NAXIS", 2),
+        fits._card("NAXIS1", 10),
+        fits._card("NAXIS2", 10),
+        fits._card("PCOUNT", 0),
+        fits._card("GCOUNT", 1),
+        b"END".ljust(fits.CARD),
+    ]
+    img_head = b"".join(img_cards)
+    img_head = img_head.ljust(
+        (len(img_head) + fits.BLOCK - 1) // fits.BLOCK * fits.BLOCK
+    )
+    img_data = np.arange(100, dtype=">f4").tobytes()
+    img_data = img_data.ljust(
+        (len(img_data) + fits.BLOCK - 1) // fits.BLOCK * fits.BLOCK, b"\x00"
+    )
+    spliced = payload[: fits.BLOCK] + img_head + img_data + payload[fits.BLOCK :]
+    hdr, curves = fits.read_star_fits(spliced)
+    assert hdr["IDENT"] == "s1"
+    (c,) = curves
+    assert c["band"] == "V"
+    np.testing.assert_allclose(c["time"], time)
+    np.testing.assert_allclose(c["mag"], mag)
+
+
 def test_fits_spark_round_trip(spark, tmp_path):
     curves = testdata.curves(spark, SF_SMOKE).filter(F.col("star_id") < 5)
     target = tmp_path / "fits_out"
