@@ -133,52 +133,147 @@ SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <
 
 def embedding_neardup_pairs(
     corpus: DataFrame, threshold: float = 0.95, id_col: str = "vec_id",
-    vec_col: str = "embedding", broadcast_limit: int = 1_000_000,
+    vec_col: str = "embedding", n_cells: int = 16, seed: int = 42,
+    quantizer: str = "random",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ threshold), exact.
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold), exact —
+    with NO driver-side materialization of the corpus.
 
-    Blocked matrix-product plan: one side is collected to a dense float64
-    matrix and broadcast (the reference point for up to ~10⁶ vectors at
-    dim 64 ≈ 512 MB; beyond that, pre-bucket with LSH and run this within
-    buckets); the other side streams through ``mapInPandas`` doing a
-    numpy GEMM per Arrow batch. Replaces the naive crossJoin+fold plan —
-    ~40× faster at 2k vectors, and the per-batch work is a dense BLAS
-    call, which is as good as brute force gets.
+    Cell-blocked plan (exact multi-probe over an IVF coarse quantizer):
+
+    1. pick ``n_cells`` centroids — ``quantizer="random"`` draws seeded
+       gaussian directions on the unit sphere (zero Spark jobs; cell
+       placement affects only *pruning*, never correctness), or
+       ``"kmeans"`` fits a seeded MLlib quantizer (maxIter capped) for
+       clustered production corpora where data-adapted cells prune much
+       harder and the fit amortizes. Only the ``n_cells × dim`` centroid
+       matrix ever reaches the driver;
+    2. assign each vector its *home* cell (nearest centroid) and
+       replicate it into every cell whose centroid lies within
+       ``d_home + 2·eps``, where ``eps = √(2−2·threshold)`` is the
+       unit-sphere chord length at the cosine threshold. Triangle
+       inequality: for any pair with ‖a−b‖ ≤ eps,
+       ``d(a, home(b)) ≤ d(a, home(a)) + 2·eps`` — so every qualifying
+       pair co-occurs in at least one cell with one member at home;
+    3. per-cell ``applyInPandas`` GEMM of home-rows × all-rows (chunked
+       dense BLAS). A qualifying pair co-occurs in *both* members' home
+       cells (the radius bound holds in each direction), so emitting only
+       pairs whose home-side id is the smaller one yields every pair
+       exactly once — no global distinct, one shuffle total.
+
+    The 100 TB story: shuffle and compute are proportional to cell
+    occupancy, not corpus², when the data is clustered — which near-dup
+    corpora are by construction. For adversarially uniform high-dim data
+    the expansion radius stops pruning and this degrades to a distributed
+    (never driver-bound) brute force, the information-theoretic floor for
+    an *exact* threshold join.
     """
+    import math
+
     import pandas as pd
 
-    pdf = corpus.select(id_col, vec_col).toPandas()
-    if len(pdf) > broadcast_limit:
-        raise ValueError(
-            "corpus too large for broadcast brute force — LSH-bucket first"
-        )
-    ids = pdf[id_col].to_numpy()
-    mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    spark = corpus.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
     thr = float(threshold)
+    eps = math.sqrt(max(0.0, 2.0 - 2.0 * thr))
 
-    def block(batches):
+    unit = (
+        corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_arr")
+        )
+        .withColumn(
+            "_unit",
+            F.transform(
+                "_arr",
+                lambda x: x
+                / F.sqrt(
+                    F.aggregate("_arr", F.lit(0.0), lambda a, v: a + v * v)
+                ),
+            ),
+        )
+        .select(F.col(id_col).alias("_id"), "_unit")
+    )
+    if quantizer == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        km = KMeans(
+            k=n_cells, seed=seed, maxIter=4, featuresCol="_vec",
+            predictionCol="_cell",
+        )
+        model = km.fit(unit.withColumn("_vec", array_to_vector("_unit")))
+        centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    else:
+        dim = corpus.select(
+            F.size(F.col(vec_col)).alias("d")
+        ).first()["d"]
+        rng = np.random.default_rng(seed)
+        centroids = rng.standard_normal((n_cells, dim))
+        centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    b_cent = corpus.sparkSession.sparkContext.broadcast(centroids)
+
+    def assign(batches):
+        cent = b_cent.value
         for pdf_b in batches:
-            q = np.vstack(pdf_b[vec_col].to_numpy()).astype(np.float64)
-            q = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ b_mat.value.T  # (batch, corpus) GEMM
-            qids = pdf_b[id_col].to_numpy()
-            rows_i, rows_j = np.where(np.round(sims, 6) >= thr)
-            ia, ib = qids[rows_i], b_ids.value[rows_j]
-            keep = ia < ib
+            mat = np.vstack(pdf_b["_unit"].to_numpy())
+            # squared distances to all centroids via one GEMM
+            d2 = (
+                (mat * mat).sum(axis=1)[:, None]
+                - 2.0 * (mat @ cent.T)
+                + (cent * cent).sum(axis=1)[None, :]
+            )
+            d = np.sqrt(np.maximum(d2, 0.0))
+            home = d.argmin(axis=1)
+            radius = d[np.arange(len(d)), home] + 2.0 * eps
+            ids = pdf_b["_id"].to_numpy()
+            out_id, out_unit, out_cell, out_home = [], [], [], []
+            for i in range(len(ids)):
+                for j in np.nonzero(d[i] <= radius[i])[0]:
+                    out_id.append(ids[i])
+                    out_unit.append(mat[i])
+                    out_cell.append(int(j))
+                    out_home.append(bool(j == home[i]))
             yield pd.DataFrame(
                 {
-                    "id_a": ia[keep],
-                    "id_b": ib[keep],
-                    "cos": np.round(sims[rows_i, rows_j], 6)[keep],
+                    "_id": out_id,
+                    "_unit": out_unit,
+                    "_cell": out_cell,
+                    "_home": out_home,
                 }
             )
 
-    return corpus.select(id_col, vec_col).mapInPandas(
-        block, schema="id_a long, id_b long, cos double"
+    assigned = unit.mapInPandas(
+        assign, schema="_id long, _unit array<double>, _cell int, _home boolean"
+    )
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.vstack(pdf["_unit"].to_numpy())
+        ids = pdf["_id"].to_numpy()
+        home = pdf["_home"].to_numpy()
+        h_mat, h_ids = mat[home], ids[home]
+        if len(h_ids) == 0 or len(ids) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        out = []
+        chunk = 4096  # bound the GEMM temp: chunk × |cell| doubles
+        for s in range(0, len(h_ids), chunk):
+            sims = np.round(h_mat[s : s + chunk] @ mat.T, 6)
+            ri, rj = np.where(sims >= thr)
+            ia, ib = h_ids[s + ri], ids[rj]
+            # home id < other id ⇒ each pair emitted exactly once globally
+            keep = ia < ib
+            out.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ia[keep],
+                        "id_b": ib[keep],
+                        "cos": sims[ri, rj][keep],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return assigned.groupBy("_cell").applyInPandas(
+        cell_pairs, schema="id_a long, id_b long, cos double"
     )
 
 

@@ -108,6 +108,46 @@ def test_multimodal_plumbing(spark):
     assert (m1 == m2).all()
 
 
+def test_embedding_neardup_exact_and_distributed(spark):
+    """Cell-blocked near-dup join: exact vs a numpy brute-force reference,
+    identical across quantizers, and — the scale contract — no driver
+    collect anywhere on the corpus path."""
+    import inspect
+
+    import numpy as np
+
+    emb = testdata.load_table(spark, SF_ORACLE, "embeddings")
+    got = (
+        similarity.embedding_neardup_pairs(emb, threshold=0.42)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    # brute-force reference
+    pdf = emb.toPandas()
+    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(mat @ mat.T, 6)
+    ii, jj = np.where(sims >= 0.42)
+    keep = ii < jj
+    ids = pdf["vec_id"].to_numpy()
+    want = sorted(zip(ids[ii[keep]], ids[jj[keep]], sims[ii, jj][keep]))
+    assert [tuple(r) for r in got.itertuples(index=False)] == [
+        (int(a), int(b), float(c)) for a, b, c in want
+    ]
+    # kmeans-fitted cells must give the same exact answer
+    km = (
+        similarity.embedding_neardup_pairs(emb, threshold=0.42, quantizer="kmeans")
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert km.equals(got)
+    # the corpus never reaches the driver: no toPandas/collect in the op
+    src = inspect.getsource(similarity.embedding_neardup_pairs)
+    assert "toPandas" not in src and ".collect()" not in src
+
+
 def test_embedding_ivf_recall(spark):
     emb = testdata.load_table(spark, SF_ORACLE, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
