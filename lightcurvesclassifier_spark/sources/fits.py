@@ -216,6 +216,96 @@ def read_star_fits(payload: bytes) -> tuple[dict, list[dict]]:
 
 
 # ---------------------------------------------------------------------------
+# Generic BINTABLE round trip (arbitrary column names — e.g. Kepler's
+# TIME / SAP_FLUX / SAP_FLUX_ERR layout, kepler.py:184-193 in the
+# reference reads these via astropy; here the same subset codec serves)
+
+
+def write_table_fits(
+    primary: dict, tables: list[tuple[str, dict[str, np.ndarray]]]
+) -> bytes:
+    """Primary header + one BINTABLE extension per ``(extname, columns)``;
+    columns are written float32 big-endian in dict order."""
+    out = bytearray()
+    cards = [
+        _card("SIMPLE", True, "conforms to FITS standard"),
+        _card("BITPIX", 8),
+        _card("NAXIS", 0),
+        _card("EXTEND", True),
+    ]
+    for k, v in primary.items():
+        cards.append(_card(k, v))
+    cards.append(b"END".ljust(CARD))
+    head = b"".join(cards)
+    out += head.ljust((len(head) + BLOCK - 1) // BLOCK * BLOCK)
+    for extname, columns in tables:
+        names = list(columns)
+        arrs = [np.asarray(columns[nm], dtype=">f4") for nm in names]
+        n = len(arrs[0]) if arrs else 0
+        cards = [
+            _card("XTENSION", "BINTABLE", "binary table extension"),
+            _card("BITPIX", 8),
+            _card("NAXIS", 2),
+            _card("NAXIS1", 4 * len(names)),
+            _card("NAXIS2", n),
+            _card("PCOUNT", 0),
+            _card("GCOUNT", 1),
+            _card("TFIELDS", len(names)),
+        ]
+        for i, nm in enumerate(names, start=1):
+            cards.append(_card(f"TTYPE{i}", nm))
+            cards.append(_card(f"TFORM{i}", "E"))
+        cards.append(_card("EXTNAME", extname))
+        cards.append(b"END".ljust(CARD))
+        head = b"".join(cards)
+        out += head.ljust((len(head) + BLOCK - 1) // BLOCK * BLOCK)
+        data = np.empty(n, dtype=[(nm, ">f4") for nm in names])
+        for nm, arr in zip(names, arrs):
+            data[nm] = arr
+        raw = data.tobytes()
+        out += raw.ljust((len(raw) + BLOCK - 1) // BLOCK * BLOCK, b"\x00")
+    return bytes(out)
+
+
+def read_table_fits(payload: bytes) -> tuple[dict, list[tuple[dict, dict]]]:
+    """Inverse of :func:`write_table_fits`: primary header + per-extension
+    ``(ext_header, {column_name: float64 array})``; column names keep
+    their original case."""
+    buf = io.BytesIO(payload)
+    primary = _parse_header(buf)
+    tables = []
+    while buf.tell() < len(payload):
+        try:
+            ext = _parse_header(buf)
+        except ValueError:
+            break
+        naxis = int(ext.get("NAXIS", 0))
+        shape = 1
+        for i in range(1, naxis + 1):
+            shape *= int(ext.get(f"NAXIS{i}", 0))
+        if ext.get("XTENSION", "").strip() != "BINTABLE":
+            nbytes = (
+                abs(int(ext.get("BITPIX", 8))) // 8
+                * int(ext.get("GCOUNT", 1))
+                * (int(ext.get("PCOUNT", 0)) + (shape if naxis else 0))
+            )
+            buf.read(nbytes + ((-nbytes) % BLOCK))
+            continue
+        n = int(ext["NAXIS2"])
+        tfields = int(ext["TFIELDS"])
+        names = [str(ext.get(f"TTYPE{i}", f"col{i}")) for i in range(1, tfields + 1)]
+        forms = [str(ext.get(f"TFORM{i}", "E")).strip() for i in range(1, tfields + 1)]
+        dtype = np.dtype(
+            [(names[i], _TFORM_DTYPE.get(forms[i][-1], ">f4")) for i in range(tfields)]
+        )
+        raw = buf.read(dtype.itemsize * n)
+        buf.read((-dtype.itemsize * n) % BLOCK)
+        rec = np.frombuffer(raw, dtype=dtype)
+        tables.append((ext, {nm: rec[nm].astype(float) for nm in names}))
+    return primary, tables
+
+
+# ---------------------------------------------------------------------------
 # Spark-level scan / sink
 
 
