@@ -411,6 +411,16 @@ def q_curve_descr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return descr.curve_descr(testdata.curves(spark, sf_dir), bins=10)
 
 
+def q_curve_descr_height(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CurveDescr height + fractional-bins path: per-star bins =
+    ⌊0.05·n⌋, magnitude axis quantized to ``height`` integer levels
+    before mean-centering (curve_descr.py:78-81; fractional rule
+    data_analysis.py:86-87)."""
+    return descr.curve_descr(
+        testdata.curves(spark, sf_dir), bins=0.05, height=8
+    )
+
+
 def q_obs_meta_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open-schema observation metadata: the LightCurve.meta dict
     (lcc/entities/light_curve.py:35-40) as a JSON column, parsed
@@ -655,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "property_descr": q_property_descr,
         "position_descr": q_position_descr,
         "curve_descr": q_curve_descr,
+        "curve_descr_height": q_curve_descr_height,
         "curve_descr_pca": q_curve_descr_pca,
         "phase_fold": q_phase_fold,
         "ekvi_paa": q_ekvi_paa,
@@ -930,6 +941,7 @@ SELECT star_id, round(ra_deg, 6) AS ra_deg, round(dec_deg, 6) AS dec_deg
 FROM ({testdata.STARS_SQL})
 """,
         "curve_descr": descr.curve_descr_sql(_OBS, bins=10),
+        "curve_descr_height": descr.curve_descr_sql(_OBS, bins=0.05, height=8),
         "phase_fold": f"""
 SELECT o.star_id, round(o.t, 6) AS t,
        round(fmod(o.t, p.period) / p.period, 6) AS phase

@@ -81,7 +81,19 @@ def position_descr(stars: DataFrame) -> DataFrame:
 # PAA curve reduction (CurveDescr) — pure higher-order functions, JVM-side
 
 
-def paa_curve(curves: DataFrame, bins: int, mag_col: str = "mag") -> DataFrame:
+def _bins_expr(bins: float, n) -> "F.Column":
+    """``bins`` ∈ (0, 1] is a *fraction* of the curve length — the
+    to_ekvi_PAA rule (data_analysis.py:86-87) the reference's CurveDescr
+    inherits; ``int()`` truncation kept, floored at 1 (the reference
+    would divide by zero there — documented divergence)."""
+    if 0 < bins <= 1:
+        return F.greatest(
+            F.lit(1), F.floor(n.cast("double") * F.lit(float(bins))).cast("int")
+        )
+    return F.lit(int(bins))
+
+
+def paa_curve(curves: DataFrame, bins: float, mag_col: str = "mag") -> DataFrame:
     """to_PAA over each star's (t,mag)-sorted magnitude array, long format.
 
     Reproduces the reference's quirky frame rule exactly
@@ -89,17 +101,21 @@ def paa_curve(curves: DataFrame, bins: int, mag_col: str = "mag") -> DataFrame:
     frame starts ``int(i * (n/bins))`` in *double* arithmetic (so frames
     may overlap and the frame count may differ from ``bins``), loop while
     ``start <= n - width``. Mean = strict left-fold sum / width, matching
-    the DuckDB ``list_reduce`` fold bit-for-bit.
+    the DuckDB ``list_reduce`` fold bit-for-bit. ``bins`` ∈ (0, 1] is a
+    per-star fraction of the curve length (:func:`_bins_expr`).
     """
     n = F.size(F.col(mag_col))
-    width = F.ceil(n.cast("double") / F.lit(float(bins))).cast("int")
+    bins_c = _bins_expr(bins, n).cast("double")
+    width = F.ceil(n.cast("double") / bins_c).cast("int")
     start = F.floor(
-        F.col("i").cast("double") * (n.cast("double") / F.lit(float(bins)))
+        F.col("i").cast("double") * (n.cast("double") / bins_c)
     ).cast("int")
     frames = curves.select(
         "star_id",
         F.col(mag_col),
-        F.explode(F.sequence(F.lit(0), F.lit(2 * bins + 1))).alias("i"),
+        F.explode(
+            F.sequence(F.lit(0), (F.lit(2) * bins_c + 1).cast("int"))
+        ).alias("i"),
     ).filter(start <= n - width)
     frame = F.slice(F.col(mag_col), start + 1, width)
     mean = F.aggregate(
@@ -110,8 +126,13 @@ def paa_curve(curves: DataFrame, bins: int, mag_col: str = "mag") -> DataFrame:
     )
 
 
-def paa_curve_sql(obs_sql: str, bins: int) -> str:
-    """DuckDB mirror of :func:`paa_curve` (same fold order)."""
+def paa_curve_sql(obs_sql: str, bins: float) -> str:
+    """DuckDB mirror of :func:`paa_curve` (same fold order; same
+    fractional-bins rule via a lateral range)."""
+    if 0 < bins <= 1:
+        nbins = f"GREATEST(1, CAST(floor(CAST(n AS DOUBLE) * {float(bins)!r}) AS INT))"
+    else:
+        nbins = str(int(bins))
     return f"""
 WITH obs AS ({obs_sql}),
 curves AS (
@@ -119,11 +140,21 @@ curves AS (
          CAST(count(*) AS INT) AS n
   FROM obs GROUP BY star_id
 ),
+sized AS (
+  SELECT star_id, mags, n, CAST({nbins} AS DOUBLE) AS nbins FROM curves
+),
+idx AS (
+  -- range()/generate_series table functions reject lateral column
+  -- args; the scalar generate_series returns a per-row list instead
+  SELECT star_id, mags, n, nbins,
+         unnest(generate_series(0, CAST(2 * nbins + 1 AS BIGINT))) AS i
+  FROM sized
+),
 frames AS (
   SELECT star_id, i AS bin, mags, n,
-         CAST(ceil(CAST(n AS DOUBLE) / {bins}.0) AS INT) AS width,
-         CAST(floor(CAST(i AS DOUBLE) * (CAST(n AS DOUBLE) / {bins}.0)) AS INT) AS start
-  FROM curves, range({2 * bins + 2}) t(i)
+         CAST(ceil(CAST(n AS DOUBLE) / nbins) AS INT) AS width,
+         CAST(floor(CAST(i AS DOUBLE) * (CAST(n AS DOUBLE) / nbins)) AS INT) AS start
+  FROM idx
 )
 SELECT star_id, bin,
        list_reduce(list_slice(mags, start + 1, start + width),
@@ -132,18 +163,33 @@ FROM frames WHERE start <= n - width
 """
 
 
-def curve_descr(curves: DataFrame, bins: int) -> DataFrame:
+def curve_descr(
+    curves: DataFrame, bins: float, height: int | None = None
+) -> DataFrame:
     """CurveDescr: PAA-reduced curve scaled to unit range, mean-centered
     (curve_descr.py:12-121's vector feature, long format: one row per
-    (star, bin) so the oracle hash is well-defined)."""
+    (star, bin) so the oracle hash is well-defined).
+
+    ``height`` is the reference's magnitude-axis quantization
+    (curve_descr.py:78-81): ``round(height · paa / (max − min))`` —
+    note *no* min-shift before rounding (the reference divides by the
+    range without subtracting the minimum; with rounding the shift is
+    not equivalent, so it must be preserved) — then mean-centered.
+    Rounding is HALF_UP on both engine and oracle (PAA means are
+    positive here); CPython's banker's rounding differs only on exact
+    halves — documented divergence. ``bins`` ∈ (0, 1] is a per-star
+    fraction of the curve length."""
     from pyspark.sql.window import Window
 
     paa = paa_curve(curves, bins)
     w = Window.partitionBy("star_id")
-    scaled = (F.col("paa") - F.min("paa").over(w)) / (
-        F.max("paa").over(w) - F.min("paa").over(w)
-    )
-    out = paa.select("star_id", "bin", scaled.alias("scaled"))
+    rng = F.max("paa").over(w) - F.min("paa").over(w)
+    if height:
+        q = F.round(F.lit(float(height)) * F.col("paa") / rng, 0)
+        out = paa.select("star_id", "bin", q.alias("scaled"))
+    else:
+        scaled = (F.col("paa") - F.min("paa").over(w)) / rng
+        out = paa.select("star_id", "bin", scaled.alias("scaled"))
     return out.select(
         "star_id",
         "bin",
@@ -151,14 +197,23 @@ def curve_descr(curves: DataFrame, bins: int) -> DataFrame:
     )
 
 
-def curve_descr_sql(obs_sql: str, bins: int) -> str:
+def curve_descr_sql(obs_sql: str, bins: float, height: int | None = None) -> str:
+    if height:
+        scaled = (
+            f"round({float(height)!r} * paa / "
+            "(max(paa) OVER (PARTITION BY star_id) "
+            "- min(paa) OVER (PARTITION BY star_id)))"
+        )
+    else:
+        scaled = (
+            "(paa - min(paa) OVER (PARTITION BY star_id)) "
+            "/ (max(paa) OVER (PARTITION BY star_id) "
+            "- min(paa) OVER (PARTITION BY star_id))"
+        )
     return f"""
 WITH paa AS ({paa_curve_sql(obs_sql, bins)}),
 scaled AS (
-  SELECT star_id, bin,
-         (paa - min(paa) OVER (PARTITION BY star_id))
-         / (max(paa) OVER (PARTITION BY star_id)
-            - min(paa) OVER (PARTITION BY star_id)) AS scaled
+  SELECT star_id, bin, {scaled} AS scaled
   FROM paa
 )
 SELECT star_id, bin,

@@ -76,3 +76,33 @@ def test_grouped_applyinpandas_matches_declarative(spark):
         assert g["std_mag"] == pytest.approx(d["std_mag"], rel=1e-12)
         assert g["abbe"] == pytest.approx(d["abbe"], rel=1e-9)
         assert g["variogram_slope"] is not None
+
+
+def test_curve_descr_height_matches_reference_semantics(spark, curve_rows):
+    """The height/fractional-bins CurveDescr paths must reproduce the
+    reference's numpy chain (curve_descr.py:66-84, minus the min-shift
+    equivalence in the unquantized case): to_PAA at per-star
+    bins=floor(0.1*n), then round(height*y/(max-min)) and mean-center."""
+    from lightcurvesclassifier_spark.functions import descriptors as descr
+
+    out_rows = descr.curve_descr(
+        testdata.curves(spark, SF_SMOKE), bins=0.1, height=8
+    ).collect()
+    by_star: dict[int, dict[int, float]] = {}
+    for r in out_rows:
+        by_star.setdefault(r["star_id"], {})[r["bin"]] = r["value"]
+    assert set(by_star) == set(curve_rows)
+    for sid, (t, m) in curve_rows.items():
+        order = np.lexsort((m, t))
+        mags = m[order]
+        nbins = max(1, int(len(mags) * 0.1))
+        y = np.array(kernels.to_paa(mags, nbins))
+        # HALF_UP rounding (documented divergence from CPython's
+        # banker's rounding; values here are positive)
+        q = np.floor(8.0 * y / (y.max() - y.min()) + 0.5)
+        want = np.round(q - q.mean(), 6)
+        got = np.array(
+            [v for _, v in sorted(by_star[sid].items())]
+        )
+        assert len(got) == len(want), sid
+        np.testing.assert_allclose(got, want, atol=1e-9)
