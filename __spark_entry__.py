@@ -24,6 +24,7 @@ from lightcurvesclassifier_spark.functions.curves import (
 )
 from lightcurvesclassifier_spark.operators.comparative import (
     comparative_scores,
+    comparative_noslide_sql,
     reduce_scores,
 )
 from lightcurvesclassifier_spark.operators.cone_search import (
@@ -347,6 +348,17 @@ def q_comp_curves_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_comp_curves_noslide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CurvesShapeDescr with slide=False: per-star SAX word (word size
+    from each curve's own timespan) + prefix MINDIST vs broadcast
+    template words, mean-reduced — fully SQL-expressible, so this one
+    carries a complete DuckDB oracle for the comparative family."""
+    return _comparative(
+        spark, sf_dir, "curves_shape", "average",
+        days_per_bin=2.0, alphabet_size=10, slide=0,
+    )
+
+
 def q_comp_hist_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HistShapeDescr: SAX over magnitude histograms, closest-reduced."""
     return _comparative(
@@ -654,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossmatch": q_crossmatch,
         "crossmatch_full": q_crossmatch_full,
         "comp_curves_shape": q_comp_curves_shape,
+        "comp_curves_noslide": q_comp_curves_noslide,
         "comp_hist_shape": q_comp_hist_shape,
         "comp_variogram_shape": q_comp_variogram_shape,
         "stars_filter_pipeline": q_stars_filter_pipeline,
@@ -942,6 +955,7 @@ FROM ({testdata.STARS_SQL})
 """,
         "curve_descr": descr.curve_descr_sql(_OBS, bins=10),
         "curve_descr_height": descr.curve_descr_sql(_OBS, bins=0.05, height=8),
+        "comp_curves_noslide": comparative_noslide_sql(_OBS, [0, 1, 2]),
         "phase_fold": f"""
 SELECT o.star_id, round(o.t, 6) AS t,
        round(fmod(o.t, p.period) / p.period, 6) AS phase

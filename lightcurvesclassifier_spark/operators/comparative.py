@@ -75,15 +75,40 @@ def comparative_scores(
 
     hist/variogram kinds precompute the per-star SAX word once and score
     pairs on words alone (the reference recomputes everything per pair —
-    compare.py:100-107); curves_shape keeps per-pair raw-curve access
-    because the sliding path re-SAXes windows of the longer curve with
-    the pair-dependent word size (curves_shape_descr.py:95-150).
+    compare.py:100-107); ``curves_shape`` with ``slide`` falsy does the
+    same (its word size is pair-independent — each curve's own timespan
+    via compute_bins — so the per-pair kernel reduces to a prefix
+    MINDIST on precomputed words); only the *sliding* curves_shape path
+    keeps per-pair raw-curve access, because it re-SAXes windows of the
+    longer curve with the pair-dependent word size
+    (curves_shape_descr.py:95-150).
     """
-    if kind in _SERIES_FNS:
-        bins = params["bins"]
+    word_path = kind in _SERIES_FNS or (
+        kind == "curves_shape" and not params.get("slide", 0.25)
+    )
+    if word_path:
         alphabet_size = params["alphabet_size"]
-        slide = bool(params.get("slide", False))
-        word = _word_udf(kind, bins, alphabet_size)
+        slide = bool(params.get("slide", False)) if kind in _SERIES_FNS else False
+        if kind in _SERIES_FNS:
+            word = _word_udf(kind, params["bins"], alphabet_size)
+        else:
+            days_per_bin = params["days_per_bin"]
+
+            @F.pandas_udf(T.StructType([
+                T.StructField("word", T.StringType()),
+                T.StructField("scale", T.DoubleType()),
+            ]))
+            def word(time: pd.Series, mag: pd.Series) -> pd.DataFrame:
+                words, scales = [], []
+                for i in range(len(time)):
+                    t = np.asarray(time[i], dtype=float)
+                    m = np.asarray(mag[i], dtype=float)
+                    ws = sax_mod.compute_bins(t, days_per_bin)
+                    w, s = sax_mod.sax_word(m, ws, alphabet_size)
+                    words.append(w)
+                    scales.append(s)
+                return pd.DataFrame({"word": words, "scale": scales})
+
         i_words = inspected.select(
             "star_id", word(F.col("time"), F.col("mag")).alias("_w")
         ).select("star_id", F.col("_w.word").alias("word"))
@@ -149,6 +174,101 @@ def comparative_scores(
     return inspected.select("star_id", "time", "mag").mapInPandas(
         score_batches, schema="star_id long, template_id long, score double"
     )
+
+
+def comparative_noslide_sql(
+    obs_sql: str,
+    template_ids: list[int],
+    days_per_bin: float = 2.0,
+    alphabet_size: int = 10,
+    eps: float = 1e-6,
+) -> str:
+    """DuckDB oracle for ``curves_shape`` with ``slide=False``, averaged
+    over templates — the full SAX chain in SQL: per-star word size from
+    the timespan (compute_bins, data_analysis.py:318-344), population-std
+    normalize (:164), quirky-frame PAA (:45-50), Gaussian-breakpoint
+    letters (sax.py:59-105), prefix MINDIST with the template-side
+    scaling factor (symbolic_representation.py:65-94)."""
+    beta = sax_mod.BREAKPOINTS[int(alphabet_size)]
+    beta_sql = "[" + ", ".join(repr(float(b)) for b in beta) + "]"
+    tpl = ", ".join(str(int(t)) for t in template_ids)
+    return f"""
+WITH obs AS ({obs_sql}),
+curves AS (
+  SELECT star_id, list(mag ORDER BY t, mag) AS mags,
+         list(t ORDER BY t, mag) AS ts,
+         CAST(count(*) AS INT) AS n
+  FROM obs GROUP BY star_id
+),
+sized AS (
+  SELECT star_id, mags, n,
+         GREATEST(5, CAST(round((list_max(ts) - list_min(ts)) / {float(days_per_bin)!r}) AS INT)) AS ws
+  FROM curves
+),
+stats AS (
+  SELECT star_id, mags, n, ws, list_avg(mags) AS m FROM sized
+),
+stats2 AS (
+  SELECT *, sqrt(list_avg(list_transform(mags, x -> (x - m) * (x - m)))) AS s
+  FROM stats
+),
+norm AS (
+  SELECT star_id, n, ws,
+         CASE WHEN s < {eps!r} THEN list_transform(mags, x -> 0.0e0)
+              ELSE list_transform(mags, x -> (x - m) / s) END AS nm
+  FROM stats2
+),
+idx AS (
+  SELECT star_id, n, ws, nm,
+         unnest(generate_series(0, CAST(2 * ws + 1 AS BIGINT))) AS i
+  FROM norm
+),
+frames AS (
+  SELECT star_id, n, ws, nm, i,
+         CAST(ceil(CAST(n AS DOUBLE) / ws) AS INT) AS width,
+         CAST(floor(CAST(i AS DOUBLE) * (CAST(n AS DOUBLE) / ws)) AS INT) AS start
+  FROM idx
+),
+paa AS (
+  SELECT star_id, n, ws, i,
+         list_reduce(list_slice(nm, start + 1, start + width),
+                     (acc, x) -> acc + x) / CAST(width AS DOUBLE) AS v
+  FROM frames WHERE start <= n - width
+),
+lett AS (
+  SELECT star_id, n, ws, i,
+         len(list_filter({beta_sql}, b -> v >= b)) AS code
+  FROM paa
+),
+words AS (
+  SELECT star_id, any_value(n) AS n, any_value(ws) AS ws,
+         list(code ORDER BY i) AS word
+  FROM lett GROUP BY star_id
+),
+t_words AS (
+  SELECT star_id AS template_id, word AS t_word,
+         sqrt(CAST(n AS DOUBLE) / ws) AS t_scale
+  FROM words WHERE star_id IN ({tpl})
+),
+pairs AS (
+  SELECT w.star_id, t.template_id, t.t_scale,
+         LEAST(len(w.word), len(t.t_word)) AS L,
+         w.word AS wa, t.t_word AS wb
+  FROM words w, t_words t
+),
+scores AS (
+  SELECT star_id, template_id,
+         t_scale * sqrt(list_sum(list_transform(
+           generate_series(1, L),
+           k -> CASE WHEN abs(wa[k] - wb[k]) <= 1 THEN 0.0e0
+                ELSE power({beta_sql}[GREATEST(wa[k], wb[k])]
+                           - {beta_sql}[LEAST(wa[k], wb[k]) + 1], 2) END
+         ))) AS score
+  FROM pairs
+)
+SELECT star_id, round(avg(score), 6) AS feature
+FROM scores GROUP BY star_id
+"""
 
 
 def reduce_scores(
