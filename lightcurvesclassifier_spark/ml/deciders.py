@@ -19,9 +19,11 @@ distributively*:
   (The container has no sklearn; these are the textbook closed forms of
   the same estimators the reference uses —
   lcc/stars_processing/deciders/supervised_deciders.py:12-49.)
+- **Exact boosting/bagging**: AdaBoostDec and ExtraTreesDec run the
+  published algorithms themselves (SAMME.R over gini stumps; extremely
+  randomized trees) fit driver-side — ``ml/boosting.py``.
 - Surrogates, documented: SVCDec → logistic regression (LinearSVC has no
-  probabilities), AdaBoostDec → GBT, ExtraTreesDec → RandomForest,
-  NeuronDecider → MultilayerPerceptronClassifier
+  probabilities), NeuronDecider → MultilayerPerceptronClassifier
   (supervised_deciders.py:52-219, deciders/neuron_decider.py:11-155).
 
 Probabilities are NOT rounded here; the ensemble combine rounds to 2
@@ -246,6 +248,12 @@ class KMeansDecider(BaseDecider):
         return scored.select(*df.columns, F.col("prediction").cast("double").alias(out_col))
 
 
+def _boosting():
+    from . import boosting
+
+    return boosting
+
+
 def make_decider(name: str, **kw) -> BaseDecider:
     """Registry keyed by the reference decider class names
     (lcc/stars_processing/deciders/__init__.py)."""
@@ -269,12 +277,12 @@ def make_decider(name: str, **kw) -> BaseDecider:
             lambda: RandomForestClassifier(seed=seed), **kw
         ),
         "GradBoostDec": lambda: MLlibDecider(lambda: GBTClassifier(seed=seed), **kw),
-        # surrogates (no sklearn/keras in this stack):
+        # exact published algorithms, driver-numpy fit like GaussianDecider
+        # (ml/boosting.py — SAMME.R stumps / extremely randomized trees):
+        "AdaBoostDec": lambda: _boosting().AdaBoostDecider(**kw),
+        "ExtraTreesDec": lambda: _boosting().ExtraTreesDecider(seed=seed, **kw),
+        # surrogate (no sklearn in this stack; LinearSVC has no probs):
         "SVCDec": lambda: MLlibDecider(lambda: LogisticRegression(), **kw),
-        "AdaBoostDec": lambda: MLlibDecider(lambda: GBTClassifier(seed=seed), **kw),
-        "ExtraTreesDec": lambda: MLlibDecider(
-            lambda: RandomForestClassifier(seed=seed), **kw
-        ),
         "NeuronDecider": lambda: MLPDecider(seed=seed, **kw),
         "KMeansDecider": lambda: KMeansDecider(**kw),
         "CustomDecider": lambda: CustomDecider(**kw),

@@ -19,8 +19,23 @@ import numpy as np
 
 from pyspark.sql import SparkSession
 
+from .boosting import AdaBoostDecider, ExtraTreesDecider
 from .deciders import CustomDecider, GaussianDecider, MLlibDecider, BaseDecider
 from .stars_filter import StarsFilter
+
+
+def _tree_to_json(node):
+    if isinstance(node, float):
+        return node
+    j, thr, l, r = node
+    return [j, thr, _tree_to_json(l), _tree_to_json(r)]
+
+
+def _tree_from_json(node):
+    if isinstance(node, float):
+        return node
+    j, thr, l, r = node
+    return (int(j), float(thr), _tree_from_json(l), _tree_from_json(r))
 
 MANIFEST = "filter.json"
 
@@ -41,6 +56,14 @@ def save_filter(filt: StarsFilter, path: str) -> None:
             entry["ranges"] = {
                 k: [lo, hi] for k, (lo, hi) in dec.ranges.items()
             }
+        elif isinstance(dec, AdaBoostDecider):
+            entry["kind"] = "adaboost"
+            entry["learning_rate"] = dec.learning_rate
+            entry["stumps"] = [list(s) for s in dec.stumps]
+        elif isinstance(dec, ExtraTreesDecider):
+            entry["kind"] = "extratrees"
+            entry["seed"] = dec.seed
+            entry["trees"] = [_tree_to_json(t) for t in dec.trees]
         elif isinstance(dec, MLlibDecider):
             entry["kind"] = "mllib"
             entry["model_class"] = (
@@ -71,6 +94,23 @@ def load_filter(spark: SparkSession, path: str) -> StarsFilter:
                 {k: tuple(v) for k, v in entry["ranges"].items()},
                 threshold=entry["threshold"],
             )
+        elif entry["kind"] == "adaboost":
+            dec = AdaBoostDecider(
+                n_estimators=len(entry["stumps"]),
+                learning_rate=entry["learning_rate"],
+                threshold=entry["threshold"],
+            )
+            dec.stumps = [
+                (int(j), float(t), float(pl), float(pr))
+                for j, t, pl, pr in entry["stumps"]
+            ]
+        elif entry["kind"] == "extratrees":
+            dec = ExtraTreesDecider(
+                n_estimators=len(entry["trees"]),
+                seed=entry["seed"],
+                threshold=entry["threshold"],
+            )
+            dec.trees = [_tree_from_json(t) for t in entry["trees"]]
         else:
             mod, _, cls = entry["model_class"].rpartition(".")
             model_cls = getattr(importlib.import_module(mod), cls)

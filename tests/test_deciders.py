@@ -27,7 +27,7 @@ DECIDERS = [
     ("TreeDec", 0.95),
     ("RandomForestDec", 0.95),
     ("GradBoostDec", 0.90),
-    ("AdaBoostDec", 0.90),
+    ("AdaBoostDec", 0.95),
     ("ExtraTreesDec", 0.95),
     ("SVCDec", 0.95),
     ("NeuronDecider", 0.95),
@@ -174,3 +174,34 @@ def test_filter_save_load_round_trip(spark, populations, tmp_path):
     after = after.sort_values(list(after.columns)).reset_index(drop=True)
     assert before.equals(after)
     assert len(before) > 0
+
+
+def test_boosting_deciders_deterministic_and_persistable(
+    spark, populations, tmp_path
+):
+    """The exact AdaBoost/ExtraTrees implementations: same seed/data →
+    identical probabilities, and they survive the JSON manifest round
+    trip with identical predictions."""
+    from lightcurvesclassifier_spark.ml.persistence import load_filter, save_filter
+
+    searched, others = populations
+    for name in ("AdaBoostDec", "ExtraTreesDec"):
+        a = make_decider(name).learn(searched, others, FEATURES)
+        b = make_decider(name).learn(searched, others, FEATURES)
+        pa = a.evaluate(searched, FEATURES).select("prob").toPandas()["prob"]
+        pb = b.evaluate(searched, FEATURES).select("prob").toPandas()["prob"]
+        assert (pa.to_numpy() == pb.to_numpy()).all(), name
+
+    filt = StarsFilter(
+        [make_decider("AdaBoostDec"), make_decider("ExtraTreesDec")], FEATURES
+    )
+    filt.learn(searched, others)
+    before = filt.all_predictions(searched).toPandas()
+    path = str(tmp_path / "boost.filter")
+    save_filter(filt, path)
+    loaded = load_filter(spark, path)
+    after = loaded.all_predictions(searched).toPandas()
+    cols = sorted(before.columns)
+    b2 = before[cols].sort_values(cols).reset_index(drop=True)
+    a2 = after[cols].sort_values(cols).reset_index(drop=True)
+    assert b2.equals(a2)
