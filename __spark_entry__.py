@@ -497,10 +497,10 @@ def q_mag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_variogram_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VariogramSlopeDescr via Arrow-batched pandas UDF
-    (lcc/stars_processing/descriptors/variogram_slope_descr.py:5-53).
-    O(bins²) pair enumeration per curve → not SQL-expressible → rows-only
-    driver check; exactness is asserted against the numpy kernel in
-    tests/test_curve_udfs.py."""
+    (lcc/stars_processing/descriptors/variogram_slope_descr.py:5-53);
+    full DuckDB oracle mirrors the whole chain (PAA, ordered-pair lags,
+    sort, PAA, log-log, OLS slope) in SQL; exactness vs the numpy kernel
+    is also pinned in tests/test_curve_udfs.py."""
     curves = testdata.curves(spark, sf_dir)
     out = curve_udfs.variogram_slope(curves, bins=20)
     return out.select("star_id", F.round("variogram_slope", 6).alias("variogram_slope"))
@@ -956,6 +956,7 @@ FROM ({testdata.STARS_SQL})
         "curve_descr": descr.curve_descr_sql(_OBS, bins=10),
         "curve_descr_height": descr.curve_descr_sql(_OBS, bins=0.05, height=8),
         "comp_curves_noslide": comparative_noslide_sql(_OBS, [0, 1, 2]),
+        "variogram_slope": descr.variogram_slope_sql(_OBS, bins=20),
         "phase_fold": f"""
 SELECT o.star_id, round(o.t, 6) AS t,
        round(fmod(o.t, p.period) / p.period, 6) AS phase

@@ -163,6 +163,93 @@ FROM frames WHERE start <= n - width
 """
 
 
+def _paa_list_sql(prefix: str, src: str, bins: int) -> str:
+    """CTE fragment: PAA (quirky frame rule) over a per-star LIST column.
+    ``src`` must expose (star_id, vals, m); emits CTE ``{prefix}`` with
+    (star_id, paa) where paa is the frame-mean list in frame order."""
+    return f"""
+{prefix}_idx AS (
+  SELECT star_id, vals, m,
+         unnest(generate_series(0, {2 * bins + 1})) AS i
+  FROM {src}
+),
+{prefix}_frames AS (
+  SELECT star_id, i, vals, m,
+         CAST(ceil(CAST(m AS DOUBLE) / {bins}.0) AS INT) AS width,
+         CAST(floor(CAST(i AS DOUBLE) * (CAST(m AS DOUBLE) / {bins}.0)) AS INT) AS start
+  FROM {prefix}_idx
+),
+{prefix} AS (
+  SELECT star_id,
+         list(list_reduce(list_slice(vals, start + 1, start + width),
+                          (acc, x) -> acc + x) / CAST(width AS DOUBLE)
+              ORDER BY i) AS paa
+  FROM {prefix}_frames WHERE start <= m - width GROUP BY star_id
+)"""
+
+
+def variogram_slope_sql(obs_sql: str, bins: int = 20) -> str:
+    """DuckDB oracle for the variogram slope — the whole chain of
+    kernels.variogram/variogram_slope (data_analysis.py:196-246 +
+    variogram_slope_descr.py:41-53) in SQL: PAA both axes, all ordered
+    pairs i≠j (lags double-counted, i-major order), sort by lag (ties
+    carry equal values, so the unstable-argsort permutation is
+    value-equivalent), PAA both sorted series, log10/log10, then the
+    closed-form OLS slope (numerically ≡ polyfit deg 1 at 6 decimals)."""
+    return f"""
+WITH obs AS ({obs_sql}),
+curves AS (
+  SELECT star_id, list(t ORDER BY t, mag) AS ts,
+         list(mag ORDER BY t, mag) AS mags,
+         CAST(count(*) AS INT) AS n
+  FROM obs GROUP BY star_id
+),
+px_src AS (SELECT star_id, ts AS vals, n AS m FROM curves),
+{_paa_list_sql("px", "px_src", bins)},
+py_src AS (SELECT star_id, mags AS vals, n AS m FROM curves),
+{_paa_list_sql("py", "py_src", bins)},
+xy AS (
+  SELECT px.star_id, px.paa AS xp, py.paa AS yp, len(px.paa) AS np
+  FROM px JOIN py USING (star_id)
+),
+pair_k AS (
+  SELECT star_id, xp, yp, np,
+         unnest(generate_series(0, np * np - 1)) AS k
+  FROM xy
+),
+pairs AS (
+  SELECT star_id, k,
+         abs(xp[CAST(k // np AS INT) + 1] - xp[CAST(k % np AS INT) + 1]) AS lag,
+         (yp[CAST(k // np AS INT) + 1] - yp[CAST(k % np AS INT) + 1])
+         * (yp[CAST(k // np AS INT) + 1] - yp[CAST(k % np AS INT) + 1]) AS val
+  FROM pair_k
+  WHERE CAST(k // np AS INT) <> CAST(k % np AS INT)
+),
+sorted AS (
+  SELECT star_id,
+         list(lag ORDER BY lag, k) AS lags,
+         list(val ORDER BY lag, k) AS vals_s,
+         CAST(count(*) AS INT) AS m
+  FROM pairs GROUP BY star_id
+),
+pl_src AS (SELECT star_id, lags AS vals, m FROM sorted),
+{_paa_list_sql("pl", "pl_src", bins)},
+pv_src AS (SELECT star_id, vals_s AS vals, m FROM sorted),
+{_paa_list_sql("pv", "pv_src", bins)},
+pts AS (
+  SELECT pl.star_id,
+         unnest(list_transform(pl.paa, v -> log10(v))) AS lx,
+         unnest(list_transform(pv.paa, v -> log10(v))) AS ly
+  FROM pl JOIN pv USING (star_id)
+)
+SELECT star_id,
+       round((count(*) * sum(lx * ly) - sum(lx) * sum(ly))
+             / (count(*) * sum(lx * lx) - sum(lx) * sum(lx)), 6)
+       AS variogram_slope
+FROM pts GROUP BY star_id
+"""
+
+
 def curve_descr(
     curves: DataFrame, bins: float, height: int | None = None
 ) -> DataFrame:

@@ -202,17 +202,22 @@ def embedding_neardup_pairs(
         model = km.fit(unit.withColumn("_vec", array_to_vector("_unit")))
         centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
     else:
-        dim = corpus.select(
-            F.size(F.col(vec_col)).alias("d")
-        ).first()["d"]
-        rng = np.random.default_rng(seed)
-        centroids = rng.standard_normal((n_cells, dim))
-        centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+        # lazy: the seeded draw is deterministic, so each executor can
+        # materialize identical centroids from (seed, n_cells, dim) at
+        # first batch — no driver job just to probe the dimension
+        centroids = None
     b_cent = corpus.sparkSession.sparkContext.broadcast(centroids)
 
     def assign(batches):
         cent = b_cent.value
         for pdf_b in batches:
+            if cent is None:
+                dim = len(pdf_b["_unit"].iloc[0]) if len(pdf_b) else 0
+                if not dim:
+                    continue
+                rng = np.random.default_rng(seed)
+                cent = rng.standard_normal((n_cells, dim))
+                cent /= np.linalg.norm(cent, axis=1, keepdims=True)
             mat = np.vstack(pdf_b["_unit"].to_numpy())
             # squared distances to all centroids via one GEMM
             d2 = (
