@@ -24,7 +24,9 @@ from lightcurvesclassifier_spark.functions.curves import (
 )
 from lightcurvesclassifier_spark.operators.comparative import (
     comparative_scores,
+    comparative_hist_sql,
     comparative_noslide_sql,
+    comparative_variogram_sql,
     reduce_scores,
 )
 from lightcurvesclassifier_spark.operators.cone_search import (
@@ -508,9 +510,10 @@ def q_variogram_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ekvi_paa_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-parity to_ekvi_PAA incl. fix_missing NaN interpolation
-    (lcc/utils/data_analysis.py:54-140, :354-412) — sequential fill is
-    imperative → mapInPandas, rows-only check (declarative ekvi_paa
-    carries the value-checked variant)."""
+    (lcc/utils/data_analysis.py:54-140, :354-412) — the sequential fill
+    runs in mapInPandas engine-side; the DuckDB oracle closes the loop
+    with the telescoped closed form of the fill recurrence (windowed
+    product over each NaN run)."""
     curves = testdata.curves(spark, sf_dir)
     out = curve_udfs.ekvi_paa_exact(curves, bins=16)
     return out.select(
@@ -956,7 +959,10 @@ FROM ({testdata.STARS_SQL})
         "curve_descr": descr.curve_descr_sql(_OBS, bins=10),
         "curve_descr_height": descr.curve_descr_sql(_OBS, bins=0.05, height=8),
         "comp_curves_noslide": comparative_noslide_sql(_OBS, [0, 1, 2]),
+        "comp_hist_shape": comparative_hist_sql(_OBS, [0, 1, 2], bins=10, alphabet_size=10, meth="closest"),
+        "comp_variogram_shape": comparative_variogram_sql(_OBS, [0, 1, 2], bins=10, alphabet_size=10, meth="best2"),
         "variogram_slope": descr.variogram_slope_sql(_OBS, bins=20),
+        "ekvi_paa_exact": descr.ekvi_paa_exact_sql(_OBS, bins=16),
         "phase_fold": f"""
 SELECT o.star_id, round(o.t, 6) AS t,
        round(fmod(o.t, p.period) / p.period, 6) AS phase

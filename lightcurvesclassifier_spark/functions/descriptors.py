@@ -188,6 +188,107 @@ def _paa_list_sql(prefix: str, src: str, bins: int) -> str:
 )"""
 
 
+def ekvi_fill_ctes_sql(obs_sql: str, bins_expr: str) -> str:
+    """CTE chain (no final SELECT) for exact-parity to_ekvi_PAA incl.
+    fix_missing (data_analysis.py:54-140, :354-412), ending in
+    ``filled(star_id, bin, x, y)``. ``bins_expr`` is a SQL expression
+    over the per-star aggregate (may reference ``cnt`` = curve length —
+    the bins=n identity case the histogram kernel uses).
+
+    The sequential interior-NaN fill has a closed form per NaN run: with
+    L/R the bracketing valid values and ``w_k = Δt_left/(Δt_left+Δt_right)``
+    (Δt_right measured to the run's next-valid time), the recurrence
+    ``y_i = w_i·y_{i-1} + (1−w_i)·R`` telescopes to
+    ``y_i = R + (L−R)·Π_{k≤i} w_k`` — a windowed ``product()`` over the
+    run partition (run id = count of valid rows so far). Border NaNs copy
+    the first/last valid value (replace_at_borders=True)."""
+    borders = (
+        "list_transform(generate_series(0, nbins), "
+        "i -> (tmin - h) + i * ((tmax + h) - (tmin - h)) / CAST(nbins AS DOUBLE))"
+    )
+    return f"""
+WITH obs AS ({obs_sql}),
+spans0 AS (
+  SELECT star_id, min(t) AS tmin, max(t) AS tmax,
+         CAST(count(*) AS INT) AS cnt
+  FROM obs GROUP BY star_id
+),
+spans AS (
+  SELECT star_id, tmin, tmax, cnt,
+         CAST({bins_expr} AS INT) AS nbins,
+         (tmax - tmin) / CAST({bins_expr} AS DOUBLE) / 2.0 AS h
+  FROM spans0
+),
+binned AS (
+  SELECT o.star_id, o.t, o.mag,
+         LEAST(nbins - 1, GREATEST(0,
+           len(list_filter({borders}, bd -> o.t >= bd)) - 1)) AS bin
+  FROM obs o JOIN spans s USING (star_id)
+),
+agg AS (
+  SELECT star_id, bin, count(*) AS c, sum(t) AS st, sum(mag) AS sm
+  FROM binned GROUP BY star_id, bin
+),
+dense AS (
+  SELECT star_id, tmin, tmax, h, nbins,
+         unnest(generate_series(0, nbins - 1)) AS bin
+  FROM spans
+),
+grid AS (
+  SELECT d.star_id, d.bin,
+         CASE WHEN a.c > 0 THEN a.st / a.c
+              ELSE ({borders}[d.bin + 1] + {borders}[d.bin + 2]) / 2.0
+         END AS x,
+         CASE WHEN a.c > 0 THEN a.sm / a.c END AS y
+  FROM dense d
+  LEFT JOIN agg a ON a.star_id = d.star_id AND a.bin = d.bin
+),
+ctx AS (
+  SELECT star_id, bin, x, y,
+         count(y) OVER w_pre AS run,
+         last_value(y IGNORE NULLS) OVER w_pre AS l_val,
+         first_value(y IGNORE NULLS) OVER w_post AS r_val,
+         first_value(CASE WHEN y IS NOT NULL THEN x END IGNORE NULLS)
+           OVER w_post AS x_r,
+         lag(x) OVER w AS x_prev
+  FROM grid
+  WINDOW
+    w AS (PARTITION BY star_id ORDER BY bin),
+    w_pre AS (PARTITION BY star_id ORDER BY bin
+              ROWS UNBOUNDED PRECEDING),
+    w_post AS (PARTITION BY star_id ORDER BY bin
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+weighted AS (
+  SELECT *,
+         CASE WHEN y IS NULL AND run > 0 AND r_val IS NOT NULL
+              THEN (x - x_prev) / (x_r - x_prev) END AS w
+  FROM ctx
+),
+filled AS (
+  SELECT star_id, bin, x,
+         CASE
+           WHEN y IS NOT NULL THEN y
+           WHEN run = 0 THEN r_val
+           WHEN r_val IS NULL THEN l_val
+           ELSE r_val + (l_val - r_val) * product(w)
+                OVER (PARTITION BY star_id, run ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING)
+         END AS y
+  FROM weighted
+)"""
+
+
+def ekvi_paa_exact_sql(obs_sql: str, bins: int) -> str:
+    """DuckDB oracle for the ``ekvi_paa_exact`` contract query: the
+    :func:`ekvi_fill_ctes_sql` chain at a fixed bin count, rounded."""
+    return f"""{ekvi_fill_ctes_sql(obs_sql, str(int(bins)))}
+SELECT star_id, CAST(bin AS INT) AS bin,
+       round(x, 6) AS t_red, round(y, 6) AS mag_red
+FROM filled
+"""
+
+
 def variogram_slope_sql(obs_sql: str, bins: int = 20) -> str:
     """DuckDB oracle for the variogram slope — the whole chain of
     kernels.variogram/variogram_slope (data_analysis.py:196-246 +

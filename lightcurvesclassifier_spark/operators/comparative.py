@@ -271,6 +271,253 @@ FROM scores GROUP BY star_id
 """
 
 
+def _pw9(lst: str) -> str:
+    """numpy pairwise-summation order for exactly 9 elements:
+    ((r0+r1)+(r2+r3)) + ((r4+r5)+(r6+r7)), then the 1-element tail."""
+    return (
+        f"(((({lst}[1] + {lst}[2]) + ({lst}[3] + {lst}[4]))"
+        f" + (({lst}[5] + {lst}[6]) + ({lst}[7] + {lst}[8]))) + {lst}[9])"
+    )
+
+
+def _beta_sql(alphabet_size: int) -> str:
+    beta = sax_mod.BREAKPOINTS[int(alphabet_size)]
+    return "[" + ", ".join(repr(float(b)) for b in beta) + "]"
+
+
+def _sax_word_ctes(
+    prefix: str, src: str, word_size: int, alphabet_size: int,
+    eps: float = 1e-6,
+) -> str:
+    """CTE fragment: SAX word from a per-star list column. ``src`` must
+    expose (star_id, vals, m) with m = the series length (feeds the
+    scaling factor); emits ``{prefix}_words(star_id, m, word)``."""
+    from ..functions.descriptors import _paa_list_sql
+
+    return f"""
+{prefix}_st AS (
+  SELECT star_id, vals, m, list_avg(vals) AS mu FROM {src}
+),
+{prefix}_st2 AS (
+  SELECT *, sqrt(list_avg(list_transform(vals, x -> (x - mu) * (x - mu)))) AS sd
+  FROM {prefix}_st
+),
+{prefix}_norm AS (
+  SELECT star_id, m,
+         CASE WHEN sd < {eps!r} THEN list_transform(vals, x -> 0.0e0)
+              ELSE list_transform(vals, x -> (x - mu) / sd) END AS vals
+  FROM {prefix}_st2
+),
+{prefix}_nsrc AS (SELECT star_id, vals, m FROM {prefix}_norm),
+{_paa_list_sql(prefix + "_paa", prefix + "_nsrc", word_size)},
+{prefix}_words AS (
+  SELECT w.star_id, n0.m AS m,
+         list_transform(w.paa,
+           v -> len(list_filter({_beta_sql(alphabet_size)}, b -> v >= b))) AS word
+  FROM {prefix}_paa w JOIN {prefix}_norm n0 USING (star_id)
+)"""
+
+
+def _mindist_reduce_sql(
+    words_cte: str, template_ids: list[int], word_size: int,
+    alphabet_size: int, meth: str,
+) -> str:
+    """Final CTEs + SELECT: prefix MINDIST of every star's word against
+    the template words (template-side scaling factor,
+    symbolic_representation.py:65-94) and the compare.py:53-83 reduce."""
+    beta = _beta_sql(alphabet_size)
+    tpl = ", ".join(str(int(t)) for t in template_ids)
+    scored = f"""
+tw AS (
+  SELECT star_id AS template_id, word AS t_word,
+         sqrt(CAST(m AS DOUBLE) / {word_size}.0) AS t_scale
+  FROM {words_cte} WHERE star_id IN ({tpl})
+),
+pr AS (
+  SELECT w.star_id, t.template_id, t.t_scale,
+         LEAST(len(w.word), len(t.t_word)) AS L,
+         w.word AS wa, t.t_word AS wb
+  FROM {words_cte} w, tw t
+),
+scored AS (
+  SELECT star_id, template_id,
+         t_scale * sqrt(list_sum(list_transform(
+           generate_series(1, L),
+           k -> CASE WHEN abs(wa[k] - wb[k]) <= 1 THEN 0.0e0
+                ELSE power({beta}[GREATEST(wa[k], wb[k])]
+                           - {beta}[LEAST(wa[k], wb[k]) + 1], 2) END
+         ))) AS score
+  FROM pr
+)"""
+    if meth == "closest":
+        final = (
+            "SELECT star_id, round(min(score), 6) AS feature "
+            "FROM scored GROUP BY star_id"
+        )
+    elif meth == "average":
+        final = (
+            "SELECT star_id, round(avg(score), 6) AS feature "
+            "FROM scored GROUP BY star_id"
+        )
+    elif meth.startswith("best"):
+        n = int(meth[4:])
+        final = f"""ranked AS (
+  SELECT star_id, score,
+         row_number() OVER (PARTITION BY star_id ORDER BY score) AS rk
+  FROM scored
+)
+SELECT star_id, round(avg(score), 6) AS feature
+FROM ranked WHERE rk <= {n} GROUP BY star_id"""
+        return scored + ",\n" + final
+    else:
+        raise ValueError(meth)
+    return scored + "\n" + final
+
+
+def comparative_hist_sql(
+    obs_sql: str, template_ids: list[int], bins: int = 10,
+    alphabet_size: int = 10, meth: str = "closest",
+) -> str:
+    """DuckDB oracle for HistShapeDescr (hist_shape_descr.py:80-88):
+    magnitude histogram (ekvi-PAA at bins=n incl. the fix_missing fill,
+    mean-centering, ``bins`` linspace edges → bins−1 buckets with the
+    numpy last-edge-inclusive rule, population-std normalize) → SAX word
+    at word size ``bins`` → prefix MINDIST → reduce."""
+    from ..functions.descriptors import _paa_list_sql, ekvi_fill_ctes_sql
+
+    nb = int(bins) - 1  # edges → buckets
+    return f"""{ekvi_fill_ctes_sql(obs_sql, "cnt")},
+series AS (
+  SELECT star_id, list(y ORDER BY bin) AS ys FROM filled GROUP BY star_id
+),
+centered AS (
+  SELECT star_id, list_transform(ys, v -> v - list_avg(ys)) AS vals FROM series
+),
+edged AS (
+  SELECT star_id, vals, list_min(vals) AS lo, list_max(vals) AS hi
+  FROM centered
+),
+bucketed AS (
+  -- numpy histogram semantics: edges[i] <= v < edges[i+1], last edge
+  -- inclusive ⇒ bucket = #(interior edges <= v), interior edge_i =
+  -- lo + i*(hi-lo)/{nb} for i in 1..{nb - 1}
+  SELECT star_id,
+         list_transform(vals, v -> len(list_filter(
+           list_transform(generate_series(1, {nb - 1}),
+                          i -> lo + i * (hi - lo) / {nb}.0),
+           e -> v >= e))) AS codes
+  FROM edged
+),
+counts AS (
+  SELECT star_id,
+         list_transform(generate_series(0, {nb - 1}),
+           b -> CAST(len(list_filter(codes, c -> c = b)) AS DOUBLE)) AS hist
+  FROM bucketed
+),
+hstats AS (
+  SELECT star_id, hist, list_avg(hist) AS mu FROM counts
+),
+hstats2 AS (
+  SELECT *, sqrt(list_avg(list_transform(hist, x -> (x - mu) * (x - mu)))) AS sd
+  FROM hstats
+),
+hnorm AS (
+  SELECT star_id,
+         CASE WHEN sd < 1e-06 THEN list_transform(hist, x -> 0.0e0)
+              ELSE list_transform(hist, x -> (x - mu) / sd) END AS vals
+  FROM hstats2
+),
+-- second normalize (inside sax_word): integer histograms make exact
+-- breakpoint hits structural, so the mean/var sums must replicate
+-- numpy's pairwise-summation ORDER bit-for-bit (8 accumulators reduced
+-- as ((r0+r1)+(r2+r3))+((r4+r5)+(r6+r7)) plus the tail) — a left fold
+-- leaves an ~1e-17 residual that flips letters sitting on breakpoint 0
+pw1 AS (
+  SELECT star_id, vals, {_pw9("vals")} / 9.0 AS mu2 FROM hnorm
+),
+dev AS (
+  SELECT star_id, vals, mu2,
+         list_transform(vals, x -> (x - mu2) * (x - mu2)) AS dv
+  FROM pw1
+),
+pw2 AS (
+  SELECT star_id, vals, mu2, sqrt({_pw9("dv")} / 9.0) AS sd2 FROM dev
+),
+h_n2 AS (
+  SELECT star_id,
+         CASE WHEN sd2 < 1e-06 THEN list_transform(vals, x -> 0.0e0)
+              ELSE list_transform(vals, x -> (x - mu2) / sd2) END AS vals,
+         {nb} AS m
+  FROM pw2
+),
+{_paa_list_sql("h_paa", "h_n2", bins)[1:]},
+h_words AS (
+  SELECT w.star_id, n0.m AS m,
+         list_transform(w.paa,
+           v -> len(list_filter({_beta_sql(alphabet_size)}, b -> v >= b))) AS word
+  FROM h_paa w JOIN h_n2 n0 USING (star_id)
+),
+{_mindist_reduce_sql("h_words", template_ids, bins, alphabet_size, meth)[1:]}
+"""
+
+
+def comparative_variogram_sql(
+    obs_sql: str, template_ids: list[int], bins: int = 10,
+    alphabet_size: int = 10, meth: str = "best2",
+) -> str:
+    """DuckDB oracle for VariogramShapeDescr
+    (variogram_shape_descr.py:76-84): the variogram chain (PAA both
+    axes, ordered pairs, sort, PAA, log10 of the value series) → SAX
+    word at word size ``bins`` → prefix MINDIST → reduce."""
+    from ..functions.descriptors import _paa_list_sql
+
+    return f"""
+WITH obs AS ({obs_sql}),
+curves AS (
+  SELECT star_id, list(t ORDER BY t, mag) AS ts,
+         list(mag ORDER BY t, mag) AS mags,
+         CAST(count(*) AS INT) AS n
+  FROM obs GROUP BY star_id
+),
+px_src AS (SELECT star_id, ts AS vals, n AS m FROM curves),
+{_paa_list_sql("px", "px_src", bins)},
+py_src AS (SELECT star_id, mags AS vals, n AS m FROM curves),
+{_paa_list_sql("py", "py_src", bins)},
+xy AS (
+  SELECT px.star_id, px.paa AS xp, py.paa AS yp, len(px.paa) AS np
+  FROM px JOIN py USING (star_id)
+),
+pair_k AS (
+  SELECT star_id, xp, yp, np,
+         unnest(generate_series(0, np * np - 1)) AS k
+  FROM xy
+),
+pairs AS (
+  SELECT star_id, k,
+         abs(xp[CAST(k // np AS INT) + 1] - xp[CAST(k % np AS INT) + 1]) AS lag,
+         (yp[CAST(k // np AS INT) + 1] - yp[CAST(k % np AS INT) + 1])
+         * (yp[CAST(k // np AS INT) + 1] - yp[CAST(k % np AS INT) + 1]) AS val
+  FROM pair_k
+  WHERE CAST(k // np AS INT) <> CAST(k % np AS INT)
+),
+sorted AS (
+  SELECT star_id,
+         list(val ORDER BY lag, k) AS vals_s,
+         CAST(count(*) AS INT) AS m
+  FROM pairs GROUP BY star_id
+),
+pv_src AS (SELECT star_id, vals_s AS vals, m FROM sorted),
+{_paa_list_sql("pv", "pv_src", bins)},
+va AS (
+  SELECT star_id, list_transform(paa, v -> log10(v)) AS vals,
+         len(paa) AS m
+  FROM pv
+),
+{_sax_word_ctes("v", "va", bins, alphabet_size)[1:]},
+{_mindist_reduce_sql("v_words", template_ids, bins, alphabet_size, meth)}
+"""
+
+
 def reduce_scores(
     scores: DataFrame, meth: str = "average", n_templates: int | None = None
 ) -> DataFrame:
