@@ -41,7 +41,7 @@ from lightcurvesclassifier_spark.operators.crossmatch import (
 from lightcurvesclassifier_spark.functions import curve_udfs
 from lightcurvesclassifier_spark.functions import descriptors as descr
 from lightcurvesclassifier_spark.operators import multimodal as mm_ops
-from lightcurvesclassifier_spark.ml.stars_filter import combine_probabilities
+from lightcurvesclassifier_spark.ml.stars_filter import combine_probabilities, lda_pipeline_sql
 from lightcurvesclassifier_spark.operators import dedup as dedup_ops
 from lightcurvesclassifier_spark.operators import searcher as search_ops
 from lightcurvesclassifier_spark.operators import similarity as sim_ops
@@ -222,10 +222,10 @@ def q_stars_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The make_filter → filter_stars lifecycle end-to-end (SURVEY §3.1/
     §3.2): curve features as descriptors, a closed-form LDA decider
     trained on deterministic populations (high-abbe vs low-abbe stars),
-    ensemble probability + threshold filter. Closed-form fit on
-    deterministic input → deterministic output, but the probability
-    surface isn't SQL-expressible (matrix inverse) → rows-only check;
-    determinism is pinned in tests/test_deciders.py."""
+    ensemble probability + threshold filter. Full DuckDB oracle: the
+    d=3 closed-form LDA fit is plain SQL (two-pass pooled scatter,
+    Cramer's-rule inverse, Mahalanobis softmax); determinism is also
+    pinned in tests/test_deciders.py."""
     from lightcurvesclassifier_spark.ml.deciders import make_decider
     from lightcurvesclassifier_spark.ml.stars_filter import StarsFilter
 
@@ -963,6 +963,7 @@ FROM ({testdata.STARS_SQL})
         "comp_variogram_shape": comparative_variogram_sql(_OBS, [0, 1, 2], bins=10, alphabet_size=10, meth="best2"),
         "variogram_slope": descr.variogram_slope_sql(_OBS, bins=20),
         "ekvi_paa_exact": descr.ekvi_paa_exact_sql(_OBS, bins=16),
+        "stars_filter_pipeline": lda_pipeline_sql(_CURVE_FEATURES_SQL),
         "phase_fold": f"""
 SELECT o.star_id, round(o.t, 6) AS t,
        round(fmod(o.t, p.period) / p.period, 6) AS phase
