@@ -602,6 +602,15 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.ngram_jaccard_pairs(corpus, threshold=0.6)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: ngram-Jaccard pairs -> connected
+    components (iterative min-label propagation; one shuffle join per
+    round, rounds = component diameter) -> cluster id + size per doc.
+    The dedup decision a pipeline actually applies (keep min-id doc)."""
+    corpus = testdata.dedup_corpus(spark, sf_dir)
+    return dedup_ops.dedup_clusters(corpus, threshold=0.6)
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates (MLlib banding — hash-seed dependent, so
     rows-only driver check; exactness is covered by dedup_ngram)."""
@@ -701,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "embedding_topk": q_embedding_topk,
@@ -1025,6 +1035,9 @@ SELECT md5(text) AS fingerprint,
 FROM corpus GROUP BY md5(text)
 """,
         "dedup_ngram": dedup_ops.ngram_jaccard_sql(
+            testdata.DEDUP_CORPUS_SQL, threshold=0.6
+        ),
+        "dedup_clusters": dedup_ops.dedup_clusters_sql(
             testdata.DEDUP_CORPUS_SQL, threshold=0.6
         ),
         "embedding_topk": sim_ops.cosine_topk_sql(k=10, query_pred="vec_id < 5"),

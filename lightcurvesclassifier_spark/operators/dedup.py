@@ -215,6 +215,116 @@ def minhash_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair graph → (node,
+    cluster_id = min node id in the component).
+
+    Near-duplicate *pairs* aren't a dedup decision: A~B and B~C must
+    collapse into one cluster even when A~C was never scored, so the
+    transitive closure is the operator every large-scale dedup pipeline
+    actually runs. Spark-first: iterative min-label propagation — per
+    round one shuffle join (neighbor-min) + one aggregate; rounds needed
+    = component diameter, which is tiny for near-dup clusters. Labels
+    are ``localCheckpoint``-ed each round so lineage stays flat, and the
+    loop exits on a fixpoint count (driver sees one scalar per round,
+    never data)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+                (F.coalesce("nbr_label", "label") < F.col("label")).alias("_chg"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame, n: int = SHINGLE_N, threshold: float = 0.6,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Transitive near-duplicate clusters: n-gram Jaccard pairs →
+    connected components → (doc_id, cluster_id, cluster_size), keep rule
+    = the min-id document represents the cluster. Docs with no near-dup
+    partner form singleton clusters of themselves."""
+    pairs = ngram_jaccard_pairs(df, n, threshold, text_col, id_col)
+    comp = connected_components(pairs)
+    all_docs = df.select(F.col(id_col).alias("node"))
+    labeled = (
+        all_docs.join(comp, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("label", "node").alias("cluster_id"),
+        )
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return labeled.join(sizes, "cluster_id").select(
+        id_col, "cluster_id", "cluster_size"
+    )
+
+
+def dedup_clusters_sql(
+    corpus_sql: str, n: int = SHINGLE_N, threshold: float = 0.6
+) -> str:
+    """DuckDB mirror: the ngram pair SQL + a recursive min-label
+    reachability CTE (enumerate (node, reachable id), take the min)."""
+    return f"""
+WITH RECURSIVE pairs AS ({ngram_jaccard_sql(corpus_sql, n, threshold)}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+corpus AS ({corpus_sql}),
+labeled AS (
+  SELECT c.doc_id, coalesce(k.cluster_id, c.doc_id) AS cluster_id
+  FROM corpus c LEFT JOIN comp k ON k.node = c.doc_id
+),
+sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY cluster_id
+)
+SELECT l.doc_id, l.cluster_id, s.cluster_size
+FROM labeled l JOIN sizes s USING (cluster_id)
+"""
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash as four 16-bit band columns.
 

@@ -66,6 +66,30 @@ def test_minhash_recall_vs_exact(spark, corpus):
     assert recall > 0.9, f"minhash recall {recall}"
 
 
+def test_dedup_clusters_transitive(spark, corpus):
+    """Connected components over near-dup pairs: A~B and B~C collapse
+    into one cluster labeled by the min id even when A~C was never
+    scored; singletons keep their own id."""
+    clusters = dedup.dedup_clusters(corpus, threshold=0.6).toPandas()
+    by_doc = clusters.set_index("doc_id")
+    # doc 0 has an exact copy (2000000) and a ' zz' near-copy (1000000):
+    # all three must share cluster 0
+    assert by_doc.loc[0, "cluster_id"] == 0
+    assert by_doc.loc[1000000, "cluster_id"] == 0
+    assert by_doc.loc[2000000, "cluster_id"] == 0
+    assert by_doc.loc[0, "cluster_size"] >= 3
+    # every doc appears exactly once; cluster sizes are consistent
+    assert clusters.doc_id.is_unique
+    sizes = clusters.groupby("cluster_id").size()
+    assert (
+        clusters.groupby("cluster_id")["cluster_size"].first() == sizes
+    ).all()
+    # a doc with no near-dup partner is its own singleton cluster
+    singles = clusters[clusters.cluster_size == 1]
+    assert len(singles) > 0
+    assert (singles.doc_id == singles.cluster_id).all()
+
+
 def test_simhash_finds_exact_and_near(spark, corpus):
     pairs = dedup.simhash_pairs(corpus, max_hamming=3).toPandas()
     pair_set = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
