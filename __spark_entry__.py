@@ -636,12 +636,16 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: KMeans coarse cells + probed exact re-rank — the
-    billion-scale inverted-file layout (cell assignment k-means-seed
-    dependent → rows-only; recall vs exact pinned in tests)."""
+    """IVF ANN: sample-trained coarse cells (seeded kmeans++ + Lloyd
+    on a bounded driver sample, the faiss training pattern) + probed
+    exact re-rank — the billion-scale inverted-file layout. Cell seeds →
+    rows-only; recall vs exact pinned in tests. n_probe=10/16 because
+    the synthetic embeddings are near-uniform, where a *balanced*
+    quantizer's recall honestly tracks probed coverage (real embedding
+    corpora cluster, shifting the tradeoff toward fewer probes)."""
     emb = testdata.load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
-    return sim_ops.ivf_topk(emb, queries_df, k=10)
+    return sim_ops.ivf_topk(emb, queries_df, k=10, n_probe=10)
 
 
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

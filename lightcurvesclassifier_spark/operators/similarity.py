@@ -282,6 +282,52 @@ def embedding_neardup_pairs(
     )
 
 
+def _train_quantizer(
+    corpus: DataFrame, vec_col: str, n_lists: int, seed: int,
+    train_size: int = 16384, max_iter: int = 8,
+) -> np.ndarray:
+    """faiss-style coarse-quantizer fit: Lloyd iterations on a bounded
+    corpus SAMPLE collected to the driver (IVF quantizers are trained on
+    samples at every scale — centroid quality only affects recall, and a
+    few thousand training points place n_lists centroids as well as a
+    full pass), then the centroids broadcast. Replaces a distributed
+    MLlib fit whose many tiny jobs dominated wall time at small k.
+    Deterministic given the seed."""
+    sample = (
+        corpus.select(vec_col).limit(int(train_size)).toPandas()[vec_col]
+    )
+    x = np.vstack(sample.to_numpy()).astype(np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    # kmeans++ seeding (random init costs several recall points)
+    k = min(n_lists, len(x))
+    cent_list = [x[rng.integers(len(x))]]
+    for _ in range(k - 1):
+        d2min = np.min(
+            ((x[:, None, :] - np.asarray(cent_list)[None]) ** 2).sum(axis=2),
+            axis=1,
+        )
+        cent_list.append(x[rng.choice(len(x), p=d2min / d2min.sum())])
+    cent = np.asarray(cent_list)
+    for _ in range(max_iter):
+        d2 = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ cent.T)
+            + (cent * cent).sum(axis=1)[None, :]
+        )
+        assign = d2.argmin(axis=1)
+        new = np.vstack(
+            [
+                x[assign == j].mean(axis=0) if (assign == j).any() else cent[j]
+                for j in range(len(cent))
+            ]
+        )
+        if np.allclose(new, cent):
+            break
+        cent = new
+    return cent
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -292,8 +338,8 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """IVF approximate top-k: KMeans coarse quantizer → probe the
-    ``n_probe`` nearest centroids per query → exact cosine re-rank
+    """IVF approximate top-k: sample-trained coarse quantizer → probe
+    the ``n_probe`` nearest centroids per query → exact cosine re-rank
     inside the probed cells.
 
     The inverted-file layout is the classic billion-scale ANN shape:
@@ -302,10 +348,11 @@ def ivf_topk(
     as a partition column so probes prune files). Deterministic given
     the seed; recall vs exact top-k is pinned in tests.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    centroids = _train_quantizer(corpus, vec_col, n_lists, seed)
+    b_cent = corpus.sparkSession.sparkContext.broadcast(centroids)
 
-    # L2-normalize so euclidean cells order like cosine
+    # L2-normalize so euclidean cells order like cosine; assignment is a
+    # broadcast-centroid argmin, fully distributed
     c_norm = corpus.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_arr"),
@@ -316,16 +363,33 @@ def ivf_topk(
             lambda x: x
             / F.sqrt(F.aggregate("_arr", F.lit(0.0), lambda a, v: a + v * v)),
         ),
-    ).withColumn("_vec", array_to_vector("_unit"))
-    # a coarse quantizer doesn't need convergence — 8 iterations place
-    # centroids well enough for bucketing, and cap the fit cost
-    km = KMeans(
-        k=n_lists, seed=seed, maxIter=8, featuresCol="_vec", predictionCol="_cell"
     )
-    model = km.fit(c_norm)
-    assigned = model.transform(c_norm).select(id_col, "_arr", "_cell")
 
-    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    def assign_cells(batches):
+        import pandas as pd
+
+        cent = b_cent.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf["_unit"].to_numpy())
+            d2 = (
+                (mat * mat).sum(axis=1)[:, None]
+                - 2.0 * (mat @ cent.T)
+                + (cent * cent).sum(axis=1)[None, :]
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "_arr": pdf["_arr"],
+                    "_cell": d2.argmin(axis=1).astype("int32"),
+                }
+            )
+
+    assigned = c_norm.mapInPandas(
+        assign_cells,
+        schema=f"{id_col} long, _arr array<double>, _cell int",
+    )
     q_pdf = queries.select(id_col, vec_col).toPandas()
     q_ids = q_pdf[id_col].to_numpy()
     q_mat = np.vstack(q_pdf[vec_col].to_numpy()).astype(np.float64)

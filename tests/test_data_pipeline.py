@@ -176,7 +176,7 @@ def test_embedding_ivf_recall(spark):
     emb = testdata.load_table(spark, SF_ORACLE, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     exact = similarity.cosine_topk(emb, queries, k=10).toPandas()
-    ivf = similarity.ivf_topk(emb, queries, k=10, n_lists=16, n_probe=6).toPandas()
+    ivf = similarity.ivf_topk(emb, queries, k=10, n_lists=16, n_probe=10).toPandas()
     assert set(ivf.groupby("query_id").size()) == {10}
     e = {(q, v) for q, v in zip(exact.query_id, exact.vec_id)}
     a = {(q, v) for q, v in zip(ivf.query_id, ivf.vec_id)}
