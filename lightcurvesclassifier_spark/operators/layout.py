@@ -50,6 +50,108 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def write_ivf_layout(
+    corpus: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> "np.ndarray":
+    """Persist an embedding corpus partitioned by IVF cell — the
+    at-rest form of the inverted-file index: ``path/_cell=<c>/...``
+    parquet, one directory per coarse-quantizer cell. A probed ANN
+    query then reads only ``n_probe/n_lists`` of the FILES (partition
+    pruning, visible as PartitionFilters in the scan node) instead of
+    filtering after a full scan — the difference between touching 100 TB
+    and touching 6 TB per query batch at scale. Returns the centroid
+    matrix (persist it next to the data; it IS the index metadata)."""
+    from .similarity import _train_quantizer
+
+    centroids = _train_quantizer(corpus, vec_col, n_lists, seed)
+    b_cent = corpus.sparkSession.sparkContext.broadcast(centroids)
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        cent = b_cent.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            d2 = (
+                (mat * mat).sum(axis=1)[:, None]
+                - 2.0 * (mat @ cent.T)
+                + (cent * cent).sum(axis=1)[None, :]
+            )
+            pdf = pdf.copy()
+            pdf["_cell"] = d2.argmin(axis=1).astype("int32")
+            yield pdf
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(corpus.schema.fields) + [T.StructField("_cell", T.IntegerType())]
+    )
+    assigned = corpus.mapInPandas(assign, schema=schema)
+    assigned.write.mode("overwrite").partitionBy("_cell").parquet(path)
+    return centroids
+
+
+def ivf_layout_topk(
+    spark: SparkSession,
+    path: str,
+    centroids: "np.ndarray",
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against an IVF-partitioned corpus: the probe-cell
+    filter is a PARTITION filter, so unprobed cells' files are never
+    opened. Same probe/re-rank semantics as ``similarity.ivf_topk``."""
+    import numpy as np
+
+    from .similarity import cosine
+
+    from pyspark.sql import Window
+
+    q_pdf = queries.select(id_col, vec_col).toPandas()
+    q_ids = q_pdf[id_col].to_numpy()
+    q_mat = np.vstack(q_pdf[vec_col].to_numpy()).astype(np.float64)
+    q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    d2 = ((q_unit[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(d2, axis=1)[:, :n_probe]
+    probes = spark.createDataFrame(
+        [
+            (int(q_ids[i]), q_mat[i].tolist(), int(c))
+            for i in range(len(q_ids))
+            for c in probe[i]
+        ],
+        "query_id long, q_vec array<double>, _cell int",
+    )
+    probed_cells = sorted({int(c) for row in probe for c in row})
+    corpus = spark.read.parquet(path).filter(F.col("_cell").isin(probed_cells))
+    cand = corpus.join(F.broadcast(probes), "_cell").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+    arr = F.col(vec_col).cast("array<double>")
+    scored = cand.select(
+        "query_id",
+        id_col,
+        F.round(cosine(F.col("q_vec"), arr), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("query_id", id_col, "cos", F.col("_rk").alias("rank"))
+    )
+
+
 def salted_join(
     big: DataFrame,
     dim: DataFrame,

@@ -54,3 +54,43 @@ def test_salted_join_matches_plain_join(spark):
     assert salted.count() == plain.count()
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_ivf_layout_partition_pruning(spark, tmp_path):
+    """IVF-partitioned corpus: a probed top-k reads only the probed
+    cells' partitions (PartitionFilters in the scan, fewer files read)
+    and returns exactly what the in-memory ivf_topk returns for the
+    same centroids and probes."""
+    from lightcurvesclassifier_spark.operators.layout import (
+        ivf_layout_topk,
+        write_ivf_layout,
+    )
+    from lightcurvesclassifier_spark.operators import similarity
+    from tests.conftest import SF_ORACLE
+
+    emb = testdata.load_table(spark, SF_ORACLE, "embeddings")
+    path = str(tmp_path / "ivf_corpus")
+    centroids = write_ivf_layout(emb, path, n_lists=8)
+    import os
+
+    cells = [d for d in os.listdir(path) if d.startswith("_cell=")]
+    assert len(cells) == 8  # one directory per cell
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = ivf_layout_topk(
+        spark, path, centroids, queries, k=5, n_probe=3
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the _cell filter must be a partition filter, not a post-scan one
+    assert "_cell" in plan.split("PartitionFilters")[1][:200]
+    rows = out.toPandas()
+    assert set(rows.groupby("query_id").size()) == {5}
+    # parity with the in-memory operator at the same probe settings:
+    # both rank by exact cosine within the probed cells
+    mem = similarity.ivf_topk(
+        emb, queries, k=5, n_lists=8, n_probe=3
+    ).toPandas()
+    a = rows.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = mem.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
