@@ -635,6 +635,30 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.embedding_neardup_pairs(emb, threshold=0.42)
 
 
+def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine dedup decision: exact near-dup pairs (the
+    cell-blocked GEMM join) -> connected components -> cluster id + size
+    per vector — the same transitive-closure step the text path runs,
+    over the embedding modality."""
+    from lightcurvesclassifier_spark.operators.dedup import connected_components
+
+    emb = testdata.load_table(spark, sf_dir, "embeddings")
+    pairs = sim_ops.embedding_neardup_pairs(emb, threshold=0.42)
+    comp = connected_components(pairs)
+    labeled = (
+        emb.select(F.col("vec_id").alias("node"))
+        .join(comp, "node", "left")
+        .select(
+            F.col("node").alias("vec_id"),
+            F.coalesce("label", "node").alias("cluster_id"),
+        )
+    )
+    sizes = labeled.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return labeled.join(sizes, "cluster_id").select(
+        "vec_id", "cluster_id", "cluster_size"
+    )
+
+
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: sample-trained coarse cells (seeded kmeans++ + Lloyd
     on a bounded driver sample, the faiss training pattern) + probed
@@ -719,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_dedup_clusters": q_embedding_dedup_clusters,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
     }
@@ -1045,6 +1070,41 @@ FROM corpus GROUP BY md5(text)
             testdata.DEDUP_CORPUS_SQL, threshold=0.6
         ),
         "embedding_topk": sim_ops.cosine_topk_sql(k=10, query_pred="vec_id < 5"),
+        "embedding_dedup_clusters": """
+WITH RECURSIVE np AS (WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos
+  FROM vecs a, vecs b WHERE a.vec_id < b.vec_id
+)
+SELECT * FROM pairs WHERE cos >= 0.42),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM np
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM np
+),
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+labeled AS (
+  SELECT v.vec_id, coalesce(k.cluster_id, v.vec_id) AS cluster_id
+  FROM embeddings v LEFT JOIN comp k ON k.node = v.vec_id
+),
+sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY cluster_id
+)
+SELECT l.vec_id, l.cluster_id, s.cluster_size
+FROM labeled l JOIN sizes s USING (cluster_id)
+""",
         "embedding_neardup": """
 WITH vecs AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
