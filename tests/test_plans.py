@@ -1,0 +1,61 @@
+"""Physical-plan assertions for the headline queries — the scale claims
+("filter pushed to the scan", "single shuffle", "dim broadcast", "no
+Python in the JVM path") checked against the actual executed plans, so
+a regression that silently adds a shuffle or unpushes a filter fails a
+test rather than a plan audit."""
+
+import __spark_entry__ as em
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name):
+    return (
+        em.queries()[name](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_query_dsl_predicates_reach_the_scan(spark):
+    plan = _plan(spark, "query_dsl")
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "p_brand" in pushed and "p_size" in pushed, pushed
+    assert "p_retailprice" in pushed, pushed
+    assert plan.count("Exchange") == 0  # scan + filter, no shuffle
+
+
+def test_custom_decider_range_pushdown_no_shuffle(spark):
+    plan = _plan(spark, "custom_decider")
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "l_quantity" in pushed and "l_discount" in pushed, pushed
+    assert plan.count("Exchange") == 0
+    assert "Python" not in plan
+
+
+def test_curve_stats_single_shuffle(spark):
+    # per-star features: one hash aggregate, one Exchange, JVM-only
+    plan = _plan(spark, "curve_stats")
+    assert plan.count("Exchange") == 1, plan
+    assert "Python" not in plan
+
+
+def test_abbe_value_single_shuffle(spark):
+    # window lag + power sums share the star_id partitioning: 1 Exchange
+    plan = _plan(spark, "abbe_value")
+    assert plan.count("Exchange") == 1, plan
+    assert "Python" not in plan
+
+
+def test_phase_fold_broadcasts_period_dim(spark):
+    plan = _plan(spark, "phase_fold")
+    assert "BroadcastHashJoin" in plan
+    # the big observation side never shuffles: only the broadcast
+    # exchange appears
+    assert plan.count("Exchange") == plan.count("BroadcastExchange")
+
+
+def test_text_features_stay_jvm_side(spark):
+    plan = _plan(spark, "text_features")
+    assert plan.count("Exchange") == 0
+    assert "Python" not in plan
