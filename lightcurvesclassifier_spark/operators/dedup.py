@@ -217,7 +217,7 @@ def minhash_pairs(
 
 def connected_components(
     pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 20, hops_per_round: int = 3,
 ) -> DataFrame:
     """Connected components over an undirected pair graph → (node,
     cluster_id = min node id in the component).
@@ -225,41 +225,74 @@ def connected_components(
     Near-duplicate *pairs* aren't a dedup decision: A~B and B~C must
     collapse into one cluster even when A~C was never scored, so the
     transitive closure is the operator every large-scale dedup pipeline
-    actually runs. Spark-first: iterative min-label propagation — per
-    round one shuffle join (neighbor-min) + one aggregate; rounds needed
-    = component diameter, which is tiny for near-dup clusters. Labels
-    are ``localCheckpoint``-ed each round so lineage stays flat, and the
+    actually runs. Spark-first: iterative min-label propagation —
+    neighbor-min shuffle join + aggregate per hop; hops needed =
+    component diameter. Per-round cost is dominated by the fixed
+    latency of the materialization + fixpoint-count job (per-round data
+    is tiny next to the cluster), so ``hops_per_round`` propagation
+    steps run inside ONE lineage before each checkpoint: jobs ≈
+    diameter / hops_per_round instead of diameter. Labels are
+    ``localCheckpoint``-ed each round so lineage stays flat, and the
     loop exits on a fixpoint count (driver sees one scalar per round,
     never data)."""
+    # Both edge directions PLUS self-loops from ONE scan of the
+    # (expensive) pairs subtree. Self-loops make a propagation hop a
+    # single join + min-aggregate — "min label over self ∪ neighbors" —
+    # with exactly one reference to the previous label table, so
+    # chaining hops inside a round grows the lineage linearly (a
+    # least(own, neighbor-min) formulation references the label table
+    # twice per hop and re-evaluates it exponentially).
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .cache()
     )
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
+        stepped = labels
+        for _hop in range(max(1, hops_per_round)):
+            stepped = (
+                edges.join(stepped, edges.src == stepped.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("label").alias("label"))
+            )
+        # labels is a materialized checkpoint, so this second reference
+        # to it (for the fixpoint flag) is a cheap re-read, not a
+        # recompute
+        prev = labels.select(
+            F.col("node"), F.col("label").alias("_prev")
         )
         new_labels = (
-            labels.join(nbr_min, "node", "left")
+            stepped.join(prev, "node")
             .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
-                (F.coalesce("nbr_label", "label") < F.col("label")).alias("_chg"),
+                "node", "label", (F.col("label") < F.col("_prev")).alias("_chg")
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # lazy checkpoint: the fixpoint count below materializes it, so
+        # each round costs one job, not two
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = new_labels.filter(F.col("_chg")).count()
         labels = new_labels.drop("_chg")
         if changed == 0:
