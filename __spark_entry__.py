@@ -42,6 +42,8 @@ from lightcurvesclassifier_spark.functions import curve_udfs
 from lightcurvesclassifier_spark.functions import descriptors as descr
 from lightcurvesclassifier_spark.operators import multimodal as mm_ops
 from lightcurvesclassifier_spark.ml.stars_filter import combine_probabilities, lda_pipeline_sql
+from lightcurvesclassifier_spark.operators import corpus as corpus_ops
+from lightcurvesclassifier_spark.operators import decontamination as decon_ops
 from lightcurvesclassifier_spark.operators import dedup as dedup_ops
 from lightcurvesclassifier_spark.operators import searcher as search_ops
 from lightcurvesclassifier_spark.operators import similarity as sim_ops
@@ -592,6 +594,32 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_ops.frame_sample_stub(mm_ops.documents_as_media(docs), n_frames=4)
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF, top-5 terms per doc — tf agg, df agg, broadcast
+    corpus-size, per-doc top-k window; deterministic (rounded-score,
+    term) tie-break shared with the oracle."""
+    docs = testdata.load_table(spark, sf_dir, "documents")
+    return text_ops.tfidf_top_terms(docs, k=5)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-language sample: deterministic md5-permutation rank
+    within each stratum (the distributed form of sklearn's stratified
+    split) — one shuffle on the stratum key."""
+    docs = testdata.load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return corpus_ops.stratified_sample(docs, "lang", "doc_id", 25).select(
+        "lang", "doc_id", "stratum_rank"
+    )
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style packing offsets: shard → running token offset → chunk
+    span per document. Windows partition by shard only, so the packing
+    parallelism is the shard count."""
+    docs = testdata.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return corpus_ops.pack_sequences(docs, seq_len=256, n_shards=8)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = testdata.dedup_corpus(spark, sf_dir)
     return dedup_ops.exact_dedup(corpus)
@@ -609,6 +637,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The dedup decision a pipeline actually applies (keep min-id doc)."""
     corpus = testdata.dedup_corpus(spark, sf_dir)
     return dedup_ops.dedup_clusters(corpus, threshold=0.6)
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: n-gram containment of a (small,
+    broadcast) eval set in the training corpus — the GPT-3/Pile/FineWeb
+    hygiene pass. Planted eval rows are verbatim slices of training docs
+    (containment 1.0); control rows are token-reversed (≈0, filtered)."""
+    train = testdata.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    evals = testdata.contamination_eval(spark, sf_dir)
+    return decon_ops.contamination_pairs(train, evals, threshold=0.8)
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -739,6 +777,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
         "dedup_clusters": q_dedup_clusters,
+        "decontamination": q_decontamination,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "stratified_sample": q_stratified_sample,
+        "sequence_packing": q_sequence_packing,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "embedding_topk": q_embedding_topk,
@@ -1068,6 +1110,19 @@ FROM corpus GROUP BY md5(text)
         ),
         "dedup_clusters": dedup_ops.dedup_clusters_sql(
             testdata.DEDUP_CORPUS_SQL, threshold=0.6
+        ),
+        "decontamination": decon_ops.contamination_sql(
+            "SELECT doc_id, text FROM documents",
+            testdata.CONTAM_EVAL_SQL,
+            threshold=0.8,
+        ),
+        "tfidf_top_terms": text_ops.tfidf_top_terms_sql(k=5),
+        "stratified_sample": corpus_ops.stratified_sample_sql(
+            "SELECT doc_id, lang FROM documents",
+            "lang", "doc_id", 25, "lang, doc_id",
+        ),
+        "sequence_packing": corpus_ops.pack_sequences_sql(
+            "SELECT doc_id, text FROM documents", seq_len=256, n_shards=8
         ),
         "embedding_topk": sim_ops.cosine_topk_sql(k=10, query_pred="vec_id < 5"),
         "embedding_dedup_clusters": """

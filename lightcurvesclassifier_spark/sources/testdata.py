@@ -136,6 +136,36 @@ def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(exact).unionByName(near)
 
 
+# Synthetic benchmark/eval set for decontamination: "contaminated" eval
+# rows are verbatim 18-token slices of training docs (doc_id % 13 == 0,
+# containment 1.0 by construction); "clean" rows are the same slices
+# token-reversed (doc_id % 13 == 1) — their shingles (almost surely)
+# appear nowhere in the corpus, so they fall under any threshold.
+CONTAM_EVAL_SQL = (
+    "SELECT doc_id + 5000000 AS doc_id, "
+    "array_to_string((string_split(text, ' '))[4:21], ' ') AS text "
+    "FROM documents WHERE doc_id % 13 = 0 "
+    "UNION ALL SELECT doc_id + 6000000 AS doc_id, "
+    "array_to_string(list_reverse((string_split(text, ' '))[4:21]), ' ') AS text "
+    "FROM documents WHERE doc_id % 13 = 1"
+)
+
+
+def contamination_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    sliced = F.slice(toks, 4, 18)
+    contaminated = d.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.array_join(sliced, " ").alias("text"),
+    )
+    clean = d.filter(F.col("doc_id") % 13 == 1).select(
+        (F.col("doc_id") + 6000000).alias("doc_id"),
+        F.array_join(F.reverse(sliced), " ").alias("text"),
+    )
+    return contaminated.unionByName(clean)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # events.parquet stores TIMESTAMP(NANOS), which Spark's reader
     # rejects unless nanos are read as raw longs. The conf is runtime-

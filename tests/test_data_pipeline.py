@@ -57,6 +57,59 @@ def test_short_docs_yield_no_shingles(spark):
     assert len(mh) == 0
 
 
+def test_decontamination_containment(spark):
+    """Containment is asymmetric: a short eval doc fully quoted inside a
+    much longer training doc is 100% contaminated even though the
+    Jaccard similarity of the pair is tiny."""
+    from lightcurvesclassifier_spark.operators import decontamination
+
+    filler = " ".join(f"w{i}" for i in range(200))
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    train = spark.createDataFrame(
+        [(1, f"{filler} {quote} {filler}"), (2, filler)],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100, quote),                       # fully quoted in doc 1
+         (101, "never seen tokens at all anywhere else zz"),  # clean
+         (102, "too short")],                # < n tokens → no shingles
+        "doc_id long, text string",
+    )
+    out = decontamination.contamination_pairs(train, evals, threshold=0.8).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row.train_id, row.eval_id, row.containment) == (1, 100, 1.0)
+    # Jaccard of the flagged pair is tiny — containment is the right score
+    jac = dedup.ngram_jaccard_pairs(
+        train.unionByName(
+            evals.filter(F.col("doc_id") == 100)), threshold=0.001
+    ).toPandas()
+    flagged = jac[(jac.id_a == 1) & (jac.id_b == 100)]
+    assert len(flagged) == 1 and flagged.jaccard.iloc[0] < 0.05
+
+
+def test_decontamination_planted_evals(spark):
+    """The contract eval set: verbatim slices flagged at 1.0, reversed
+    controls absent; eval side broadcast in the physical plan."""
+    from lightcurvesclassifier_spark.operators import decontamination
+
+    train = testdata.load_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "text"
+    )
+    evals = testdata.contamination_eval(spark, SF_ORACLE)
+    out = decontamination.contamination_pairs(train, evals, threshold=0.8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    pdf = out.toPandas()
+    planted = pdf[pdf.eval_id < 6000000]
+    exact_self = planted[planted.eval_id == planted.train_id + 5000000]
+    assert (exact_self.containment == 1.0).all()
+    # every planted eval whose source slice has >= n tokens is found
+    assert len(exact_self) == len([i for i in range(0, 500, 13)])
+    # reversed controls never flagged
+    assert (pdf.eval_id < 6000000).all()
+
+
 def test_minhash_recall_vs_exact(spark, corpus):
     exact = dedup.ngram_jaccard_pairs(corpus, threshold=0.6).toPandas()
     mh = dedup.minhash_pairs(corpus, threshold=0.5).toPandas()
