@@ -1,0 +1,117 @@
+"""Corpus-assembly operators: stratified sampling and sequence packing.
+
+The two steps between "filtered documents" and "training batches" in an
+LLM data pipeline: draw a per-stratum balanced sample (by language,
+source, quality bucket, ...), then pack the token stream into fixed-
+length sequences. Both are expressed as windowed SQL so they run
+JVM-side and mirror into the DuckDB oracle exactly.
+
+Scale shape: every window here partitions by a bounded key (stratum or
+shard), so each is ONE shuffle keyed by that column and the per-
+partition state is a running counter — no global sort, no driver
+involvement, and shards/strata are embarrassingly parallel, which is
+exactly how production packing jobs are laid out (shard first, pack
+within shards independently).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, key: str, n_per_stratum: int
+) -> DataFrame:
+    """Deterministic fixed-``n`` sample per stratum: order each stratum
+    by the engine-portable md5 permutation of the key (the same seeded
+    shuffle trick as ``sample_head``) and keep the first ``n``.
+
+    One shuffle on the stratum column; within each stratum the window is
+    a streaming rank, so memory is O(1) per partition. Strata smaller
+    than ``n`` are returned whole (the usual semantics for balanced
+    sampling)."""
+    h = F.md5(F.col(key).cast("string").cast("binary"))
+    w = Window.partitionBy(stratum_col).orderBy(h, F.col(key))
+    return (
+        df.withColumn("stratum_rank", F.row_number().over(w))
+        .filter(F.col("stratum_rank") <= n_per_stratum)
+    )
+
+
+def stratified_sample_sql(
+    table_sql: str, stratum_col: str, key: str, n_per_stratum: int,
+    select_cols: str,
+) -> str:
+    """DuckDB mirror of :func:`stratified_sample`."""
+    return f"""
+WITH ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY {stratum_col}
+      ORDER BY md5(CAST({key} AS VARCHAR)), {key}) AS stratum_rank
+  FROM ({table_sql})
+)
+SELECT {select_cols}, stratum_rank FROM ranked
+WHERE stratum_rank <= {n_per_stratum}
+"""
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 512,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence packing: shard the corpus, concatenate each
+    shard's documents in deterministic (id) order into one token
+    stream, and cut the stream into fixed ``seq_len`` blocks. Documents
+    span block boundaries (that is the point — zero padding waste), so
+    the packing decision per document is just its token *offset* in the
+    shard stream: emitted as (start_tok, first_chunk, last_chunk).
+
+    A running-sum window per shard = one shuffle on the shard key, then
+    pure arithmetic. Shards are independent, so a 1000-executor job
+    packs 1000 shards concurrently; ``n_shards`` is the parallelism
+    knob, and chunk ids are globally unique via (shard, chunk)."""
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    shard = F.col(id_col) % n_shards
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(F.col(id_col), shard.alias("shard"), n_tok.alias("n_tokens"))
+        .withColumn("start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .select(
+            id_col,
+            "shard",
+            "n_tokens",
+            "start_tok",
+            F.expr(f"start_tok div {seq_len}").alias("first_chunk"),
+            F.expr(f"(start_tok + n_tokens - 1) div {seq_len}").alias("last_chunk"),
+        )
+    )
+
+
+def pack_sequences_sql(
+    table_sql: str, seq_len: int = 512, n_shards: int = 8
+) -> str:
+    """DuckDB mirror of :func:`pack_sequences`."""
+    return f"""
+WITH sized AS (
+  SELECT doc_id, doc_id % {n_shards} AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM ({table_sql})
+),
+offs AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+  FROM sized
+)
+SELECT doc_id, shard, n_tokens, start_tok,
+       start_tok // {seq_len} AS first_chunk,
+       (start_tok + n_tokens - 1) // {seq_len} AS last_chunk
+FROM offs
+"""

@@ -196,3 +196,67 @@ SELECT doc_id,
        substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16) AS fingerprint16
 FROM documents
 """
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-``k`` terms per document by smoothed TF-IDF (the sklearn
+    formula: ``tf * (ln((1+N)/(1+df)) + 1)``).
+
+    The classic three-stage relational dataflow: term frequencies
+    (shuffle on (doc, term)), document frequencies (shuffle on term —
+    the natural reduce-side join key; a hot stopword is the skew risk
+    and AQE's skew-join splits it), then a per-doc top-k window
+    (shuffle on doc). The corpus size ``N`` is a one-row aggregate,
+    broadcast — never a driver round-trip. Ties are broken by term
+    (ascending) on the *rounded* score so both engines rank
+    identically.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    idf = F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * idf, 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(id_col, "term_rank", "term", "tf", "tfidf")
+    )
+
+
+def tfidf_top_terms_sql(k: int = 5) -> str:
+    """DuckDB mirror of :func:`tfidf_top_terms` (same expression order)."""
+    return f"""
+WITH tk AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         round(t.tf * (ln((1.0 + n.n_docs) / (1.0 + d.df)) + 1.0), 6) AS tfidf
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS term_rank
+  FROM scored
+)
+SELECT doc_id, term_rank, term, tf, tfidf FROM ranked WHERE term_rank <= {k}
+"""
