@@ -39,6 +39,7 @@ from lightcurvesclassifier_spark.operators.crossmatch import (
     crossmatch_sql,
 )
 from lightcurvesclassifier_spark.functions import curve_udfs
+from lightcurvesclassifier_spark.functions import periodogram
 from lightcurvesclassifier_spark.functions import descriptors as descr
 from lightcurvesclassifier_spark.operators import multimodal as mm_ops
 from lightcurvesclassifier_spark.ml.stars_filter import combine_probabilities, lda_pipeline_sql
@@ -477,6 +478,21 @@ def q_curve_descr_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lomb–Scargle periodogram (Lomb 1976; Scargle 1982) — one
+    declarative aggregation of nine trig sums over obs × broadcast
+    frequency grid; the upstream stage of phase folding."""
+    obs = testdata.observations(spark, sf_dir)
+    return periodogram.lomb_scargle(spark, obs)
+
+
+def q_period_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best period per star: periodogram argmax with the (rounded power,
+    lower frequency) engine-portable tie-break."""
+    obs = testdata.observations(spark, sf_dir)
+    return periodogram.best_period(spark, obs)
+
+
 def q_phase_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phase folding by a broadcast (star_id, period) dim
     (lcc/db_tier/vizier_tap_base.py:268-298, asas.py:45-66)."""
@@ -758,6 +774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curve_descr": q_curve_descr,
         "curve_descr_height": q_curve_descr_height,
         "curve_descr_pca": q_curve_descr_pca,
+        "periodogram": q_periodogram,
+        "period_search": q_period_search,
         "phase_fold": q_phase_fold,
         "ekvi_paa": q_ekvi_paa,
         "ekvi_paa_exact": q_ekvi_paa_exact,
@@ -1045,6 +1063,8 @@ FROM ({testdata.STARS_SQL})
         "variogram_slope": descr.variogram_slope_sql(_OBS, bins=20),
         "ekvi_paa_exact": descr.ekvi_paa_exact_sql(_OBS, bins=16),
         "stars_filter_pipeline": lda_pipeline_sql(_CURVE_FEATURES_SQL),
+        "periodogram": periodogram.lomb_scargle_sql(_OBS),
+        "period_search": periodogram.best_period_sql(_OBS),
         "phase_fold": f"""
 SELECT o.star_id, round(o.t, 6) AS t,
        round(fmod(o.t, p.period) / p.period, 6) AS phase

@@ -1,0 +1,193 @@
+"""Lomb–Scargle periodogram — period search over unevenly sampled
+light curves (Lomb 1976; Scargle 1982; the standard astronomy period
+finder, and the natural upstream stage of the reference's phase folding:
+``lcc/utils/stars_processing.py`` folds by a *known* period, this
+operator finds one).
+
+Spark-first shape: the classic per-frequency sums are expanded
+algebraically so the whole periodogram is ONE declarative aggregation —
+no per-star Python, no iteration:
+
+    observations × broadcast(frequency grid)          (narrow, no shuffle)
+      → per-(star, freq) trig sums                    (single shuffle)
+      → power from the sums                           (projection)
+
+With y = mag − mean(mag), the Lomb power at angular frequency ω is
+
+    P(ω) = ½ [ (Σy cos ω(t−τ))² / Σcos² ω(t−τ)
+             + (Σy sin ω(t−τ))² / Σsin² ω(t−τ) ] / σ²
+
+with τ = atan2(Σsin 2ωt, Σcos 2ωt) / 2ω.  Every term telescopes onto
+nine plain sums (n, Σm, Σm², Σcos ωt, Σsin ωt, Σm cos ωt, Σm sin ωt,
+Σcos 2ωt, Σsin 2ωt) via the angle-addition identities, so the mean
+never needs a separate pass and whole-stage codegen keeps the entire
+kernel JVM-side.  Scale: work is |obs| × |grid| rows through one
+exchange keyed by (star, freq) — map-side partial aggregation shrinks
+the shuffle to |stars| × |grid| sum-tuples, and the grid is a broadcast
+literal. This is the plan a 1000-executor run wants.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+TWO_PI = 2.0 * math.pi
+
+
+def frequency_grid(f_min: float = 0.05, f_max: float = 3.2, n: int = 64) -> list[float]:
+    """Evenly spaced frequency grid in cycles per unit time."""
+    step = (f_max - f_min) / (n - 1)
+    return [f_min + step * k for k in range(n)]
+
+
+def lomb_scargle(
+    spark: SparkSession,
+    obs: DataFrame,
+    freqs: list[float] | None = None,
+    t_col: str = "t",
+    mag_col: str = "mag",
+    id_col: str = "star_id",
+) -> DataFrame:
+    """Variance-normalized Lomb periodogram: one row per (star, freq)."""
+    freqs = freqs if freqs is not None else frequency_grid()
+    grid = spark.createDataFrame([(f,) for f in freqs], f"freq double")
+    t, m = F.col(t_col), F.col(mag_col)
+    w = TWO_PI * F.col("freq")
+    wt = w * t
+    rows = obs.select(id_col, t_col, mag_col).crossJoin(F.broadcast(grid))
+    sums = (
+        rows.select(
+            id_col,
+            "freq",
+            m.alias("m"),
+            F.cos(wt).alias("cwt"),
+            F.sin(wt).alias("swt"),
+            F.cos(2.0 * wt).alias("c2wt"),
+            F.sin(2.0 * wt).alias("s2wt"),
+        )
+        .groupBy(id_col, "freq")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("m").alias("s1"),
+            F.sum(F.col("m") * F.col("m")).alias("s2m"),
+            F.sum("cwt").alias("sc"),
+            F.sum("swt").alias("ss"),
+            F.sum(F.col("m") * F.col("cwt")).alias("smc"),
+            F.sum(F.col("m") * F.col("swt")).alias("sms"),
+            F.sum("c2wt").alias("c2"),
+            F.sum("s2wt").alias("s2"),
+        )
+    )
+    n = F.col("n")
+    mean = F.col("s1") / n
+    yc = F.col("smc") - mean * F.col("sc")
+    ys = F.col("sms") - mean * F.col("ss")
+    tau = F.atan2(F.col("s2"), F.col("c2")) / (2.0 * w)
+    ct, st = F.cos(w * tau), F.sin(w * tau)
+    ct2, st2 = F.cos(2.0 * w * tau), F.sin(2.0 * w * tau)
+    cc = ct * yc + st * ys
+    ss_ = ct * ys - st * yc
+    scc = n / 2.0 + (ct2 * F.col("c2") + st2 * F.col("s2")) / 2.0
+    sss = n / 2.0 - (ct2 * F.col("c2") + st2 * F.col("s2")) / 2.0
+    var = (F.col("s2m") - F.col("s1") * F.col("s1") / n) / n
+    power = 0.5 * (cc * cc / scc + ss_ * ss_ / sss) / var
+    return sums.select(
+        id_col, "freq", F.round(power, 6).alias("power")
+    )
+
+
+def best_period(
+    spark: SparkSession,
+    obs: DataFrame,
+    freqs: list[float] | None = None,
+    t_col: str = "t",
+    mag_col: str = "mag",
+    id_col: str = "star_id",
+) -> DataFrame:
+    """Argmax of the periodogram per star (rounded-power then lower
+    frequency as the engine-portable tie-break)."""
+    pg = lomb_scargle(spark, obs, freqs, t_col, mag_col, id_col)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("power").desc(), F.col("freq").asc()
+    )
+    return (
+        pg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            id_col,
+            F.col("freq").alias("best_freq"),
+            F.round(1.0 / F.col("freq"), 6).alias("best_period"),
+            "power",
+        )
+    )
+
+
+def _grid_sql(freqs: list[float]) -> str:
+    # String → DOUBLE casts: a bare numeric literal is DECIMAL in DuckDB,
+    # and DECIMAL→DOUBLE can land 1 ulp away from the Python double the
+    # Spark side broadcasts. strtod round-trips repr() exactly.
+    elems = ", ".join(f"CAST('{f!r}' AS DOUBLE)" for f in freqs)
+    return f"SELECT unnest([{elems}]) AS freq"
+
+
+def lomb_scargle_sql(obs_sql: str, freqs: list[float] | None = None) -> str:
+    """DuckDB mirror — identical sums and identical derivation order."""
+    freqs = freqs if freqs is not None else frequency_grid()
+    pi2 = repr(TWO_PI)
+    return f"""
+WITH obs AS ({obs_sql}),
+grid AS ({_grid_sql(freqs)}),
+sums AS (
+  SELECT star_id, freq,
+         count(*) AS n,
+         sum(mag) AS s1,
+         sum(mag * mag) AS s2m,
+         sum(cos({pi2} * freq * t)) AS sc,
+         sum(sin({pi2} * freq * t)) AS ss,
+         sum(mag * cos({pi2} * freq * t)) AS smc,
+         sum(mag * sin({pi2} * freq * t)) AS sms,
+         sum(cos(2.0 * ({pi2} * freq) * t)) AS c2,
+         sum(sin(2.0 * ({pi2} * freq) * t)) AS s2
+  FROM obs CROSS JOIN grid
+  GROUP BY star_id, freq
+),
+derived AS (
+  SELECT star_id, freq, n, s2m, s1,
+         smc - (s1 / n) * sc AS yc,
+         sms - (s1 / n) * ss AS ys,
+         atan2(s2, c2) / (2.0 * ({pi2} * freq)) AS tau,
+         c2, s2
+  FROM sums
+),
+terms AS (
+  SELECT star_id, freq, n,
+         cos(({pi2} * freq) * tau) * yc + sin(({pi2} * freq) * tau) * ys AS cc,
+         cos(({pi2} * freq) * tau) * ys - sin(({pi2} * freq) * tau) * yc AS ss_,
+         n / 2.0 + (cos(2.0 * ({pi2} * freq) * tau) * c2
+                    + sin(2.0 * ({pi2} * freq) * tau) * s2) / 2.0 AS scc,
+         n / 2.0 - (cos(2.0 * ({pi2} * freq) * tau) * c2
+                    + sin(2.0 * ({pi2} * freq) * tau) * s2) / 2.0 AS sss,
+         (s2m - s1 * s1 / n) / n AS var
+  FROM derived
+)
+SELECT star_id, freq,
+       round(0.5 * (cc * cc / scc + ss_ * ss_ / sss) / var, 6) AS power
+FROM terms
+"""
+
+
+def best_period_sql(obs_sql: str, freqs: list[float] | None = None) -> str:
+    return f"""
+WITH pg AS ({lomb_scargle_sql(obs_sql, freqs)}),
+ranked AS (
+  SELECT star_id, freq, power,
+         row_number() OVER (PARTITION BY star_id
+                            ORDER BY power DESC, freq ASC) AS rk
+  FROM pg
+)
+SELECT star_id, freq AS best_freq,
+       round(1.0 / freq, 6) AS best_period, power
+FROM ranked WHERE rk = 1
+"""
