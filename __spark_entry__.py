@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from lightcurvesclassifier_spark.functions.curves import (
     curve_features,
+    detrend_stats,
+    detrend_stats_sql,
     lc_stats,
     abbe_value,
     skewness_kurtosis,
@@ -610,6 +612,35 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_ops.frame_sample_stub(mm_ops.documents_as_media(docs), n_frames=4)
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the planted-PII corpus — map-only JVM regexp
+    counts + redacted-text checksum."""
+    return text_ops.pii_redact(testdata.pii_corpus(spark, sf_dir))
+
+
+def q_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate-token fraction
+    (zero-shuffle array expr) + top-bigram fraction (heavy-hitter agg)."""
+    docs = testdata.load_table(spark, sf_dir, "documents")
+    return text_ops.repetition_features(docs)
+
+
+def q_detrend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear detrend + one 3-sigma clip round per curve (closed-form
+    refit on kept points) — all aggregations keyed by star_id."""
+    return detrend_stats(testdata.observations(spark, sf_dir))
+
+
+MIXTURE_WEIGHTS = {"en": 0.6, "de": 0.4, "es": 0.2, "fr": 0.1}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing: per-language Bernoulli rates via the deterministic
+    md5 threshold — a pure filter, no shuffle."""
+    docs = testdata.load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return corpus_ops.mixture_sample(docs, "lang", "doc_id", MIXTURE_WEIGHTS)
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed TF-IDF, top-5 terms per doc — tf agg, df agg, broadcast
     corpus-size, per-doc top-k window; deterministic (rounded-score,
@@ -796,6 +827,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram": q_dedup_ngram,
         "dedup_clusters": q_dedup_clusters,
         "decontamination": q_decontamination,
+        "pii_redact": q_pii_redact,
+        "repetition_features": q_repetition_features,
+        "detrend": q_detrend,
+        "mixture_sample": q_mixture_sample,
         "tfidf_top_terms": q_tfidf_top_terms,
         "stratified_sample": q_stratified_sample,
         "sequence_packing": q_sequence_packing,
@@ -1135,6 +1170,13 @@ FROM corpus GROUP BY md5(text)
             "SELECT doc_id, text FROM documents",
             testdata.CONTAM_EVAL_SQL,
             threshold=0.8,
+        ),
+        "pii_redact": text_ops.pii_redact_sql(testdata.PII_CORPUS_SQL),
+        "repetition_features": text_ops.REPETITION_SQL,
+        "detrend": detrend_stats_sql(_OBS),
+        "mixture_sample": corpus_ops.mixture_sample_sql(
+            "SELECT doc_id, lang FROM documents", "lang", "doc_id",
+            MIXTURE_WEIGHTS, "doc_id, lang",
         ),
         "tfidf_top_terms": text_ops.tfidf_top_terms_sql(k=5),
         "stratified_sample": corpus_ops.stratified_sample_sql(

@@ -160,3 +160,125 @@ def skewness_kurtosis(obs: DataFrame, keys: list[str] | None = None) -> DataFram
         (m3 / F.pow(m2, 1.5)).alias("skewness"),
         (m4 / (m2 * m2) - 3.0).alias("kurtosis"),
     )
+
+
+def detrend_stats(obs: DataFrame) -> DataFrame:
+    """Linear detrend + one 3σ clip round per light curve — the standard
+    LC preprocessing pair (secular-drift removal, outlier rejection)
+    upstream of every descriptor.
+
+    Closed-form least squares from five power sums, residual moments
+    from a second pass, then a refit on the kept points: three
+    aggregations all keyed by ``star_id``, so at scale one
+    repartition(star_id) serves every stage and the fit parameters ride
+    along as joined (broadcast-size) dims — never driver-side."""
+    t, m = F.col("t"), F.col("mag")
+    fit = obs.groupBy("star_id").agg(
+        F.count("*").alias("n"),
+        F.sum(t).alias("st"),
+        F.sum(t * t).alias("st2"),
+        F.sum(m).alias("sm"),
+        F.sum(t * m).alias("stm"),
+    )
+    slope = (F.col("n") * F.col("stm") - F.col("st") * F.col("sm")) / (
+        F.col("n") * F.col("st2") - F.col("st") * F.col("st")
+    )
+    fit = fit.withColumn("slope", slope).withColumn(
+        "intercept", (F.col("sm") - F.col("slope") * F.col("st")) / F.col("n")
+    ).select("star_id", "n", "slope", "intercept")
+    r = m - (F.col("intercept") + F.col("slope") * t)
+    resid = (
+        obs.join(fit, "star_id")
+        .select("star_id", "t", "mag", "slope", "intercept", r.alias("r"))
+    )
+    mom = resid.groupBy("star_id").agg(
+        F.sum("r").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).alias("sr2"),
+        F.count("*").alias("nr"),
+    )
+    sigma = F.sqrt(
+        F.col("sr2") / F.col("nr")
+        - (F.col("sr") / F.col("nr")) * (F.col("sr") / F.col("nr"))
+    )
+    mom = mom.withColumn("sigma", sigma).withColumn(
+        "rbar", F.col("sr") / F.col("nr")
+    ).select("star_id", "sigma", "rbar")
+    kept = resid.join(mom, "star_id").withColumn(
+        "keep", F.abs(F.col("r") - F.col("rbar")) <= 3.0 * F.col("sigma")
+    )
+    refit = kept.groupBy("star_id").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_clipped"),
+        F.sum(F.when(F.col("keep"), F.col("t"))).alias("kt"),
+        F.sum(F.when(F.col("keep"), F.col("t") * F.col("t"))).alias("kt2"),
+        F.sum(F.when(F.col("keep"), F.col("mag"))).alias("km"),
+        F.sum(F.when(F.col("keep"), F.col("t") * F.col("mag"))).alias("ktm"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kn"),
+    )
+    slope_clip = (F.col("kn") * F.col("ktm") - F.col("kt") * F.col("km")) / (
+        F.col("kn") * F.col("kt2") - F.col("kt") * F.col("kt")
+    )
+    out = (
+        refit.join(fit, "star_id")
+        .join(mom, "star_id")
+        .select(
+            "star_id",
+            F.col("n_total").alias("n_obs"),
+            F.round("slope", 6).alias("slope"),
+            F.round("intercept", 6).alias("intercept"),
+            F.round("sigma", 6).alias("resid_std"),
+            F.col("n_clipped"),
+            F.round(slope_clip, 6).alias("slope_clip"),
+        )
+    )
+    return out
+
+
+def detrend_stats_sql(obs_sql: str) -> str:
+    """DuckDB mirror of :func:`detrend_stats` (same sums, same order)."""
+    return f"""
+WITH obs AS ({obs_sql}),
+sums AS (
+  SELECT star_id, count(*) AS n, sum(t) AS st, sum(t * t) AS st2,
+         sum(mag) AS sm, sum(t * mag) AS stm
+  FROM obs GROUP BY star_id
+),
+fit AS (
+  SELECT star_id, n,
+         (n * stm - st * sm) / (n * st2 - st * st) AS slope,
+         (sm - ((n * stm - st * sm) / (n * st2 - st * st)) * st) / n AS intercept
+  FROM sums
+),
+resid AS (
+  SELECT o.star_id, o.t, o.mag, f.slope, f.intercept,
+         o.mag - (f.intercept + f.slope * o.t) AS r
+  FROM obs o JOIN fit f USING (star_id)
+),
+mom AS (
+  SELECT star_id,
+         sqrt(sum(r * r) / count(*) - (sum(r) / count(*)) * (sum(r) / count(*))) AS sigma,
+         sum(r) / count(*) AS rbar
+  FROM resid GROUP BY star_id
+),
+kept AS (
+  SELECT r.*, abs(r.r - m.rbar) <= 3.0 * m.sigma AS keep
+  FROM resid r JOIN mom m USING (star_id)
+),
+refit AS (
+  SELECT star_id, count(*) AS n_total,
+         sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS n_clipped,
+         sum(CASE WHEN keep THEN t END) AS kt,
+         sum(CASE WHEN keep THEN t * t END) AS kt2,
+         sum(CASE WHEN keep THEN mag END) AS km,
+         sum(CASE WHEN keep THEN t * mag END) AS ktm,
+         sum(CASE WHEN keep THEN 1 ELSE 0 END) AS kn
+  FROM kept GROUP BY star_id
+)
+SELECT r.star_id, r.n_total AS n_obs,
+       round(f.slope, 6) AS slope,
+       round(f.intercept, 6) AS intercept,
+       round(m.sigma, 6) AS resid_std,
+       r.n_clipped,
+       round((r.kn * r.ktm - r.kt * r.km) / (r.kn * r.kt2 - r.kt * r.kt), 6) AS slope_clip
+FROM refit r JOIN fit f USING (star_id) JOIN mom m USING (star_id)
+"""

@@ -115,3 +115,36 @@ SELECT doc_id, shard, n_tokens, start_tok,
        (start_tok + n_tokens - 1) // {seq_len} AS last_chunk
 FROM offs
 """
+
+
+def mixture_sample(
+    df: DataFrame, stratum_col: str, key: str, weights: dict[str, float]
+) -> DataFrame:
+    """Domain-mixture sampling: keep each stratum at its own Bernoulli
+    rate (the data-mixing knob of an LLM pipeline — e.g. upsample books,
+    downsample web). Deterministic md5-threshold per row, so it is a
+    pure filter: no shuffle, no RNG state, reproducible across engines
+    and runs; strata missing from ``weights`` are dropped (rate 0)."""
+    h = F.substring(F.md5(F.col(key).cast("string").cast("binary")), 1, 8)
+    bound = F.lit("00000000")
+    for stratum, w in sorted(weights.items()):
+        b = format(int(w * 16**8), "08x")
+        bound = F.when(F.col(stratum_col) == stratum, F.lit(b)).otherwise(bound)
+    return df.filter(h < bound)
+
+
+def mixture_sample_sql(
+    table_sql: str, stratum_col: str, key: str, weights: dict[str, float],
+    select_cols: str,
+) -> str:
+    """DuckDB mirror of :func:`mixture_sample`."""
+    cases = " ".join(
+        f"WHEN {stratum_col} = '{s}' THEN '{format(int(w * 16**8), '08x')}'"
+        for s, w in sorted(weights.items())
+    )
+    return f"""
+SELECT {select_cols}
+FROM ({table_sql})
+WHERE substring(md5(CAST({key} AS VARCHAR)), 1, 8)
+      < (CASE {cases} ELSE '00000000' END)
+"""

@@ -260,3 +260,103 @@ ranked AS (
 )
 SELECT doc_id, term_rank, term, tf, tfidf FROM ranked WHERE term_rank <= {k}
 """
+
+
+# PII patterns shared by both engines (Java regex and RE2 agree on this
+# subset — character classes, bounded repeats, \b word boundaries).
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PII_PHONE_RE = "\\+1 555-[0-9]{4}"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrub: count and redact emails / IPv4s / phone patterns.
+
+    The standard pre-training privacy pass. Pure JVM regexp (no Python),
+    embarrassingly parallel — no shuffle at all; at 100 TB this is a
+    map-only stage fused into the scan. Redaction order (email → ip →
+    phone) is part of the contract, mirrored in the oracle."""
+    t = F.col(text_col)
+    red = F.regexp_replace(t, PII_EMAIL_RE, "[EMAIL]")
+    red = F.regexp_replace(red, PII_IPV4_RE, "[IP]")
+    red = F.regexp_replace(red, PII_PHONE_RE, "[PHONE]")
+    return df.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+def pii_redact_sql(corpus_sql: str) -> str:
+    e, i, p = PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE
+    return f"""
+WITH corpus AS ({corpus_sql})
+SELECT doc_id,
+       len(regexp_extract_all(text, '{e}')) AS n_emails,
+       len(regexp_extract_all(text, '{i}')) AS n_ips,
+       len(regexp_extract_all(text, '{p}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+           text, '{e}', '[EMAIL]', 'g'), '{i}', '[IP]', 'g'),
+           '{p}', '[PHONE]', 'g')) AS redacted_md5
+FROM corpus
+"""
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals: duplicate-token fraction (a
+    zero-shuffle array expression) and top-bigram fraction (explode →
+    count → per-doc max; shuffle keyed (doc, bigram) with map-side
+    combine — the honest MapReduce shape for the heavy-hitter count)."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    dup_frac = F.round((n - F.size(F.array_distinct(toks))) / n, 6)
+    base = df.select("doc_id", dup_frac.alias("dup_token_frac"),
+                     n.alias("n_tokens"))
+    # guard: a 1-token doc would make sequence(1, 0) DESCEND and slice()
+    # throw (same failure class as the dedup shingle paths); the oracle's
+    # generate_series is empty for the same doc, so the guard keeps the
+    # engines aligned (doc then drops out of the inner join on both sides)
+    bgs = F.when(
+        F.size(_tokens(F.col(text_col))) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(_tokens(F.col(text_col))) - 1),
+            lambda i: F.array_join(F.slice(_tokens(F.col(text_col)), i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bigrams = df.select("doc_id", F.explode(bgs).alias("bigram"))
+    top = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("total_c"))
+        .select(
+            "doc_id",
+            F.round(F.col("top_c") / F.col("total_c"), 6).alias("top_bigram_frac"),
+        )
+    )
+    return base.join(top, "doc_id").select(
+        "doc_id", "n_tokens", "dup_token_frac", "top_bigram_frac"
+    )
+
+
+REPETITION_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+base AS (
+  SELECT doc_id, len(tk) AS n_tokens,
+         round((len(tk) - len(list_distinct(tk))) / len(tk), 6) AS dup_token_frac
+  FROM toks
+),
+bg AS (
+  SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS bigram
+  FROM toks, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+),
+cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram),
+top AS (
+  SELECT doc_id, round(max(c) / sum(c), 6) AS top_bigram_frac
+  FROM cnt GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.dup_token_frac, t.top_bigram_frac
+FROM base b JOIN top t USING (doc_id)
+"""

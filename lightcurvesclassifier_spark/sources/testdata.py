@@ -136,6 +136,54 @@ def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(exact).unionByName(near)
 
 
+# Planted-PII corpus: deterministic email / IPv4 / phone insertions so the
+# redaction operator has a non-trivial, oracle-checkable answer (the raw
+# documents contain no PII-shaped strings).
+PII_CORPUS_SQL = (
+    "SELECT doc_id, CASE "
+    "WHEN doc_id % 11 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' "
+    "WHEN doc_id % 11 = 1 THEN text || ' server at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17 port' "
+    "WHEN doc_id % 11 = 2 THEN text || ' call +1 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' today' "
+    "ELSE text END AS text FROM documents"
+)
+
+
+def pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    text = (
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            did % 11 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" server at 10.0."),
+                (did % 256).cast("string"),
+                F.lit(".17 port"),
+            ),
+        )
+        .when(
+            did % 11 == 2,
+            F.concat(
+                F.col("text"),
+                F.lit(" call +1 555-"),
+                (1000 + did % 9000).cast("string"),
+                F.lit(" today"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    return d.select("doc_id", text.alias("text"))
+
+
 # Synthetic benchmark/eval set for decontamination: "contaminated" eval
 # rows are verbatim 18-token slices of training docs (doc_id % 13 == 0,
 # containment 1.0 by construction); "clean" rows are the same slices

@@ -60,3 +60,85 @@ def test_tfidf_rare_term_outranks_stopword(spark):
     # every doc has exactly min(k, n_distinct_terms) rows
     assert (out.groupby("doc_id").size() <= 2).all()
     assert (out[out.doc_id == 1].tfidf.round(6) == out[out.doc_id == 1].tfidf).all()
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    docs = testdata.load_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "lang"
+    )
+    weights = {"en": 0.8, "de": 0.2}
+    out = corpus.mixture_sample(docs, "lang", "doc_id", weights).toPandas()
+    # unlisted strata dropped entirely
+    assert set(out.lang) <= {"en", "de"}
+    full = docs.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    got = out.groupby("lang").size()
+    for lang, w in weights.items():
+        if full.get(lang, 0) >= 30:
+            rate = got.get(lang, 0) / full[lang]
+            assert abs(rate - w) < 0.2  # md5 uniformity, small-n tolerance
+    again = corpus.mixture_sample(docs, "lang", "doc_id", weights).toPandas()
+    assert set(out.doc_id) == set(again.doc_id)
+
+
+def test_pii_redact_planted(spark):
+    from lightcurvesclassifier_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "write to alice@mail.example.org or bob@x.io please"),
+            (2, "host 192.168.1.254 then call +1 555-0001"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text_ops.pii_redact(docs).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_emails"] == 2 and out.loc[1, "n_ips"] == 0
+    assert out.loc[2, "n_ips"] == 1 and out.loc[2, "n_phones"] == 1
+    assert out.loc[3, ["n_emails", "n_ips", "n_phones"]].sum() == 0
+    # redacted text no longer matches the raw md5 when something was found
+    import hashlib
+
+    raw3 = hashlib.md5(b"no pii here at all").hexdigest()
+    assert out.loc[3, "redacted_md5"] == raw3
+    raw1 = hashlib.md5(
+        b"write to alice@mail.example.org or bob@x.io please"
+    ).hexdigest()
+    assert out.loc[1, "redacted_md5"] != raw1
+
+
+def test_repetition_features_literal(spark):
+    from lightcurvesclassifier_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b"), (2, "w x y z"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = text_ops.repetition_features(docs).toPandas().set_index("doc_id")
+    # doc 1: 5 tokens, 2 distinct → dup frac 0.6; bigrams: 'a a'×3,'a b'×1
+    assert out.loc[1, "dup_token_frac"] == 0.6
+    assert out.loc[1, "top_bigram_frac"] == 0.75
+    assert out.loc[2, "dup_token_frac"] == 0.0
+    assert out.loc[2, "top_bigram_frac"] == 1.0 / 3.0 or abs(
+        out.loc[2, "top_bigram_frac"] - 0.333333
+    ) < 1e-9
+    # 1-token doc: no bigrams → dropped by the inner join (both engines)
+    assert 3 not in out.index
+
+
+def test_detrend_clips_planted_outlier(spark):
+    import numpy as np
+
+    from lightcurvesclassifier_spark.functions.curves import detrend_stats
+
+    rng = np.random.default_rng(5)
+    t = np.linspace(0.0, 10.0, 101)
+    y = 14.0 + 0.3 * t + rng.normal(0, 0.01, 101)
+    y[50] += 5.0  # gross outlier
+    rows = [(1, float(ti), float(yi)) for ti, yi in zip(t, y)]
+    obs = spark.createDataFrame(rows, "star_id long, t double, mag double")
+    out = detrend_stats(obs).toPandas().iloc[0]
+    assert out.n_obs == 101 and out.n_clipped >= 1
+    # refit after clipping recovers the planted slope tightly
+    assert abs(out.slope_clip - 0.3) < 0.01
+    # unclipped fit is pulled by the outlier more than the clipped one
+    assert abs(out.slope - 0.3) >= abs(out.slope_clip - 0.3)

@@ -59,3 +59,41 @@ def test_text_features_stay_jvm_side(spark):
     plan = _plan(spark, "text_features")
     assert plan.count("Exchange") == 0
     assert "Python" not in plan
+
+
+def test_pii_redact_is_map_only(spark):
+    # PII scrub: pure filter/projection — zero Exchange, no Python
+    plan = _plan(spark, "pii_redact")
+    assert plan.count("Exchange") == 0
+    assert "Python" not in plan
+
+
+def test_mixture_sample_is_pure_filter(spark):
+    plan = _plan(spark, "mixture_sample")
+    assert plan.count("Exchange") == 0
+    assert "Python" not in plan
+
+
+def test_sequence_packing_single_shard_exchange(spark):
+    # one shuffle on the shard key feeds the running-sum window
+    plan = _plan(spark, "sequence_packing")
+    assert plan.count("Exchange") == 1, plan
+    assert "Python" not in plan
+
+
+def test_decontamination_broadcasts_eval_side(spark):
+    # the corpus side hash-joins against a broadcast eval shingle table:
+    # every non-broadcast exchange is keyed by corpus aggregation, and
+    # the eval tables arrive via BroadcastExchange
+    plan = _plan(spark, "decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_periodogram_grid_broadcast_single_agg_exchange(spark):
+    # obs × grid is a broadcast nested-loop product; the only shuffle is
+    # the (star, freq) aggregation
+    plan = _plan(spark, "periodogram")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1, plan
+    assert "Python" not in plan
