@@ -45,6 +45,7 @@ from lightcurvesclassifier_spark.functions import periodogram
 from lightcurvesclassifier_spark.functions import descriptors as descr
 from lightcurvesclassifier_spark.operators import multimodal as mm_ops
 from lightcurvesclassifier_spark.ml.stars_filter import combine_probabilities, lda_pipeline_sql
+from lightcurvesclassifier_spark.operators import asof as asof_ops
 from lightcurvesclassifier_spark.operators import corpus as corpus_ops
 from lightcurvesclassifier_spark.operators import decontamination as decon_ops
 from lightcurvesclassifier_spark.operators import dedup as dedup_ops
@@ -480,6 +481,23 @@ def q_curve_descr_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every observation picks up the latest calibration
+    gain at or before its timestamp — union + last-value window (one
+    shuffle, no range blowup); DuckDB's native ASOF LEFT JOIN is the
+    oracle."""
+    obs = testdata.observations(spark, sf_dir)
+    calib = testdata.calibrations(spark, sf_dir)
+    joined = asof_ops.asof_join(obs, calib, "star_id", "t", "calib_t", ["gain"])
+    return joined.select(
+        "star_id",
+        "band",
+        F.round("t", 6).alias("t"),
+        F.round("mag", 6).alias("mag"),
+        "gain",
+    )
+
+
 def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lomb–Scargle periodogram (Lomb 1976; Scargle 1982) — one
     declarative aggregation of nine trig sums over obs × broadcast
@@ -805,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curve_descr": q_curve_descr,
         "curve_descr_height": q_curve_descr_height,
         "curve_descr_pca": q_curve_descr_pca,
+        "asof_calibration": q_asof_calibration,
         "periodogram": q_periodogram,
         "period_search": q_period_search,
         "phase_fold": q_phase_fold,
@@ -1098,6 +1117,12 @@ FROM ({testdata.STARS_SQL})
         "variogram_slope": descr.variogram_slope_sql(_OBS, bins=20),
         "ekvi_paa_exact": descr.ekvi_paa_exact_sql(_OBS, bins=16),
         "stars_filter_pipeline": lda_pipeline_sql(_CURVE_FEATURES_SQL),
+        "asof_calibration": f"""
+WITH obs AS ({_OBS}), calib AS ({testdata.CALIB_SQL})
+SELECT o.star_id, o.band, round(o.t, 6) AS t, round(o.mag, 6) AS mag, c.gain
+FROM obs o ASOF LEFT JOIN calib c
+  ON o.star_id = c.star_id AND o.t >= c.calib_t
+""",
         "periodogram": periodogram.lomb_scargle_sql(_OBS),
         "period_search": periodogram.best_period_sql(_OBS),
         "phase_fold": f"""

@@ -1,0 +1,51 @@
+"""As-of (point-in-time) join — match each fact row to the most recent
+dimension row at or before its timestamp.
+
+The canonical time-series join (market data, sensor calibration,
+slowly-changing dimensions). Spark has no native ASOF JOIN operator, and
+the naive range join (``l.t >= r.t`` then argmax) explodes to
+|L|×|epochs-per-key| intermediate rows. The scalable re-expression is
+the union + last-value window:
+
+    tag both sides → union → per-key window ordered by (ts, side)
+      → last(value, ignorenulls) carries the dimension forward
+      → keep fact rows
+
+ONE shuffle, keyed by the join key; no range blowup; within each key
+the window is a streaming carry-forward, so memory is O(1) per
+partition. Ordering the tag so dimension rows sort *before* fact rows
+at equal timestamps gives inclusive (``>=``) semantics — the same
+contract as DuckDB's ``ASOF LEFT JOIN``, which serves as the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, plus ``value_cols`` from the
+    latest ``right`` row with ``right_ts <= left_ts`` on the same key
+    (null when no such row exists)."""
+    l = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
+    r = (
+        right.select(on, F.col(right_ts).alias("_ts"), *value_cols)
+        .withColumn("_side", F.lit(0))
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned
+    for vc in value_cols:
+        filled = filled.withColumn(vc, F.last(vc, ignorenulls=True).over(w))
+    return filled.filter(F.col("_side") == 1).drop("_ts", "_side")

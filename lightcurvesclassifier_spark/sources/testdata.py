@@ -136,6 +136,35 @@ def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(exact).unionByName(near)
 
 
+# Synthetic per-star calibration epochs (an as-of-join dimension): 14
+# epochs every 50 days, phase-offset per star so some early events have
+# no prior epoch (exercising the left-join null path); gain drifts
+# deterministically per (star, epoch). `e0` suffixes force DOUBLE in
+# DuckDB (same convention as STARS_SQL).
+CALIB_SQL = (
+    "SELECT s.star_id, "
+    "CAST(k * 50.0e0 + (s.star_id % 7) AS DOUBLE) AS calib_t, "
+    "round(1.0e0 + (s.star_id % 5) * 0.01e0 + k * 0.001e0, 6) AS gain "
+    f"FROM (SELECT DISTINCT user_id AS star_id FROM events) s, "
+    "unnest(generate_series(0, 13)) t(k)"
+)
+
+
+def calibrations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stars = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("star_id"))
+        .distinct()
+    )
+    k = F.explode(F.sequence(F.lit(0), F.lit(13))).alias("k")
+    sid = F.col("star_id")
+    return stars.select("star_id", k).select(
+        "star_id",
+        (F.col("k") * 50.0 + (sid % 7)).cast("double").alias("calib_t"),
+        F.round(1.0 + (sid % 5) * 0.01 + F.col("k") * 0.001, 6).alias("gain"),
+    )
+
+
 # Planted-PII corpus: deterministic email / IPv4 / phone insertions so the
 # redaction operator has a non-trivial, oracle-checkable answer (the raw
 # documents contain no PII-shaped strings).

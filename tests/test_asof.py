@@ -1,0 +1,42 @@
+"""As-of join semantics: inclusive point-in-time matching, null when no
+prior row, single-shuffle plan."""
+
+from pyspark.sql import functions as F
+
+from lightcurvesclassifier_spark.operators.asof import asof_join
+
+
+def test_asof_literal_semantics(spark):
+    events = spark.createDataFrame(
+        [(1, 5.0, "a"), (1, 9.0, "b"), (1, 10.0, "c"), (2, 3.0, "d")],
+        "k long, t double, v string",
+    )
+    dim = spark.createDataFrame(
+        [(1, 4.0, 100), (1, 9.0, 200), (2, 99.0, 300)],
+        "k long, ct double, g long",
+    )
+    out = (
+        asof_join(events, dim, "k", "t", "ct", ["g"])
+        .toPandas()
+        .set_index("v")
+    )
+    assert out.loc["a", "g"] == 100        # latest epoch at t=4
+    assert out.loc["b", "g"] == 200        # equal timestamps: inclusive
+    assert out.loc["c", "g"] == 200
+    assert out.loc["d", "g"] != out.loc["d", "g"]  # NaN: no prior epoch
+    assert len(out) == 4                   # every left row survives
+
+
+def test_asof_single_shuffle_no_python(spark):
+    events = spark.createDataFrame(
+        [(1, 5.0, 2.0)], "star_id long, t double, mag double"
+    )
+    dim = spark.createDataFrame(
+        [(1, 4.0, 1.5)], "star_id long, calib_t double, gain double"
+    )
+    out = asof_join(events, dim, "star_id", "t", "calib_t", ["gain"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # union + window: exactly one (hash) exchange on the key, no range
+    # join, no Python
+    assert plan.count("Exchange") == 1, plan
+    assert "Python" not in plan and "CartesianProduct" not in plan
