@@ -48,6 +48,7 @@ from lightcurvesclassifier_spark.ml.stars_filter import combine_probabilities, l
 from lightcurvesclassifier_spark.operators import asof as asof_ops
 from lightcurvesclassifier_spark.operators import corpus as corpus_ops
 from lightcurvesclassifier_spark.operators import decontamination as decon_ops
+from lightcurvesclassifier_spark.operators import profile as profile_ops
 from lightcurvesclassifier_spark.operators import dedup as dedup_ops
 from lightcurvesclassifier_spark.operators import searcher as search_ops
 from lightcurvesclassifier_spark.operators import similarity as sim_ops
@@ -481,6 +482,17 @@ def q_curve_descr_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column quality profile of lineitem numerics — one scan, one
+    reduce; exact quantiles for the oracle (approx_percentile is the
+    documented 100 TB switch)."""
+    li = testdata.load_table(spark, sf_dir, "lineitem")
+    return profile_ops.numeric_profile(li, PROFILE_COLS)
+
+
 def q_asof_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every observation picks up the latest calibration
     gain at or before its timestamp — union + last-value window (one
@@ -823,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curve_descr": q_curve_descr,
         "curve_descr_height": q_curve_descr_height,
         "curve_descr_pca": q_curve_descr_pca,
+        "table_profile": q_table_profile,
         "asof_calibration": q_asof_calibration,
         "periodogram": q_periodogram,
         "period_search": q_period_search,
@@ -1117,6 +1130,9 @@ FROM ({testdata.STARS_SQL})
         "variogram_slope": descr.variogram_slope_sql(_OBS, bins=20),
         "ekvi_paa_exact": descr.ekvi_paa_exact_sql(_OBS, bins=16),
         "stars_filter_pipeline": lda_pipeline_sql(_CURVE_FEATURES_SQL),
+        "table_profile": profile_ops.numeric_profile_sql(
+            "SELECT * FROM lineitem", PROFILE_COLS
+        ),
         "asof_calibration": f"""
 WITH obs AS ({_OBS}), calib AS ({testdata.CALIB_SQL})
 SELECT o.star_id, o.band, round(o.t, 6) AS t, round(o.mag, 6) AS mag, c.gain

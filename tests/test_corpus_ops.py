@@ -142,3 +142,16 @@ def test_detrend_clips_planted_outlier(spark):
     assert abs(out.slope_clip - 0.3) < 0.01
     # unclipped fit is pulled by the outlier more than the clipped one
     assert abs(out.slope - 0.3) >= abs(out.slope_clip - 0.3)
+
+
+def test_numeric_profile_nulls_and_quartiles(spark):
+    from lightcurvesclassifier_spark.operators.profile import numeric_profile
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (4.0,), (None,)], "x double"
+    )
+    out = numeric_profile(df, ["x"]).toPandas().iloc[0]
+    assert out.n == 5 and out.n_null == 1
+    assert (out.min_v, out.max_v, out.mean_v) == (1.0, 4.0, 2.5)
+    # exact linear-interpolated quartiles over the 4 non-null values
+    assert (out.p25, out.p50, out.p75) == (1.75, 2.5, 3.25)
