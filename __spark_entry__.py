@@ -806,11 +806,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordering contract: the driver's CORRECTNESS gate value-checks the
+    FIRST 50 entries only (r2 lesson — the window silently narrowed when
+    new queries were appended).  Layout:
+
+    * 1-50: full-DuckDB-oracle queries, prioritizing the ones that have
+      never had a driver row (the LLM-pipeline family) plus the flagship
+      astro queries.
+    * 51-60: full-oracle queries that were driver-green in r01/r02 and
+      are covered every session by tests/test_oracle_parity.py (rotated
+      out to make window room; still fully oracled here and locally).
+    * tail: the inherently seed/sign-dependent `no_oracle` entries —
+      rows-only by design, with recall/pinned-value tests in tests/.
+    """
     return {
+        # --- 1-50: oracled, driver-checked window ---
         "curve_stats": q_curve_stats,
-        "curve_stats_band": q_curve_stats_band,
         "abbe_value": q_abbe_value,
-        "skew_kurtosis": q_skew_kurtosis,
         "abbe_filter": q_abbe_filter,
         "custom_decider": q_custom_decider,
         "systematic_search": q_systematic_search,
@@ -820,7 +832,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cone_nearest": q_cone_nearest,
         "crossmatch": q_crossmatch,
         "crossmatch_full": q_crossmatch_full,
-        "comp_curves_shape": q_comp_curves_shape,
         "comp_curves_noslide": q_comp_curves_noslide,
         "comp_hist_shape": q_comp_hist_shape,
         "comp_variogram_shape": q_comp_variogram_shape,
@@ -829,12 +840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_coords": q_best_coords,
         "confusion_stats": q_confusion_stats,
         "roc_sweep": q_roc_sweep,
-        "color_index": q_color_index,
-        "property_descr": q_property_descr,
-        "position_descr": q_position_descr,
         "curve_descr": q_curve_descr,
         "curve_descr_height": q_curve_descr_height,
-        "curve_descr_pca": q_curve_descr_pca,
         "table_profile": q_table_profile,
         "asof_calibration": q_asof_calibration,
         "periodogram": q_periodogram,
@@ -842,19 +849,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phase_fold": q_phase_fold,
         "ekvi_paa": q_ekvi_paa,
         "ekvi_paa_exact": q_ekvi_paa_exact,
-        "obs_meta_json": q_obs_meta_json,
         "variogram_slope": q_variogram_slope,
         "multimodal_features": q_multimodal_features,
         "mag_histogram": q_mag_histogram,
-        "sample_head": q_sample_head,
-        "sample_fraction": q_sample_fraction,
         "text_features": q_text_features,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "text_bpe_tokens": q_text_bpe_tokens,
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frames": q_multimodal_frames,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
         "dedup_clusters": q_dedup_clusters,
@@ -866,11 +868,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "stratified_sample": q_stratified_sample,
         "sequence_packing": q_sequence_packing,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_dedup_clusters": q_embedding_dedup_clusters,
+        # --- 51+: oracled, driver-green in earlier rounds, local parity ---
+        "curve_stats_band": q_curve_stats_band,
+        "skew_kurtosis": q_skew_kurtosis,
+        "color_index": q_color_index,
+        "property_descr": q_property_descr,
+        "position_descr": q_position_descr,
+        "obs_meta_json": q_obs_meta_json,
+        "sample_head": q_sample_head,
+        "sample_fraction": q_sample_fraction,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
+        # --- tail: no_oracle by design (seeds / eigenvector sign / MAX_ITER) ---
+        "comp_curves_shape": q_comp_curves_shape,
+        "curve_descr_pca": q_curve_descr_pca,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
     }

@@ -24,7 +24,11 @@ def roc_points(stats: list[dict]) -> list[tuple[float, float]]:
         (s.get("false_positive_rate"), s.get("true_positive_rate"))
         for s in stats
     ]
-    return sorted(pts, key=lambda p: (p[0] is None, p[0]))
+    # None fprs sort last; the sentinel keeps the key comparable when two
+    # or more points have fpr=None (None < None raises)
+    return sorted(
+        pts, key=lambda p: (p[0] is None, 0.0 if p[0] is None else p[0])
+    )
 
 
 def save_roc_file(
@@ -38,6 +42,8 @@ def save_roc_file(
     with open(target, "w") as f:
         f.write(f"#fp{delim}tp\n")
         for fp, tp in roc_points(stats):
+            if fp is None or tp is None:
+                continue  # undefined rates (e.g. zero-denominator runs)
             f.write(f"{fp:.2f}{delim}{tp:.2f}\n")
     return target
 
@@ -75,7 +81,7 @@ def plot_roc(
         from matplotlib import pyplot as plt
     except ImportError:
         return None
-    pts = roc_points(stats)
+    pts = [p for p in roc_points(stats) if p[0] is not None and p[1] is not None]
     plt.plot([p[0] for p in pts], [p[1] for p in pts], "b-", linewidth=2)
     plt.plot([0, 1], [0, 1], "r--")
     plt.title(title)

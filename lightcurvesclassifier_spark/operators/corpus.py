@@ -128,9 +128,22 @@ def mixture_sample(
     h = F.substring(F.md5(F.col(key).cast("string").cast("binary")), 1, 8)
     bound = F.lit("00000000")
     for stratum, w in sorted(weights.items()):
-        b = format(int(w * 16**8), "08x")
+        b = _hex_bound(w)
         bound = F.when(F.col(stratum_col) == stratum, F.lit(b)).otherwise(bound)
     return df.filter(h < bound)
+
+
+def _hex_bound(w: float) -> str:
+    """Lexicographic threshold for an 8-hex-char md5 prefix.  w >= 1.0
+    must keep the stratum in FULL: int(1.0 * 16**8) formats to 9 hex
+    chars and the string compare would silently drop ~15/16 of the rows,
+    so return 'g' — it sorts after every hex digit, keeping all rows
+    exactly (unlike 'ffffffff', which drops hash == 'ffffffff')."""
+    if not 0.0 <= w <= 1.0:
+        raise ValueError(f"mixture weight must be in [0, 1], got {w}")
+    if w >= 1.0:
+        return "g"
+    return format(int(w * 16**8), "08x")
 
 
 def mixture_sample_sql(
@@ -139,7 +152,7 @@ def mixture_sample_sql(
 ) -> str:
     """DuckDB mirror of :func:`mixture_sample`."""
     cases = " ".join(
-        f"WHEN {stratum_col} = '{s}' THEN '{format(int(w * 16**8), '08x')}'"
+        f"WHEN {stratum_col} = '{s}' THEN '{_hex_bound(w)}'"
         for s, w in sorted(weights.items())
     )
     return f"""

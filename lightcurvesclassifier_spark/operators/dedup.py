@@ -297,6 +297,16 @@ def connected_components(
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
+    else:
+        # Exhausting max_iter with labels still moving means some
+        # component's diameter exceeds max_iter * hops_per_round and the
+        # returned clusters would be silently WRONG (split components).
+        if changed > 0:
+            raise RuntimeError(
+                "connected_components did not converge within "
+                f"{max_iter} rounds x {hops_per_round} hops "
+                f"({changed} labels still changing); raise max_iter"
+            )
     edges.unpersist()
     return labels
 

@@ -68,7 +68,7 @@ def write_ivf_layout(
     matrix (persist it next to the data; it IS the index metadata)."""
     from .similarity import _train_quantizer
 
-    centroids = _train_quantizer(corpus, vec_col, n_lists, seed)
+    centroids = _train_quantizer(corpus, vec_col, n_lists, seed, id_col=id_col)
     b_cent = corpus.sparkSession.sparkContext.broadcast(centroids)
 
     def assign(batches):

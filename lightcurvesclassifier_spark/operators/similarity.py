@@ -284,7 +284,7 @@ def embedding_neardup_pairs(
 
 def _train_quantizer(
     corpus: DataFrame, vec_col: str, n_lists: int, seed: int,
-    train_size: int = 16384, max_iter: int = 8,
+    train_size: int = 16384, max_iter: int = 8, id_col: str = "vec_id",
 ) -> np.ndarray:
     """faiss-style coarse-quantizer fit: Lloyd iterations on a bounded
     corpus SAMPLE collected to the driver (IVF quantizers are trained on
@@ -292,9 +292,18 @@ def _train_quantizer(
     few thousand training points place n_lists centroids as well as a
     full pass), then the centroids broadcast. Replaces a distributed
     MLlib fit whose many tiny jobs dominated wall time at small k.
-    Deterministic given the seed."""
+
+    The sample is the ``train_size`` smallest values of
+    ``xxhash64(id, seed)`` — a deterministic uniform pseudo-random
+    draw that Spark executes as TakeOrderedAndProject (map-side partial
+    top-k, no full sort), so the trained centroids are identical across
+    runs, partition layouts, and cluster sizes.  A bare ``limit()``
+    depended on scheduling order."""
     sample = (
-        corpus.select(vec_col).limit(int(train_size)).toPandas()[vec_col]
+        corpus.select(vec_col, F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"))
+        .orderBy("_h")
+        .limit(int(train_size))
+        .toPandas()[vec_col]
     )
     x = np.vstack(sample.to_numpy()).astype(np.float64)
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
@@ -307,7 +316,14 @@ def _train_quantizer(
             ((x[:, None, :] - np.asarray(cent_list)[None]) ** 2).sum(axis=2),
             axis=1,
         )
-        cent_list.append(x[rng.choice(len(x), p=d2min / d2min.sum())])
+        s = d2min.sum()
+        if s == 0.0:
+            # every sampled point coincides with a centroid (e.g. an
+            # all-identical corpus): further kmeans++ draws would divide
+            # by zero; any placement is equally good, so replicate.
+            cent_list.extend([cent_list[0]] * (k - len(cent_list)))
+            break
+        cent_list.append(x[rng.choice(len(x), p=d2min / s)])
     cent = np.asarray(cent_list)
     for _ in range(max_iter):
         d2 = (
@@ -348,7 +364,7 @@ def ivf_topk(
     as a partition column so probes prune files). Deterministic given
     the seed; recall vs exact top-k is pinned in tests.
     """
-    centroids = _train_quantizer(corpus, vec_col, n_lists, seed)
+    centroids = _train_quantizer(corpus, vec_col, n_lists, seed, id_col=id_col)
     b_cent = corpus.sparkSession.sparkContext.broadcast(centroids)
 
     # L2-normalize so euclidean cells order like cosine; assignment is a

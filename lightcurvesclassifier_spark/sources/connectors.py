@@ -244,7 +244,10 @@ def ogle2_parse_stars(html: str) -> tuple[list[dict], str | None]:
         starid = int(row[cols["starid"]])
         more = {}
         for c in ("i_mag", "b_mag", "v_mag"):
-            if cols.get(c):
+            # presence test, not truthiness: a magnitude column at header
+            # index 0 is still present (real photdb responses lead with a
+            # 'No' column, but don't rely on it)
+            if c in cols:
                 try:
                     more[c] = float(row[cols[c]])
                 except (TypeError, ValueError):

@@ -80,6 +80,31 @@ def test_mixture_sample_rates_and_determinism(spark):
     assert set(out.doc_id) == set(again.doc_id)
 
 
+def test_mixture_sample_weight_one_keeps_stratum_in_full(spark, duck):
+    """w=1.0 must keep every row of the stratum (the naive 9-hex-char
+    bound silently dropped ~15/16 of them), and out-of-range weights
+    raise instead of silently misbehaving."""
+    import pytest
+
+    docs = testdata.load_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    n_en = docs.filter("lang = 'en'").count()
+    out = corpus.mixture_sample(docs, "lang", "doc_id", {"en": 1.0})
+    assert out.count() == n_en
+    sql = corpus.mixture_sample_sql(
+        "SELECT * FROM documents", "lang", "doc_id", {"en": 1.0},
+        "doc_id, lang",
+    )
+    assert duck.execute(sql).df().shape[0] == n_en
+    with pytest.raises(ValueError):
+        corpus.mixture_sample(docs, "lang", "doc_id", {"en": 1.5})
+    with pytest.raises(ValueError):
+        corpus.mixture_sample_sql(
+            "SELECT * FROM documents", "lang", "doc_id", {"en": -0.1}, "*"
+        )
+
+
 def test_pii_redact_planted(spark):
     from lightcurvesclassifier_spark.operators import text as text_ops
 

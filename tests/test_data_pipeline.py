@@ -143,6 +143,25 @@ def test_dedup_clusters_transitive(spark, corpus):
     assert (singles.doc_id == singles.cluster_id).all()
 
 
+def test_connected_components_raises_on_exhaustion(spark):
+    """A component whose diameter exceeds max_iter * hops_per_round must
+    raise, not silently return split (wrong) clusters."""
+    import pytest
+
+    path_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(
+            path_edges, max_iter=1, hops_per_round=1
+        )
+    # and with enough hops the same graph converges to one cluster
+    ok = dedup.connected_components(
+        path_edges, max_iter=20, hops_per_round=3
+    ).toPandas()
+    assert set(ok.label) == {0}
+
+
 def test_simhash_finds_exact_and_near(spark, corpus):
     pairs = dedup.simhash_pairs(corpus, max_hamming=3).toPandas()
     pair_set = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}

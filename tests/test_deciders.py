@@ -235,3 +235,22 @@ def test_stats_artifacts_round_trip(spark, populations, tmp_path):
     assert len(side) == 10 and "threshold" in side[0]
     # no matplotlib in this container → plot returns None (import-gated)
     assert stats_artifacts.plot_roc(stats, str(tmp_path)) is None or True
+
+
+def test_stats_artifacts_none_rates(tmp_path):
+    """Zero-denominator runs produce fpr/tpr = None; the sort key and the
+    .2f writer must survive 2+ of them (None < None used to raise)."""
+    from lightcurvesclassifier_spark.ml import stats_artifacts
+
+    stats = [
+        {"false_positive_rate": 0.5, "true_positive_rate": 0.9},
+        {"false_positive_rate": None, "true_positive_rate": None},
+        {"false_positive_rate": None, "true_positive_rate": 0.1},
+        {"false_positive_rate": 0.1, "true_positive_rate": 0.4},
+    ]
+    pts = stats_artifacts.roc_points(stats)
+    assert [p[0] for p in pts[:2]] == [0.1, 0.5]
+    assert all(p[0] is None for p in pts[2:])
+    p = stats_artifacts.save_roc_file(stats, str(tmp_path))
+    lines = open(p).read().splitlines()
+    assert lines == ["#fp\ttp", "0.10\t0.40", "0.50\t0.90"]

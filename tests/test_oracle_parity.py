@@ -53,6 +53,21 @@ def test_query_matches_oracle(spark, duck, name):
     _compare(spark_pdf, duck_pdf, name)
 
 
+def test_driver_window_all_oracled():
+    """The driver's CORRECTNESS gate value-checks only the FIRST 50
+    ``queries()`` entries (r2 regression: appended queries silently fell
+    outside).  Pin the contract: every windowed entry has a full DuckDB
+    oracle, and the ``no_oracle`` entries sit at the tail."""
+    qs = list(entry_mod.queries().keys())
+    osql = entry_mod.oracle_sql()
+    window = qs[:50]
+    missing = [q for q in window if q not in osql]
+    assert missing == [], f"no_oracle entries inside driver window: {missing}"
+    tail_unoracled = [q for q in qs[50:] if q not in osql]
+    # all unoracled entries must be contiguous at the very end
+    assert qs[len(qs) - len(tail_unoracled):] == tail_unoracled
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     n = df.count()
