@@ -22,9 +22,11 @@ distributively*:
 - **Exact boosting/bagging**: AdaBoostDec and ExtraTreesDec run the
   published algorithms themselves (SAMME.R over gini stumps; extremely
   randomized trees) fit driver-side — ``ml/boosting.py``.
-- Surrogates, documented: SVCDec → logistic regression (LinearSVC has no
-  probabilities), NeuronDecider → MultilayerPerceptronClassifier
-  (supervised_deciders.py:52-219, deciders/neuron_decider.py:11-155).
+- **Exact SVC and NN** (were surrogates until round 2): SVCDec is an
+  SMO-trained RBF C-SVC with libsvm-style 5-fold Platt scaling
+  (``ml/svc.py``); NeuronDecider is the reference's Keras 2-layer
+  relu→sigmoid net trained with Adam in numpy (``ml/neural.py``) —
+  supervised_deciders.py:52-75, deciders/neuron_decider.py:11-155.
 
 Probabilities are NOT rounded here; the ensemble combine rounds to 2
 decimals exactly where the reference does
@@ -187,10 +189,10 @@ class GaussianDecider(BaseDecider):
 
 
 class MLPDecider(MLlibDecider):
-    """NeuronDecider surrogate: the reference's Keras 2-layer net
-    (relu→sigmoid, 150 epochs — deciders/neuron_decider.py:11-155) as an
-    MLlib MultilayerPerceptronClassifier; layer sizes resolve at learn
-    time from the feature count."""
+    """MLlib MultilayerPerceptronClassifier wrapper — kept as the
+    fully-JVM alternative for users who want an in-cluster NN fit; the
+    ``NeuronDecider`` registry entry now maps to the exact numpy
+    re-implementation of the reference's Keras net (``ml/neural.py``)."""
 
     def __init__(self, hidden: tuple = (8,), seed: int = 42, **kw):
         super().__init__(None, **kw)
@@ -254,14 +256,24 @@ def _boosting():
     return boosting
 
 
+def _svc():
+    from . import svc
+
+    return svc
+
+
+def _neural():
+    from . import neural
+
+    return neural
+
+
 def make_decider(name: str, **kw) -> BaseDecider:
     """Registry keyed by the reference decider class names
     (lcc/stars_processing/deciders/__init__.py)."""
     from pyspark.ml.classification import (
         DecisionTreeClassifier,
         GBTClassifier,
-        LogisticRegression,
-        MultilayerPerceptronClassifier,
         RandomForestClassifier,
     )
 
@@ -281,9 +293,9 @@ def make_decider(name: str, **kw) -> BaseDecider:
         # (ml/boosting.py — SAMME.R stumps / extremely randomized trees):
         "AdaBoostDec": lambda: _boosting().AdaBoostDecider(**kw),
         "ExtraTreesDec": lambda: _boosting().ExtraTreesDecider(seed=seed, **kw),
-        # surrogate (no sklearn in this stack; LinearSVC has no probs):
-        "SVCDec": lambda: MLlibDecider(lambda: LogisticRegression(), **kw),
-        "NeuronDecider": lambda: MLPDecider(seed=seed, **kw),
+        # exact published algorithms (ml/svc.py, ml/neural.py):
+        "SVCDec": lambda: _svc().SVCDecider(seed=seed, **kw),
+        "NeuronDecider": lambda: _neural().NeuronDecider(seed=seed, **kw),
         "KMeansDecider": lambda: KMeansDecider(**kw),
         "CustomDecider": lambda: CustomDecider(**kw),
     }

@@ -21,7 +21,9 @@ from pyspark.sql import SparkSession
 
 from .boosting import AdaBoostDecider, ExtraTreesDecider
 from .deciders import CustomDecider, GaussianDecider, MLlibDecider, BaseDecider
+from .neural import NeuronDecider
 from .stars_filter import StarsFilter
+from .svc import SVCDecider
 
 
 def _tree_to_json(node):
@@ -64,6 +66,15 @@ def save_filter(filt: StarsFilter, path: str) -> None:
             entry["kind"] = "extratrees"
             entry["seed"] = dec.seed
             entry["trees"] = [_tree_to_json(t) for t in dec.trees]
+        elif isinstance(dec, NeuronDecider):
+            entry["kind"] = "neural"
+            entry["hidden_neurons"] = dec.hidden_neurons
+            os.makedirs(os.path.join(path, sub), exist_ok=True)
+            np.savez(os.path.join(path, sub, "params.npz"), **dec.params)
+        elif isinstance(dec, SVCDecider):
+            entry["kind"] = "svc"
+            os.makedirs(os.path.join(path, sub), exist_ok=True)
+            np.savez(os.path.join(path, sub, "params.npz"), **dec.params)
         elif isinstance(dec, MLlibDecider):
             entry["kind"] = "mllib"
             entry["model_class"] = (

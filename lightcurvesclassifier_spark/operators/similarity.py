@@ -134,7 +134,7 @@ SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <
 def embedding_neardup_pairs(
     corpus: DataFrame, threshold: float = 0.95, id_col: str = "vec_id",
     vec_col: str = "embedding", n_cells: int = 16, seed: int = 42,
-    quantizer: str = "random",
+    quantizer: str = "random", n_salts: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ threshold), exact —
     with NO driver-side materialization of the corpus.
@@ -155,11 +155,23 @@ def embedding_neardup_pairs(
        inequality: for any pair with ‖a−b‖ ≤ eps,
        ``d(a, home(b)) ≤ d(a, home(a)) + 2·eps`` — so every qualifying
        pair co-occurs in at least one cell with one member at home;
-    3. per-cell ``applyInPandas`` GEMM of home-rows × all-rows (chunked
-       dense BLAS). A qualifying pair co-occurs in *both* members' home
-       cells (the radius bound holds in each direction), so emitting only
-       pairs whose home-side id is the smaller one yields every pair
-       exactly once — no global distinct, one shuffle total.
+    3. block-salted scoring: every row gets a deterministic chunk
+       ``xxhash64(id) % n_salts``, and each (row, cell) assignment is
+       exploded JVM-side into the ``n_salts`` unordered chunk-pair
+       groups ``(cell, min(chunk, o), max(chunk, o))``. One task scores
+       ``home(chunk_i) × all(chunk_j)`` with a chunked dense GEMM, so
+       task count is ``n_cells · S·(S+1)/2`` and peak task memory is
+       ``~2·occupancy/S`` rows — BOTH decoupled from cell occupancy
+       (the previous per-cell grouping capped parallelism at n_cells
+       and materialized an entire hot cell in one executor: a straight
+       OOM at 100 TB). The trade is an S× replication of the scoring
+       shuffle — the classic block-nested all-pairs layout.
+
+    Exactly-once without a global distinct: a qualifying pair co-occurs
+    in *both* members' home cells (the radius bound holds in each
+    direction), and within a cell lives in exactly one unordered
+    chunk-pair group; emitting only pairs whose home-side id is the
+    smaller one therefore yields every pair once, one shuffle total.
 
     The 100 TB story: shuffle and compute are proportional to cell
     occupancy, not corpus², when the data is clustered — which near-dup
@@ -168,11 +180,94 @@ def embedding_neardup_pairs(
     (never driver-bound) brute force, the information-theoretic floor for
     an *exact* threshold join.
     """
+    import pandas as pd
+
+    thr = float(threshold)
+    assigned = _neardup_salted_assignments(
+        corpus, thr, id_col, vec_col, n_cells, seed, quantizer, n_salts
+    )
+
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+        {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+    )
+
+    def _score(h_mat, h_ids, mat, ids):
+        """home-rows × candidate-rows GEMM; keep cos ≥ thr, home id <
+        other id (the global exactly-once rule)."""
+        if len(h_ids) == 0 or len(ids) == 0:
+            return []
+        out = []
+        chunk = 4096  # bound the GEMM temp: chunk × |rhs| doubles
+        for s in range(0, len(h_ids), chunk):
+            sims = np.round(h_mat[s : s + chunk] @ mat.T, 6)
+            ri, rj = np.where(sims >= thr)
+            ia, ib = h_ids[s + ri], ids[rj]
+            keep = ia < ib
+            out.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ia[keep],
+                        "id_b": ib[keep],
+                        "cos": sims[ri, rj][keep],
+                    }
+                )
+            )
+        return out
+
+    def block_pairs(key, pdf):
+        _cell, b1, b2 = key
+        blk = pdf["_blk"].to_numpy()
+        mat = np.vstack(pdf["_unit"].to_numpy())
+        ids = pdf["_id"].to_numpy()
+        home = pdf["_home"].to_numpy()
+        a = blk == b1
+        out = []
+        if b1 == b2:
+            out += _score(mat[home & a], ids[home & a], mat[a], ids[a])
+        else:
+            b = blk == b2
+            # each direction pairs one chunk's home rows against the
+            # OTHER chunk only — (lhs, rhs) lives in exactly one group
+            out += _score(mat[home & a], ids[home & a], mat[b], ids[b])
+            out += _score(mat[home & b], ids[home & b], mat[a], ids[a])
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)
+
+    return assigned.groupBy("_cell", "_b1", "_b2").applyInPandas(
+        block_pairs, schema="id_a long, id_b long, cos double"
+    )
+
+
+def embedding_neardup_scoring_groups(
+    corpus: DataFrame, threshold: float = 0.95, id_col: str = "vec_id",
+    vec_col: str = "embedding", n_cells: int = 16, seed: int = 42,
+    quantizer: str = "random", n_salts: int = 4,
+) -> int:
+    """Number of non-empty (cell, chunk, chunk) scoring groups the
+    block-salted plan fans out into — the task-count decoupling probe
+    used by the skew regression test: a corpus concentrated in ONE cell
+    still yields S·(S+1)/2 groups, which exceeds n_cells whenever the
+    salt count satisfies S·(S+1)/2 > n_cells."""
+    assigned = _neardup_salted_assignments(
+        corpus, float(threshold), id_col, vec_col, n_cells, seed,
+        quantizer, n_salts,
+    )
+    return assigned.select("_cell", "_b1", "_b2").distinct().count()
+
+
+def _neardup_salted_assignments(
+    corpus: DataFrame, thr: float, id_col: str, vec_col: str,
+    n_cells: int, seed: int, quantizer: str, n_salts: int,
+) -> DataFrame:
+    """Steps 1-3 of :func:`embedding_neardup_pairs` up to (but not
+    including) the scoring shuffle: unit-normalize, multi-probe cell
+    assignment with the ``d_home + 2·eps`` replication radius, chunk id
+    and JVM-side explosion into unordered chunk-pair groups."""
     import math
 
     import pandas as pd
 
-    thr = float(threshold)
     eps = math.sqrt(max(0.0, 2.0 - 2.0 * thr))
 
     unit = (
@@ -249,37 +344,27 @@ def embedding_neardup_pairs(
         assign, schema="_id long, _unit array<double>, _cell int, _home boolean"
     )
 
-    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        mat = np.vstack(pdf["_unit"].to_numpy())
-        ids = pdf["_id"].to_numpy()
-        home = pdf["_home"].to_numpy()
-        h_mat, h_ids = mat[home], ids[home]
-        if len(h_ids) == 0 or len(ids) == 0:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+    # Chunk id + JVM-side explosion into the S unordered chunk-pair
+    # groups this row participates in. No Python work: the replication
+    # is a literal-array explode inside whole-stage codegen.
+    s_ = max(1, int(n_salts))
+    assigned = assigned.withColumn(
+        "_blk", F.pmod(F.xxhash64("_id"), F.lit(s_)).cast("int")
+    ).withColumn(
+        "_bp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.least("_blk", F.lit(o)).alias("_b1"),
+                        F.greatest("_blk", F.lit(o)).alias("_b2"),
+                    )
+                    for o in range(s_)
+                ]
             )
-        out = []
-        chunk = 4096  # bound the GEMM temp: chunk × |cell| doubles
-        for s in range(0, len(h_ids), chunk):
-            sims = np.round(h_mat[s : s + chunk] @ mat.T, 6)
-            ri, rj = np.where(sims >= thr)
-            ia, ib = h_ids[s + ri], ids[rj]
-            # home id < other id ⇒ each pair emitted exactly once globally
-            keep = ia < ib
-            out.append(
-                pd.DataFrame(
-                    {
-                        "id_a": ia[keep],
-                        "id_b": ib[keep],
-                        "cos": sims[ri, rj][keep],
-                    }
-                )
-            )
-        return pd.concat(out, ignore_index=True)
-
-    return assigned.groupBy("_cell").applyInPandas(
-        cell_pairs, schema="id_a long, id_b long, cos double"
-    )
+        ),
+    ).select("_id", "_unit", "_cell", "_home", "_blk", "_bp._b1", "_bp._b2")
+    return assigned
 
 
 def _train_quantizer(

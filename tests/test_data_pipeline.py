@@ -244,6 +244,46 @@ def test_embedding_neardup_exact_and_distributed(spark):
     assert "toPandas" not in src and ".collect()" not in src
 
 
+def test_embedding_neardup_skew_decoupled_from_cell_occupancy(spark):
+    """The r2 scale defect: per-cell grouping meant a hot cell = ONE task
+    holding the whole cell. With block salting, a fixture whose vectors
+    ALL land in one home cell must still fan out into more scoring
+    groups than n_cells, and stay exact."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    # 200 vectors in one tight cluster → one home cell for everything
+    vecs = base[None, :] + 0.01 * rng.standard_normal((200, 16))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    n_cells, n_salts = 8, 4
+    out = similarity.embedding_neardup_pairs(
+        emb, threshold=0.9995, n_cells=n_cells, n_salts=n_salts
+    )
+    got = sorted(
+        (int(a), int(b), float(c))
+        for a, b, c in out.toPandas().itertuples(index=False)
+    )
+    sims = np.round(vecs @ vecs.T, 6)
+    ii, jj = np.where(sims >= 0.9995)
+    keep = ii < jj
+    want = sorted(
+        (int(a), int(b), float(c))
+        for a, b, c in zip(ii[keep], jj[keep], sims[ii, jj][keep])
+    )
+    assert got == want and len(want) > 0
+    # scoring-group fan-out: strictly more groups than cells even though
+    # occupancy is concentrated in ONE cell (8 < 10 = S*(S+1)/2 here)
+    n_groups = similarity.embedding_neardup_scoring_groups(
+        emb, threshold=0.9995, n_cells=n_cells, n_salts=n_salts
+    )
+    assert n_groups > n_cells, f"only {n_groups} scoring groups"
+
+
 def test_embedding_ivf_recall(spark):
     emb = testdata.load_table(spark, SF_ORACLE, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
