@@ -33,11 +33,17 @@ TABLES = (
 )
 
 # Nano-epoch of 2024-01-01 UTC; events ts → float days since then.
-# events.ts is parquet TIMESTAMP(NANOS): Spark reads it as long nanos
-# (spark.sql.legacy.parquet.nanosAsLong), DuckDB as TIMESTAMP_NS — both
-# sides derive t from the identical int64 nanosecond value.
+# events.ts is parquet TIMESTAMP(NANOS). Depending on the Spark build it
+# resolves either as long nanos (spark.sql.legacy.parquet.nanosAsLong,
+# honored through 4.0) or as timestamp_ntz (4.1+, where the legacy conf
+# no longer takes effect). DuckDB reads it as TIMESTAMP_NS. observations()
+# branches on the loaded dtype so both reader behaviors yield the same t;
+# the testdata generator emits whole-microsecond stamps (ns % 1000 == 0,
+# asserted in tests), so the microsecond path is bit-exact vs epoch_ns.
 _EPOCH_NS = 1_704_067_200_000_000_000
 _NS_PER_DAY = 86_400_000_000_000.0
+_EPOCH_US = 1_704_067_200_000_000
+_US_PER_DAY = 86_400_000_000.0
 
 # SQL fragment the DuckDB oracle uses for the same observations view.
 OBS_SQL = (
@@ -244,11 +250,14 @@ def contamination_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet stores TIMESTAMP(NANOS), which Spark's reader
-    # rejects unless nanos are read as raw longs. The conf is runtime-
-    # settable, so set it defensively — sessions built outside
-    # session.get_spark (e.g. a driver harness) work unchanged.
+    # events.parquet stores TIMESTAMP(NANOS). On Spark ≤4.0 it is only
+    # readable with nanosAsLong (raw longs); on 4.1+ that conf is a no-op
+    # and the column resolves as timestamp_ntz. Set the conf defensively
+    # (harmless where ignored) and pin the session timezone to UTC so the
+    # ntz→timestamp cast in observations() is wall-clock-exact even for
+    # sessions built outside session.get_spark (e.g. a driver harness).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -263,10 +272,22 @@ def observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed from integer nanoseconds so Spark and DuckDB agree bit-for-bit.
     """
     e = load_table(spark, sf_dir, "events")
+    ts_type = dict(e.dtypes)["ts"]
+    if ts_type.startswith("timestamp"):
+        # 4.1+ path: ts is timestamp/timestamp_ntz. unix_micros needs a
+        # TIMESTAMP; the ntz→timestamp cast uses the session timezone,
+        # which load_table pins to UTC, so this is exact (stamps are
+        # whole microseconds — see _EPOCH_NS comment).
+        t = (
+            F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(_EPOCH_US)
+        ) / F.lit(_US_PER_DAY)
+    else:
+        # ≤4.0 path: nanosAsLong gave us raw int64 nanoseconds.
+        t = (F.col("ts") - F.lit(_EPOCH_NS)) / F.lit(_NS_PER_DAY)
     return e.select(
         F.col("user_id").alias("star_id"),
         F.col("event_type").alias("band"),
-        ((F.col("ts") - F.lit(_EPOCH_NS)) / F.lit(_NS_PER_DAY)).alias("t"),
+        t.alias("t"),
         F.col("value").alias("mag"),
         F.lit(None).cast("double").alias("err"),
     )
