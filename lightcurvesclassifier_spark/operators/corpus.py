@@ -73,7 +73,8 @@ def pack_sequences(
     pure arithmetic. Shards are independent, so a 1000-executor job
     packs 1000 shards concurrently; ``n_shards`` is the parallelism
     knob, and chunk ids are globally unique via (shard, chunk)."""
-    n_tok = F.size(F.split(F.col(text_col), " "))
+    # bigint to match the oracle's len() (DuckDB list len is BIGINT)
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
     shard = F.col(id_col) % n_shards
     w = (
         Window.partitionBy("shard")
@@ -105,14 +106,17 @@ WITH sized AS (
   FROM ({table_sql})
 ),
 offs AS (
+  -- DuckDB promotes window sums to HUGEINT; CAST back to BIGINT so the
+  -- typed value-hash matches Spark's LongType output.
   SELECT doc_id, shard, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_tok
   FROM sized
 )
 SELECT doc_id, shard, n_tokens, start_tok,
-       start_tok // {seq_len} AS first_chunk,
-       (start_tok + n_tokens - 1) // {seq_len} AS last_chunk
+       CAST(start_tok // {seq_len} AS BIGINT) AS first_chunk,
+       CAST((start_tok + n_tokens - 1) // {seq_len} AS BIGINT) AS last_chunk
 FROM offs
 """
 

@@ -17,20 +17,23 @@ RNG = np.random.default_rng(3)
 DIM = 5
 FEATURES = [f"f{i}" for i in range(DIM)]
 
-# (name, min mean-probability gap). The reference asserts 0.95 with
-# sklearn models; MLlib GBT's logistic-loss probabilities saturate less
-# on tiny separable samples, so its bar is 0.9.
+# (name, ctor kwargs, min mean-probability gap). The reference asserts
+# 0.95 with sklearn models; MLlib GBT's logistic-loss probabilities
+# saturate less on tiny separable samples, so its bar is 0.9. The
+# NeuronDecider kwargs mirror the reference test's own ctor
+# (test_deciders.py:10: hidden_neurons=10, maxEpochs=500) — the default
+# 2-unit net tops out near 0.87 on this sample in both stacks.
 DECIDERS = [
-    ("LDADec", 0.95),
-    ("QDADec", 0.95),
-    ("GaussianNBDec", 0.95),
-    ("TreeDec", 0.95),
-    ("RandomForestDec", 0.95),
-    ("GradBoostDec", 0.90),
-    ("AdaBoostDec", 0.95),
-    ("ExtraTreesDec", 0.95),
-    ("SVCDec", 0.95),
-    ("NeuronDecider", 0.95),
+    ("LDADec", {}, 0.95),
+    ("QDADec", {}, 0.95),
+    ("GaussianNBDec", {}, 0.95),
+    ("TreeDec", {}, 0.95),
+    ("RandomForestDec", {}, 0.95),
+    ("GradBoostDec", {}, 0.90),
+    ("AdaBoostDec", {}, 0.95),
+    ("ExtraTreesDec", {}, 0.95),
+    ("SVCDec", {}, 0.95),
+    ("NeuronDecider", {"hidden_neurons": 10, "max_epochs": 500}, 0.95),
 ]
 
 
@@ -46,10 +49,10 @@ def populations(spark):
     return s, o
 
 
-@pytest.mark.parametrize("name,gap", DECIDERS)
-def test_decider_separates(spark, populations, name, gap):
+@pytest.mark.parametrize("name,kwargs,gap", DECIDERS)
+def test_decider_separates(spark, populations, name, kwargs, gap):
     searched, others = populations
-    dec = make_decider(name)
+    dec = make_decider(name, **kwargs)
     dec.learn(searched, others, FEATURES)
     ps = dec.evaluate(searched, FEATURES).agg(F.avg("prob")).collect()[0][0]
     po = dec.evaluate(others, FEATURES).agg(F.avg("prob")).collect()[0][0]
