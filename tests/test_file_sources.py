@@ -164,3 +164,56 @@ def test_fits_spark_round_trip(spark, tmp_path):
     }
     for r in stats:
         assert r["m"] == pytest.approx(orig_means[r["star_id"]], abs=2e-3)
+
+
+def test_observations_handles_both_ts_dtypes(spark, tmp_path):
+    """observations() must work whether the parquet reader resolves
+    events.ts as raw int64 nanoseconds (Spark <=4.0 with nanosAsLong)
+    or as timestamp_ntz (4.1+, where the legacy conf is a no-op) —
+    the environment shift that broke round 3. Both fixtures encode the
+    same instants, so both paths must produce identical t values."""
+    import datetime
+
+    epoch_ns = 1_704_067_200_000_000_000
+    # whole-microsecond offsets (the generator's contract — see
+    # testdata._EPOCH_NS comment): 0.5, 1.25, 2 days
+    offsets_ns = [43_200_000_000_000, 108_000_000_000_000, 172_800_000_000_000]
+    base_rows = [
+        (i, epoch_ns + off, 1, "V", 10.0 + i, "{}")
+        for i, off in enumerate(offsets_ns)
+    ]
+
+    long_dir = tmp_path / "long_ts"
+    ts_dir = tmp_path / "ntz_ts"
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    spark.createDataFrame(base_rows, cols).coalesce(1).write.parquet(
+        str(long_dir / "events.parquet")
+    )
+    ntz_rows = [
+        (
+            i,
+            datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=(epoch_ns + off) // 1000),
+            1,
+            "V",
+            10.0 + i,
+            "{}",
+        )
+        for i, off in enumerate(offsets_ns)
+    ]
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    spark.createDataFrame(ntz_rows, schema).coalesce(1).write.parquet(
+        str(ts_dir / "events.parquet")
+    )
+
+    got_long = sorted(
+        r["t"] for r in testdata.observations(spark, str(long_dir)).collect()
+    )
+    got_ntz = sorted(
+        r["t"] for r in testdata.observations(spark, str(ts_dir)).collect()
+    )
+    expected = [0.5, 1.25, 2.0]
+    assert got_long == expected
+    assert got_ntz == expected
