@@ -45,6 +45,7 @@ from lightcurvesclassifier_spark.functions import periodogram
 from lightcurvesclassifier_spark.functions import descriptors as descr
 from lightcurvesclassifier_spark.operators import multimodal as mm_ops
 from lightcurvesclassifier_spark.ml.stars_filter import combine_probabilities, lda_pipeline_sql
+from lightcurvesclassifier_spark.ml.curve_pca import curve_pca3_oracle_sql
 from lightcurvesclassifier_spark.operators import asof as asof_ops
 from lightcurvesclassifier_spark.operators import corpus as corpus_ops
 from lightcurvesclassifier_spark.operators import decontamination as decon_ops
@@ -464,22 +465,15 @@ def q_obs_meta_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_curve_descr_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CurveDescr red_dim path: PAA vector → fitted MLlib PCA
-    (curve_descr.py:113-121, statefulness made explicit). PCA basis has
-    sign/rotation freedom → rows-only driver check; determinism and
-    order-independence are pinned in tests/test_curve_pca.py."""
-    from lightcurvesclassifier_spark.ml.curve_pca import fit_curve_pca
+    """CurveDescr red_dim path (curve_descr.py:113-121, statefulness made
+    explicit): bins=3 PAA vectors → MLlib PCA (k=2) with sign-canonical
+    components, projected JVM-side. Fully oracled: the DuckDB mirror
+    computes the same basis via the closed-form symmetric-3×3 trig
+    eigendecomposition (see ml/curve_pca.py). The general bins=16/k=3
+    MLlib path stays pinned in tests/test_curve_pca.py."""
+    from lightcurvesclassifier_spark.ml.curve_pca import curve_pca3
 
-    curves = testdata.curves(spark, sf_dir).cache()
-    model = fit_curve_pca(curves, bins=16, red_dim=3)
-    out = model.transform(curves)
-    return out.select(
-        "star_id",
-        *[
-            F.round(F.col("features")[i], 6).alias(f"pc{i + 1}")
-            for i in range(3)
-        ],
-    )
+    return curve_pca3(testdata.curves(spark, sf_dir))
 
 
 PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
@@ -826,7 +820,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abbe_filter": q_abbe_filter,
         "custom_decider": q_custom_decider,
         "systematic_search": q_systematic_search,
-        "query_dsl": q_query_dsl,
         "plan_anti_join": q_plan_anti_join,
         "cone_search": q_cone_search,
         "cone_nearest": q_cone_nearest,
@@ -871,7 +864,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_dedup_clusters": q_embedding_dedup_clusters,
+        # first driver row for the newly-oracled PCA path (r4); query_dsl
+        # (driver-green r02+r03, pinned locally) rotated out to make room
+        "curve_descr_pca": q_curve_descr_pca,
         # --- 51+: oracled, driver-green in earlier rounds, local parity ---
+        "query_dsl": q_query_dsl,
         "curve_stats_band": q_curve_stats_band,
         "skew_kurtosis": q_skew_kurtosis,
         "color_index": q_color_index,
@@ -882,9 +879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fraction": q_sample_fraction,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
-        # --- tail: no_oracle by design (seeds / eigenvector sign / MAX_ITER) ---
+        # --- tail: no_oracle by design (seeds / MAX_ITER) ---
         "comp_curves_shape": q_comp_curves_shape,
-        "curve_descr_pca": q_curve_descr_pca,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "embedding_ivf_topk": q_embedding_ivf_topk,
@@ -1140,6 +1136,9 @@ FROM ({testdata.STARS_SQL})
 """,
         "curve_descr": descr.curve_descr_sql(_OBS, bins=10),
         "curve_descr_height": descr.curve_descr_sql(_OBS, bins=0.05, height=8),
+        "curve_descr_pca": curve_pca3_oracle_sql(
+            descr.curve_descr_sql(_OBS, bins=3)
+        ),
         "comp_curves_noslide": comparative_noslide_sql(_OBS, [0, 1, 2]),
         "comp_hist_shape": comparative_hist_sql(_OBS, [0, 1, 2], bins=10, alphabet_size=10, meth="closest"),
         "comp_variogram_shape": comparative_variogram_sql(_OBS, [0, 1, 2], bins=10, alphabet_size=10, meth="best2"),
