@@ -59,7 +59,9 @@ def load_dat_curves(
         "",
     )
     parts = F.split(F.trim(F.col("value")), r"\s+")
-    t_s, mag_s, err_s = parts[0], parts[1], parts[2]
+    # F.get → NULL for missing columns (err is optional in dat files;
+    # plain [] indexing throws under ANSI mode on 2-column rows)
+    t_s, mag_s, err_s = F.get(parts, 0), F.get(parts, 1), F.get(parts, 2)
     df = raw.filter(
         (F.trim(F.col("value")) != "") & ~F.trim(F.col("value")).startswith("#")
     ).select(
