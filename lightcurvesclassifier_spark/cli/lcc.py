@@ -14,10 +14,16 @@ from .project import create_project, load_project_settings
 
 USAGE = (
     "Light Curves Classifier (Spark): use one of the following commands: "
-    "create_project, make_filter, filter_stars, prepare_query"
+    "create_project, make_filter, filter_stars, prepare_query, plot_lcs"
 )
 
-COMMANDS = ("create_project", "make_filter", "filter_stars", "prepare_query")
+COMMANDS = (
+    "create_project",
+    "make_filter",
+    "filter_stars",
+    "prepare_query",
+    "plot_lcs",
+)
 
 
 def main(argv: list[str] | None = None, path: str | None = None) -> int:
@@ -35,9 +41,16 @@ def main(argv: list[str] | None = None, path: str | None = None) -> int:
     if option not in COMMANDS:
         sys.stderr.write(
             "Invalid option. Parameter of lcc has to be 'create_project', "
-            "'make_filter', 'filter_stars' or 'prepare_query'\n"
+            "'make_filter', 'filter_stars', 'prepare_query' or 'plot_lcs'\n"
         )
         return 2
+
+    if option == "plot_lcs":
+        # standalone like the reference's bin/plot_lcs.py — raw paths,
+        # no project_settings needed
+        from .plot_lcs import main as run
+
+        return run(None, rest)
 
     project_settings = load_project_settings(path)
 

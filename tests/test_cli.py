@@ -144,3 +144,20 @@ def test_make_filter_then_filter_stars(project):
 
 def test_unknown_command_errors(project, capsys):
     assert cli.main(["bogus"], path=project) == 2
+
+
+def test_plot_lcs(project, tmp_path):
+    out = tmp_path / "imgs"
+    rc = cli.main(
+        [
+            "plot_lcs",
+            "-p", os.path.join(project, "inp_lcs", "searched"),
+            "-o", str(out),
+        ],
+        path=project,
+    )
+    assert rc == 0
+    arts = os.listdir(out)
+    # matplotlib absent in this container → plot-data artifacts; with
+    # matplotlib present the same path writes PNGs
+    assert arts and all(a.endswith((".png", ".plot.dat")) for a in arts)
