@@ -995,7 +995,7 @@ WHERE l_quantity > 10.0 AND l_quantity < 40.0
         "systematic_search": f"""
 WITH feats AS ({_CURVE_FEATURES_SQL}),
 q(query_id, lo, hi) AS (VALUES {", ".join(f"({i}, {lo}, {hi})" for i, (lo, hi) in enumerate(_SEARCH_PLAN))})
-SELECT q.query_id, f.star_id, f.n_obs, f.mean_mag, f.std_mag, f.timespan,
+SELECT CAST(q.query_id AS BIGINT) AS query_id, f.star_id, f.n_obs, f.mean_mag, f.std_mag, f.timespan,
        f.curve_density, f.abbe, TRUE AS found,
        (f.abbe < 0.95 AND f.std_mag > 35.0) AS passed
 FROM feats f JOIN q ON f.star_id >= q.lo AND f.star_id <= q.hi

@@ -266,7 +266,7 @@ kept AS (
 ),
 refit AS (
   SELECT star_id, count(*) AS n_total,
-         sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS n_clipped,
+         CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
          sum(CASE WHEN keep THEN t END) AS kt,
          sum(CASE WHEN keep THEN t * t END) AS kt2,
          sum(CASE WHEN keep THEN mag END) AS km,

@@ -122,7 +122,7 @@ def paa_curve(curves: DataFrame, bins: float, mag_col: str = "mag") -> DataFrame
         frame, F.lit(0.0), lambda acc, x: acc + x
     ) / width.cast("double")
     return frames.select(
-        "star_id", F.col("i").alias("bin"), mean.alias("paa")
+        "star_id", F.col("i").cast("long").alias("bin"), mean.alias("paa")
     )
 
 

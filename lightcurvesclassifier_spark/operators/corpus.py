@@ -33,7 +33,9 @@ def stratified_sample(
     h = F.md5(F.col(key).cast("string").cast("binary"))
     w = Window.partitionBy(stratum_col).orderBy(h, F.col(key))
     return (
-        df.withColumn("stratum_rank", F.row_number().over(w))
+        df.withColumn(
+            "stratum_rank", F.row_number().over(w).cast("long")
+        )
         .filter(F.col("stratum_rank") <= n_per_stratum)
     )
 

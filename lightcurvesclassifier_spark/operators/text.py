@@ -49,8 +49,8 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     punct = n_chars - F.length(F.regexp_replace(t, "[.,!?;:]", ""))
     return df.select(
         "doc_id",
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
         F.round(n_chars / n_tokens, 6).alias("avg_token_len"),
         F.round(stop_hits / n_tokens, 6).alias("stopword_ratio"),
         F.round(punct / n_chars, 6).alias("punct_ratio"),
@@ -92,7 +92,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         best_lang = F.when(c > best_cnt, F.lit(lang)).otherwise(best_lang)
         best_cnt = F.when(c > best_cnt, c).otherwise(best_cnt)
     return out.select(
-        "doc_id", "lang_actual", best_lang.alias("lang_pred"), best_cnt.alias("marker_hits")
+        "doc_id", "lang_actual", best_lang.alias("lang_pred"), best_cnt.cast("long").alias("marker_hits")
     )
 
 
@@ -135,8 +135,8 @@ def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return df.select(
         "doc_id",
-        token_count(t).alias("ws_tokens"),
-        F.regexp_count(t, F.lit(BPE_TOKEN_RE)).alias("bpe_tokens"),
+        token_count(t).cast("long").alias("ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_TOKEN_RE)).cast("long").alias("bpe_tokens"),
     )
 
 
@@ -234,7 +234,13 @@ def tfidf_top_terms(
     return (
         scored.withColumn("term_rank", F.row_number().over(w))
         .filter(F.col("term_rank") <= k)
-        .select(id_col, "term_rank", "term", "tf", "tfidf")
+        .select(
+            id_col,
+            F.col("term_rank").cast("long").alias("term_rank"),
+            "term",
+            "tf",
+            "tfidf",
+        )
     )
 
 
@@ -282,9 +288,9 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     red = F.regexp_replace(red, PII_PHONE_RE, "[PHONE]")
     return df.select(
         "doc_id",
-        F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_emails"),
-        F.regexp_count(t, F.lit(PII_IPV4_RE)).alias("n_ips"),
-        F.regexp_count(t, F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
         F.md5(red).alias("redacted_md5"),
     )
 
@@ -313,7 +319,7 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n = F.size(toks)
     dup_frac = F.round((n - F.size(F.array_distinct(toks))) / n, 6)
     base = df.select("doc_id", dup_frac.alias("dup_token_frac"),
-                     n.alias("n_tokens"))
+                     n.cast("long").alias("n_tokens"))
     # guard: a 1-token doc would make sequence(1, 0) DESCEND and slice()
     # throw (same failure class as the dedup shingle paths); the oracle's
     # generate_series is empty for the same doc, so the guard keeps the
