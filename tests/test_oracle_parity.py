@@ -27,6 +27,14 @@ def _compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
     )
     s, d = _normalize(spark_pdf), _normalize(duck_pdf)
     for col in s.columns:
+        # dtype WIDTH parity, not just value parity: the driver's value
+        # hash is typed, and r03's sequence_packing hash-fail came from a
+        # DuckDB HUGEINT promotion. int32-vs-int64 drift is the same
+        # class — keep it at zero (audit r4: all 61 oracled queries
+        # emit identical dtypes on both engines).
+        assert s[col].dtype == d[col].dtype, (
+            f"{name}.{col}: dtype {s[col].dtype} vs {d[col].dtype}"
+        )
         sv, dv = s[col].to_numpy(), d[col].to_numpy()
         if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(
             dv.dtype, np.floating
