@@ -69,9 +69,29 @@ def main(project_settings, argv: list[str] | None = None) -> int:
                 return c
         raise FileNotFoundError(f"filter {name!r} not found under FILTERS")
 
-    filters = [
-        persistence.load_filter(spark, _filter_path(name)) for name in opts.filt
-    ]
+    filter_paths = [_filter_path(name) for name in opts.filt]
+    filters = [persistence.load_filter(spark, p) for p in filter_paths]
+
+    # descriptor params each filter was trained with (make_filter's
+    # descr_params.json sidecar) — featurizing with defaults instead
+    # would skew the served feature distribution vs training
+    import json
+
+    descr_params: dict = {}
+    for p in filter_paths:
+        sidecar = os.path.join(os.path.dirname(p), "descr_params.json")
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                saved = json.load(f).get("params", {})
+            for dname, params in saved.items():
+                if not dname:
+                    continue
+                prev = descr_params.get(dname)
+                if prev is not None and prev != params:
+                    raise ValueError(
+                        f"filters disagree on {dname} params: {prev} vs {params}"
+                    )
+                descr_params[dname] = params
 
     run_dir = os.path.join(project_settings.RESULTS, opts.run)
     lcs_dir = os.path.join(run_dir, "lcs")
@@ -92,8 +112,9 @@ def main(project_settings, argv: list[str] | None = None) -> int:
         stars = remote.fetch_stars(
             spark, config, q_rows, stars_io._http_transport
         )
-        obs = remote.fetch_light_curves(stars, config, stars_io._http_transport)
-        obs = obs.withColumn("query_id", F.lit(0))
+        obs = remote.fetch_light_curves(
+            stars, config, stars_io._http_transport, carry_cols=["query_id"]
+        )
 
     obs = obs.cache()
 
@@ -114,7 +135,7 @@ def main(project_settings, argv: list[str] | None = None) -> int:
         )
 
     if descr_names:
-        feats, _ = descr_registry.featurize(obs, descr_names)
+        feats, _ = descr_registry.featurize(obs, descr_names, descr_params)
         feats = feats.join(
             obs.select("star_id", "query_id").distinct(), "star_id"
         )
@@ -126,9 +147,13 @@ def main(project_settings, argv: list[str] | None = None) -> int:
         passed = filt.filter_stars(passed).drop("prob")
     passed = passed.cache()
 
-    # ledger: one row per (query, star) with found/passed flags
+    # ledger: one row per (query, star) with found/passed flags; the
+    # passed side must be DISTINCT star ids — a star found under several
+    # queries would otherwise multiply ledger rows through the join
     ledger = feats.join(
-        passed.select("star_id", F.lit(True).alias("passed")), "star_id", "left"
+        passed.select("star_id").distinct().withColumn("passed", F.lit(True)),
+        "star_id",
+        "left",
     ).select(
         "query_id",
         "star_id",

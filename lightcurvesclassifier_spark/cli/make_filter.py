@@ -111,7 +111,12 @@ def main(project_settings, argv: list[str] | None = None) -> int:
         stats["params"] = combo
         results.append(stats)
         if best is None or stats["precision"] > best[0]:
+            if best is not None:
+                best[3].unpersist(), best[4].unpersist()
             best = (stats["precision"], filt, combo, s_test, o_test, feats_s, feats_o)
+        else:
+            # losing combo: its cached test frames are no longer needed
+            s_test.unpersist(), o_test.unpersist()
 
     precision, filt, combo, s_test, o_test, feats_s, feats_o = best
     filt_name = opts.filt_name.rsplit(".", 1)[0] if "." in opts.filt_name else opts.filt_name
@@ -119,6 +124,16 @@ def main(project_settings, argv: list[str] | None = None) -> int:
     os.makedirs(filter_dir, exist_ok=True)
 
     persistence.save_filter(filt, os.path.join(filter_dir, filt_name + ".filter"))
+
+    # descriptor configuration the winning filter was TRAINED with —
+    # filter_stars must featurize with the same params or the deciders
+    # score a differently-distributed feature (train/serve skew)
+    import json
+
+    with open(os.path.join(filter_dir, "descr_params.json"), "w") as f:
+        json.dump(
+            {"descriptors": opts.descriptors, "params": combo}, f, indent=2
+        )
 
     roc = filt.roc(s_test, o_test, n_thresholds=30)
     roc_stats = [

@@ -122,6 +122,17 @@ def load_filter(spark: SparkSession, path: str) -> StarsFilter:
                 threshold=entry["threshold"],
             )
             dec.trees = [_tree_from_json(t) for t in entry["trees"]]
+        elif entry["kind"] == "neural":
+            dec = NeuronDecider(
+                threshold=entry["threshold"],
+                hidden_neurons=entry["hidden_neurons"],
+            )
+            with np.load(os.path.join(path, entry["dir"], "params.npz")) as z:
+                dec.params = {k: z[k] for k in z.files}
+        elif entry["kind"] == "svc":
+            dec = SVCDecider(threshold=entry["threshold"])
+            with np.load(os.path.join(path, entry["dir"], "params.npz")) as z:
+                dec.params = {k: z[k] for k in z.files}
         else:
             mod, _, cls = entry["model_class"].rpartition(".")
             model_cls = getattr(importlib.import_module(mod), cls)

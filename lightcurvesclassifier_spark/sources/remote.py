@@ -255,6 +255,7 @@ def fetch_light_curves(
     stars: DataFrame,
     config: ConnectorConfig,
     transport: Transport,
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Distributed per-star light-curve fetch — the data-plane stage.
 
@@ -272,9 +273,13 @@ def fetch_light_curves(
     url_base = config.url
     db_name = config.name
 
+    carry = list(carry_cols)
+
     def fetch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             out = {"star_id": [], "band": [], "t": [], "mag": [], "err": []}
+            for c in carry:
+                out[c] = []
             for _, row in pdf.iterrows():
                 ident = row["ident"].get(db_name) if row["ident"] else None
                 if ident is None:
@@ -286,8 +291,17 @@ def fetch_light_curves(
                     out["mag"].append(float(obs["mag"]))
                     err = obs.get("err")
                     out["err"].append(float(err) if err is not None else None)
+                    for c in carry:
+                        out[c].append(row[c])
             yield pd.DataFrame(out)
 
-    return stars.select("ident").mapInPandas(
-        fetch, schema="star_id string, band string, t double, mag double, err double"
+    carry_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in stars.schema.fields
+        if f.name in carry
+    )
+    return stars.select("ident", *carry).mapInPandas(
+        fetch,
+        schema="star_id string, band string, t double, mag double, err double"
+        + carry_schema,
     )

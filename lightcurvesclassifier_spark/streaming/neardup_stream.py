@@ -15,17 +15,22 @@ batch and stream agree on what counts as a near-dup):
    ``(band_idx, band_val)`` — the streaming analog of the batch band
    self-join: hamming ≤ 3 guarantees a shared band (pigeonhole), so
    every true near-dup pair meets in at least one state group.
-3. ``applyInPandasWithState``: each band group remembers the FIRST
-   document that claimed it (id + full fingerprint). Later arrivals
-   emit a candidate row carrying the owner's fingerprint; the exact
-   hamming check is a plain column filter downstream — same
-   candidates→verify split as the batch operator.
+3. ``applyInPandasWithState``: each band group keeps the fingerprints
+   of up to ``_MAX_OWNERS`` mutually-distinct documents that claimed
+   the band (a single 16-bit band collision does NOT imply near-dup, so
+   one owner is not enough — two true near-dups arriving after an
+   unrelated claimant must still meet). An arrival is compared against
+   every owner; matches (hamming ≤ max) emit candidate rows, a
+   non-match becomes a new owner while capacity lasts.
 
-State is O(#distinct band values) with a 5-long payload — bounded by
+State is O(#distinct band values × _MAX_OWNERS) longs — bounded by
 corpus diversity, not stream length, and sharded by the band key
-across executors. A duplicate document yields up to 4 candidate rows
-(one per shared band); ``neardup_docs_stream`` reduces them per
-micro-batch to one verdict row per document.
+across executors. The owner cap is the documented approximation (an
+over-full band group stops tracking new distinct claimants; the
+at-rest batch pass remains the backstop, exactly how production
+pipelines layer the two). A duplicate document yields up to 4×owners
+candidate rows; ``neardup_verdicts`` reduces them per micro-batch to
+one verdict row per document.
 """
 
 from __future__ import annotations
@@ -41,7 +46,11 @@ _CAND_SCHEMA = (
     "doc_id long, d0 long, d1 long, d2 long, d3 long, "
     "band_idx int, owner_id long, o0 long, o1 long, o2 long, o3 long"
 )
-_STATE_SCHEMA = "owner_id long, b0 long, b1 long, b2 long, b3 long"
+_STATE_SCHEMA = (
+    "ids array<long>, f0 array<long>, f1 array<long>, "
+    "f2 array<long>, f3 array<long>"
+)
+_MAX_OWNERS = 8
 
 
 def simhash_bands(text_col: str = "text") -> list[Column]:
@@ -70,40 +79,65 @@ def simhash_bands(text_col: str = "text") -> list[Column]:
     return out
 
 
-def _band_state(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """First doc to claim the band owns it; later docs emit candidate
-    rows carrying the owner's fingerprint for the hamming verify."""
-    if state.exists:
-        owner = tuple(state.get)
-    else:
-        owner = None
-    rows = []
-    for pdf in pdfs:
-        for r in pdf.sort_values("doc_id").itertuples():
-            if owner is None:
-                owner = (int(r.doc_id), int(r.b0), int(r.b1), int(r.b2), int(r.b3))
-            elif int(r.doc_id) != owner[0]:
-                rows.append(
-                    (
-                        int(r.doc_id),
-                        int(r.b0), int(r.b1), int(r.b2), int(r.b3),
-                        int(key[0]),
-                        owner[0], *owner[1:],
+def _make_band_state(max_hamming: int):
+    def _band_state(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Compare each arrival against every tracked owner of the band;
+        matches emit candidate rows, non-matches claim an owner slot."""
+        if state.exists:
+            ids, f0, f1, f2, f3 = state.get
+            owners = [
+                (int(ids[i]), int(f0[i]), int(f1[i]), int(f2[i]), int(f3[i]))
+                for i in range(len(ids))
+            ]
+        else:
+            owners = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        rows = []
+        if chunks:
+            # ONE sort over the whole micro-batch group (Arrow may split
+            # it into chunks; per-chunk sorting would make the owner —
+            # and thus the emitted pairs — depend on chunk boundaries)
+            batch = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+            known = {o[0] for o in owners}
+            for r in batch.itertuples():
+                did = int(r.doc_id)
+                if did in known:
+                    continue
+                fp = (int(r.b0), int(r.b1), int(r.b2), int(r.b3))
+                matched = False
+                for o in owners:
+                    ham = sum(
+                        bin(fp[i] ^ o[i + 1]).count("1") for i in range(4)
                     )
-                )
-    state.update(owner)
-    yield pd.DataFrame(
-        rows,
-        columns=[
-            "doc_id", "d0", "d1", "d2", "d3",
-            "band_idx", "owner_id", "o0", "o1", "o2", "o3",
-        ],
-    )
+                    if ham <= max_hamming:
+                        matched = True
+                        rows.append((did, *fp, int(key[0]), o[0], *o[1:]))
+                if not matched and len(owners) < _MAX_OWNERS:
+                    owners.append((did, *fp))
+                    known.add(did)
+        state.update((
+            [o[0] for o in owners],
+            [o[1] for o in owners],
+            [o[2] for o in owners],
+            [o[3] for o in owners],
+            [o[4] for o in owners],
+        ))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "d0", "d1", "d2", "d3",
+                "band_idx", "owner_id", "o0", "o1", "o2", "o3",
+            ],
+        )
+
+    return _band_state
 
 
-def neardup_candidates_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def neardup_candidates_stream(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
     """doc stream → candidate rows (doc, shared band, owner fingerprint).
 
     Apply the hamming filter + per-doc reduction downstream (the
@@ -136,7 +170,7 @@ def neardup_candidates_stream(docs: DataFrame, text_col: str = "text") -> DataFr
         F.col("band3").alias("b3"),
     )
     return long.groupBy("band_idx", "band_val").applyInPandasWithState(
-        _band_state,
+        _make_band_state(max_hamming),
         outputStructType=_CAND_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",

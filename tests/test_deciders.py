@@ -257,3 +257,24 @@ def test_stats_artifacts_none_rates(tmp_path):
     p = stats_artifacts.save_roc_file(stats, str(tmp_path))
     lines = open(p).read().splitlines()
     assert lines == ["#fp\ttp", "0.10\t0.40", "0.50\t0.90"]
+
+
+def test_neural_svc_persistence_round_trip(spark, populations, tmp_path):
+    """load_filter must restore the 'neural' and 'svc' kinds save_filter
+    writes (the CLI make_filter → filter_stars round trip uses them)."""
+    from lightcurvesclassifier_spark.ml.persistence import load_filter, save_filter
+
+    searched, others = populations
+    filt = StarsFilter(
+        [make_decider("NeuronDecider"), make_decider("SVCDec")], FEATURES
+    )
+    filt.learn(searched, others)
+    before = filt.all_predictions(searched).toPandas()
+    path = str(tmp_path / "ns.filter")
+    save_filter(filt, path)
+    loaded = load_filter(spark, path)
+    after = loaded.all_predictions(searched).toPandas()
+    cols = sorted(before.columns)
+    b = before[cols].sort_values(cols).reset_index(drop=True)
+    a = after[cols].sort_values(cols).reset_index(drop=True)
+    assert b.equals(a)

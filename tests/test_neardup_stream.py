@@ -93,3 +93,91 @@ def test_streaming_neardup_cross_batch(spark, tmp_path):
     assert set(got.doc_id) == {3}
     assert got.set_index("doc_id").loc[3, "dup_of"] == 1
     assert got.set_index("doc_id").loc[3, "hamming"] == ham
+
+
+def test_band_state_multi_owner_unit():
+    """An unrelated first claimant must not mask a later true near-dup
+    pair sharing the same band (the single-owner failure mode): the
+    state keeps multiple owners, so A (no match vs C) becomes an owner
+    and B is then flagged against A."""
+    import pandas as pd
+
+    from lightcurvesclassifier_spark.streaming.neardup_stream import (
+        _make_band_state,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    fn = _make_band_state(3)
+    state = FakeState()
+    far = 0xFFFF  # hamming 16 from 0 in one band
+    batch1 = pd.DataFrame(
+        [{"doc_id": 99, "b0": far, "b1": far, "b2": far, "b3": far}]
+    )
+    out1 = pd.concat(list(fn((0, 123), iter([batch1]), state)))
+    assert out1.empty  # C claims the band, nothing to compare
+    # A and B: mutual hamming 1, both hamming >3 vs C
+    batch2 = pd.DataFrame(
+        [
+            {"doc_id": 1, "b0": 0, "b1": 0, "b2": 0, "b3": 0},
+            {"doc_id": 2, "b0": 1, "b1": 0, "b2": 0, "b3": 0},
+        ]
+    )
+    out2 = pd.concat(list(fn((0, 123), iter([batch2]), state)))
+    # A matched nothing (became an owner); B matched A only
+    assert list(out2.doc_id) == [2]
+    assert list(out2.owner_id) == [1]
+    # state now tracks C, A (B matched, so it is not an owner)
+    assert sorted(state.get[0]) == [1, 99]
+
+
+def test_band_state_chunk_order_deterministic():
+    """The owner must not depend on Arrow chunk boundaries: the group is
+    sorted as a whole, so {5,7}+{2} behaves like {2,5,7}."""
+    import pandas as pd
+
+    from lightcurvesclassifier_spark.streaming.neardup_stream import (
+        _make_band_state,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    def run(chunks):
+        fn = _make_band_state(3)
+        state = FakeState()
+        out = pd.concat(list(fn((1, 7), iter(chunks), state)))
+        return sorted(map(tuple, out[["doc_id", "owner_id"]].to_numpy())), sorted(
+            state.get[0]
+        )
+
+    rows = [
+        {"doc_id": d, "b0": b, "b1": 0, "b2": 0, "b3": 0}
+        for d, b in ((5, 0), (7, 1), (2, 2))
+    ]
+    one = run([pd.DataFrame(rows)])
+    split = run([pd.DataFrame(rows[:2]), pd.DataFrame(rows[2:])])
+    assert one == split
+    # doc 2 is the smallest id → the owner; 5 and 7 flagged against it
+    assert one[0] == [(5, 2), (7, 2)]
