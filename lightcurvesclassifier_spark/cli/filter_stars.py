@@ -80,18 +80,30 @@ def main(project_settings, argv: list[str] | None = None) -> int:
     descr_params: dict = {}
     for p in filter_paths:
         sidecar = os.path.join(os.path.dirname(p), "descr_params.json")
-        if os.path.exists(sidecar):
-            with open(sidecar) as f:
-                saved = json.load(f).get("params", {})
-            for dname, params in saved.items():
-                if not dname:
-                    continue
-                prev = descr_params.get(dname)
-                if prev is not None and prev != params:
-                    raise ValueError(
-                        f"filters disagree on {dname} params: {prev} vs {params}"
-                    )
-                descr_params[dname] = params
+        if not os.path.exists(sidecar):
+            # pre-sidecar filter: params it was trained with are unknown —
+            # featurization falls back to defaults/other filters' params.
+            # Warn loudly rather than skew silently.
+            import sys as _sys
+
+            print(
+                f"warning: {p} has no descr_params.json — descriptor "
+                "params it was trained with are unknown; featurizing "
+                "with defaults (possible train/serve skew)",
+                file=_sys.stderr,
+            )
+            continue
+        with open(sidecar) as f:
+            saved = json.load(f).get("params", {})
+        for dname, params in saved.items():
+            if not dname:
+                continue
+            prev = descr_params.get(dname)
+            if prev is not None and prev != params:
+                raise ValueError(
+                    f"filters disagree on {dname} params: {prev} vs {params}"
+                )
+            descr_params[dname] = params
 
     run_dir = os.path.join(project_settings.RESULTS, opts.run)
     lcs_dir = os.path.join(run_dir, "lcs")
@@ -116,7 +128,16 @@ def main(project_settings, argv: list[str] | None = None) -> int:
             stars, config, stars_io._http_transport, carry_cols=["query_id"]
         )
 
-    obs = obs.cache()
+    # (star → query) attribution for the ledger, THEN collapse to one
+    # copy of each observation: a star matched by several queries would
+    # otherwise carry duplicated rows into featurize (doubling
+    # curve_density, zeroing half the successive-diff terms of abbe)
+    # and into the saved .dat curves
+    star_queries = obs.select("star_id", "query_id").distinct().cache()
+    dedup_key = [
+        c for c in ("star_id", "band", "t", "mag") if c in obs.columns
+    ]
+    obs = obs.drop("query_id").dropDuplicates(dedup_key).cache()
 
     # features required by the loaded filters (default descriptor params)
     needed = set()
@@ -136,11 +157,9 @@ def main(project_settings, argv: list[str] | None = None) -> int:
 
     if descr_names:
         feats, _ = descr_registry.featurize(obs, descr_names, descr_params)
-        feats = feats.join(
-            obs.select("star_id", "query_id").distinct(), "star_id"
-        )
+        feats = feats.join(star_queries, "star_id")
     else:
-        feats = obs.select("star_id", "query_id").distinct()
+        feats = star_queries
 
     passed = feats
     for filt in filters:

@@ -112,11 +112,13 @@ def main(project_settings, argv: list[str] | None = None) -> int:
         results.append(stats)
         if best is None or stats["precision"] > best[0]:
             if best is not None:
-                best[3].unpersist(), best[4].unpersist()
+                best[3].unpersist()
+                best[4].unpersist()
             best = (stats["precision"], filt, combo, s_test, o_test, feats_s, feats_o)
         else:
             # losing combo: its cached test frames are no longer needed
-            s_test.unpersist(), o_test.unpersist()
+            s_test.unpersist()
+            o_test.unpersist()
 
     precision, filt, combo, s_test, o_test, feats_s, feats_o = best
     filt_name = opts.filt_name.rsplit(".", 1)[0] if "." in opts.filt_name else opts.filt_name

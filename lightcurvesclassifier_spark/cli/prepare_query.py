@@ -22,18 +22,13 @@ def _parse_range(text: str) -> list:
     if len(parts) == 1:
         return [text]
     if len(parts) == 2:
-        try:
-            return list(range(int(parts[0]), int(parts[1])))
-        except ValueError:
-            # float endpoints, step 1 — the reference's arange fallback
-            # (prepare_query.py:129-136)
-            import numpy as np
-
-            return np.arange(float(parts[0]), float(parts[1]), 1.0).tolist()
+        parts.append("1")  # from:to defaults the step (reference :119-124)
     if len(parts) == 3:
         try:
             return list(range(int(parts[0]), int(parts[1]), int(parts[2])))
         except ValueError:
+            # float endpoints — the reference's arange fallback
+            # (prepare_query.py:129-136)
             import numpy as np
 
             return np.arange(

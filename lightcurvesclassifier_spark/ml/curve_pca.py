@@ -126,9 +126,12 @@ def curve_pca3(curves: DataFrame) -> DataFrame:
 
     from ..functions.descriptors import curve_descr
 
-    # cache: the pivot subtree (collect_list sort + PAA windows + pivot
-    # aggregate) feeds BOTH the PCA fit and the final projection scan
-    piv = _pivot3(curve_descr(curves, bins=3)).cache()
+    # the pivot subtree (collect_list sort + PAA windows + pivot
+    # aggregate) feeds BOTH the PCA fit and the final projection scan;
+    # lazy localCheckpoint materializes it once and — unlike cache(),
+    # which pins blocks in the catalog until an explicit unpersist —
+    # is released by the ContextCleaner when the DataFrame is GC'd
+    piv = _pivot3(curve_descr(curves, bins=3)).localCheckpoint(eager=False)
     train = piv.select(array_to_vector(F.array("v0", "v1", "v2")).alias("_v"))
     model = PCA(k=2, inputCol="_v", outputCol="_p").fit(train)
     pc = np.array(model.pc.toArray())  # (3, 2), writable copy

@@ -31,6 +31,11 @@ at-rest batch pass remains the backstop, exactly how production
 pipelines layer the two). A duplicate document yields up to 4×owners
 candidate rows; ``neardup_verdicts`` reduces them per micro-batch to
 one verdict row per document.
+
+NOTE: the state layout changed from a single flat owner struct to the
+array-per-field multi-owner form — a checkpoint written by the earlier
+layout is not resumable (Spark rejects the state schema change); start
+the query with a fresh checkpoint location.
 """
 
 from __future__ import annotations

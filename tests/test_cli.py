@@ -161,3 +161,49 @@ def test_plot_lcs(project, tmp_path):
     # matplotlib absent in this container → plot-data artifacts; with
     # matplotlib present the same path writes PNGs
     assert arts and all(a.endswith((".png", ".plot.dat")) for a in arts)
+
+
+def test_filter_stars_overlapping_queries(project):
+    """A star matched by several query rows must not duplicate its
+    observations (feature skew: doubled curve_density, halved abbe
+    diffs) nor its ledger/(lcs) artifacts — one feature row per star,
+    one ledger row per (query, star), single-copy dat files."""
+    qfile = os.path.join(project, "queries", "overlap.txt")
+    with open(qfile, "w") as f:
+        f.write("#path\nsearched\nsearched\n")
+    rc = cli.main(
+        [
+            "filter_stars",
+            "-r", "run_overlap",
+            "-q", "overlap.txt",
+            "-d", "FileManager",
+            "-f", "SmokeFilter",
+        ],
+        path=project,
+    )
+    assert rc == 0
+    run_dir = os.path.join(project, "query_results", "run_overlap")
+    status = open(os.path.join(run_dir, "query_status.txt")).read().splitlines()
+    body = status[1:]
+    # one row per (query, star): both queries see every star, no dups
+    assert len(body) == len(set(body))
+    stars = {l.split(";")[1] for l in body}
+    assert len(body) == 2 * len(stars)
+    # passed stars identical under both queries (star-level decision)
+    passed_by_q = {}
+    for l in body:
+        q, s, _, p = l.split(";")
+        passed_by_q.setdefault(q, set())
+        if p == "True":
+            passed_by_q[q].add(s)
+    assert passed_by_q["0"] == passed_by_q["1"]
+    # single-copy dat files: same content as the source curve
+    lcs_dir = os.path.join(run_dir, "lcs")
+    a_star = sorted(passed_by_q["0"])[0]
+    out_lines = open(os.path.join(lcs_dir, f"{a_star}.dat")).read().splitlines()
+    src_lines = (
+        open(os.path.join(project, "inp_lcs", "searched", f"{a_star}.dat"))
+        .read()
+        .splitlines()
+    )
+    assert len(out_lines) == len(src_lines)
