@@ -649,6 +649,20 @@ def q_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.repetition_features(docs)
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/pretraining sliding-window chunker: fixed token windows with
+    overlap, map-only (sequence-explode + slice; zero shuffles)."""
+    docs = testdata.load_table(spark, sf_dir, "documents")
+    return text_ops.chunk_documents(docs, chunk_size=32, overlap=8)
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity proxy: per-doc mean unigram log-prob under
+    the corpus unigram model (two aggregates + one vocab join)."""
+    docs = testdata.load_table(spark, sf_dir, "documents")
+    return text_ops.unigram_logprob(docs)
+
+
 def q_detrend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear detrend + one 3-sigma clip round per curve (closed-form
     refit on kept points) — all aggregations keyed by star_id."""
@@ -879,6 +893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fraction": q_sample_fraction,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
+        "doc_chunks": q_doc_chunks,
+        "unigram_logprob": q_unigram_logprob,
         # --- tail: no_oracle by design (seeds / MAX_ITER) ---
         "comp_curves_shape": q_comp_curves_shape,
         "dedup_minhash": q_dedup_minhash,
@@ -1229,6 +1245,8 @@ FROM corpus GROUP BY md5(text)
         ),
         "pii_redact": text_ops.pii_redact_sql(testdata.PII_CORPUS_SQL),
         "repetition_features": text_ops.REPETITION_SQL,
+        "doc_chunks": text_ops.chunk_documents_sql(chunk_size=32, overlap=8),
+        "unigram_logprob": text_ops.unigram_logprob_sql(),
         "detrend": detrend_stats_sql(_OBS),
         "mixture_sample": corpus_ops.mixture_sample_sql(
             "SELECT doc_id, lang FROM documents", "lang", "doc_id",

@@ -366,3 +366,132 @@ top AS (
 SELECT b.doc_id, b.n_tokens, b.dup_token_frac, t.top_bigram_frac
 FROM base b JOIN top t USING (doc_id)
 """
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG/pretraining segmenter:
+    fixed ``chunk_size``-token windows advancing by ``chunk_size -
+    overlap`` tokens, last window clamped at the document end.
+
+    Pure JVM: one sequence-explode + array slice per document, no
+    shuffle at all (map-only — every chunk row derives from its own
+    document row), so at 100 TB this is a pass-through projection that
+    parallelizes with the scan. Chunk text is emitted as its md5 (the
+    compact, oracle-hashable identity; a real pipeline would keep the
+    slice itself — same plan shape).
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(overlap)) / F.lit(float(stride))).cast("int"),
+    )
+    sized = df.select(
+        F.col(id_col), toks.alias("_tk"), n.alias("_n"), n_chunks.alias("_nc")
+    )
+    i = F.col("_i")
+    start = i * stride
+    chunk = F.slice(F.col("_tk"), start + 1, chunk_size)
+    return (
+        sized.select(
+            id_col,
+            "_tk",
+            "_n",
+            F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("_i"),
+        )
+        .select(
+            id_col,
+            i.cast("long").alias("chunk_idx"),
+            start.cast("long").alias("start_tok"),
+            F.least(F.lit(chunk_size), F.col("_n") - start)
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+    )
+
+
+def chunk_documents_sql(
+    chunk_size: int = 64, overlap: int = 16, table: str = "documents"
+) -> str:
+    """DuckDB mirror of :func:`chunk_documents` (1-based inclusive list
+    slicing mirrors Spark's slice(start, length) clamping)."""
+    stride = chunk_size - overlap
+    return f"""
+WITH sized AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+         len(string_split(text, ' ')) AS n,
+         greatest(1, CAST(ceil((len(string_split(text, ' ')) - {overlap})
+                               / {float(stride)!r}) AS INT)) AS nc
+  FROM {table}
+),
+expanded AS (
+  SELECT doc_id, tk, n, unnest(generate_series(0, nc - 1)) AS i
+  FROM sized
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * {stride} AS BIGINT) AS start_tok,
+       CAST(least({chunk_size}, n - i * {stride}) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(tk[i * {stride} + 1 : i * {stride} + {chunk_size}], ' '))
+         AS chunk_md5
+FROM expanded
+"""
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram log-probability quality score — the perplexity-proxy
+    filter of CCNet-style pipelines (score docs by how typical their
+    tokens are of the corpus; outliers in either direction are low
+    quality or boilerplate).
+
+    Two aggregates: corpus token counts (one shuffle on token), then a
+    token→logprob join back onto the exploded docs and a per-doc mean
+    (one shuffle on doc id). The vocabulary is bounded by distinct
+    tokens, not corpus size — at 100 TB the count table is small enough
+    for AQE to broadcast the join side automatically."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    counts = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("n_total"))
+    vocab = counts.crossJoin(F.broadcast(total)).select(
+        "tok", (F.log(F.col("c")) - F.log(F.col("n_total"))).alias("lp")
+    )
+    return (
+        tok.join(vocab, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("mean_logprob"),
+        )
+    )
+
+
+def unigram_logprob_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`unigram_logprob` (identical expression
+    order: ln(c) − ln(N), averaged per doc, rounded to 6)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM {table}
+),
+counts AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+total AS (SELECT sum(c) AS n_total FROM counts),
+vocab AS (SELECT tok, ln(c) - ln(n_total) AS lp FROM counts, total)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(v.lp), 6) AS mean_logprob
+FROM tok t JOIN vocab v USING (tok)
+GROUP BY t.doc_id
+"""

@@ -180,3 +180,43 @@ def test_numeric_profile_nulls_and_quartiles(spark):
     assert (out.min_v, out.max_v, out.mean_v) == (1.0, 4.0, 2.5)
     # exact linear-interpolated quartiles over the 4 non-null values
     assert (out.p25, out.p50, out.p75) == (1.75, 2.5, 3.25)
+
+
+def test_chunk_documents_invariants(spark):
+    """Window arithmetic: stride spacing, full coverage, clamped tail,
+    and single-chunk short docs."""
+    from lightcurvesclassifier_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(100))),  # 100 tokens
+            (2, " ".join(f"u{i}" for i in range(5))),    # shorter than chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_size=32, overlap=8).toPandas()
+    d1 = out[out.doc_id == 1].sort_values("chunk_idx")
+    # stride 24: starts 0, 24, 48, 72 → ceil((100-8)/24) = 4 chunks
+    assert list(d1.start_tok) == [0, 24, 48, 72]
+    assert list(d1.n_chunk_tokens) == [32, 32, 32, 28]  # tail clamped
+    # consecutive chunks overlap by 8 tokens
+    assert (d1.start_tok.iloc[1:] - d1.start_tok.iloc[:-1].values == 24).all()
+    # every token covered: last chunk reaches the end
+    assert d1.start_tok.iloc[-1] + d1.n_chunk_tokens.iloc[-1] == 100
+    d2 = out[out.doc_id == 2]
+    assert len(d2) == 1 and d2.n_chunk_tokens.iloc[0] == 5
+
+
+def test_unigram_logprob_orders_typicality(spark):
+    """A doc of corpus-common tokens scores higher (less negative) than
+    a doc of singletons; scores are proper log-probs (< 0)."""
+    from lightcurvesclassifier_spark.operators.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "the the the the"), (2, "zq xv jk wp"), (3, "the the zq xv")],
+        "doc_id long, text string",
+    )
+    out = unigram_logprob(docs).toPandas().set_index("doc_id")
+    assert (out.mean_logprob < 0).all()
+    assert out.loc[1, "mean_logprob"] > out.loc[3, "mean_logprob"] > out.loc[2, "mean_logprob"]
+    assert out.loc[1, "n_tokens"] == 4
