@@ -457,10 +457,12 @@ def unigram_logprob(
     quality or boilerplate).
 
     Two aggregates: corpus token counts (one shuffle on token), then a
-    token→logprob join back onto the exploded docs and a per-doc mean
-    (one shuffle on doc id). The vocabulary is bounded by distinct
-    tokens, not corpus size — at 100 TB the count table is small enough
-    for AQE to broadcast the join side automatically."""
+    token→logprob BROADCAST join back onto the exploded docs and a
+    per-doc mean (one shuffle on doc id). The vocabulary is bounded by
+    distinct tokens, not corpus size — broadcasting it keeps the huge
+    exploded-token side completely unshuffled by the join (without the
+    hint the plan sort-merge-joins on `tok`, shuffling the whole token
+    stream)."""
     tok = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
@@ -470,7 +472,7 @@ def unigram_logprob(
         "tok", (F.log(F.col("c")) - F.log(F.col("n_total"))).alias("lp")
     )
     return (
-        tok.join(vocab, "tok")
+        tok.join(F.broadcast(vocab), "tok")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
