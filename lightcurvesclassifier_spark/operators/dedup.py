@@ -94,7 +94,10 @@ def ngram_jaccard_pairs(
     skew risk — AQE skew-join handles it, and SHINGLE_N=4 keeps shingles
     rare.
     """
-    sh = shingles_hashed(df, n, text_col, id_col).cache()
+    # lazy localCheckpoint: materialized once, released by the
+    # ContextCleaner when unreferenced (cache() would pin executor
+    # memory until an unpersist the caller can never issue)
+    sh = shingles_hashed(df, n, text_col, id_col).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -150,7 +153,10 @@ def minhash_pairs(
     xxhash64 over its shingle set (one groupBy, H min-aggregates).
     Banding: ``bands`` bands of ``num_hashes/bands`` rows; candidate
     pairs share at least one full band (for 8×2: P(candidate | j=0.6)
-    ≈ 0.97, and exact duplicates always collide). Candidates are then
+    ≈ 0.97, and exact duplicates with ≥ SHINGLE_N tokens always
+    collide — shorter documents yield no shingles and thus no
+    signature; run exact_dedup alongside to catch those). Candidates
+    are then
     verified with the EXACT shingle-set Jaccard — the intersection join
     is restricted to the candidate pairs, so the expensive work scales
     with probable duplicates, not documents².
@@ -161,7 +167,7 @@ def minhash_pairs(
     pipeline is codegen'd joins/aggregates).
     """
     rows = num_hashes // bands
-    sh = shingles_hashed(df, SHINGLE_N, text_col, id_col).cache()
+    sh = shingles_hashed(df, SHINGLE_N, text_col, id_col).localCheckpoint(eager=False)
     sig = sh.groupBy(id_col).agg(
         F.count("*").alias("n_sh"),
         *[
@@ -242,6 +248,8 @@ def connected_components(
     # chaining hops inside a round grows the lineage linearly (a
     # least(own, neighbor-min) formulation references the label table
     # twice per hop and re-evaluates it exponentially).
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     edges = (
         pairs.select(
             F.explode(
@@ -416,7 +424,7 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ ``max_hamming``
     (≤ 3 guarantees a shared 16-bit band — no O(n²) scan)."""
-    fp = simhash(df, text_col, id_col).cache()
+    fp = simhash(df, text_col, id_col).localCheckpoint(eager=False)
     long = fp.select(
         F.col(id_col),
         F.explode(

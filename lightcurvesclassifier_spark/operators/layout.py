@@ -161,12 +161,24 @@ def salted_join(
 ) -> DataFrame:
     """Skew-resistant big ⋈ dim equi-join.
 
-    The big side assigns each row a deterministic pseudo-random salt in
-    [0, n_salts); the dim side is exploded n_salts× (dim is small by
-    contract). The join key becomes (key, salt), splitting any hot key
-    across ``n_salts`` reducers. Result rows are identical to the plain
-    join — only the partitioning changes.
+    The big side assigns each row a pseudo-random salt in [0, n_salts)
+    (derived from monotonically_increasing_id, so it varies with the
+    physical partition layout — the JOIN RESULT is layout-independent,
+    the salt assignment is not); the dim side is exploded n_salts× (dim
+    is small by contract). The join key becomes (key, salt), splitting
+    any hot key across ``n_salts`` reducers. For inner/left joins the
+    result rows are identical to the plain join — only the partitioning
+    changes. right/full outer are NOT supported: an unmatched dim key
+    would surface once per exploded copy (n_salts null-extended rows
+    instead of one), so those modes raise.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got how={how!r}: "
+            "a right/full outer join would emit every unmatched dim key "
+            "once per salt copy"
+        )
     salt = F.pmod(
         F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(n_salts)
     ).cast("int")

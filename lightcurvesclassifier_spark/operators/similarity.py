@@ -33,6 +33,54 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _topk_rank(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Shared top-k tail: rank per query under (cos desc, id asc) and
+    keep the first ``k`` — the one place the ordering rule lives."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("query_id", id_col, "cos", F.col("_rk").alias("rank"))
+    )
+
+
+def _unit_rows(
+    df: DataFrame, id_col: str, vec_col: str, out_id: str = "_id"
+) -> DataFrame:
+    """(id, raw array, unit array) with zero-norm vectors DROPPED — a
+    zero vector has no direction, so cosine against it is undefined
+    (0/0 = NaN, which Spark's DESC ordering would rank above every real
+    match). The norm is computed ONCE into a column and referenced by
+    the per-element lambda; embedding the aggregate inside the lambda
+    would re-evaluate the O(d) sum for each of the d elements."""
+    n2 = F.aggregate("_arr", F.lit(0.0), lambda a, v: a + v * v)
+    return (
+        df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).cast("array<double>").alias("_arr"),
+        )
+        .withColumn("_n2", n2)
+        .filter(F.col("_n2") > 0.0)
+        .withColumn(
+            "_unit", F.transform("_arr", lambda x: x / F.sqrt(F.col("_n2")))
+        )
+        .drop("_n2")
+    )
+
+
+def _assign_d2(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Squared euclidean distances row×centroid via the GEMM expansion
+    |x|² − 2xCᵀ + |C|² — the one memory-safe assignment kernel shared by
+    the near-dup, IVF and layout paths."""
+    return (
+        (mat * mat).sum(axis=1)[:, None]
+        - 2.0 * (mat @ cent.T)
+        + (cent * cent).sum(axis=1)[None, :]
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -69,16 +117,24 @@ def cosine_topk(
             c_mat = np.vstack(pdf_b[vec_col].to_numpy()).astype(np.float64)
             c_ids = pdf_b[id_col].to_numpy()
             c_norm = np.linalg.norm(c_mat, axis=1)
-            sims = np.round(
-                (c_mat @ b_qmat.value.T)
-                / (c_norm[:, None] * b_qnorm.value[None, :]),
-                6,
-            )  # (corpus_batch, queries)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.round(
+                    (c_mat @ b_qmat.value.T)
+                    / (c_norm[:, None] * b_qnorm.value[None, :]),
+                    6,
+                )  # (corpus_batch, queries)
+            # zero-norm rows (either side) have undefined cosine — mark
+            # them -inf so they can never enter a top-k (NaN would sort
+            # unpredictably: last in the numpy prune, FIRST in Spark's
+            # DESC window)
+            sims[~np.isfinite(sims)] = -np.inf
             out_q, out_v, out_c = [], [], []
             for j, qid in enumerate(b_qids.value):
                 col = sims[:, j]
                 mask = c_ids != qid
                 ids_m, col_m = c_ids[mask], col[mask]
+                finite = np.isfinite(col_m)
+                ids_m, col_m = ids_m[finite], col_m[finite]
                 if len(ids_m) > k:
                     # total order: cos desc, vec_id asc
                     order = np.lexsort((ids_m, -col_m))[:k]
@@ -94,12 +150,7 @@ def cosine_topk(
     scored = corpus.select(id_col, vec_col).mapInPandas(
         block, schema=f"query_id long, {id_col} long, cos double"
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
-    return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
-        .select("query_id", id_col, "cos", F.col("_rk").alias("rank"))
-    )
+    return _topk_rank(scored, k, id_col)
 
 
 def cosine_topk_sql(k: int = 10, query_pred: str = "vec_id < 5") -> str:
@@ -115,7 +166,7 @@ WITH vecs AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
-q AS (SELECT vec_id AS query_id, v FROM vecs WHERE {query_pred.replace('vec_id', 'vec_id')}),
+q AS (SELECT vec_id AS query_id, v FROM vecs WHERE {query_pred}),
 scored AS (
   SELECT q.query_id, c.vec_id,
          round({dot} / ({norm_c} * {norm_q}), 6) AS cos
@@ -270,22 +321,7 @@ def _neardup_salted_assignments(
 
     eps = math.sqrt(max(0.0, 2.0 - 2.0 * thr))
 
-    unit = (
-        corpus.select(
-            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_arr")
-        )
-        .withColumn(
-            "_unit",
-            F.transform(
-                "_arr",
-                lambda x: x
-                / F.sqrt(
-                    F.aggregate("_arr", F.lit(0.0), lambda a, v: a + v * v)
-                ),
-            ),
-        )
-        .select(F.col(id_col).alias("_id"), "_unit")
-    )
+    unit = _unit_rows(corpus, id_col, vec_col).select("_id", "_unit")
     if quantizer == "kmeans":
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -314,29 +350,18 @@ def _neardup_salted_assignments(
                 cent = rng.standard_normal((n_cells, dim))
                 cent /= np.linalg.norm(cent, axis=1, keepdims=True)
             mat = np.vstack(pdf_b["_unit"].to_numpy())
-            # squared distances to all centroids via one GEMM
-            d2 = (
-                (mat * mat).sum(axis=1)[:, None]
-                - 2.0 * (mat @ cent.T)
-                + (cent * cent).sum(axis=1)[None, :]
-            )
-            d = np.sqrt(np.maximum(d2, 0.0))
+            d = np.sqrt(np.maximum(_assign_d2(mat, cent), 0.0))
             home = d.argmin(axis=1)
             radius = d[np.arange(len(d)), home] + 2.0 * eps
             ids = pdf_b["_id"].to_numpy()
-            out_id, out_unit, out_cell, out_home = [], [], [], []
-            for i in range(len(ids)):
-                for j in np.nonzero(d[i] <= radius[i])[0]:
-                    out_id.append(ids[i])
-                    out_unit.append(mat[i])
-                    out_cell.append(int(j))
-                    out_home.append(bool(j == home[i]))
+            # vectorized replication: every (row, cell) within radius
+            ri, rj = np.where(d <= radius[:, None])
             yield pd.DataFrame(
                 {
-                    "_id": out_id,
-                    "_unit": out_unit,
-                    "_cell": out_cell,
-                    "_home": out_home,
+                    "_id": ids[ri],
+                    "_unit": list(mat[ri]),
+                    "_cell": rj.astype("int32"),
+                    "_home": rj == home[ri],
                 }
             )
 
@@ -393,14 +418,15 @@ def _train_quantizer(
     x = np.vstack(sample.to_numpy()).astype(np.float64)
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)
-    # kmeans++ seeding (random init costs several recall points)
+    # kmeans++ seeding (random init costs several recall points).
+    # Incremental d2min: each draw updates the running min distance
+    # against ONLY the newest centroid — O(k·n·d) total and O(n·d)
+    # memory, vs the naive n×k×d broadcast temp (GBs at train_size=16k,
+    # d=768) rebuilt per draw.
     k = min(n_lists, len(x))
     cent_list = [x[rng.integers(len(x))]]
+    d2min = ((x - cent_list[0]) ** 2).sum(axis=1)
     for _ in range(k - 1):
-        d2min = np.min(
-            ((x[:, None, :] - np.asarray(cent_list)[None]) ** 2).sum(axis=2),
-            axis=1,
-        )
         s = d2min.sum()
         if s == 0.0:
             # every sampled point coincides with a centroid (e.g. an
@@ -408,15 +434,12 @@ def _train_quantizer(
             # by zero; any placement is equally good, so replicate.
             cent_list.extend([cent_list[0]] * (k - len(cent_list)))
             break
-        cent_list.append(x[rng.choice(len(x), p=d2min / s)])
+        new = x[rng.choice(len(x), p=d2min / s)]
+        cent_list.append(new)
+        d2min = np.minimum(d2min, ((x - new) ** 2).sum(axis=1))
     cent = np.asarray(cent_list)
     for _ in range(max_iter):
-        d2 = (
-            (x * x).sum(axis=1)[:, None]
-            - 2.0 * (x @ cent.T)
-            + (cent * cent).sum(axis=1)[None, :]
-        )
-        assign = d2.argmin(axis=1)
+        assign = _assign_d2(x, cent).argmin(axis=1)
         new = np.vstack(
             [
                 x[assign == j].mean(axis=0) if (assign == j).any() else cent[j]
@@ -452,19 +475,10 @@ def ivf_topk(
     centroids = _train_quantizer(corpus, vec_col, n_lists, seed, id_col=id_col)
     b_cent = corpus.sparkSession.sparkContext.broadcast(centroids)
 
-    # L2-normalize so euclidean cells order like cosine; assignment is a
+    # L2-normalize so euclidean cells order like cosine (zero-norm
+    # vectors dropped — undefined direction); assignment is a
     # broadcast-centroid argmin, fully distributed
-    c_norm = corpus.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("_arr"),
-    ).withColumn(
-        "_unit",
-        F.transform(
-            "_arr",
-            lambda x: x
-            / F.sqrt(F.aggregate("_arr", F.lit(0.0), lambda a, v: a + v * v)),
-        ),
-    )
+    c_norm = _unit_rows(corpus, id_col, vec_col, out_id=id_col)
 
     def assign_cells(batches):
         import pandas as pd
@@ -474,16 +488,11 @@ def ivf_topk(
             if not len(pdf):
                 continue
             mat = np.vstack(pdf["_unit"].to_numpy())
-            d2 = (
-                (mat * mat).sum(axis=1)[:, None]
-                - 2.0 * (mat @ cent.T)
-                + (cent * cent).sum(axis=1)[None, :]
-            )
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "_arr": pdf["_arr"],
-                    "_cell": d2.argmin(axis=1).astype("int32"),
+                    "_cell": _assign_d2(mat, cent).argmin(axis=1).astype("int32"),
                 }
             )
 
@@ -516,12 +525,7 @@ def ivf_topk(
         id_col,
         F.round(cosine(F.col("q_vec"), F.col("_arr")), 6).alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
-    return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
-        .select("query_id", id_col, "cos", F.col("_rk").alias("rank"))
-    )
+    return _topk_rank(scored, k, id_col)
 
 
 def lsh_topk(
@@ -541,10 +545,22 @@ def lsh_topk(
     from pyspark.ml.functions import array_to_vector
 
     def prep(df, name):
-        withv = df.select(
-            F.col(id_col).alias(name),
-            F.col(vec_col).cast("array<double>").alias(f"{name}_arr"),
-        ).withColumn("_vec", array_to_vector(f"{name}_arr"))
+        # zero-norm vectors dropped: MLlib's Normalizer passes them
+        # through as zeros, whose downstream cosine is NaN — which
+        # Spark's DESC window would rank above every real match
+        withv = (
+            df.select(
+                F.col(id_col).alias(name),
+                F.col(vec_col).cast("array<double>").alias(f"{name}_arr"),
+            )
+            .filter(
+                F.aggregate(
+                    f"{name}_arr", F.lit(0.0), lambda a, v: a + v * v
+                )
+                > 0.0
+            )
+            .withColumn("_vec", array_to_vector(f"{name}_arr"))
+        )
         return Normalizer(inputCol="_vec", outputCol="features", p=2.0).transform(withv)
 
     c = prep(corpus, "vec_id_c")
@@ -559,11 +575,11 @@ def lsh_topk(
     cand = joined.select(
         F.col("datasetA.query_id").alias("query_id"),
         F.col("datasetB.vec_id_c").alias(id_col),
-        cosine(F.col("datasetA.query_id_arr"), F.col("datasetB.vec_id_c_arr")).alias("cos"),
+        F.round(
+            cosine(
+                F.col("datasetA.query_id_arr"), F.col("datasetB.vec_id_c_arr")
+            ),
+            6,
+        ).alias("cos"),
     ).filter(F.col("query_id") != F.col(id_col))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
-    return (
-        cand.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
-        .select("query_id", id_col, F.round("cos", 6).alias("cos"), F.col("_rk").alias("rank"))
-    )
+    return _topk_rank(cand, k, id_col)
