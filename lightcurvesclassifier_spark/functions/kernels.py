@@ -208,10 +208,15 @@ def histogram(
 def sort_pairs(
     x: np.ndarray, y: np.ndarray, rev: bool = False
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Sort y by x (lcc/utils/data_analysis.py:302-315)."""
+    """Sort y by x (lcc/utils/data_analysis.py:302-315).
+
+    Stable sort: the reference's default-quicksort argsort orders equal
+    x arbitrarily, which is within its unspecified-tie freedom but
+    unreproducible in SQL; stable keeps enumeration order on ties, which
+    the oracles mirror with ORDER BY x, k."""
     x = np.asarray(x)
     y = np.asarray(y)
-    idx = x.argsort()
+    idx = x.argsort(kind="stable")
     if rev:
         idx = idx[::-1]
     return x[idx], y[idx]

@@ -38,6 +38,10 @@ TWO_PI = 2.0 * math.pi
 
 def frequency_grid(f_min: float = 0.05, f_max: float = 3.2, n: int = 64) -> list[float]:
     """Evenly spaced frequency grid in cycles per unit time."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if n == 1:
+        return [f_min]
     step = (f_max - f_min) / (n - 1)
     return [f_min + step * k for k in range(n)]
 

@@ -202,7 +202,7 @@ curves AS (
 ),
 sized AS (
   SELECT star_id, mags, n,
-         GREATEST(5, CAST(round((list_max(ts) - list_min(ts)) / {float(days_per_bin)!r}) AS INT)) AS ws
+         GREATEST(5, CAST({_round_half_even_sql(f'((list_max(ts) - list_min(ts)) / {float(days_per_bin)!r})')} AS INT)) AS ws
   FROM curves
 ),
 stats AS (
@@ -271,12 +271,47 @@ FROM scores GROUP BY star_id
 """
 
 
-def _pw9(lst: str) -> str:
-    """numpy pairwise-summation order for exactly 9 elements:
-    ((r0+r1)+(r2+r3)) + ((r4+r5)+(r6+r7)), then the 1-element tail."""
+def _pw(lst: str, n: int) -> str:
+    """numpy pairwise-summation order for an ``n``-element list, n ≤ 128
+    (numpy pairwise_sum: n < 8 → sequential fold; else 8 accumulators
+    striding the full blocks, combined ((r0+r1)+(r2+r3))+((r4+r5)+(r6+r7)),
+    then the <8-element tail folded sequentially). The predecessor of
+    this helper hardcoded the n=9 shape, silently mis-summing any other
+    histogram width."""
+    if n < 1:
+        raise ValueError("empty list")
+    if n > 128:
+        raise ValueError("numpy switches to recursive halving above 128")
+    if n < 8:
+        expr = f"{lst}[1]"
+        for i in range(2, n + 1):
+            expr = f"({expr} + {lst}[{i}])"
+        return expr
+    full8 = n - (n % 8)
+    accs = []
+    for j in range(8):
+        e = f"{lst}[{j + 1}]"
+        for i in range(8, full8, 8):
+            e = f"({e} + {lst}[{i + j + 1}])"
+        accs.append(e)
+    expr = (
+        f"((({accs[0]} + {accs[1]}) + ({accs[2]} + {accs[3]}))"
+        f" + (({accs[4]} + {accs[5]}) + ({accs[6]} + {accs[7]})))"
+    )
+    for i in range(full8, n):
+        expr = f"({expr} + {lst}[{i + 1}])"
+    return expr
+
+
+def _round_half_even_sql(x: str) -> str:
+    """DuckDB mirror of Python/numpy round-half-to-even for positive
+    values (DuckDB round() is half-away-from-zero; the difference flips
+    the SAX word size whenever timespan/days_per_bin lands exactly on
+    .5)."""
     return (
-        f"(((({lst}[1] + {lst}[2]) + ({lst}[3] + {lst}[4]))"
-        f" + (({lst}[5] + {lst}[6]) + ({lst}[7] + {lst}[8]))) + {lst}[9])"
+        f"CASE WHEN {x} - floor({x}) = 0.5 "
+        f"THEN floor({x}) + CAST(floor({x}) AS BIGINT) % 2 "
+        f"ELSE round({x}) END"
     )
 
 
@@ -360,7 +395,14 @@ scored AS (
             "FROM scored GROUP BY star_id"
         )
     elif meth.startswith("best"):
-        n = int(meth[4:])
+        frac = float(meth[4:])
+        n = int(len(template_ids) * frac) if 0 < frac < 1 else int(frac)
+        if n < 1:
+            final = (
+                "SELECT DISTINCT star_id, CAST('nan' AS DOUBLE) AS feature "
+                "FROM scored"
+            )
+            return scored + "\n" + final
         final = f"""ranked AS (
   SELECT star_id, score,
          row_number() OVER (PARTITION BY star_id ORDER BY score) AS rk
@@ -433,7 +475,7 @@ hnorm AS (
 -- as ((r0+r1)+(r2+r3))+((r4+r5)+(r6+r7)) plus the tail) — a left fold
 -- leaves an ~1e-17 residual that flips letters sitting on breakpoint 0
 pw1 AS (
-  SELECT star_id, vals, {_pw9("vals")} / 9.0 AS mu2 FROM hnorm
+  SELECT star_id, vals, {_pw("vals", nb)} / {float(nb)!r} AS mu2 FROM hnorm
 ),
 dev AS (
   SELECT star_id, vals, mu2,
@@ -441,7 +483,7 @@ dev AS (
   FROM pw1
 ),
 pw2 AS (
-  SELECT star_id, vals, mu2, sqrt({_pw9("dv")} / 9.0) AS sd2 FROM dev
+  SELECT star_id, vals, mu2, sqrt({_pw("dv", nb)} / {float(nb)!r}) AS sd2 FROM dev
 ),
 h_n2 AS (
   SELECT star_id,
@@ -541,6 +583,12 @@ def reduce_scores(
             n = int(n_templates * frac)
         else:
             n = int(frac)
+        if n < 1:
+            # reference semantics: np.mean of an empty slice is NaN —
+            # keep one feature row per star rather than dropping stars
+            return valid.select("star_id").distinct().withColumn(
+                "feature", F.lit(float("nan"))
+            )
         w = Window.partitionBy("star_id").orderBy(F.col("score").asc())
         return (
             valid.withColumn("_rk", F.row_number().over(w))

@@ -44,7 +44,9 @@ def crossmatch(
     disambiguated by the caller (e.g. pre-aliased ``a_star_id`` /
     ``b_star_id``); defaults keep ``<side>.star_id`` only.
     """
-    zone_deg = zone_deg or eps_deg
+    # zones narrower than eps would break the ±1-zone coverage claim
+    # (a sub-eps pair could span 3+ zones and never share a key)
+    zone_deg = max(zone_deg or eps_deg, eps_deg)
     left_cols = left_cols or ["star_id"]
     right_cols = right_cols or ["star_id"]
 
@@ -67,16 +69,24 @@ def crossmatch(
         ).alias("_zone"),
     )
 
-    # Conservative wrap-aware RA band (prefilter only — exactness comes
-    # from the haversine refine). Above 89.9° dec the true RA spread of a
-    # sub-eps pair can exceed eps/cos(89.9), so the band is treated as
-    # unbounded there rather than clamped (clamping would drop genuine
-    # near-pole matches).
+    # Exact wrap-aware RA band (prefilter only — exactness comes from
+    # the haversine refine): for a pair with separation < eps whose
+    # larger |dec| is m, the haversine identity bounds the RA spread by
+    # |ΔRA| ≤ 2·asin(sin(eps/2)/cos(m)). The previous eps/cos(m)
+    # approximation undershot that bound near the pole and dropped
+    # genuine matches. When sin(eps/2) ≥ cos(m) the asin argument
+    # saturates (least 1.0) and the band degenerates to 180° = no RA
+    # pruning — the correct near-pole behavior.
     dra = F.abs(F.col("l_ra") - F.col("r_ra"))
     dra = F.least(dra, 360.0 - dra)
     max_abs_dec = F.greatest(F.abs(F.col("l_dec")), F.abs(F.col("r_dec")))
-    ra_band = F.lit(eps_deg) / F.cos(F.radians(F.least(max_abs_dec, F.lit(89.9))))
-    ra_ok = (max_abs_dec > F.lit(89.9)) | (dra <= ra_band)
+    half_eps = F.radians(F.lit(eps_deg)) / 2.0
+    cosm = F.cos(F.radians(max_abs_dec))
+    # cos(m) ≤ sin(eps/2) — within eps/2 of a pole (including the
+    # nonphysical |dec| ≥ 90 rows synthetic jitter can produce, where
+    # cos goes non-positive): every RA is reachable, skip the prefilter
+    ra_band = F.degrees(2.0 * F.asin(F.least(F.lit(1.0), F.sin(half_eps) / cosm)))
+    ra_ok = (cosm <= F.sin(half_eps)) | (dra <= ra_band)
     sep = separation_deg(
         F.col("l_ra"), F.col("l_dec"), F.col("r_ra"), F.col("r_dec")
     )
@@ -99,20 +109,36 @@ def crossmatch_ident(
     """The ident half of ``Star.__eq__`` (star.py:107-113): two stars
     match when any shared database key carries the same identifier.
 
-    MapType ``ident`` columns explode to (db, name) rows; the match is a
-    plain equi-join on that pair — hash-partitioned, broadcastable,
-    no geometry involved.
+    MapType ``ident`` columns explode to (db, value) rows; the match is
+    a plain equi-join on that pair — hash-partitioned, broadcastable,
+    no geometry involved. Complex ident values (the canonical STARS
+    schema nests a struct per db, schemas.py) are not joinable keys in
+    Spark (MAP has no ordering), so they are canonicalized to their
+    JSON rendering before the join — equal structs render identically
+    (field order is fixed by the schema).
     """
+    from pyspark.sql import types as T
+
     left_cols = left_cols or ["star_id"]
     right_cols = right_cols or ["star_id"]
-    l = left.select(
-        *[F.col(c).alias(f"l_{c}") for c in left_cols],
-        F.explode(F.col("ident")).alias("_db", "_name"),
-    )
-    r = right.select(
-        *[F.col(c).alias(f"r_{c}") for c in right_cols],
-        F.explode(F.col("ident")).alias("_db", "_name"),
-    )
+
+    def _rows(df, side, cols):
+        exploded = df.select(
+            *[F.col(c).alias(f"{side}_{c}") for c in cols],
+            F.explode(F.col("ident")).alias("_db", "_val"),
+        )
+        val_type = df.schema["ident"].dataType.valueType
+        name = (
+            F.col("_val")
+            if isinstance(val_type, T.StringType)
+            else F.to_json(F.col("_val"))
+        )
+        return exploded.select(
+            *[f"{side}_{c}" for c in cols], "_db", name.alias("_name")
+        )
+
+    l = _rows(left, "l", left_cols)
+    r = _rows(right, "r", right_cols)
     return l.join(r, ["_db", "_name"]).drop("_db", "_name").distinct()
 
 

@@ -45,3 +45,40 @@ def test_mid_latitude_prefilter_still_prunes(spark):
     )
     out = crossmatch(left, right, eps_deg=eps).collect()
     assert [r["r_star_id"] for r in out] == [2]
+
+
+def test_ra_band_exact_near_pole(spark):
+    """The eps/cos(dec) band approximation undershot the true RA spread
+    2·asin(sin(eps/2)/cos(dec)) and dropped genuine matches just inside
+    eps at high dec; the exact band keeps them. Also covers the
+    beyond-pole case (synthetic jitter can push |dec| past 90, where
+    cos goes non-positive and the band must degenerate to unbounded)."""
+    import math
+
+    from lightcurvesclassifier_spark.operators.crossmatch import crossmatch
+    from lightcurvesclassifier_spark.schemas import CROSSMATCH_EPS_DEG as EPS
+
+    dec = 89.9
+    # RA spread in the gap between the old approximate band and the
+    # true bound: the pair is within eps, the old band would drop it
+    old_band = EPS / math.cos(math.radians(dec))
+    true_band = math.degrees(
+        2 * math.asin(math.sin(math.radians(EPS) / 2) / math.cos(math.radians(dec)))
+    )
+    dra = (old_band + true_band) / 2
+    assert dra > old_band
+    # haversine separation of the pair really is below eps
+    hav = math.cos(math.radians(dec)) ** 2 * math.sin(math.radians(dra) / 2) ** 2
+    assert math.degrees(2 * math.asin(math.sqrt(hav))) < EPS
+    left = spark.createDataFrame(
+        [(1, 10.0, dec), (3, 50.0, -90.0)],
+        "star_id long, ra_deg double, dec_deg double",
+    )
+    right = spark.createDataFrame(
+        [(2, 10.0 + dra, dec), (4, 120.0, -90.00008)],
+        "star_id long, ra_deg double, dec_deg double",
+    )
+    got = crossmatch(left, right, EPS).toPandas()
+    pairs = set(map(tuple, got[["l_star_id", "r_star_id"]].to_numpy()))
+    assert (1, 2) in pairs  # near-pole pair inside eps survives the band
+    assert (3, 4) in pairs  # beyond-pole pair (cos <= 0) not prefiltered
