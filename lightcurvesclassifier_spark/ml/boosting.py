@@ -24,7 +24,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from .deciders import BaseDecider, DEFAULT_THRESHOLD
+from .deciders import BaseDecider, DEFAULT_THRESHOLD, collect_features
 
 _CLIP = np.finfo(np.float64).eps  # sklearn's log-proba clip
 
@@ -52,7 +52,11 @@ def _fit_stump(x: np.ndarray, y: np.ndarray, w: np.ndarray):
             continue
         wl, w1l = cw[distinct], cw1[distinct]
         wr, w1r = tot - wl, tot1 - w1l
-        pl, pr = w1l / wl, w1r / np.maximum(wr, _CLIP)
+        # both sides clipped: a zero cumulative weight (sample weights
+        # can underflow to 0.0 in late boosting rounds) would make the
+        # gini NaN and silently discard every split on the feature
+        pl = w1l / np.maximum(wl, _CLIP)
+        pr = w1r / np.maximum(wr, _CLIP)
         gini = wl * pl * (1 - pl) + wr * pr * (1 - pr)
         k = int(np.argmin(gini))
         if gini[k] < best_imp:
@@ -85,12 +89,9 @@ class AdaBoostDecider(BaseDecider):
         self.threshold = threshold
         self.stumps: list | None = None
 
-    def _collect(self, df: DataFrame, feature_cols) -> np.ndarray:
-        return df.select(*feature_cols).na.drop().toPandas().to_numpy(dtype=float)
-
     def learn(self, searched, others, feature_cols):
-        x1 = self._collect(searched, feature_cols)
-        x0 = self._collect(others, feature_cols)
+        x1 = collect_features(searched, feature_cols)
+        x0 = collect_features(others, feature_cols)
         x = np.vstack([x1, x0])
         y = np.concatenate([np.ones(len(x1)), np.zeros(len(x0))])
         n = len(x)
@@ -137,11 +138,11 @@ class AdaBoostDecider(BaseDecider):
 # Extremely randomized trees
 
 
-def _build_extra_tree(x, y, idx, rng, max_features, min_samples_split=2):
-    """Geurts et al.: per node pick ``max_features`` random features,
+def _split_node(x, y, idx, rng, max_features, min_samples_split):
+    """One Geurts-et-al. node: pick ``max_features`` random features,
     draw ONE uniform threshold per feature in [min, max), keep the best
-    split by gini; grow to purity. Node = (feat, thr, left, right) or a
-    leaf class-1 frequency (float)."""
+    split by gini. Returns a leaf class-1 frequency (float) or
+    (feat, thr, left_mask)."""
     ysub = y[idx]
     n1 = ysub.sum()
     if len(idx) < min_samples_split or n1 == 0 or n1 == len(idx):
@@ -166,23 +167,45 @@ def _build_extra_tree(x, y, idx, rng, max_features, min_samples_split=2):
             best_imp, best = imp, (j, thr, left)
     if best is None:
         return float(n1 / len(idx))
-    j, thr, left = best
-    return (
-        int(j),
-        float(thr),
-        _build_extra_tree(x, y, idx[left], rng, max_features, min_samples_split),
-        _build_extra_tree(x, y, idx[~left], rng, max_features, min_samples_split),
-    )
+    return best
+
+
+def _build_extra_tree(x, y, idx, rng, max_features, min_samples_split=2):
+    """Grow to purity, ITERATIVELY (explicit left-first stack preserving
+    the recursive preorder rng sequence — trees grown to purity can
+    exceed Python's recursion limit on degenerate data, and the
+    recursive form also crashed the scoring UDF executor-side). Node =
+    [feat, thr, left, right] or a leaf class-1 frequency (float)."""
+    root = [None]
+    stack = [(root, 0, idx)]
+    while stack:
+        slot, pos, ix = stack.pop()
+        node = _split_node(x, y, ix, rng, max_features, min_samples_split)
+        if isinstance(node, float):
+            slot[pos] = node
+            continue
+        j, thr, left = node
+        box = [int(j), float(thr), None, None]
+        slot[pos] = box
+        # push right first so the left child pops (and consumes rng) next
+        stack.append((box, 3, ix[~left]))
+        stack.append((box, 2, ix[left]))
+    return root[0]
 
 
 def _tree_proba(node, x: np.ndarray, idx, out):
-    if isinstance(node, float):
-        out[idx] = node
-        return
-    j, thr, l, r = node
-    mask = x[idx, j] <= thr
-    _tree_proba(l, x, idx[mask], out)
-    _tree_proba(r, x, idx[~mask], out)
+    """Iterative routing (the tree can be deeper than the recursion
+    limit; this also runs inside the scoring pandas UDF)."""
+    stack = [(node, idx)]
+    while stack:
+        nd, ix = stack.pop()
+        if isinstance(nd, float):
+            out[ix] = nd
+            continue
+        j, thr, l, r = nd
+        mask = x[ix, j] <= thr
+        stack.append((r, ix[~mask]))
+        stack.append((l, ix[mask]))
 
 
 class ExtraTreesDecider(BaseDecider):
@@ -200,10 +223,8 @@ class ExtraTreesDecider(BaseDecider):
         self.trees: list | None = None
 
     def learn(self, searched, others, feature_cols):
-        x1 = (
-            searched.select(*feature_cols).na.drop().toPandas().to_numpy(dtype=float)
-        )
-        x0 = others.select(*feature_cols).na.drop().toPandas().to_numpy(dtype=float)
+        x1 = collect_features(searched, feature_cols)
+        x0 = collect_features(others, feature_cols)
         x = np.vstack([x1, x0])
         y = np.concatenate([np.ones(len(x1)), np.zeros(len(x0))])
         rng = np.random.default_rng(self.seed)

@@ -55,6 +55,18 @@ def _assemble(df: DataFrame, feature_cols: list[str]) -> DataFrame:
     ).transform(df)
 
 
+def collect_features(df: DataFrame, feature_cols: list[str]) -> np.ndarray:
+    """Driver-side train-sample collect shared by every numpy-fit
+    decider: drop rows with missing features, densify. Raises on an
+    empty sample — silently fitting on nothing yields an all-NaN model
+    that scores every star 0.0 with no indication anything is wrong
+    (superv_base_decider fails loudly there too)."""
+    x = df.select(*feature_cols).na.drop().toPandas().to_numpy(dtype=float)
+    if not len(x):
+        raise ValueError("Decider can't be learned on an empty sample")
+    return x
+
+
 class BaseDecider(abc.ABC):
     """learn / evaluate / threshold — the reference's decider contract."""
 
@@ -104,7 +116,15 @@ class MLlibDecider(BaseDecider):
         return self
 
     def evaluate(self, df, feature_cols, out_col="prob"):
-        assembled = _assemble(df, feature_cols)
+        # rows with a missing feature score 0 like every other decider
+        # (superv_base_decider.py:93-100's NaN→0 rule) — the assembler's
+        # handleInvalid='skip' would silently DROP them from the output
+        valid_pred = F.lit(True)
+        for c in feature_cols:
+            valid_pred = valid_pred & F.col(c).isNotNull() & ~F.isnan(c)
+        valid = df.filter(valid_pred)
+        invalid = df.filter(~F.coalesce(valid_pred, F.lit(False)))
+        assembled = _assemble(valid, feature_cols)
         scored = self.model.transform(assembled)
         if self.hard_predict or "probability" not in scored.columns:
             prob = F.col("prediction")
@@ -115,7 +135,9 @@ class MLlibDecider(BaseDecider):
         # NaN probabilities → 0 (superv_base_decider.py:93-100)
         prob = F.coalesce(F.nanvl(prob, F.lit(0.0)), F.lit(0.0))
         keep = [c for c in df.columns]
-        return scored.select(*keep, prob.alias(out_col))
+        return scored.select(*keep, prob.alias(out_col)).unionByName(
+            invalid.select(*keep, F.lit(0.0).alias(out_col))
+        )
 
 
 class GaussianDecider(BaseDecider):
@@ -135,13 +157,9 @@ class GaussianDecider(BaseDecider):
         self.reg = reg
         self.params: dict | None = None
 
-    def _collect(self, df: DataFrame, feature_cols) -> np.ndarray:
-        pdf = df.select(*feature_cols).na.drop().toPandas()
-        return pdf.to_numpy(dtype=float)
-
     def learn(self, searched, others, feature_cols):
-        x1 = self._collect(searched, feature_cols)
-        x0 = self._collect(others, feature_cols)
+        x1 = collect_features(searched, feature_cols)
+        x0 = collect_features(others, feature_cols)
         n1, n0 = len(x1), len(x0)
         priors = np.array([n0, n1], dtype=float) / (n0 + n1)
         means = [x0.mean(axis=0), x1.mean(axis=0)]
@@ -296,7 +314,7 @@ def make_decider(name: str, **kw) -> BaseDecider:
         # exact published algorithms (ml/svc.py, ml/neural.py):
         "SVCDec": lambda: _svc().SVCDecider(seed=seed, **kw),
         "NeuronDecider": lambda: _neural().NeuronDecider(seed=seed, **kw),
-        "KMeansDecider": lambda: KMeansDecider(**kw),
+        "KMeansDecider": lambda: KMeansDecider(seed=seed, **kw),
         "CustomDecider": lambda: CustomDecider(**kw),
     }
     return registry[name]()

@@ -131,10 +131,10 @@ class NeuronDecider(BaseDecider):
         self.params: dict | None = None
 
     def learn(self, searched, others, feature_cols):
-        x1 = searched.select(*feature_cols).na.drop().toPandas().to_numpy(dtype=float)
-        x0 = others.select(*feature_cols).na.drop().toPandas().to_numpy(dtype=float)
-        if not len(x1) or not len(x0):
-            raise ValueError("Decider can't be learned on an empty sample")
+        from .deciders import collect_features
+
+        x1 = collect_features(searched, feature_cols)
+        x0 = collect_features(others, feature_cols)
         x = np.vstack([x1, x0])
         y = np.concatenate([np.ones(len(x1)), np.zeros(len(x0))])
         self.params = fit_mlp(

@@ -32,6 +32,10 @@ _PASS_METHOD = {"all": "lowest", "mean": "mean", "one": "highest"}
 def combine_probabilities(
     df: DataFrame, prob_cols: list[str], meth: str = "mean", out_col: str = "prob"
 ) -> DataFrame:
+    if meth not in _COMBINE:
+        raise ValueError(
+            f"unknown combine method {meth!r}; expected one of {sorted(_COMBINE)}"
+        )
     cols = [F.col(c) for c in prob_cols]
     if meth == "highest" or meth == "lowest":
         combined = _COMBINE[meth](*cols) if len(cols) > 1 else cols[0]
@@ -107,7 +111,10 @@ class StarsFilter:
             out = combine_probabilities(self.predictions(df), prob_cols, "mean")
             row = out.agg(
                 F.count("*").alias("n"),
-                F.sum((F.col("prob") >= F.lit(thr)).cast("long")).alias("pos"),
+                # coalesce: sum over an empty sample collects as None
+                F.coalesce(
+                    F.sum((F.col("prob") >= F.lit(thr)).cast("long")), F.lit(0)
+                ).alias("pos"),
             ).collect()[0]
             return row["n"], row["pos"]
 
@@ -115,18 +122,28 @@ class StarsFilter:
         wrong_num, false_pos = _counts(others)
         true_neg = wrong_num - false_pos
         false_neg = right_num - true_pos
-        precision = (
-            round(true_pos / (true_pos + false_pos), 3) if true_pos + false_pos else 0
-        )
+
+        def _rate(num, den):
+            # degenerate (empty) sample → undefined rate, reported as
+            # None (stats_artifacts.roc_points already handles None)
+            return round(num / den, 3) if den else None
+
+        f1_den = 2 * true_pos + false_pos + false_neg
         return OrderedDict(
             [
-                ("precision", precision),
-                ("accuracy", (true_pos + true_neg) / (right_num + wrong_num)),
-                ("f1_score", 2 * true_pos / (2 * true_pos + false_pos + false_neg)),
-                ("true_positive_rate", round(true_pos / right_num, 3)),
-                ("true_negative_rate", round(true_neg / wrong_num, 3)),
-                ("false_positive_rate", round(1 - true_neg / wrong_num, 3)),
-                ("false_negative_rate", round(1 - true_pos / right_num, 3)),
+                ("precision", _rate(true_pos, true_pos + false_pos) or 0),
+                ("accuracy", _rate(true_pos + true_neg, right_num + wrong_num)),
+                ("f1_score", 2 * true_pos / f1_den if f1_den else 0),
+                ("true_positive_rate", _rate(true_pos, right_num)),
+                ("true_negative_rate", _rate(true_neg, wrong_num)),
+                (
+                    "false_positive_rate",
+                    None if not wrong_num else round(1 - true_neg / wrong_num, 3),
+                ),
+                (
+                    "false_negative_rate",
+                    None if not right_num else round(1 - true_pos / right_num, 3),
+                ),
             ]
         )
 
@@ -144,7 +161,10 @@ class StarsFilter:
         def _pos_counts(df):
             out = combine_probabilities(self.predictions(df), prob_cols, "mean")
             aggs = [F.count("*").alias("n")] + [
-                F.sum((F.col("prob") >= F.lit(float(t))).cast("long")).alias(f"t{i}")
+                F.coalesce(
+                    F.sum((F.col("prob") >= F.lit(float(t))).cast("long")),
+                    F.lit(0),
+                ).alias(f"t{i}")
                 for i, t in enumerate(thresholds)
             ]
             row = out.agg(*aggs).collect()[0]
@@ -152,8 +172,14 @@ class StarsFilter:
 
         n_s, tp = _pos_counts(searched)
         n_c, fp = _pos_counts(others)
+        # empty sample → undefined rates (None), matching statistics()
         return [
-            (float(t), fp[i] / n_c, tp[i] / n_s) for i, t in enumerate(thresholds)
+            (
+                float(t),
+                fp[i] / n_c if n_c else None,
+                tp[i] / n_s if n_s else None,
+            )
+            for i, t in enumerate(thresholds)
         ]
 
 

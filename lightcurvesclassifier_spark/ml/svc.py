@@ -98,14 +98,20 @@ def smo_fit(
                 b2 = b - ej - y[i] * (ai - ai_old) * k[i, j] - y[j] * (
                     aj - aj_old
                 ) * k[j, j]
+                b_old = b
                 if 0 < ai < c:
                     b = b1
                 elif 0 < aj < c:
                     b = b2
                 else:
                     b = (b1 + b2) / 2.0
-                # incremental decision update for the error terms
-                f = (alpha * y) @ k + b
+                # rank-2 incremental decision update — a full
+                # (alpha*y)@k recompute here made each sweep O(n³)
+                f += (
+                    y[i] * (ai - ai_old) * k[i]
+                    + y[j] * (aj - aj_old) * k[j]
+                    + (b - b_old)
+                )
                 changed += 1
         passes = passes + 1 if changed == 0 else 0
     return alpha, b
@@ -184,10 +190,10 @@ class SVCDecider(BaseDecider):
         self.params: dict | None = None
 
     def learn(self, searched, others, feature_cols):
-        x1 = searched.select(*feature_cols).na.drop().toPandas().to_numpy(dtype=float)
-        x0 = others.select(*feature_cols).na.drop().toPandas().to_numpy(dtype=float)
-        if not len(x1) or not len(x0):
-            raise ValueError("Decider can't be learned on an empty sample")
+        from .deciders import collect_features
+
+        x1 = collect_features(searched, feature_cols)
+        x0 = collect_features(others, feature_cols)
         x = np.vstack([x1, x0])
         y = np.concatenate([np.ones(len(x1)), -np.ones(len(x0))])
         gamma = 1.0 / x.shape[1] if self.gamma is None else float(self.gamma)

@@ -278,3 +278,44 @@ def test_neural_svc_persistence_round_trip(spark, populations, tmp_path):
     b = before[cols].sort_values(cols).reset_index(drop=True)
     a = after[cols].sort_values(cols).reset_index(drop=True)
     assert b.equals(a)
+
+
+def test_mllib_decider_scores_null_feature_rows_zero(spark, populations):
+    """Rows with a missing feature must come back with prob 0.0 (the
+    NaN->0 contract), not silently vanish (VectorAssembler skip)."""
+    searched, others = populations
+    dec = make_decider("RandomForestDec")
+    dec.learn(searched, others, FEATURES)
+    rows = [tuple([None] + [0.5] * (DIM - 1))]
+    with_null = searched.limit(3).unionByName(
+        spark.createDataFrame(rows, searched.schema)
+    )
+    out = dec.evaluate(with_null, FEATURES).toPandas()
+    assert len(out) == 4  # the null row is present...
+    assert (out[out.f0.isna()]["prob"] == 0.0).all()  # ...scored 0
+
+
+def test_deciders_raise_on_empty_sample(spark, populations):
+    """Every numpy-fit decider fails loudly on an empty train class
+    (silently fitting produced an all-NaN model scoring everything 0)."""
+    searched, others = populations
+    empty = searched.filter("f0 > 1e9")
+    for name in ("LDADec", "GaussianNBDec", "AdaBoostDec", "ExtraTreesDec",
+                 "SVCDec", "NeuronDecider"):
+        with pytest.raises(ValueError, match="empty sample"):
+            make_decider(name).learn(searched, empty, FEATURES)
+
+
+def test_statistics_degenerate_sample_none_rates(spark, populations):
+    """statistics()/roc() on an empty side report None rates instead of
+    crashing (TypeError on None sums / ZeroDivisionError)."""
+    searched, others = populations
+    filt = StarsFilter([make_decider("GaussianNBDec")], FEATURES)
+    filt.learn(searched, others)
+    empty = others.filter("f0 > 1e9")
+    stats = filt.statistics(searched, empty)
+    assert stats["true_negative_rate"] is None
+    assert stats["false_positive_rate"] is None
+    assert stats["true_positive_rate"] is not None
+    roc = filt.roc(searched, empty, n_thresholds=3)
+    assert all(fpr is None and tpr is not None for _, fpr, tpr in roc)
