@@ -119,8 +119,11 @@ def parse_dat_lc(text: str) -> list[list[float]]:
     (ogleII.py:300-316)."""
     out = []
     for line in text.splitlines():
-        parts = line.strip().split(" ")
-        if len(parts) < 3 or not parts[0]:
+        # split on any whitespace run — photdb dat files are often
+        # column-aligned with multiple spaces (split(" ") left empty
+        # tokens that crashed float(""))
+        parts = line.split()
+        if len(parts) < 3:
             continue
         out.append(
             [
@@ -225,7 +228,13 @@ def ogle2_form_params(query: Mapping[str, Any]) -> dict:
         "sorting": "ASC",
         "pagelen": int(1e10),
     }
-    return {k: v for k, v in params.items() if v and v != "off"}
+    # drop unset flags (None/False/''/'off') but KEEP numeric zeros —
+    # a legitimate bound of 0/0.0 must stay in the payload (plain
+    # truthiness silently unbounded the filter)
+    return {
+        k: v for k, v in params.items()
+        if v is not None and v is not False and v != "" and v != "off"
+    }
 
 
 def _header_col_map(header: Sequence[str], col_map: Mapping[str, str]) -> dict:
@@ -343,6 +352,10 @@ def ogle3_normalize_queries(
             else:
                 raise ValueError("Unresolved target")
         if "types" in q:
+            if isinstance(q["types"], str):
+                # the form-params branch accepts a bare string; treat it
+                # as a single type, not an iterable of characters
+                q["types"] = [q["types"]]
             bad = [t for t in q["types"] if t not in OGLE3_TYPES]
             if bad:
                 raise ValueError(
@@ -414,7 +427,13 @@ def ogle3_form_params(query: Mapping[str, Any]) -> dict:
         params["use_type"] = "on"
         for t in types:
             params[f"val_type{t}"] = "on"
-    return {k: v for k, v in params.items() if v and v != "off"}
+    # drop unset flags (None/False/''/'off') but KEEP numeric zeros —
+    # a legitimate bound of 0/0.0 must stay in the payload (plain
+    # truthiness silently unbounded the filter)
+    return {
+        k: v for k, v in params.items()
+        if v is not None and v is not False and v != "" and v != "off"
+    }
 
 
 def _ogle3_db_ident(db: str, name: str) -> dict | None:
@@ -626,7 +645,9 @@ def catalina_parse_star(raw_html: str) -> list[dict]:
         return []
     blob = m.group("json_data")
     for key in _CATALINA_QUOTE:
-        blob = blob.replace(f"{key}", f'"{key}"')
+        # quote only the KEY position (identifier followed by ':') — a
+        # blind replace corrupted values containing the keyword
+        blob = re.sub(rf"\b{key}\b(?=\s*:)", f'"{key}"', blob)
     data = ast.literal_eval("{%s}" % blob)
     sid = _STARID_RE.search(raw_html)
     star_id = sid.group("name") if sid else None

@@ -136,9 +136,24 @@ def save_query_file(queries: DataFrame, path: str) -> None:
     """Inverse of :func:`load_query_file` (status_resolver.py:139-167).
     Query plans are small driver-side artifacts (they parameterize
     searches); written directly, not through a distributed sink."""
+    import pandas as pd
+
     pdf = queries.toPandas()
     cols = list(pdf.columns)
+
+    def _cell(v) -> str:
+        # pd.isna covers both None and the NaN that toPandas turns
+        # nulls into (a bare `is None` check wrote the literal 'nan')
+        if v is None or (not isinstance(v, (list, dict)) and pd.isna(v)):
+            return ""
+        out = str(v)
+        if ";" in out:
+            raise ValueError(
+                f"query value {out!r} contains the ';' delimiter"
+            )
+        return out
+
     with open(path, "w") as f:
         f.write("#" + ";".join(cols) + "\n")
         for _, row in pdf.iterrows():
-            f.write(";".join("" if v is None else str(v) for v in row) + "\n")
+            f.write(";".join(_cell(v) for v in row) + "\n")

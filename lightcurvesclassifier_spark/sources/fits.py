@@ -54,7 +54,41 @@ def _card(key: str, value, comment: str = "") -> bytes:
     body = head + _fmt_value(value)
     if comment:
         body += f" / {comment}"
-    return body[:CARD].ljust(CARD).encode("ascii")
+    if len(body) > CARD:
+        # refuse rather than silently truncate — a cut value can drop
+        # its closing quote and corrupt the whole header on read-back
+        raise ValueError(
+            f"FITS card overflows 80 bytes: {key}={value!r} "
+            "(CONTINUE cards are not implemented)"
+        )
+    try:
+        return body.ljust(CARD).encode("ascii")
+    except UnicodeEncodeError as e:
+        raise ValueError(
+            f"FITS headers are ASCII-only; {key}={value!r}"
+        ) from e
+
+
+def _tform_field(name: str, form: str):
+    """(name, dtype[, shape]) for one TFORM: optional repeat count +
+    type letter (e.g. '11J', '20A', 'E'). 'A' repeats are a byte string
+    of that length; numeric repeats become subarray fields — both size
+    correctly against NAXIS1 (ignoring the repeat misaligned the whole
+    stream)."""
+    form = form.strip()
+    i = 0
+    while i < len(form) and form[i].isdigit():
+        i += 1
+    repeat = int(form[:i]) if i else 1
+    letter = form[i : i + 1] or "E"
+    if letter == "A":
+        return (name, f"S{repeat}")
+    base = _TFORM_DTYPE.get(letter)
+    if base is None:
+        raise ValueError(f"unsupported TFORM {form!r} for column {name}")
+    if repeat == 1:
+        return (name, base)
+    return (name, base, (repeat,))
 
 
 def _parse_value(raw: str):
@@ -194,16 +228,25 @@ def read_star_fits(payload: bytes) -> tuple[dict, list[dict]]:
         names = [str(ext.get(f"TTYPE{i}", f"col{i}")) for i in range(1, tfields + 1)]
         forms = [str(ext.get(f"TFORM{i}", "E")).strip() for i in range(1, tfields + 1)]
         dtype = np.dtype(
-            [
-                (names[i], _TFORM_DTYPE.get(forms[i][-1], ">f4"))
-                for i in range(tfields)
-            ]
+            [_tform_field(names[i], forms[i]) for i in range(tfields)]
         )
+        naxis1 = int(ext.get("NAXIS1", dtype.itemsize))
+        if dtype.itemsize != naxis1:
+            # a TFORM we mis-sized would misalign the whole stream and
+            # parse data bytes as the next header — refuse loudly
+            raise ValueError(
+                f"BINTABLE row size mismatch: TFORMs {forms} -> "
+                f"{dtype.itemsize} bytes but NAXIS1={naxis1}"
+            )
         nbytes = dtype.itemsize * n
         raw = buf.read(nbytes)
         buf.read((-nbytes) % BLOCK)  # skip padding
         rec = np.frombuffer(raw, dtype=dtype)
-        by_name = {nm.lower(): rec[nm].astype(float) for nm in names}
+        by_name = {
+            nm.lower(): rec[nm].astype(float)
+            for nm in names
+            if rec[nm].dtype.kind in "fiu" and rec[nm].ndim == 1
+        }
         curves.append(
             {
                 "band": str(ext.get("EXTNAME", "lc")),
@@ -296,12 +339,27 @@ def read_table_fits(payload: bytes) -> tuple[dict, list[tuple[dict, dict]]]:
         names = [str(ext.get(f"TTYPE{i}", f"col{i}")) for i in range(1, tfields + 1)]
         forms = [str(ext.get(f"TFORM{i}", "E")).strip() for i in range(1, tfields + 1)]
         dtype = np.dtype(
-            [(names[i], _TFORM_DTYPE.get(forms[i][-1], ">f4")) for i in range(tfields)]
+            [_tform_field(names[i], forms[i]) for i in range(tfields)]
         )
+        naxis1 = int(ext.get("NAXIS1", dtype.itemsize))
+        if dtype.itemsize != naxis1:
+            raise ValueError(
+                f"BINTABLE row size mismatch: TFORMs {forms} -> "
+                f"{dtype.itemsize} bytes but NAXIS1={naxis1}"
+            )
         raw = buf.read(dtype.itemsize * n)
         buf.read((-dtype.itemsize * n) % BLOCK)
         rec = np.frombuffer(raw, dtype=dtype)
-        tables.append((ext, {nm: rec[nm].astype(float) for nm in names}))
+        tables.append(
+            (
+                ext,
+                {
+                    nm: rec[nm].astype(float)
+                    for nm in names
+                    if rec[nm].dtype.kind in "fiu" and rec[nm].ndim == 1
+                },
+            )
+        )
     return primary, tables
 
 
@@ -375,7 +433,15 @@ def save_fits_curves(curves_df, path: str) -> None:
                     }
                 ],
             )
-            with open(os.path.join(path, f"{d['star_id']}.fits"), "wb") as f:
+            # include the band in the name when present — a per-band
+            # curves view has several rows per star, and keying on
+            # star_id alone made the last writer win (and risked two
+            # tasks writing the same path concurrently)
+            band = d.get("band")
+            fname = (
+                f"{d['star_id']}_{band}.fits" if band else f"{d['star_id']}.fits"
+            )
+            with open(os.path.join(path, fname), "wb") as f:
                 f.write(payload)
 
     curves_df.foreachPartition(write_partition)

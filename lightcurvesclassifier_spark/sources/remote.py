@@ -187,7 +187,13 @@ def star_queries_adql(
     out = []
     for q in queries:
         conds: dict[str, Any] = {}
-        if "ra" in q and "dec" in q and "delta" in q:
+        if "ra" in q and "dec" in q:
+            if "delta" not in q:
+                # silently dropping the cone would emit an UNBOUNDED
+                # full-catalog query
+                raise ValueError(
+                    "cone query needs 'delta' alongside 'ra'/'dec'"
+                )
             conds.update(
                 cone_box_conditions(
                     q["ra"], q["dec"], q["delta"], config.ra_col, config.dec_col
@@ -225,8 +231,12 @@ def fetch_stars(
     rows = []
     for qid, adql in enumerate(star_queries_adql(config, queries)):
         for r in transport(config.url, adql):
+            # null/missing ident columns are SKIPPED — str(None) gave
+            # every such star the name 'None' and a bogus LC URL
             ident = {
-                db: str(r.get(col)) for db, col in config.ident_map.items()
+                db: str(r[col])
+                for db, col in config.ident_map.items()
+                if r.get(col) is not None
             }
             more = {}
             for col, key in config.more_map.items():
