@@ -1010,11 +1010,23 @@ WHERE l_quantity > 10.0 AND l_quantity < 40.0
 """,
         "systematic_search": f"""
 WITH feats AS ({_CURVE_FEATURES_SQL}),
-q(query_id, lo, hi) AS (VALUES {", ".join(f"({i}, {lo}, {hi})" for i, (lo, hi) in enumerate(_SEARCH_PLAN))})
-SELECT CAST(q.query_id AS BIGINT) AS query_id, f.star_id, f.n_obs, f.mean_mag, f.std_mag, f.timespan,
-       f.curve_density, f.abbe, TRUE AS found,
-       (f.abbe < 0.95 AND f.std_mag > 35.0) AS passed
-FROM feats f JOIN q ON f.star_id >= q.lo AND f.star_id <= q.hi
+q(query_id, lo, hi) AS (VALUES {", ".join(f"({i}, {lo}, {hi})" for i, (lo, hi) in enumerate(_SEARCH_PLAN))}),
+matched AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, f.star_id, f.n_obs,
+         f.mean_mag, f.std_mag, f.timespan, f.curve_density, f.abbe,
+         TRUE AS found,
+         (f.abbe < 0.95 AND f.std_mag > 35.0) AS passed
+  FROM feats f JOIN q ON f.star_id >= q.lo AND f.star_id <= q.hi
+)
+SELECT * FROM matched
+UNION ALL
+-- zero-match queries still get one found=false ledger row (resume
+-- would otherwise re-execute them forever) — mirror of run_search
+SELECT CAST(q.query_id AS BIGINT) AS query_id,
+       NULL AS star_id, NULL AS n_obs, NULL AS mean_mag, NULL AS std_mag,
+       NULL AS timespan, NULL AS curve_density, NULL AS abbe,
+       FALSE AS found, FALSE AS passed
+FROM q WHERE q.query_id NOT IN (SELECT DISTINCT query_id FROM matched)
 """,
         "query_dsl": """
 SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice

@@ -26,6 +26,10 @@ def stratified_sample(
     by the engine-portable md5 permutation of the key (the same seeded
     shuffle trick as ``sample_head``) and keep the first ``n``.
 
+    PRECONDITION: ``key`` must be unique within each stratum — it is the
+    total order. Duplicate keys tie in (md5(key), key) and the
+    row_number tie-break is then arbitrary per run and engine.
+
     One shuffle on the stratum column; within each stratum the window is
     a streaming rank, so memory is O(1) per partition. Strata smaller
     than ``n`` are returned whole (the usual semantics for balanced

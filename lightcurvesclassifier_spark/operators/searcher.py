@@ -32,7 +32,13 @@ def queries_df(
     spark: SparkSession, ranges: Sequence[tuple[int, int]]
 ) -> DataFrame:
     """Materialize [(lo, hi), …] id-range queries as a small dimension —
-    the `list[dict]` query plan of the reference, tabular."""
+    the `list[dict]` query plan of the reference, tabular.
+
+    CONTRACT: query_id is the list position, so a resumable plan must be
+    APPEND-ONLY — inserting/reordering ranges renumbers them and the
+    ledger's done-set silently mismatches (skipping new queries and
+    re-running renumbered ones). Extend the list at the end, or supply
+    your own stable query_id column instead of this helper."""
     return spark.createDataFrame(
         [(i, lo, hi) for i, (lo, hi) in enumerate(ranges)], QUERY_SCHEMA
     )
@@ -58,13 +64,29 @@ def run_search(
     cond = (F.col(key) >= F.col("lo")) & (F.col(key) <= F.col("hi"))
     joined = features.join(q, cond, "inner")
     passed: Column = range_predicate(passed_ranges)
-    return joined.select(
+    matched = joined.select(
         "query_id",
         key,
         *[c for c in features.columns if c != key],
         F.lit(True).alias("found"),
         passed.alias("passed"),
     )
+    # queries that matched NO star still get one found=false ledger row
+    # (uploadStatus logs every query) — without it the resume anti-join
+    # re-executes empty-result queries forever
+    unmatched = (
+        queries.join(matched.select("query_id").distinct(), "query_id", "left_anti")
+        .select(
+            "query_id",
+            *[
+                F.lit(None).cast(features.schema[c].dataType).alias(c)
+                for c in ([key] + [c for c in features.columns if c != key])
+            ],
+            F.lit(False).alias("found"),
+            F.lit(False).alias("passed"),
+        )
+    )
+    return matched.unionByName(unmatched)
 
 
 def write_results(
@@ -75,9 +97,18 @@ def write_results(
     """Append-mode sinks: the status ledger (uploadStatus,
     stars_searcher.py:188-215) and the passed-star store (matchOccured,
     :46-61 — parquet instead of per-star FITS)."""
-    ledger.write.mode("append").parquet(ledger_path)
-    if passed_path is not None:
+    if passed_path is None:
+        ledger.write.mode("append").parquet(ledger_path)
+        return
+    # persist across the two actions: an unmaterialized plan would
+    # recompute the whole search per sink (and could diverge between
+    # them if the feature source moved)
+    ledger.persist()
+    try:
+        ledger.write.mode("append").parquet(ledger_path)
         ledger.filter(F.col("passed")).write.mode("append").parquet(passed_path)
+    finally:
+        ledger.unpersist()
 
 
 def unsearched_queries(plan: DataFrame, ledger: DataFrame) -> DataFrame:
@@ -98,10 +129,17 @@ def search_and_resume(
 ) -> int:
     """End-to-end driver: resume-filter the plan, run, append. Returns the
     number of queries actually executed this run."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     try:
         existing = spark.read.parquet(ledger_path)
         todo = unsearched_queries(plan, existing)
-    except Exception:  # first run: no ledger yet
+    except AnalysisException as e:
+        # ONLY the missing-path case means "first run"; any other read
+        # failure (corrupt footer, permissions) must propagate — treating
+        # it as first-run would re-run and double-append every query
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
         todo = plan
     n = todo.count()
     if n == 0:

@@ -47,13 +47,17 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(t)
     stop_hits = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
     punct = n_chars - F.length(F.regexp_replace(t, "[.,!?;:]", ""))
+    # guards: an empty text has n_chars=0, and under Spark 4's default
+    # ANSI mode a bare x/0 throws DIVIDE_BY_ZERO and kills the job; the
+    # DuckDB oracle returns NULL for the same row — emit NULL explicitly
+    # on both engines. (n_tokens is never 0: split('') yields [''].)
     return df.select(
         "doc_id",
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
         F.round(n_chars / n_tokens, 6).alias("avg_token_len"),
         F.round(stop_hits / n_tokens, 6).alias("stopword_ratio"),
-        F.round(punct / n_chars, 6).alias("punct_ratio"),
+        F.when(n_chars > 0, F.round(punct / n_chars, 6)).alias("punct_ratio"),
     )
 
 
@@ -66,8 +70,9 @@ SELECT doc_id,
        round(length(text) / len(string_split(text, ' ')), 6) AS avg_token_len,
        round(len(list_filter(string_split(text, ' '), x -> x IN ({sw})))
              / len(string_split(text, ' ')), 6) AS stopword_ratio,
-       round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-             / length(text), 6) AS punct_ratio
+       CASE WHEN length(text) > 0 THEN
+         round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+               / length(text), 6) END AS punct_ratio
 FROM documents
 """
 
@@ -81,7 +86,11 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang: F.size(F.filter(toks, lambda x: x.isin(markers))).alias(f"c_{lang}")
         for lang, markers in sorted(LANG_MARKERS.items())
     }
-    out = df.select("doc_id", F.col("lang").alias("lang_actual"), *counts.values())
+    # the ground-truth label is optional — prediction must work on an
+    # unlabeled corpus; lang_actual is only emitted when present
+    has_label = "lang" in df.columns
+    label = [F.col("lang").alias("lang_actual")] if has_label else []
+    out = df.select("doc_id", *label, *counts.values())
     # argmax with alphabetical tie-break: fold over langs in sorted order,
     # strictly-greater replaces — earlier (alphabetically smaller) wins ties.
     langs = sorted(LANG_MARKERS)
@@ -92,7 +101,10 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         best_lang = F.when(c > best_cnt, F.lit(lang)).otherwise(best_lang)
         best_cnt = F.when(c > best_cnt, c).otherwise(best_cnt)
     return out.select(
-        "doc_id", "lang_actual", best_lang.alias("lang_pred"), best_cnt.cast("long").alias("marker_hits")
+        "doc_id",
+        *(["lang_actual"] if has_label else []),
+        best_lang.alias("lang_pred"),
+        best_cnt.cast("long").alias("marker_hits"),
     )
 
 
@@ -182,7 +194,9 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the case-folded, whitespace-collapsed
     text (content-defined identity for exact dedup; both engines share
     md5)."""
-    norm = F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
+    # explicit class, not \\s: Java regex counts U+000B as whitespace,
+    # DuckDB's RE2 does not — the oracles must agree byte-for-byte
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[ \\t\\n\\r\\f]+", " ")
     return df.select(
         "doc_id",
         F.md5(norm).alias("fingerprint"),
@@ -192,8 +206,8 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 FINGERPRINT_SQL = """
 SELECT doc_id,
-       md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
-       substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16) AS fingerprint16
+       md5(regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g')) AS fingerprint,
+       substr(md5(regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g')), 1, 16) AS fingerprint16
 FROM documents
 """
 

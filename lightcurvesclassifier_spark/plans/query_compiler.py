@@ -37,8 +37,15 @@ def compile_condition(col: str, value: Any) -> Column:
             return c.between(F.lit(float(lo)), F.lit(float(hi)))
         except ValueError:
             pass  # not numeric — fall through to the comparison forms
-    if isinstance(value, str) and value[:1] in ("<", ">", "="):
-        op, raw = value[0], value[1:].strip()
+    if isinstance(value, str) and value[:1] in ("<", ">", "=", "!"):
+        # two-char operators first: '>=5' must not parse as '>' '=5'
+        # (a string literal that ANSI mode fails to cast at runtime)
+        if value[:2] in (">=", "<=", "!="):
+            op, raw = value[:2], value[2:].strip()
+        elif value[:1] == "!":
+            return c == F.lit(value)  # bare '!' is not an operator
+        else:
+            op, raw = value[0], value[1:].strip()
         try:
             lit: Any = float(raw) if "." in raw or "e" in raw.lower() else int(raw)
         except ValueError:
@@ -47,6 +54,12 @@ def compile_condition(col: str, value: Any) -> Column:
             return c < F.lit(lit)
         if op == ">":
             return c > F.lit(lit)
+        if op == "<=":
+            return c <= F.lit(lit)
+        if op == ">=":
+            return c >= F.lit(lit)
+        if op == "!=":
+            return c != F.lit(lit)
         return c == F.lit(lit)
     return c == F.lit(value)
 
@@ -66,6 +79,11 @@ def apply_queries(df: DataFrame, queries: Sequence[Mapping[str, Any]]) -> DataFr
     """Disjunction across query dicts — the reference's per-query loop
     (lcc/db_tier/base_query.py:33-36) collapsed into a single scan with an
     OR-of-ANDs predicate Catalyst can push down."""
+    if not queries:
+        # an empty DISJUNCTION matches nothing (the reference's loop
+        # over zero queries yields zero results) — returning the full
+        # table here silently processed the entire corpus
+        return df.filter(F.lit(False))
     disj: Column | None = None
     for q in queries:
         c = compile_query(q)

@@ -106,3 +106,42 @@ def test_unsearched_queries_anti_join(spark):
     done = plan.filter(F.col("query_id") < 2).select("query_id", "lo", "hi")
     todo = searcher.unsearched_queries(plan, done)
     assert [r["query_id"] for r in todo.collect()] == [2]
+
+
+def test_zero_match_query_gets_ledger_row_and_resume_stops(spark, tmp_path):
+    """A query matching no star must still log one found=false row so
+    resume marks it done (it previously re-executed forever)."""
+    from lightcurvesclassifier_spark.operators import searcher as s
+
+    feats = spark.createDataFrame(
+        [(1, 0.5), (2, 0.8)], "star_id long, abbe double"
+    )
+    plan = s.queries_df(spark, [(1, 2), (1000, 2000)])
+    ledger_path = str(tmp_path / "ledger")
+    n1 = s.search_and_resume(
+        spark, lambda: feats, plan, {"abbe": (None, 0.9)}, ledger_path
+    )
+    assert n1 == 2
+    got = spark.read.parquet(ledger_path).toPandas()
+    empty_q = got[got.query_id == 1]
+    assert len(empty_q) == 1
+    assert not empty_q.found.iloc[0] and not empty_q.passed.iloc[0]
+    assert empty_q.star_id.isna().all()
+    # second run: nothing to do — including the zero-match query
+    n2 = s.search_and_resume(
+        spark, lambda: feats, plan, {"abbe": (None, 0.9)}, ledger_path
+    )
+    assert n2 == 0
+
+
+def test_query_dsl_two_char_operators(spark):
+    """'>=' / '<=' / '!=' parse as operators, not '>' with a string
+    literal (which ANSI mode failed to cast at runtime)."""
+    from lightcurvesclassifier_spark.plans.query_compiler import apply_queries
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "v long")
+    assert apply_queries(df, [{"v": ">=7"}]).count() == 3
+    assert apply_queries(df, [{"v": "<=2"}]).count() == 3
+    assert apply_queries(df, [{"v": "!=5"}]).count() == 9
+    # empty disjunction matches nothing (was: full table)
+    assert apply_queries(df, []).count() == 0
