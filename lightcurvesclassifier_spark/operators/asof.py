@@ -33,19 +33,35 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join: every ``left`` row, plus ``value_cols`` from the
     latest ``right`` row with ``right_ts <= left_ts`` on the same key
-    (null when no such row exists)."""
+    (null when no such row exists).
+
+    The carried unit is the whole matched dimension ROW (one struct, one
+    ``last(ignorenulls)``): per-column fills would skip a matched
+    epoch's legitimate NULL and could tear different columns across
+    different epochs — both diverging from ASOF JOIN semantics."""
+    clash = (set(value_cols) | {"_ts", "_side", "_dim"}) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"left side already has columns {sorted(clash)}; rename them "
+            "or pick different value_cols — silently overwriting would "
+            "corrupt the fill"
+        )
     l = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
-    r = (
-        right.select(on, F.col(right_ts).alias("_ts"), *value_cols)
-        .withColumn("_side", F.lit(0))
-    )
+    r = right.select(
+        on,
+        F.col(right_ts).alias("_ts"),
+        F.struct(*value_cols).alias("_dim"),
+    ).withColumn("_side", F.lit(0))
+    # allowMissingColumns: left rows get a typed NULL _dim
     unioned = l.unionByName(r, allowMissingColumns=True)
     w = (
         Window.partitionBy(on)
         .orderBy(F.col("_ts").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned
-    for vc in value_cols:
-        filled = filled.withColumn(vc, F.last(vc, ignorenulls=True).over(w))
-    return filled.filter(F.col("_side") == 1).drop("_ts", "_side")
+    filled = unioned.withColumn("_dim", F.last("_dim", ignorenulls=True).over(w))
+    return (
+        filled.filter(F.col("_side") == 1)
+        .select("*", *[F.col(f"_dim.{vc}").alias(vc) for vc in value_cols])
+        .drop("_ts", "_side", "_dim")
+    )

@@ -131,6 +131,10 @@ def frame_sample_stub(media: DataFrame, n_frames: int = 4) -> DataFrame:
     Frames are emitted as (index, size, md5) so results are engine-
     comparable without shipping payloads to the driver."""
     k = int(n_frames)
+    if k < 1:
+        # fail at call time, not as an opaque per-row ZeroDivisionError
+        # inside the executor's Python worker
+        raise ValueError(f"n_frames must be >= 1, got {n_frames}")
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib

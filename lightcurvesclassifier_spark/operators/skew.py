@@ -1,18 +1,25 @@
-"""Skew-resistant aggregation — salting for hot keys.
+"""Skew-resistant aggregation — explicit two-stage salting for hot keys.
 
-AQE's skew-join splitter handles skewed *joins*, but a skewed
-``groupBy`` still funnels every row of a hot key through one reducer.
-The classic fix is salting: spread each key over ``n_salt`` sub-keys,
-partially aggregate, then merge the partials — two small shuffles
-instead of one pathological one. Only algebraic aggregates (sum, count,
-min, max, and anything derivable from them — mean, variance via power
-sums) can be salted this way; that is exactly the set the engine's
-curve/text aggregations use.
+SCOPE (important): for algebraic aggregates Spark's hash aggregate
+already does map-side partial aggregation, so even a pathologically hot
+key sends at most one partial row per map task to its reducer — the
+direct one-shuffle plan is usually the right one, and this operator's
+second Exchange is pure overhead there. The explicit salted layout
+earns its keep in the cases partial aggregation does NOT cover:
 
-Results are IDENTICAL to the direct aggregation (the tests pin this);
-the only change is the physical shuffle layout, so the operator is a
-drop-in for any hot-keyed rollup (per-shingle counts under stopword
-runs, per-star counts under survey hot spots).
+- partial aggregation skipped or degraded (AQE's
+  ``spark.sql.aggregate.partialAggregationSkipping`` on near-unique
+  first stages; hash-map eviction under memory pressure emitting many
+  partially-combined runs per key);
+- per-key state too wide to carry through a map-side combine (sketches,
+  large buffers) where stage-1 reduction must happen on reducers;
+- as the deterministic two-stage template when the layout itself must
+  be pinned (the regression-tested shape here).
+
+Only algebraic aggregates (sum, count, min, max, and anything derivable
+— mean, variance via power sums) can be salted this way. Results are
+IDENTICAL to the direct aggregation (the tests pin this); only the
+physical shuffle layout changes.
 """
 
 from __future__ import annotations

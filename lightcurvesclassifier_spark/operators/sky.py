@@ -26,7 +26,9 @@ def separation_deg(ra1: Column, dec1: Column, ra2: Column, dec2: Column) -> Colu
         * F.sin(dlon)
         * F.sin(dlon)
     )
-    return F.degrees(2.0 * F.asin(F.sqrt(a)))
+    # clamp: near-antipodal rounding can push a one ulp past 1.0, where
+    # asin(sqrt(a)) goes NaN instead of ~180°
+    return F.degrees(2.0 * F.asin(F.sqrt(F.least(a, F.lit(1.0)))))
 
 
 def separation_sql(ra1: str, dec1: str, ra2: str, dec2: str) -> str:
@@ -38,4 +40,4 @@ def separation_sql(ra1: str, dec1: str, ra2: str, dec2: str) -> str:
         f"sin({dlat}) * sin({dlat}) + cos(radians({dec1})) * "
         f"cos(radians({dec2})) * sin({dlon}) * sin({dlon})"
     )
-    return f"degrees(2.0 * asin(sqrt({a})))"
+    return f"degrees(2.0 * asin(sqrt(least({a}, 1.0))))"

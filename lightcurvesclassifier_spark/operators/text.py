@@ -289,6 +289,30 @@ PII_IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 PII_PHONE_RE = "\\+1 555-[0-9]{4}"
 
 
+def pii_redacted_text(col: Column) -> Column:
+    """The redaction chain (email → IP → phone, order is contract) as a
+    reusable Column — shared by the batch operator and the streaming
+    scrub so the two can never desynchronize."""
+    red = F.regexp_replace(col, PII_EMAIL_RE, "[EMAIL]")
+    red = F.regexp_replace(red, PII_IPV4_RE, "[IP]")
+    return F.regexp_replace(red, PII_PHONE_RE, "[PHONE]")
+
+
+def pii_counts(col: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ips, n_phones) count columns for ``col``."""
+    return (
+        F.regexp_count(col, F.lit(PII_EMAIL_RE)).cast("long"),
+        F.regexp_count(col, F.lit(PII_IPV4_RE)).cast("long"),
+        F.regexp_count(col, F.lit(PII_PHONE_RE)).cast("long"),
+    )
+
+
+def stopword_ratio(col: Column) -> Column:
+    """Stopword fraction of the whitespace tokens of ``col``."""
+    toks = _tokens(col)
+    return F.size(F.filter(toks, lambda x: x.isin(STOPWORDS))) / F.size(toks)
+
+
 def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     """PII scrub: count and redact emails / IPv4s / phone patterns.
 
@@ -297,15 +321,13 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     map-only stage fused into the scan. Redaction order (email → ip →
     phone) is part of the contract, mirrored in the oracle."""
     t = F.col(text_col)
-    red = F.regexp_replace(t, PII_EMAIL_RE, "[EMAIL]")
-    red = F.regexp_replace(red, PII_IPV4_RE, "[IP]")
-    red = F.regexp_replace(red, PII_PHONE_RE, "[PHONE]")
+    n_em, n_ip, n_ph = pii_counts(t)
     return df.select(
         "doc_id",
-        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
-        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
-        F.md5(red).alias("redacted_md5"),
+        n_em.alias("n_emails"),
+        n_ip.alias("n_ips"),
+        n_ph.alias("n_phones"),
+        F.md5(pii_redacted_text(t)).alias("redacted_md5"),
     )
 
 

@@ -15,10 +15,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from lightcurvesclassifier_spark.operators.text import (
-    PII_EMAIL_RE,
-    PII_IPV4_RE,
-    PII_PHONE_RE,
-    STOPWORDS,
+    pii_counts,
+    pii_redacted_text,
+    stopword_ratio,
+    token_count,
 )
 
 
@@ -31,24 +31,18 @@ def scrub_docs_stream(
 
     Works identically on a batch DataFrame (the functions are plain
     column expressions); tests pin batch/stream agreement."""
+    # the SAME column builders as the batch operators (text.py) — the
+    # stream scrub can't silently diverge from the oracled batch path
     t = F.col("text")
-    toks = F.split(t, " ")
-    n_tokens = F.size(toks)
-    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS))) / n_tokens
-    red = F.regexp_replace(t, PII_EMAIL_RE, "[EMAIL]")
-    red = F.regexp_replace(red, PII_IPV4_RE, "[IP]")
-    red = F.regexp_replace(red, PII_PHONE_RE, "[PHONE]")
-    n_pii = (
-        F.regexp_count(t, F.lit(PII_EMAIL_RE))
-        + F.regexp_count(t, F.lit(PII_IPV4_RE))
-        + F.regexp_count(t, F.lit(PII_PHONE_RE))
-    )
+    n_tokens = token_count(t)
+    stop_ratio = stopword_ratio(t)
+    n_em, n_ip, n_ph = pii_counts(t)
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
-        n_pii.alias("n_pii"),
-        F.md5(red).alias("redacted_md5"),
+        (n_em + n_ip + n_ph).alias("n_pii"),
+        F.md5(pii_redacted_text(t)).alias("redacted_md5"),
         (
             (n_tokens >= min_tokens) & (stop_ratio <= max_stopword_ratio)
         ).alias("keep"),

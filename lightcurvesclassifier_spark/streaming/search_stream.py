@@ -45,14 +45,25 @@ def start_search_stream(
     ``foreachBatch`` re-uses the exact batch pipeline — one code path for
     both execution modes; the checkpoint makes restarts resume from the
     last committed batch (the reference's redis status ledger role).
+
+    Idempotent retries: each micro-batch OVERWRITES its own
+    ``batch_id=N`` partition directory instead of appending — a batch
+    replayed after a crash-before-checkpoint rewrites identical content
+    rather than double-appending (plain append broke exactly-once).
+    Read the ledger with ``spark.read.parquet(ledger_path)`` as before;
+    batch_id surfaces as a partition column.
     """
+    import os
+
     stream = query_stream(spark, queries_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         ledger = run_search(features_fn(), batch_df, passed_ranges)
-        write_results(ledger, ledger_path)
+        ledger.write.mode("overwrite").parquet(
+            os.path.join(ledger_path, f"batch_id={batch_id}")
+        )
 
     return (
         stream.writeStream.foreachBatch(process)

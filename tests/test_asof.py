@@ -40,3 +40,32 @@ def test_asof_single_shuffle_no_python(spark):
     # join, no Python
     assert plan.count("Exchange") == 1, plan
     assert "Python" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_carries_matched_epochs_null(spark):
+    """ASOF semantics: the matched epoch's legitimate NULL value must be
+    returned (per-column last(ignorenulls) skipped it and carried an
+    OLDER epoch forward, and could tear columns across epochs)."""
+    from lightcurvesclassifier_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 5.0)], "k long, t double")
+    right = spark.createDataFrame(
+        [(1, 2.0, 100.0, 1.0), (1, 4.0, None, 2.0)],
+        "k long, ct double, g double, o double",
+    )
+    out = asof_join(left, right, "k", "t", "ct", ["g", "o"]).toPandas()
+    assert len(out) == 1
+    # the ct=4.0 epoch matched: g is ITS null, o is ITS 2.0 — no tearing
+    assert out.g.isna().iloc[0]
+    assert out.o.iloc[0] == 2.0
+
+
+def test_asof_rejects_colliding_columns(spark):
+    from lightcurvesclassifier_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 5.0, 9.0)], "k long, t double, g double")
+    right = spark.createDataFrame([(1, 2.0, 1.0)], "k long, ct double, g double")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already has columns"):
+        asof_join(left, right, "k", "t", "ct", ["g"])

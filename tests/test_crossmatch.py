@@ -82,3 +82,25 @@ def test_ra_band_exact_near_pole(spark):
     pairs = set(map(tuple, got[["l_star_id", "r_star_id"]].to_numpy()))
     assert (1, 2) in pairs  # near-pole pair inside eps survives the band
     assert (3, 4) in pairs  # beyond-pole pair (cos <= 0) not prefiltered
+
+
+def test_cone_prefilter_is_superset(spark):
+    """The RA prefilter box must never drop a star the exact refine
+    keeps: 0/360 seam wrap and high-declination widening (the
+    reference's naive ra±δ box fails both)."""
+    from lightcurvesclassifier_spark.operators.cone_search import cone_search
+
+    stars = spark.createDataFrame(
+        [(1, 359.5, 0.0), (2, 10.0, 85.0)],
+        "star_id long, ra_deg double, dec_deg double",
+    )
+    # seam: center at ra=1, star at 359.5 → true sep 1.5° < 2°
+    got = cone_search(stars, 1.0, 0.0, 2.0).toPandas()
+    assert 1 in set(got.star_id)
+    # high dec: center (6, 85), star (10, 85): dRA=4° but true sep
+    # ≈ 4·cos(85°) ≈ 0.35° < 0.5° — the naive box (ra±0.5) missed it
+    got2 = cone_search(stars, 6.0, 85.0, 0.5).toPandas()
+    assert 2 in set(got2.star_id)
+    # prefilter on/off agree
+    got2b = cone_search(stars, 6.0, 85.0, 0.5, prefilter_box=False).toPandas()
+    assert set(got2.star_id) == set(got2b.star_id)
