@@ -1148,7 +1148,7 @@ FROM agg
 """,
         "color_index": f"""
 SELECT c_custkey AS star_id,
-       round(({testdata.B_MAG_SQL}) - ({testdata.V_MAG_SQL}), 6) AS b_mag_v_mag
+       round(({testdata.V_MAG_SQL}) - ({testdata.B_MAG_SQL}), 6) AS b_mag_v_mag
 FROM customer
 WHERE c_custkey % 11 <> 0
 """,

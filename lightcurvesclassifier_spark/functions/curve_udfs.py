@@ -72,6 +72,14 @@ def grouped_curve_features(obs: DataFrame, bins: int | None = None) -> DataFrame
         "abbe double, variogram_slope double"
     )
 
+    def _safe(fn, *args) -> float:
+        # one degenerate star (single point, constant curve) must yield
+        # NaN for ITS feature, not abort the whole Spark job
+        try:
+            return float(fn(*args))
+        except Exception:
+            return float("nan")
+
     def per_star(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["t", "mag"])
         t = pdf["t"].to_numpy(dtype=float)
@@ -87,8 +95,8 @@ def grouped_curve_features(obs: DataFrame, bins: int | None = None) -> DataFrame
                     "n_obs": len(m),
                     "mean_mag": m.mean(),
                     "std_mag": m.std(),
-                    "abbe": kernels.abbe(m_red, len(m)),
-                    "variogram_slope": kernels.variogram_slope(t, m),
+                    "abbe": _safe(kernels.abbe, m_red, len(m)),
+                    "variogram_slope": _safe(kernels.variogram_slope, t, m),
                 }
             ]
         )

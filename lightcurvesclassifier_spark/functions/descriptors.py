@@ -33,7 +33,10 @@ def color_index(
     colors: list[tuple[str, str]] | None = None,
     more_col: str = "more",
 ) -> DataFrame:
-    """ColorIndexDescr: ``more[m2] - more[m1]`` per color pair.
+    """ColorIndexDescr: ``more[m2] - more[m1]`` per color pair — the
+    reference's sign (color_index_descr.py:91 appends
+    ``float(mag2) - float(mag1)``, i.e. v−b for the ('b_mag','v_mag')
+    pair).
 
     Stars missing either magnitude yield null (the reference's
     ``pass_not_found`` keeps such stars with a None coordinate; a
@@ -44,8 +47,8 @@ def color_index(
     for m1, m2 in colors:
         cols.append(
             F.round(
-                F.element_at(F.col(more_col), m1)
-                - F.element_at(F.col(more_col), m2),
+                F.element_at(F.col(more_col), m2)
+                - F.element_at(F.col(more_col), m1),
                 6,
             ).alias(f"{m1}_{m2}")
         )
@@ -281,8 +284,13 @@ filled AS (
 
 def ekvi_paa_exact_sql(obs_sql: str, bins: int) -> str:
     """DuckDB oracle for the ``ekvi_paa_exact`` contract query: the
-    :func:`ekvi_fill_ctes_sql` chain at a fixed bin count, rounded."""
-    return f"""{ekvi_fill_ctes_sql(obs_sql, str(int(bins)))}
+    :func:`ekvi_fill_ctes_sql` chain, rounded. ``bins`` is capped at
+    the curve length per star — the kernel applies
+    ``if bins > len(x): bins = len(x)``, so a literal bin count would
+    emit phantom rows for curves shorter than ``bins``. (bins must be
+    > 1: the kernel maps bins=1 through the fraction rule to n.)"""
+    assert int(bins) > 1, "bins=1 means 'fraction' to the kernel"
+    return f"""{ekvi_fill_ctes_sql(obs_sql, f"LEAST({int(bins)}, cnt)")}
 SELECT star_id, CAST(bin AS INT) AS bin,
        round(x, 6) AS t_red, round(y, 6) AS mag_red
 FROM filled
@@ -338,15 +346,23 @@ pl_src AS (SELECT star_id, lags AS vals, m FROM sorted),
 pv_src AS (SELECT star_id, vals_s AS vals, m FROM sorted),
 {_paa_list_sql("pv", "pv_src", bins)},
 pts AS (
+  -- guarded log10: DuckDB hard-errors on log10(0) (zero lags happen
+  -- whenever duplicated PAA frames produce equal time means; zero vals
+  -- for constant curves), which would abort the WHOLE oracle query.
+  -- The engine's UDF emits NaN for such a star; the per-star no-null
+  -- gate below mirrors that as NULL.
   SELECT pl.star_id,
-         unnest(list_transform(pl.paa, v -> log10(v))) AS lx,
-         unnest(list_transform(pv.paa, v -> log10(v))) AS ly
+         unnest(list_transform(pl.paa,
+           v -> CASE WHEN v > 0 THEN log10(v) END)) AS lx,
+         unnest(list_transform(pv.paa,
+           v -> CASE WHEN v > 0 THEN log10(v) END)) AS ly
   FROM pl JOIN pv USING (star_id)
 )
 SELECT star_id,
-       round((count(*) * sum(lx * ly) - sum(lx) * sum(ly))
-             / (count(*) * sum(lx * lx) - sum(lx) * sum(lx)), 6)
-       AS variogram_slope
+       CASE WHEN count(*) = count(lx) AND count(*) = count(ly) THEN
+         round((count(*) * sum(lx * ly) - sum(lx) * sum(ly))
+               / (count(*) * sum(lx * lx) - sum(lx) * sum(lx)), 6)
+       END AS variogram_slope
 FROM pts GROUP BY star_id
 """
 
@@ -357,6 +373,14 @@ def curve_descr(
     """CurveDescr: PAA-reduced curve scaled to unit range, mean-centered
     (curve_descr.py:12-121's vector feature, long format: one row per
     (star, bin) so the oracle hash is well-defined).
+
+    DOCUMENTED DIVERGENCE: the reference first resamples through
+    ``to_ekvi_PAA`` onto time-equidistant bins (curve_descr.py:74-76)
+    before the PAA; this operator PAAs the (t-sorted) magnitudes
+    directly — for irregular sampling the features differ. The
+    time-equidistant path is available as ``ekvi_paa_bins`` /
+    ``curve_udfs.ekvi_paa_exact`` and composes in front when
+    reference-identical values are required.
 
     ``height`` is the reference's magnitude-axis quantization
     (curve_descr.py:78-81): ``round(height · paa / (max − min))`` —
@@ -480,6 +504,12 @@ def mag_histogram(obs: DataFrame, bins: int) -> DataFrame:
     dense counts (empty bins = 0), then population-std normalize
     (normalize, data_analysis.py:143-164; zeros when std < 1e-6).
 
+    DOCUMENTED DIVERGENCE from the reference kernel: no to_ekvi_PAA
+    resample in front, and ``bins`` here is the BUCKET count (the
+    reference's ``bins_num`` is the edge count → bins_num−1 buckets).
+    The engine↔oracle contract is exact; reference-identical histograms
+    compose ``ekvi_paa_bins`` first and pass ``bins_num - 1``.
+
     Scale shape: one aggregate for bounds+counts, a broadcast of the
     per-star bounds against a `bins`-row range (rows = stars × bins,
     never obs × bins), one window for the normalize.
@@ -591,6 +621,16 @@ def sample_fraction(df: DataFrame, key: str, fraction: float) -> DataFrame:
     """``folder%frac`` Bernoulli sample, deterministic across engines:
     keep rows whose md5(key) falls below the fraction of the hex space.
     Embarrassingly parallel — no shuffle, no driver involvement."""
-    bound = format(int(fraction * 16**8), "08x")
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction >= 1.0:
+        # int(16**8) formats to NINE hex chars, which the 8-char
+        # lexicographic compare reads as '1…' < almost everything —
+        # a "100% sample" silently kept ~1/16 of the rows. 'g' sorts
+        # after every hex digit, keeping all rows exactly (same rule
+        # as corpus._hex_bound).
+        bound = "g"
+    else:
+        bound = format(int(fraction * 16**8), "08x")
     h = F.substring(F.md5(F.col(key).cast("string").cast("binary")), 1, 8)
     return df.filter(h < F.lit(bound))

@@ -88,6 +88,11 @@ def to_ekvi_paa(
         bins = 1
     if 0 < bins <= 1:
         bins = int(len(x) * bins)
+    if not bins:
+        # a tiny fraction truncated to 0 — the reference resets to n
+        # (data_analysis.py:93-96); without this the half-step divides
+        # by zero and bincount crashes
+        bins = len(x)
     if days_per_bin:
         bins = (x[-1] - x[0]) / days_per_bin
         if bins > len(x):
@@ -101,13 +106,22 @@ def to_ekvi_paa(
     xmin, xmax = x.min(), x.max()
     half_step = (xmax - xmin) / bins / 2.0
     borders = np.linspace(xmin - half_step, xmax + half_step, bins + 1)
-    # vectorized bin assignment with the exact border semantics
-    # (x >= borders[i]) & (x < borders[i+1]): searchsorted on the right edge
-    idx = np.searchsorted(borders, x, side="right") - 1
-    idx = np.clip(idx, 0, bins - 1)  # x == borders[-1] can't occur (half-step pad)
-    counts = np.bincount(idx, minlength=bins).astype(float)
-    sum_x = np.bincount(idx, weights=x, minlength=bins)
-    sum_y = np.bincount(idx, weights=y, minlength=bins)
+    if xmax == xmin:
+        # zero span: every border equals x, so the reference's
+        # (x >= b[i]) & (x < b[i+1]) rule matches NOTHING — all bins
+        # empty (NaN). The clipped searchsorted would wrongly count the
+        # points into the last bin.
+        counts = np.zeros(bins)
+        sum_x = np.zeros(bins)
+        sum_y = np.zeros(bins)
+    else:
+        # vectorized bin assignment with the exact border semantics
+        # (x >= borders[i]) & (x < borders[i+1]): searchsorted right edge
+        idx = np.searchsorted(borders, x, side="right") - 1
+        idx = np.clip(idx, 0, bins - 1)  # x == borders[-1]: half-step pad
+        counts = np.bincount(idx, minlength=bins).astype(float)
+        sum_x = np.bincount(idx, weights=x, minlength=bins)
+        sum_y = np.bincount(idx, weights=y, minlength=bins)
     centers = (borders[:-1] + borders[1:]) / 2
     with np.errstate(invalid="ignore"):
         x_out = np.where(counts > 0, sum_x / counts, centers) if mean_time else centers.copy()

@@ -133,3 +133,46 @@ def test_sort_pairs():
     assert (xx == [1, 2, 3]).all() and (yy == [10, 20, 30]).all()
     xx, yy = K.sort_pairs(x, y, rev=True)
     assert (xx == [3, 2, 1]).all()
+
+
+def test_ekvi_paa_tiny_fraction_and_zero_span():
+    """Reference edge cases: a fraction truncating to 0 bins resets to
+    n (data_analysis.py:93-96; previously a bincount crash), and a
+    zero-span curve yields all-empty bins (NaN) — the border rule
+    (x >= b[i]) & (x < b[i+1]) matches nothing when every border
+    equals x."""
+    rng = np.random.default_rng(1)
+    x, y = np.arange(100.0), rng.normal(size=100)
+    xo, yo = K.to_ekvi_paa(x, y, bins=0.005)
+    assert len(xo) == 100  # reset to n, not a crash
+    xz, yz = K.to_ekvi_paa(
+        np.array([5.0, 5.0]), np.array([7.0, 9.0]), bins=2, fix_nans=False
+    )
+    assert np.isnan(yz).all()
+
+
+def test_sample_fraction_full_keeps_everything(spark):
+    """fraction=1.0 must keep ALL rows (the 9-hex-char bound silently
+    kept ~1/16)."""
+    from lightcurvesclassifier_spark.functions.descriptors import sample_fraction
+
+    df = spark.createDataFrame([(i,) for i in range(256)], "k long")
+    assert sample_fraction(df, "k", 1.0).count() == 256
+    n_half = sample_fraction(df, "k", 0.5).count()
+    assert 90 < n_half < 166  # Bernoulli ~0.5
+
+
+def test_grouped_curve_features_degenerate_star(spark):
+    """One single-observation star must yield NaN features, not abort
+    the whole job (ZeroDivision in abbe / SVD failure in polyfit)."""
+    from lightcurvesclassifier_spark.functions.curve_udfs import (
+        grouped_curve_features,
+    )
+
+    obs = spark.createDataFrame(
+        [(1, float(t), float(t % 7)) for t in range(30)] + [(2, 1.0, 5.0)],
+        "star_id long, t double, mag double",
+    )
+    out = grouped_curve_features(obs).toPandas().set_index("star_id")
+    assert np.isnan(out.loc[2, "abbe"])
+    assert np.isfinite(out.loc[1, "abbe"])
