@@ -715,6 +715,15 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.ngram_jaccard_pairs(corpus, threshold=0.6)
 
 
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring stats (Lee et al. 2021 ExactSubstr pass):
+    per-doc duplicated k-token-span fraction over the planted-duplicate
+    corpus. Explode → span-hash count → join-back → per-doc aggregate;
+    O(total tokens), no pairwise document work."""
+    corpus = testdata.dedup_corpus(spark, sf_dir)
+    return dedup_ops.repeated_spans(corpus, k=12)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clustering: ngram-Jaccard pairs -> connected
     components (iterative min-label propagation; one shuffle join per
@@ -843,10 +852,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comp_hist_shape": q_comp_hist_shape,
         "comp_variogram_shape": q_comp_variogram_shape,
         "stars_filter_pipeline": q_stars_filter_pipeline,
-        "ensemble_combine": q_ensemble_combine,
-        "best_coords": q_best_coords,
-        "confusion_stats": q_confusion_stats,
         "roc_sweep": q_roc_sweep,
+        # first driver rows for the r4 additions; ensemble_combine /
+        # best_coords / confusion_stats (driver-green r02+r03, pinned by
+        # test_oracle_parity) rotated to the 51+ section to make room
+        "doc_chunks": q_doc_chunks,
+        "unigram_logprob": q_unigram_logprob,
+        "repeated_spans": q_repeated_spans,
         "curve_descr": q_curve_descr,
         "curve_descr_height": q_curve_descr_height,
         "table_profile": q_table_profile,
@@ -882,6 +894,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (driver-green r02+r03, pinned locally) rotated out to make room
         "curve_descr_pca": q_curve_descr_pca,
         # --- 51+: oracled, driver-green in earlier rounds, local parity ---
+        "ensemble_combine": q_ensemble_combine,
+        "best_coords": q_best_coords,
+        "confusion_stats": q_confusion_stats,
         "query_dsl": q_query_dsl,
         "curve_stats_band": q_curve_stats_band,
         "skew_kurtosis": q_skew_kurtosis,
@@ -893,8 +908,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fraction": q_sample_fraction,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
-        "doc_chunks": q_doc_chunks,
-        "unigram_logprob": q_unigram_logprob,
         # --- tail: no_oracle by design (seeds / MAX_ITER) ---
         "comp_curves_shape": q_comp_curves_shape,
         "dedup_minhash": q_dedup_minhash,
@@ -1249,6 +1262,9 @@ FROM corpus GROUP BY md5(text)
         ),
         "dedup_clusters": dedup_ops.dedup_clusters_sql(
             testdata.DEDUP_CORPUS_SQL, threshold=0.6
+        ),
+        "repeated_spans": dedup_ops.repeated_spans_sql(
+            testdata.DEDUP_CORPUS_SQL, k=12
         ),
         "decontamination": decon_ops.contamination_sql(
             "SELECT doc_id, text FROM documents",

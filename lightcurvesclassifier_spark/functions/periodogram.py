@@ -61,15 +61,27 @@ def lomb_scargle(
     w = TWO_PI * F.col("freq")
     wt = w * t
     rows = obs.select(id_col, t_col, mag_col).crossJoin(F.broadcast(grid))
+    # Double-angle identities (c2wt = 2c²−1, s2wt = 2sc) halve the trig
+    # calls in the expanded |obs|×|grid| projection — the whole query's
+    # hot loop — from 4 to 2 per row. The DuckDB mirror uses the SAME
+    # expressions so the engines stay bit-identical.
+    cwt, swt = F.cos(wt), F.sin(wt)
     sums = (
         rows.select(
             id_col,
             "freq",
             m.alias("m"),
-            F.cos(wt).alias("cwt"),
-            F.sin(wt).alias("swt"),
-            F.cos(2.0 * wt).alias("c2wt"),
-            F.sin(2.0 * wt).alias("s2wt"),
+            cwt.alias("cwt"),
+            swt.alias("swt"),
+        )
+        .select(
+            id_col,
+            "freq",
+            "m",
+            "cwt",
+            "swt",
+            (2.0 * F.col("cwt") * F.col("cwt") - 1.0).alias("c2wt"),
+            (2.0 * F.col("swt") * F.col("cwt")).alias("s2wt"),
         )
         .groupBy(id_col, "freq")
         .agg(
@@ -143,18 +155,26 @@ def lomb_scargle_sql(obs_sql: str, freqs: list[float] | None = None) -> str:
     return f"""
 WITH obs AS ({obs_sql}),
 grid AS ({_grid_sql(freqs)}),
+trig AS (
+  -- double-angle identities, SAME expressions as the Spark side
+  -- (2c²−1 / 2sc), so the engines stay bit-identical
+  SELECT star_id, freq, mag AS m,
+         cos(({pi2} * freq) * t) AS cwt,
+         sin(({pi2} * freq) * t) AS swt
+  FROM obs CROSS JOIN grid
+),
 sums AS (
   SELECT star_id, freq,
          count(*) AS n,
-         sum(mag) AS s1,
-         sum(mag * mag) AS s2m,
-         sum(cos({pi2} * freq * t)) AS sc,
-         sum(sin({pi2} * freq * t)) AS ss,
-         sum(mag * cos({pi2} * freq * t)) AS smc,
-         sum(mag * sin({pi2} * freq * t)) AS sms,
-         sum(cos(2.0 * ({pi2} * freq) * t)) AS c2,
-         sum(sin(2.0 * ({pi2} * freq) * t)) AS s2
-  FROM obs CROSS JOIN grid
+         sum(m) AS s1,
+         sum(m * m) AS s2m,
+         sum(cwt) AS sc,
+         sum(swt) AS ss,
+         sum(m * cwt) AS smc,
+         sum(m * swt) AS sms,
+         sum(2.0 * cwt * cwt - 1.0) AS c2,
+         sum(2.0 * swt * cwt) AS s2
+  FROM trig
   GROUP BY star_id, freq
 ),
 derived AS (

@@ -63,10 +63,22 @@ def _unit_rows(
         )
         .withColumn("_n2", n2)
         .filter(F.col("_n2") > 0.0)
+        .withColumn("_nrm", F.sqrt(F.col("_n2")))
+        # The no-op isNotNull guard is a CollapseProject barrier: with a
+        # single `_nrm` reference Catalyst inlines sqrt(aggregate(...))
+        # INTO the lambda and the normalization silently becomes O(d²)
+        # per row (verified in the physical plan). Referencing the
+        # non-cheap alias twice makes the rule decline the collapse, so
+        # the norm really is computed once; `_nrm` is never null after
+        # the filter, so values are bit-identical.
         .withColumn(
-            "_unit", F.transform("_arr", lambda x: x / F.sqrt(F.col("_n2")))
+            "_unit",
+            F.transform(
+                "_arr",
+                lambda x: F.when(F.col("_nrm").isNotNull(), x / F.col("_nrm")),
+            ),
         )
-        .drop("_n2")
+        .drop("_n2", "_nrm")
     )
 
 

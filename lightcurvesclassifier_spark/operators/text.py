@@ -168,13 +168,16 @@ def rolling_fingerprint(
     edits anywhere outside the minimizing span, unlike the whole-text
     md5. Built-ins only: sequence → transform(md5 of each span) →
     array_min; md5-hex ordering is shared with the oracle."""
-    toks = _tokens(F.col(text_col))
-    n = F.size(toks)
+    # tokens pre-materialized: Catalyst does not CSE expressions inside
+    # a transform() lambda, so an inline split would re-split the text
+    # once per span position (see dedup.shingles)
+    tk = F.col("_toks")
+    n = F.size(tk)
     spans = F.transform(
         F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1))),
-        lambda i: F.md5(F.array_join(F.slice(toks, i, window), " ")),
+        lambda i: F.md5(F.array_join(F.slice(tk, i, window), " ")),
     )
-    return df.select(
+    return df.withColumn("_toks", _tokens(F.col(text_col))).select(
         "doc_id", F.array_min(spans).alias("rolling_fp")
     )
 
@@ -360,14 +363,19 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     # throw (same failure class as the dedup shingle paths); the oracle's
     # generate_series is empty for the same doc, so the guard keeps the
     # engines aligned (doc then drops out of the inner join on both sides)
+    # tokens pre-materialized: no CSE inside transform() lambdas — an
+    # inline _tokens() would re-split the text once per bigram position
+    tk = F.col("_toks")
     bgs = F.when(
-        F.size(_tokens(F.col(text_col))) >= 2,
+        F.size(tk) >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(_tokens(F.col(text_col))) - 1),
-            lambda i: F.array_join(F.slice(_tokens(F.col(text_col)), i, 2), " "),
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.array_join(F.slice(tk, i, 2), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bigrams = df.select("doc_id", F.explode(bgs).alias("bigram"))
+    bigrams = df.withColumn("_toks", _tokens(F.col(text_col))).select(
+        "doc_id", F.explode(bgs).alias("bigram")
+    )
     top = (
         bigrams.groupBy("doc_id", "bigram")
         .agg(F.count("*").alias("c"))

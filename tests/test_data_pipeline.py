@@ -57,6 +57,48 @@ def test_short_docs_yield_no_shingles(spark):
     assert len(mh) == 0
 
 
+def test_repeated_spans_semantics(spark):
+    """ExactSubstr span stats: exact copies are 100% duplicated, spans
+    repeated *within* one doc count, unique docs are 0%, short docs get
+    NULL fraction (no spans)."""
+    base = "a b c d e f g h"  # 8 tokens → 5 spans at k=4
+    docs = spark.createDataFrame(
+        [
+            (1, base),                    # copied by doc 2
+            (2, base),                    # copied from doc 1
+            (3, "p q r s p q r s"),       # span 'p q r s' occurs twice in-doc
+            (4, "u v w x y z zz zzz"),    # unique: 0 duplicated spans
+            (5, "too short"),             # < k tokens → no spans, NULL frac
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.repeated_spans(docs, k=4).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_spans"] == 5 and out.loc[1, "dup_span_frac"] == 1.0
+    assert out.loc[2, "dup_span_frac"] == 1.0
+    # doc 3: 5 spans; positions 1 and 5 are both 'p q r s' → 2/5
+    assert out.loc[3, "n_dup_spans"] == 2
+    assert abs(out.loc[3, "dup_span_frac"] - 0.4) < 1e-9
+    assert out.loc[4, "n_dup_spans"] == 0 and out.loc[4, "dup_span_frac"] == 0.0
+    import pandas as pd
+
+    assert out.loc[5, "n_spans"] == 0 and pd.isna(out.loc[5, "dup_span_frac"])
+
+
+def test_repeated_spans_planted_corpus(spark, corpus):
+    """On the planted-duplicate corpus: every exact-copy doc (id%7==0 and
+    its +2000000 twin) is fully duplicated; ' zz' near-dups share their
+    prefix spans but not the tail."""
+    out = dedup.repeated_spans(corpus, k=12).toPandas().set_index("doc_id")
+    # exact pair: doc 0 and 2000000 (doc 0 is also a near-dup source)
+    assert out.loc[2000000 + 7, "dup_span_frac"] == 1.0
+    assert out.loc[7, "dup_span_frac"] == 1.0
+    # near-dup twin of a long-enough doc: prefix spans shared, tail not —
+    # fraction strictly between 0 and 1 (doc 30: %10 near-dup, not %7)
+    row = out.loc[1000000 + 30]
+    if row["n_spans"] > 0 and out.loc[30, "n_spans"] > 0:
+        assert 0.0 < row["dup_span_frac"] <= 1.0
+
+
 def test_decontamination_containment(spark):
     """Containment is asymmetric: a short eval doc fully quoted inside a
     much longer training doc is 100% contaminated even though the
