@@ -744,14 +744,17 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates (MLlib banding — hash-seed dependent, so
-    rows-only driver check; exactness is covered by dedup_ngram)."""
+    """MinHash-LSH near-dup pairs — fully deterministic (explicit affine
+    hash family over md5-derived shingle keys, no MLlib seeds) and
+    value-checked against the DuckDB mirror since r4."""
     corpus = testdata.dedup_corpus(spark, sf_dir)
     return dedup_ops.minhash_pairs(corpus, threshold=0.5)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash band-join near-dups (xxhash64-dependent → rows-only)."""
+    """SimHash band-join near-dups — fully deterministic (60-bit
+    md5-derived token hashes, 4×15 banding) and value-checked against
+    the DuckDB mirror since r4."""
     corpus = testdata.dedup_corpus(spark, sf_dir)
     return dedup_ops.simhash_pairs(corpus, max_hamming=3)
 
@@ -805,9 +808,10 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN path (LSH buckets + exact re-rank) — candidate set
-    depends on MLlib hash seeds → rows-only check; exact recall is
-    asserted in tests against cosine_topk."""
+    """Approximate ANN path: sign-random-projection LSH buckets + exact
+    re-rank. Deterministic ±1 hyperplanes (no MLlib seeds) since r4 —
+    fully value-checked against the DuckDB mirror; recall vs cosine_topk
+    additionally asserted in tests."""
     emb = testdata.load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     return sim_ops.lsh_topk(emb, queries_df, k=10)
@@ -871,8 +875,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variogram_slope": q_variogram_slope,
         "multimodal_features": q_multimodal_features,
         "mag_histogram": q_mag_histogram,
-        "text_features": q_text_features,
-        "lang_id": q_lang_id,
+        # first driver value-checks for the newly-oracled deterministic
+        # MinHash/SimHash (r4); lang_id and text_features (driver-green
+        # r03, pinned locally) rotated to the 51+ section to make room
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
         "doc_fingerprint": q_doc_fingerprint,
         "text_bpe_tokens": q_text_bpe_tokens,
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
@@ -908,12 +915,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fraction": q_sample_fraction,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
+        "lang_id": q_lang_id,
+        "text_features": q_text_features,
+        "embedding_lsh_topk": q_embedding_lsh_topk,
         # --- tail: no_oracle by design (seeds / MAX_ITER) ---
         "comp_curves_shape": q_comp_curves_shape,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
         "embedding_ivf_topk": q_embedding_ivf_topk,
-        "embedding_lsh_topk": q_embedding_lsh_topk,
     }
 
 
@@ -1265,6 +1272,15 @@ FROM corpus GROUP BY md5(text)
         ),
         "repeated_spans": dedup_ops.repeated_spans_sql(
             testdata.DEDUP_CORPUS_SQL, k=12
+        ),
+        "dedup_minhash": dedup_ops.minhash_pairs_sql(
+            testdata.DEDUP_CORPUS_SQL, threshold=0.5
+        ),
+        "dedup_simhash": dedup_ops.simhash_pairs_sql(
+            testdata.DEDUP_CORPUS_SQL, max_hamming=3
+        ),
+        "embedding_lsh_topk": sim_ops.lsh_topk_sql(
+            k=10, query_pred="vec_id < 5"
         ),
         "decontamination": decon_ops.contamination_sql(
             "SELECT doc_id, text FROM documents",

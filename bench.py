@@ -52,8 +52,17 @@ def main() -> None:
         total += best
         # drop caches/checkpoints a query pinned (stars_filter_pipeline,
         # dedup_clusters, …) so later queries aren't taxed by the
-        # accumulated executor memory + GC of earlier ones
+        # accumulated executor memory + GC of earlier ones.
+        # localCheckpoint()ed RDDs are only released when the JVM object
+        # is garbage-collected AND the ContextCleaner runs — measured
+        # effect without the explicit GCs: repeated runs of the same
+        # checkpoint-using query grow 2-3× within a session as dead
+        # checkpoint blocks pile up in executor storage
         spark.catalog.clearCache()
+        import gc
+
+        gc.collect()  # drop py4j refs to dead DataFrames/RDDs
+        spark.sparkContext._jvm.System.gc()  # let ContextCleaner reap them
 
     print(
         json.dumps(

@@ -155,66 +155,131 @@ WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}
 """
 
 
+# MinHash hash family: h_i(k) = (a_i·k + b_i) mod p over a 28-bit
+# md5-derived shingle key. p = 2³¹−1 (Mersenne); with k < 2²⁸ and
+# a,b < p the product stays < 2⁵⁹ — no 64-bit overflow in either
+# engine, so the SAME affine constants evaluate identically in Spark
+# and DuckDB and the whole signature (hence the candidate set, hence
+# the verified output) is cross-engine deterministic. The constants
+# are Knuth-style multiplicative mixes, fixed at import time.
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+
+
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    out = []
+    for h in range(num_hashes):
+        a = (2654435761 * (h + 1) + 40503) % MINHASH_PRIME or 1
+        b = (40503 * (h + 1) + 2654435769) % MINHASH_PRIME
+        out.append((a, b))
+    return out
+
+
+def shingles_md5(
+    df: DataFrame, n: int = SHINGLE_N, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct shingles as 60-bit md5-derived integer keys.
+
+    Unlike :func:`shingles_hashed` (xxhash64 — JVM-only), the key here
+    is the first 15 hex chars of md5(shingle) parsed as an integer —
+    reproducible bit-for-bit in any engine with md5 (DuckDB:
+    ``CAST('0x'||substr(md5(s),1,15) AS BIGINT)``), which is what makes
+    the MinHash path fully oracle-checkable. Distinct runs on the 8-byte
+    key, not the shingle string. Same short-document guard and
+    pre-materialized token split as :func:`shingles`."""
+    tk = F.col("_toks")
+    sh = F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+            lambda i: F.conv(
+                F.substring(F.md5(F.array_join(F.slice(tk, i, n), " ")), 1, 15),
+                16,
+                10,
+            ).cast("bigint"),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        df.withColumn("_toks", F.split(F.col(text_col), " "))
+        .select(F.col(id_col), F.explode(sh).alias("key"))
+        .distinct()
+    )
+
+
 def minhash_pairs(
     df: DataFrame, threshold: float = 0.5, num_hashes: int = 16,
     bands: int = 8, text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash + banding LSH, all built-in expressions, exact verify.
+    """MinHash + banding LSH, all built-in expressions, exact verify —
+    fully deterministic and oracle-checkable (see
+    :func:`minhash_pairs_sql`).
 
-    Signature: per document, ``num_hashes`` min-values of seeded
-    xxhash64 over its shingle set (one groupBy, H min-aggregates).
-    Banding: ``bands`` bands of ``num_hashes/bands`` rows; candidate
-    pairs share at least one full band (for 8×2: P(candidate | j=0.6)
-    ≈ 0.97, and exact duplicates with ≥ SHINGLE_N tokens always
-    collide — shorter documents yield no shingles and thus no
-    signature; run exact_dedup alongside to catch those). Candidates
-    are then
-    verified with the EXACT shingle-set Jaccard — the intersection join
-    is restricted to the candidate pairs, so the expensive work scales
-    with probable duplicates, not documents².
+    Signature: per document, ``num_hashes`` min-values of an explicit
+    affine hash family over the 28-bit prefix of the document's
+    md5-keyed shingle set (one groupBy, H min-aggregates — no MLlib, no
+    JVM-private seeds). Banding: ``bands`` bands of ``num_hashes/bands``
+    rows joined as plain column tuples; candidate pairs share at least
+    one full band (for 8×2: P(candidate | j=0.6) ≈ 0.97, and exact
+    duplicates with ≥ SHINGLE_N tokens always collide — shorter
+    documents yield no shingles and thus no signature; run exact_dedup
+    alongside to catch those). Candidates are then verified with the
+    EXACT shingle-set Jaccard — the intersection join is restricted to
+    the candidate pairs, so the expensive work scales with probable
+    duplicates, not documents².
 
     Returns (id_a, id_b, jaccard_dist) with jaccard_dist ≤ threshold —
-    the same contract as MLlib's approxSimilarityJoin, ~6× faster here
-    (no SparseVector materialization, no Python in the plan; the whole
-    pipeline is codegen'd joins/aggregates).
+    the same contract as MLlib's approxSimilarityJoin, without the
+    SparseVector materialization or hash-seed nondeterminism; the whole
+    pipeline is codegen'd joins/aggregates.
     """
     rows = num_hashes // bands
-    sh = shingles_hashed(df, SHINGLE_N, text_col, id_col).localCheckpoint(eager=False)
-    sig = sh.groupBy(id_col).agg(
+    coeffs = _minhash_coeffs(num_hashes)
+    sh = shingles_md5(df, SHINGLE_N, text_col, id_col).localCheckpoint(eager=False)
+    # 28-bit key = top 7 hex chars of the 60-bit key. Integer shift, NOT
+    # `/` + cast: Spark's `/` is double division, and a 60-bit key does
+    # not round-trip through a 53-bit mantissa. The DuckDB mirror's
+    # `key // 4294967296` is exact integer floor-div — identical for
+    # the non-negative keys here.
+    k28 = F.shiftright(F.col("key"), 32)
+    sig = sh.withColumn("_k", k28).groupBy(id_col).agg(
         F.count("*").alias("n_sh"),
         *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(h))).alias(f"s{h}")
-            for h in range(num_hashes)
+            F.min(
+                (F.lit(a) * F.col("_k") + F.lit(b)) % F.lit(MINHASH_PRIME)
+            ).alias(f"s{h}")
+            for h, (a, b) in enumerate(coeffs)
         ],
     )
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.xxhash64(
-                    *[F.col(f"s{b * rows + r}") for r in range(rows)]
-                ).alias("band_val"),
+                *[
+                    F.col(f"s{b * rows + r}").alias(f"v{r}")
+                    for r in range(rows)
+                ],
             )
             for b in range(bands)
         ]
     )
+    band_cols = ["band_idx"] + [f"v{r}" for r in range(rows)]
     long = sig.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
-        id_col, "b.band_idx", "b.band_val"
+        id_col, *[F.col(f"b.{c}").alias(c) for c in band_cols]
     )
-    a = long.select(F.col(id_col).alias("id_a"), "band_idx", "band_val")
-    b = long.select(F.col(id_col).alias("id_b"), "band_idx", "band_val")
+    a = long.select(F.col(id_col).alias("id_a"), *band_cols)
+    b = long.select(F.col(id_col).alias("id_b"), *band_cols)
     cands = (
-        a.join(b, ["band_idx", "band_val"])
+        a.join(b, band_cols)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact verify on candidates only
-    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # exact verify on candidates only (join on the 60-bit keys)
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "key")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "key")
     inter = (
         cands.join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "shingle"])
+        .join(sh_b, ["id_b", "key"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
@@ -231,6 +296,72 @@ def minhash_pairs(
         .filter(F.col("jaccard_dist") <= threshold)
         .select("id_a", "id_b", "jaccard_dist")
     )
+
+
+def minhash_pairs_sql(
+    corpus_sql: str, threshold: float = 0.5, num_hashes: int = 16,
+    bands: int = 8, n: int = SHINGLE_N,
+) -> str:
+    """DuckDB mirror of :func:`minhash_pairs` — same md5 keys, same
+    affine constants, same banding, same exact verify."""
+    rows = num_hashes // bands
+    coeffs = _minhash_coeffs(num_hashes)
+    mins = ",\n         ".join(
+        f"min(({a} * k28 + {b}) % {MINHASH_PRIME}) AS s{h}"
+        for h, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {i} AS band_idx, {vs} FROM sig".format(
+            i=b,
+            vs=", ".join(
+                f"s{b * rows + r} AS v{r}" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    band_on = " AND ".join(
+        ["a.band_idx = b.band_idx"]
+        + [f"a.v{r} = b.v{r}" for r in range(rows)]
+    )
+    return f"""
+WITH corpus AS ({corpus_sql}),
+toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CAST('0x' || substr(md5(array_to_string(tk[g:g+{n - 1}], ' ')), 1, 15)
+              AS BIGINT) AS key
+  FROM toks, unnest(generate_series(1, len(tk) - {n - 1})) AS t(g)
+),
+sig AS (
+  SELECT doc_id, count(*) AS n_sh,
+         {mins}
+  FROM (SELECT doc_id, key, key // 4294967296 AS k28 FROM sh)
+  GROUP BY doc_id
+),
+band_rows AS (
+  {band_selects}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM band_rows a JOIN band_rows b ON {band_on}
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cands c
+  JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b AND y.key = x.key
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(1.0 - i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 6)
+         AS jaccard_dist
+FROM inter i
+JOIN sig sa ON sa.doc_id = i.id_a
+JOIN sig sb ON sb.doc_id = i.id_b
+WHERE round(1.0 - i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 6)
+      <= {threshold}
+"""
 
 
 def connected_components(
@@ -480,39 +611,50 @@ FROM toks t LEFT JOIN dup d USING (doc_id)
 """
 
 
+SIMHASH_BITS = 60  # md5-prefix width: 15 hex chars, cross-engine exact
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash as four 16-bit band columns.
+    """60-bit SimHash as four 15-bit band columns.
 
-    Token-level: each token votes its xxhash64 bits (+1/−1); fingerprint
-    bit b is the sign of the vote sum (ties → 0, i.e. ``2·ones > n``).
-    Banding into 4×16 bits supports the pigeonhole candidate join
-    (hamming ≤ 3 ⇒ at least one band equal).
+    Token-level: each token votes the bits of its 60-bit md5-derived
+    hash (+1/−1); fingerprint bit b is the sign of the vote sum (ties →
+    0, i.e. ``2·ones > n``). Banding into 4×15 bits supports the
+    pigeonhole candidate join (hamming ≤ 3 ⇒ at least one band equal).
 
-    The vote aggregate is *lane-packed*: bits b and b+32 share one bigint
-    sum (bit b in the low 32 bits, bit b+32 shifted to the high 32), so
-    the per-token row evaluates 32 plain arithmetic expressions instead
-    of 64 conditional sums — same results, roughly half the aggregate
+    The hash is the first 15 hex chars of md5(token) parsed as an
+    integer — reproducible bit-for-bit in DuckDB, which makes the whole
+    SimHash path oracle-checkable (it was xxhash64 → rows-only before).
+
+    The vote aggregate is *lane-packed*: bits b and b+30 share one
+    bigint sum (bit b in the low 32 bits, bit b+30 shifted to the high
+    32), so the per-token row evaluates 30 plain arithmetic expressions
+    instead of 60 conditional sums — same results, half the aggregate
     width in codegen. Lane counters are 32-bit, so per-document token
     counts are safe to 2³¹ (the signed-long cap on the high lane).
     """
+    half = SIMHASH_BITS // 2
     tok = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn(
+        "h",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint"),
+    )
     packed = [
         F.sum(
             F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1))
-            + F.shiftright(F.col("h"), k + 32).bitwiseAND(F.lit(1))
+            + F.shiftright(F.col("h"), k + half).bitwiseAND(F.lit(1))
             * F.lit(1 << 32)
         ).alias(f"p{k}")
-        for k in range(32)
+        for k in range(half)
     ]
     agg = tok.groupBy(id_col).agg(F.count("*").alias("n_tok"), *packed)
     bands = []
     for band in range(4):
         expr = F.lit(0)
-        for i in range(16):
-            b = band * 16 + i
-            k, lane = b % 32, b // 32
+        for i in range(15):
+            b = band * 15 + i
+            k, lane = b % half, b // half
             ones = F.shiftright(F.col(f"p{k}"), 32 * lane).bitwiseAND(
                 F.lit(0xFFFFFFFF)
             )
@@ -527,7 +669,8 @@ def simhash_pairs(
     df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ ``max_hamming``
-    (≤ 3 guarantees a shared 16-bit band — no O(n²) scan)."""
+    (≤ 3 guarantees a shared 15-bit band — no O(n²) scan). Deterministic
+    md5-keyed fingerprints → oracle-checkable (:func:`simhash_pairs_sql`)."""
     fp = simhash(df, text_col, id_col).localCheckpoint(eager=False)
     long = fp.select(
         F.col(id_col),
@@ -554,7 +697,63 @@ def simhash_pairs(
     return (
         cands.join(fa, "id_a")
         .join(fb, "id_b")
-        .withColumn("hamming", ham)
+        .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_pairs_sql(corpus_sql: str, max_hamming: int = 3) -> str:
+    """DuckDB mirror of :func:`simhash_pairs` — same md5-derived token
+    hashes, same majority rule (``2·ones > n``), same 4×15 banding and
+    exact hamming verify. The mirror counts each bit with a plain
+    conditional sum; the engine's lane-packing is a codegen-width
+    optimization with identical integer results."""
+    ones = ",\n         ".join(
+        f"sum((h >> {b}) & 1) AS o{b}" for b in range(SIMHASH_BITS)
+    )
+    band_exprs = []
+    for band in range(4):
+        bits = " + ".join(
+            f"(CASE WHEN 2 * o{band * 15 + i} > n_tok THEN {1 << i} ELSE 0 END)"
+            for i in range(15)
+        )
+        band_exprs.append(f"({bits}) AS band{band}")
+    bands_sql = ",\n       ".join(band_exprs)
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_idx, band{i} AS band_val FROM fp"
+        for i in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(fa.band{i}, fb.band{i}))" for i in range(4))
+    return f"""
+WITH corpus AS ({corpus_sql}),
+tok AS (
+  SELECT doc_id, CAST('0x' || substr(md5(t.tok), 1, 15) AS BIGINT) AS h
+  FROM corpus, unnest(string_split(text, ' ')) AS t(tok)
+),
+votes AS (
+  SELECT doc_id, count(*) AS n_tok,
+         {ones}
+  FROM tok GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id,
+       {bands_sql}
+  FROM votes
+),
+band_rows AS (
+  {band_rows}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM band_rows a
+  JOIN band_rows b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST({ham} AS INTEGER) AS hamming
+FROM cands c
+JOIN fp fa ON fa.doc_id = c.id_a
+JOIN fp fb ON fb.doc_id = c.id_b
+WHERE {ham} <= {max_hamming}
+"""

@@ -59,24 +59,31 @@ _MAX_OWNERS = 8
 
 
 def simhash_bands(text_col: str = "text") -> list[Column]:
-    """Per-row 64-bit token SimHash as 4×16-bit band columns.
+    """Per-row 60-bit token SimHash as 4×15-bit band columns.
 
-    Same bit rule as the batch aggregate (dedup.simhash: bit b set iff
-    2·ones(b) > n_tokens) but computed with higher-order functions over
-    the split array: one ``aggregate`` pass folds every token's hash
-    into a 64-slot vote array. No groupBy → usable on a stream."""
+    Same hash and bit rule as the batch aggregate (dedup.simhash: 60-bit
+    md5-derived token hash, bit b set iff 2·ones(b) > n_tokens — the
+    md5 scheme is what makes the batch path oracle-checkable, and the
+    stream must stay bit-for-bit identical to it) but computed with
+    higher-order functions over the split array: one ``aggregate`` pass
+    folds every token's hash into a 60-slot vote array. No groupBy →
+    usable on a stream."""
+    # tokens are hashed ONCE in the inner transform(); hashing inside
+    # the per-bit zip_with lambda would re-run md5 60× per token (no
+    # CSE inside lambdas — same pitfall as dedup.shingles)
     votes = F.expr(
-        f"aggregate(split({text_col}, ' '), "
-        "array_repeat(0L, 64), "
-        "(acc, t) -> zip_with(acc, sequence(0, 63), "
-        "  (a, b) -> a + (shiftright(xxhash64(t), b) & 1L)))"
+        f"aggregate(transform(split({text_col}, ' '), "
+        "  t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)), "
+        "array_repeat(0L, 60), "
+        "(acc, h) -> zip_with(acc, sequence(0, 59), "
+        "  (a, b) -> a + (shiftright(h, b) & 1L)))"
     )
     n_tok = F.size(F.split(F.col(text_col), " "))
     out = []
     for band in range(4):
         expr = F.lit(0).cast("long")
-        for i in range(16):
-            b = band * 16 + i
+        for i in range(15):
+            b = band * 15 + i
             expr = expr + F.when(
                 F.element_at(votes, b + 1) * 2 > n_tok, F.lit(1 << i)
             ).otherwise(0)

@@ -97,3 +97,54 @@ def test_periodogram_grid_broadcast_single_agg_exchange(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1, plan
     assert "Python" not in plan
+
+
+def test_shingle_paths_split_once_per_row(spark):
+    """No-CSE-in-lambda regression pin: Catalyst does not eliminate
+    common subexpressions inside higher-order-function lambdas, so the
+    token split() must be materialized into a column BEFORE the
+    transform — an inlined split would re-split the document once per
+    shingle/span/bigram position (~2x measured at sf0.1). One split per
+    consumed text column in the whole plan."""
+    from lightcurvesclassifier_spark.operators import dedup, text
+    from lightcurvesclassifier_spark.sources import testdata
+
+    docs = testdata.load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    for df in (
+        dedup.shingles_hashed(docs),
+        dedup.shingles(docs),
+        dedup.shingles_md5(docs),
+        text.rolling_fingerprint(docs),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("split(") == 1, plan
+
+
+def test_unit_rows_norm_not_inlined_into_lambda(spark):
+    """The embedding norm must be computed once per row: without the
+    double-reference CollapseProject barrier, sqrt(aggregate(...)) gets
+    inlined into the transform lambda and normalization silently becomes
+    O(d^2) per row. Exactly one SQRT in the plan (the filter's aggregate
+    is the only other O(d) pass)."""
+    from lightcurvesclassifier_spark.operators.similarity import _unit_rows
+    from lightcurvesclassifier_spark.sources import testdata
+
+    emb = testdata.load_table(spark, SF_SMOKE, "embeddings")
+    plan = (
+        _unit_rows(emb, "vec_id", "embedding")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("SQRT") == 1, plan
+
+
+def test_lsh_topk_corpus_never_shuffles_before_candidates(spark):
+    """SRP-LSH scale shape: bucket columns are a map-only projection over
+    the corpus scan; the query bucket table and query arrays arrive via
+    BroadcastExchange. No MLlib fit (driver-blocking) anywhere."""
+    plan = _plan(spark, "embedding_lsh_topk")
+    assert "BroadcastExchange" in plan
+    assert "Python" not in plan
