@@ -574,20 +574,32 @@ def _lsh_signs(
     ]
 
 
-def _srp_buckets(arr: Column, signs: list[list[list[int]]]) -> list[Column]:
+def _srp_buckets(arr_name: str, signs: list[list[list[int]]]) -> list[Column]:
     """One bucket column per table: bit j is the sign of the Rademacher
-    projection ±v₀±v₁±… (explicit left-associated sum — the SQL mirror
-    uses the identical association, so the bits match bit-for-bit; no
-    multiplications, just adds/subtracts in whole-stage codegen)."""
+    projection, computed as a left fold of ``zip_with(v, ±1-array,
+    (x,y) → x·y)`` — the fold's partial sums are bit-identical to the
+    SQL mirror's explicit ``v[1]·s₁ + v[2] ± …`` chain (x·±1.0 and
+    a + (−x) are exact in IEEE), so the bucket bits match exactly.
+
+    Two construction pitfalls drive this shape (both measured):
+    py4j-built per-term Column arithmetic costs a gateway round-trip per
+    node (~seconds of plan build at T·B·d = 2304 terms), and an
+    *unrolled* literal sum generates hundreds of KB of Java that Janino
+    takes multiple seconds to compile per stage. One ``F.expr`` string
+    per table with higher-order functions over a constant-folded literal
+    array keeps both the plan build and the generated code small; the
+    runtime loop is the same 64 multiply-adds either way."""
     out = []
     for t, table in enumerate(signs):
-        bucket = F.lit(0)
+        parts = []
         for j, plane in enumerate(table):
-            dot = arr[0] * F.lit(plane[0])
-            for d in range(1, len(plane)):
-                dot = dot + arr[d] if plane[d] > 0 else dot - arr[d]
-            bucket = bucket + F.when(dot >= 0, F.lit(1 << j)).otherwise(0)
-        out.append(bucket.alias(f"b{t}"))
+            consts = ",".join(f"{s}.0D" for s in plane)
+            dot = (
+                f"aggregate(zip_with({arr_name}, array({consts}), "
+                "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+            )
+            parts.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
+        out.append(F.expr(" + ".join(parts)).alias(f"b{t}"))
     return out
 
 
@@ -643,12 +655,12 @@ def lsh_topk(
         )
     )
     c_b = (
-        c.select("vec_id_c", *_srp_buckets(F.col("vec_id_c_arr"), signs))
+        c.select("vec_id_c", *_srp_buckets("vec_id_c_arr", signs))
         .select("vec_id_c", tbl.alias("e"))
         .select("vec_id_c", "e.t", "e.bucket")
     )
     q_b = (
-        q.select("query_id", *_srp_buckets(F.col("query_id_arr"), signs))
+        q.select("query_id", *_srp_buckets("query_id_arr", signs))
         .select("query_id", tbl.alias("e"))
         .select("query_id", "e.t", "e.bucket")
     )
