@@ -705,6 +705,22 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.pack_sequences(docs, seq_len=256, n_shards=8)
 
 
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing (power-of-two floors): per-bucket doc
+    count, token sum, and pad-waste fraction — the batch-shaping pass.
+    Map-only bucket CASE + one aggregate into ≤ ~30 groups."""
+    docs = testdata.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return corpus_ops.length_buckets(docs)
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL rollup over the planted-URL corpus (crawl
+    provenance: domain mixing / blocklists key on this). Map-only JVM
+    regexp extraction + one skew-aware aggregate."""
+    corpus = testdata.url_corpus(spark, sf_dir)
+    return text_ops.domain_stats(corpus)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = testdata.dedup_corpus(spark, sf_dir)
     return dedup_ops.exact_dedup(corpus)
@@ -918,6 +934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "text_features": q_text_features,
         "embedding_lsh_topk": q_embedding_lsh_topk,
+        "length_buckets": q_length_buckets,
+        "domain_stats": q_domain_stats,
         # --- tail: no_oracle by design (seeds / MAX_ITER) ---
         "comp_curves_shape": q_comp_curves_shape,
         "embedding_ivf_topk": q_embedding_ivf_topk,
@@ -1282,6 +1300,10 @@ FROM corpus GROUP BY md5(text)
         "embedding_lsh_topk": sim_ops.lsh_topk_sql(
             k=10, query_pred="vec_id < 5"
         ),
+        "length_buckets": corpus_ops.length_buckets_sql(
+            "SELECT text FROM documents"
+        ),
+        "domain_stats": text_ops.domain_stats_sql(testdata.URL_CORPUS_SQL),
         "decontamination": decon_ops.contamination_sql(
             "SELECT doc_id, text FROM documents",
             testdata.CONTAM_EVAL_SQL,

@@ -171,3 +171,68 @@ FROM ({table_sql})
 WHERE substring(md5(CAST({key} AS VARCHAR)), 1, 8)
       < (CASE {cases} ELSE '00000000' END)
 """
+
+
+# Power-of-two bucket floors for length-grouped batching; 2**10 covers any
+# document in the synthetic corpus (docs are ~10-100 tokens) and the CASE
+# chain keeps the bucket rule exact-integer in both engines (a float
+# log2() could land on either side of a power-of-two boundary).
+LENGTH_BUCKET_FLOORS = tuple(2**b for b in range(10, -1, -1))
+
+
+def length_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sequence-length bucketing — the batch-shaping pass of a training
+    pipeline: group documents into power-of-two token-length buckets
+    (the T5 / packing-efficiency trick) and report, per bucket, the
+    document count, total tokens, and the padding fraction that would be
+    wasted if every doc were padded to the bucket cap (2·floor − 1).
+
+    Map-only bucket assignment + one aggregate; at 100 TB this is a scan
+    with map-side partial aggregation into ≤ ~30 groups."""
+    n = F.size(F.split(F.col(text_col), " "))
+    # build ASCENDING so the largest floor's test ends outermost — the
+    # nested whens then check 1024 first, matching the SQL CASE chain
+    bucket = F.lit(1)
+    for floor_ in sorted(LENGTH_BUCKET_FLOORS):
+        if floor_ == 1:
+            continue
+        bucket = F.when(n >= floor_, F.lit(floor_)).otherwise(bucket)
+    cap = 2 * F.col("bucket_floor") - 1
+    return (
+        df.select(bucket.cast("long").alias("bucket_floor"), n.cast("long").alias("n"))
+        .groupBy("bucket_floor")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("sum_tokens"))
+        .select(
+            "bucket_floor",
+            "n_docs",
+            "sum_tokens",
+            F.round(
+                1.0 - F.col("sum_tokens") / (F.col("n_docs") * cap), 6
+            ).alias("pad_waste_frac"),
+        )
+    )
+
+
+def length_buckets_sql(table_sql: str = "SELECT text FROM documents") -> str:
+    """DuckDB mirror of :func:`length_buckets` (same CASE chain)."""
+    cases = " ".join(
+        f"WHEN len(string_split(text, ' ')) >= {f} THEN {f}"
+        for f in LENGTH_BUCKET_FLOORS
+        if f > 1
+    )
+    return f"""
+WITH corpus AS ({table_sql}),
+sized AS (
+  SELECT CAST(CASE {cases} ELSE 1 END AS BIGINT) AS bucket_floor,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM corpus
+),
+agg AS (
+  SELECT bucket_floor, count(*) AS n_docs, sum(n) AS sum_tokens
+  FROM sized GROUP BY bucket_floor
+)
+SELECT bucket_floor, n_docs, CAST(sum_tokens AS BIGINT) AS sum_tokens,
+       round(1.0 - sum_tokens / (n_docs * (2 * bucket_floor - 1)), 6)
+         AS pad_waste_frac
+FROM agg
+"""

@@ -541,3 +541,42 @@ SELECT t.doc_id,
 FROM tok t JOIN vocab v USING (tok)
 GROUP BY t.doc_id
 """
+
+
+# host part of an http(s) URL; kept RE2-simple so the Java and DuckDB
+# regex engines agree byte-for-byte (no backrefs, no lookaround)
+URL_HOST_RE = r"https?://([^/ ]+)"
+
+
+def domain_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-domain URL rollup — the crawl-corpus provenance pass (domain
+    mixing/blocklists key on exactly this): extract every http(s) URL
+    host, explode, and aggregate URL count + distinct-document count per
+    domain.
+
+    Map-only extraction (JVM regexp, no Python) + one aggregate keyed by
+    domain; at 100 TB the domain key is Zipf-skewed, which is the
+    textbook case for AQE skew handling or the salted aggregate in
+    operators/skew.py."""
+    hosts = F.regexp_extract_all(F.col(text_col), F.lit(URL_HOST_RE), 1)
+    return (
+        df.select("doc_id", F.explode(hosts).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+def domain_stats_sql(corpus_sql: str) -> str:
+    """DuckDB mirror of :func:`domain_stats`."""
+    return f"""
+WITH corpus AS ({corpus_sql}),
+hosts AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, 'https?://([^/ ]+)', 1)) AS domain
+  FROM corpus
+)
+SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+FROM hosts GROUP BY domain
+"""

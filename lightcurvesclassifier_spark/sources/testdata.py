@@ -219,6 +219,49 @@ def pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", text.alias("text"))
 
 
+# Planted-URL corpus: deterministic http(s) URL insertions so the
+# domain-extraction operator has a non-trivial, oracle-checkable answer
+# (the raw documents contain no URL-shaped strings). Domains repeat
+# (doc_id % 5) so the per-domain rollup has real aggregation to do.
+URL_CORPUS_SQL = (
+    "SELECT doc_id, CASE "
+    "WHEN doc_id % 9 = 0 THEN text || ' see https://cdn' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/a' || CAST(doc_id AS VARCHAR) || ' now' "
+    "WHEN doc_id % 9 = 1 THEN text || ' via http://www.site' || CAST(doc_id % 5 AS VARCHAR) || '.test/x and https://cdn' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/b' "
+    "ELSE text END AS text FROM documents"
+)
+
+
+def url_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    text = (
+        F.when(
+            did % 9 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" see https://cdn"),
+                (did % 5).cast("string"),
+                F.lit(".example.org/a"),
+                did.cast("string"),
+                F.lit(" now"),
+            ),
+        )
+        .when(
+            did % 9 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" via http://www.site"),
+                (did % 5).cast("string"),
+                F.lit(".test/x and https://cdn"),
+                (did % 5).cast("string"),
+                F.lit(".example.org/b"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    return d.select("doc_id", text.alias("text"))
+
+
 # Synthetic benchmark/eval set for decontamination: "contaminated" eval
 # rows are verbatim 18-token slices of training docs (doc_id % 13 == 0,
 # containment 1.0 by construction); "clean" rows are the same slices

@@ -220,3 +220,40 @@ def test_unigram_logprob_orders_typicality(spark):
     assert (out.mean_logprob < 0).all()
     assert out.loc[1, "mean_logprob"] > out.loc[3, "mean_logprob"] > out.loc[2, "mean_logprob"]
     assert out.loc[1, "n_tokens"] == 4
+
+
+def test_length_buckets_semantics(spark):
+    """Bucket floor is the largest power of two <= n_tokens; pad waste is
+    against the bucket cap 2*floor - 1."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a"),                          # 1 token  -> floor 1, cap 1
+            (2, "a b c"),                      # 3 tokens -> floor 2, cap 3
+            (3, "a b c d"),                    # 4 tokens -> floor 4, cap 7
+            (4, " ".join(["t"] * 100)),        # 100      -> floor 64, cap 127
+            (5, " ".join(["t"] * 2000)),       # 2000     -> floor 1024 (top)
+        ],
+        "doc_id long, text string",
+    )
+    out = corpus.length_buckets(docs).toPandas().set_index("bucket_floor")
+    assert out.loc[1, "n_docs"] == 1 and out.loc[1, "pad_waste_frac"] == 0.0
+    assert out.loc[2, "sum_tokens"] == 3 and out.loc[2, "pad_waste_frac"] == 0.0
+    assert abs(out.loc[4, "pad_waste_frac"] - (1 - 4 / 7)) < 1e-6
+    assert out.loc[64, "n_docs"] == 1
+    assert out.loc[1024, "sum_tokens"] == 2000  # top bucket is open-ended
+
+
+def test_domain_stats_planted(spark):
+    """Planted URLs roll up per domain: cdn{k}.example.org gets hits from
+    both the %9==0 and %9==1 plants; www.site{k}.test only from %9==1;
+    docs without plants contribute nothing."""
+    corpus_df = testdata.url_corpus(spark, SF_ORACLE)
+    out = text.domain_stats(corpus_df).toPandas()
+    doms = set(out.domain)
+    assert any(d.startswith("cdn") and d.endswith(".example.org") for d in doms)
+    assert any(d.startswith("www.site") and d.endswith(".test") for d in doms)
+    # every %9==1 doc contributes one site URL and one cdn URL
+    n_plant1 = sum(1 for i in range(500) if i % 9 == 1)
+    assert out[out.domain.str.startswith("www.site")].n_urls.sum() == n_plant1
+    # n_docs <= n_urls always; no empty domains
+    assert (out.n_docs <= out.n_urls).all() and (out.domain != "").all()
