@@ -66,7 +66,13 @@ def lomb_scargle(
     # hot loop — from 4 to 2 per row. The DuckDB mirror uses the SAME
     # expressions so the engines stay bit-identical.
     cwt, swt = F.cos(wt), F.sin(wt)
-    sums = (
+    # The frequency-INDEPENDENT sums (n, Σm, Σm²) live in a separate
+    # per-star aggregate over the raw observations and join back on the
+    # star key: computing them inside the (star, freq) aggregate would
+    # redo them once per grid frequency and widen the 9-buffer hash
+    # update on the |obs|×|grid| expanded side to no purpose (measured
+    # ~11% at sf0.1; the join side is |stars| rows — AQE broadcasts it).
+    sums_f = (
         rows.select(
             id_col,
             "freq",
@@ -85,9 +91,6 @@ def lomb_scargle(
         )
         .groupBy(id_col, "freq")
         .agg(
-            F.count("*").alias("n"),
-            F.sum("m").alias("s1"),
-            F.sum(F.col("m") * F.col("m")).alias("s2m"),
             F.sum("cwt").alias("sc"),
             F.sum("swt").alias("ss"),
             F.sum(F.col("m") * F.col("cwt")).alias("smc"),
@@ -96,6 +99,12 @@ def lomb_scargle(
             F.sum("s2wt").alias("s2"),
         )
     )
+    sums_s = obs.groupBy(id_col).agg(
+        F.count("*").alias("n"),
+        F.sum(m).alias("s1"),
+        F.sum(m * m).alias("s2m"),
+    )
+    sums = sums_f.join(sums_s, id_col)
     n = F.col("n")
     mean = F.col("s1") / n
     yc = F.col("smc") - mean * F.col("sc")

@@ -91,11 +91,15 @@ def test_decontamination_broadcasts_eval_side(spark):
 
 
 def test_periodogram_grid_broadcast_single_agg_exchange(spark):
-    # obs × grid is a broadcast nested-loop product; the only shuffle is
-    # the (star, freq) aggregation
+    # obs × grid is a broadcast nested-loop product; the shuffles are the
+    # (star, freq) trig aggregation and the (much smaller) per-star
+    # moment aggregation, whose result joins back via broadcast — the
+    # freq-independent sums must NOT ride in the wide aggregate (that
+    # would redo them once per grid frequency)
     plan = _plan(spark, "periodogram")
     assert "BroadcastNestedLoopJoin" in plan
-    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 2, plan
     assert "Python" not in plan
 
 
