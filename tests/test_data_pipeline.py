@@ -336,3 +336,63 @@ def test_embedding_ivf_recall(spark):
     a = {(q, v) for q, v in zip(ivf.query_id, ivf.vec_id)}
     recall = len(e & a) / len(e)
     assert recall > 0.8, f"ivf recall {recall}"
+
+
+def test_simhash_pigeonhole_guarantee(spark):
+    """Structural guarantee of the 4x15 banding: ANY pair with hamming
+    distance <= 3 shares at least one band (pigeonhole over 4 bands), so
+    simhash_pairs can never miss such a pair. Construct doc pairs whose
+    fingerprints differ in exactly 0 and 1 known token and check the
+    verified pairs agree with a brute-force hamming computation."""
+    import itertools
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, base) for i in range(3)]
+        + [(10 + i, base + " extra" + str(i % 2)) for i in range(4)],
+        "doc_id long, text string",
+    )
+    fp = dedup.simhash(docs).toPandas().set_index("doc_id")
+    pairs = dedup.simhash_pairs(docs, max_hamming=3).toPandas()
+    got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    for a, b in itertools.combinations(sorted(fp.index), 2):
+        ham = sum(
+            bin(int(fp.loc[a, f"band{i}"]) ^ int(fp.loc[b, f"band{i}"])).count("1")
+            for i in range(4)
+        )
+        if ham <= 3:
+            assert (a, b) in got, (a, b, ham)
+        else:
+            assert (a, b) not in got, (a, b, ham)
+
+
+def test_minhash_exact_copies_always_candidates(spark):
+    """Identical shingle sets have identical signatures in every band, so
+    exact copies (with >= n tokens) are guaranteed candidates and verify
+    at jaccard_dist 0 — regardless of the hash family constants."""
+    docs = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6"), (2, "w1 w2 w3 w4 w5 w6"),
+         (3, "completely different tokens here now yes")],
+        "doc_id long, text string",
+    )
+    out = dedup.minhash_pairs(docs, threshold=0.5).toPandas()
+    assert ((out.id_a == 1) & (out.id_b == 2)).any()
+    row = out[(out.id_a == 1) & (out.id_b == 2)].iloc[0]
+    assert row.jaccard_dist == 0.0
+
+
+def test_lsh_bucket_determinism_across_sessions_constants(spark):
+    """The SRP hyperplanes are pure functions of (seed, t, j, d) — no
+    RNG state, no fit: two independent calls produce identical buckets,
+    and changing the seed changes them."""
+    from lightcurvesclassifier_spark.operators.similarity import _lsh_signs
+
+    assert _lsh_signs(2, 2, 8, seed=42) == _lsh_signs(2, 2, 8, seed=42)
+    assert _lsh_signs(2, 2, 8, seed=42) != _lsh_signs(2, 2, 8, seed=43)
+    emb = testdata.load_table(spark, SF_ORACLE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    a = similarity.lsh_topk(emb, q, k=5).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    b = similarity.lsh_topk(emb, q, k=5).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
