@@ -848,13 +848,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     new queries were appended).  Layout:
 
     * 1-50: full-DuckDB-oracle queries, prioritizing the ones that have
-      never had a driver row (the LLM-pipeline family) plus the flagship
+      never had a driver value-check (r4: the new pipeline operators and
+      the newly-oracled deterministic MinHash/SimHash) plus the flagship
       astro queries.
-    * 51-60: full-oracle queries that were driver-green in r01/r02 and
-      are covered every session by tests/test_oracle_parity.py (rotated
-      out to make window room; still fully oracled here and locally).
-    * tail: the inherently seed/sign-dependent `no_oracle` entries —
-      rows-only by design, with recall/pinned-value tests in tests/.
+    * 51+: full-oracle queries that were driver-green in earlier rounds
+      and are covered every session by tests/test_oracle_parity.py
+      (rotated out to make window room; still fully oracled locally).
+    * tail: the inherently iteration/model-dependent `no_oracle` entries
+      (sliding re-SAX, Lloyd-trained IVF) — rows-only by design, with
+      recall/pinned-value tests in tests/.
     """
     return {
         # --- 1-50: oracled, driver-checked window ---

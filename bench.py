@@ -40,29 +40,36 @@ def main() -> None:
     # the reproducible cost of the plan
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name, fn in entry_mod.queries().items():
-        best = float("inf")
-        for _ in range(max(1, runs)):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        total += best
+    import gc
+
+    def _reclaim():
         # drop caches/checkpoints a query pinned (stars_filter_pipeline,
-        # dedup_clusters, …) so later queries aren't taxed by the
+        # dedup_clusters, …) so later runs aren't taxed by the
         # accumulated executor memory + GC of earlier ones.
         # localCheckpoint()ed RDDs are only released when the JVM object
         # is garbage-collected AND the ContextCleaner runs — measured
         # effect without the explicit GCs: repeated runs of the same
         # checkpoint-using query grow 2-3× within a session as dead
-        # checkpoint blocks pile up in executor storage
+        # checkpoint blocks pile up in executor storage. Running the
+        # reclaim BEFORE every timed run (not once per query) keeps a
+        # pending full GC from landing inside someone else's window —
+        # shuffle-heavy queries otherwise read 2-3× their isolated cost
+        # on some passes.
         spark.catalog.clearCache()
-        import gc
-
         gc.collect()  # drop py4j refs to dead DataFrames/RDDs
         spark.sparkContext._jvm.System.gc()  # let ContextCleaner reap them
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in entry_mod.queries().items():
+        best = float("inf")
+        for _ in range(max(1, runs)):
+            _reclaim()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        total += best
 
     print(
         json.dumps(

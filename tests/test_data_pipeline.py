@@ -326,6 +326,52 @@ def test_embedding_neardup_skew_decoupled_from_cell_occupancy(spark):
     assert n_groups > n_cells, f"only {n_groups} scoring groups"
 
 
+def test_embedding_neardup_auto_salting_tracks_occupancy(spark):
+    """n_salts='auto' (the default): cells under the chunk target use
+    the MIN_SALTS floor (same fan-out as the proven fixed default —
+    parallelism preserved on small corpora), a cell hotter than the
+    chunk target fans out into MORE groups — and results stay exact
+    either way."""
+    import numpy as np
+
+    from lightcurvesclassifier_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((300, 16))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    # 300 rows << CHUNK_TARGET → every cell sits at the floor: group
+    # count equals the fixed-S default's
+    g_auto = sim.embedding_neardup_scoring_groups(
+        emb, threshold=0.95, n_cells=8, n_salts="auto"
+    )
+    g_fixed = sim.embedding_neardup_scoring_groups(
+        emb, threshold=0.95, n_cells=8, n_salts=sim.NEARDUP_MIN_SALTS
+    )
+    assert g_auto == g_fixed
+    # force a hot cell past the chunk target → S above the floor → more
+    # groups than the fixed default
+    old = sim.NEARDUP_CHUNK_TARGET
+    sim.NEARDUP_CHUNK_TARGET = 40
+    try:
+        g_hot = sim.embedding_neardup_scoring_groups(
+            emb, threshold=0.95, n_cells=8, n_salts="auto"
+        )
+    finally:
+        sim.NEARDUP_CHUNK_TARGET = old
+    assert g_hot > g_auto
+    # exactness under auto (the driver checks this too via the oracle)
+    got = sim.embedding_neardup_pairs(emb, threshold=0.95, n_cells=8).toPandas()
+    sims = np.round(vecs @ vecs.T, 6)
+    ii, jj = np.where(sims >= 0.95)
+    keep = ii < jj
+    want = sorted(zip(ii[keep].tolist(), jj[keep].tolist()))
+    assert sorted(zip(got.id_a, got.id_b)) == want
+
+
 def test_embedding_ivf_recall(spark):
     emb = testdata.load_table(spark, SF_ORACLE, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
