@@ -28,6 +28,7 @@ from lightcurvesclassifier_spark.operators.comparative import (
     comparative_scores,
     comparative_hist_sql,
     comparative_noslide_sql,
+    comparative_slide_sql,
     comparative_variogram_sql,
     reduce_scores,
 )
@@ -351,7 +352,10 @@ def _comparative(spark, sf_dir, kind, meth, **params):
 def q_comp_curves_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CurvesShapeDescr: sliding-SAX dissimilarity vs broadcast templates,
     mean-reduced (lcc/stars_processing/descriptors/curves_shape_descr.py).
-    Non-SQL-expressible (sliding re-SAX) → rows-only driver check."""
+    Fully oracled since r4: the whole sliding re-SAX (per-window
+    normalize → frame-rule PAA → letters → best-window MINDIST) is
+    mirrored in SQL (comparative.comparative_slide_sql) — bit-exact at
+    6-decimal rounding on sf0.001 and sf0.01."""
     return _comparative(
         spark, sf_dir, "curves_shape", "average",
         days_per_bin=2.0, alphabet_size=10, slide=0.25,
@@ -938,8 +942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "length_buckets": q_length_buckets,
         "domain_stats": q_domain_stats,
-        # --- tail: no_oracle by design (seeds / MAX_ITER) ---
         "comp_curves_shape": q_comp_curves_shape,
+        # --- tail: no_oracle by design (Lloyd-trained IVF cells) ---
         "embedding_ivf_topk": q_embedding_ivf_topk,
     }
 
@@ -1208,6 +1212,9 @@ FROM ({testdata.STARS_SQL})
             descr.curve_descr_sql(_OBS, bins=3)
         ),
         "comp_curves_noslide": comparative_noslide_sql(_OBS, [0, 1, 2]),
+        "comp_curves_shape": comparative_slide_sql(
+            _OBS, [0, 1, 2], days_per_bin=2.0, alphabet_size=10, slide=0.25
+        ),
         "comp_hist_shape": comparative_hist_sql(_OBS, [0, 1, 2], bins=10, alphabet_size=10, meth="closest"),
         "comp_variogram_shape": comparative_variogram_sql(_OBS, [0, 1, 2], bins=10, alphabet_size=10, meth="best2"),
         "variogram_slope": descr.variogram_slope_sql(_OBS, bins=20),

@@ -597,3 +597,205 @@ def reduce_scores(
             .agg(F.avg("score").alias("feature"))
         )
     raise ValueError(f"unknown reduce method: {meth}")
+
+
+def comparative_slide_sql(
+    obs_sql: str,
+    template_ids: list[int],
+    days_per_bin: float = 2.0,
+    alphabet_size: int = 10,
+    slide: float = 0.25,
+    eps: float = 1e-6,
+) -> str:
+    """DuckDB oracle for ``curves_shape`` with sliding compare, averaged
+    over templates — the full sliding re-SAX of
+    curves_shape_descr.py:95-150 in SQL.
+
+    Two branches, exactly as ``compare_curves_sax``:
+
+    * equal word sizes: whole-curve words, equal-LENGTH requirement
+      (not prefix), scale from the inspected side;
+    * differing word sizes: the longer-ws curve is re-SAXed over raw
+      sliding windows (window = n_long·ws_short/ws_long, advance =
+      int(window − slide·window), ≤ MAX_ITER windows, each window
+      normalized with its OWN mean/std), best (min) squared-letter sum
+      vs the short curve's whole word wins; no comparable window → 1e9.
+
+    Integer truncations mirror Python ``int()`` via ``trunc`` (DuckDB's
+    double→INT CAST rounds); frame rule / breakpoints / letter distance
+    reuse the noslide chain verbatim.
+    """
+    beta_sql = _beta_sql(alphabet_size)
+    tpl = ", ".join(str(int(t)) for t in template_ids)
+    dpb = repr(float(days_per_bin))
+    sl = repr(float(slide))
+    max_iter = sax_mod.MAX_ITER
+
+    def d2_sum(wa: str, wb: str, length: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {length}), "
+            f"k -> CASE WHEN abs({wa}[k] - {wb}[k]) <= 1 THEN 0.0e0 "
+            f"ELSE power({beta_sql}[GREATEST({wa}[k], {wb}[k])] "
+            f"- {beta_sql}[LEAST({wa}[k], {wb}[k]) + 1], 2) END))"
+        )
+
+    return f"""
+WITH obs AS ({obs_sql}),
+curves AS (
+  SELECT star_id, list(mag ORDER BY t, mag) AS mags,
+         list(t ORDER BY t, mag) AS ts,
+         CAST(count(*) AS INT) AS n
+  FROM obs GROUP BY star_id
+),
+sized AS (
+  SELECT star_id, mags, n,
+         GREATEST(5, CAST({_round_half_even_sql(f'((list_max(ts) - list_min(ts)) / {dpb})')} AS INT)) AS ws
+  FROM curves
+),
+stats AS (SELECT star_id, mags, n, ws, list_avg(mags) AS m FROM sized),
+stats2 AS (
+  SELECT *, sqrt(list_avg(list_transform(mags, x -> (x - m) * (x - m)))) AS s
+  FROM stats
+),
+norm AS (
+  SELECT star_id, n, ws,
+         CASE WHEN s < {eps!r} THEN list_transform(mags, x -> 0.0e0)
+              ELSE list_transform(mags, x -> (x - m) / s) END AS nm
+  FROM stats2
+),
+idx AS (
+  SELECT star_id, n, ws, nm,
+         unnest(generate_series(0, CAST(2 * ws + 1 AS BIGINT))) AS i
+  FROM norm
+),
+frames AS (
+  SELECT star_id, n, ws, nm, i,
+         CAST(ceil(CAST(n AS DOUBLE) / ws) AS INT) AS width,
+         CAST(floor(CAST(i AS DOUBLE) * (CAST(n AS DOUBLE) / ws)) AS INT) AS start
+  FROM idx
+),
+paa AS (
+  SELECT star_id, n, ws, i,
+         list_reduce(list_slice(nm, start + 1, start + width),
+                     (acc, x) -> acc + x) / CAST(width AS DOUBLE) AS v
+  FROM frames WHERE start <= n - width
+),
+lett AS (
+  SELECT star_id, n, ws, i,
+         len(list_filter({beta_sql}, b -> v >= b)) AS code
+  FROM paa
+),
+words AS (
+  SELECT star_id, any_value(n) AS n, any_value(ws) AS ws,
+         list(code ORDER BY i) AS word
+  FROM lett GROUP BY star_id
+),
+pairs AS (
+  SELECT i.star_id, t.star_id AS template_id, i.ws AS a_ws, t.ws AS b_ws
+  FROM sized i JOIN sized t ON t.star_id IN ({tpl})
+),
+eq_scores AS (
+  -- slide path, ws_a == ws_b: one whole-curve word each, equal-length
+  -- requirement, scale from the INSPECTED side (compare_curves_sax
+  -- ws_a == ws_b branch)
+  SELECT p.star_id, p.template_id,
+         CASE WHEN len(wa.word) = len(wb.word)
+              THEN sqrt(CAST(wa.n AS DOUBLE) / wa.ws)
+                   * sqrt({d2_sum('wa.word', 'wb.word', 'len(wb.word)')})
+              ELSE 1e9 END AS score
+  FROM pairs p
+  JOIN words wa ON wa.star_id = p.star_id
+  JOIN words wb ON wb.star_id = p.template_id
+  WHERE p.a_ws = p.b_ws
+),
+dmeta AS (
+  -- differing ws: long/short assignment (template wins ties — there
+  -- are none here, the equal branch took them), window geometry and
+  -- python-int truncated advance
+  SELECT d.star_id, d.template_id, d.short_id,
+         sl.mags AS long_mags, sl.n AS long_n, sl.ws AS ws_l,
+         ss.ws AS ws_s,
+         (CAST(sl.n AS DOUBLE) * ss.ws) / sl.ws AS wind
+  FROM (
+    SELECT p.star_id, p.template_id,
+           CASE WHEN p.b_ws >= p.a_ws THEN p.template_id ELSE p.star_id END AS long_id,
+           CASE WHEN p.b_ws >= p.a_ws THEN p.star_id ELSE p.template_id END AS short_id
+    FROM pairs p WHERE p.a_ws <> p.b_ws
+  ) d
+  JOIN sized sl ON sl.star_id = d.long_id
+  JOIN sized ss ON ss.star_id = d.short_id
+),
+dwin AS (
+  SELECT star_id, template_id, short_id, ws_s, long_mags, k,
+         CAST(k * advance AS INT) AS from_i,
+         CAST(trunc(k * advance + wind) AS INT) AS to_i
+  FROM (SELECT *, CAST(trunc(wind - {sl} * wind) AS INT) AS advance FROM dmeta),
+       unnest(generate_series(0, {max_iter - 1})) AS t(k)
+  WHERE CAST(trunc(k * advance + wind) AS INT) <= long_n
+),
+wslice AS (
+  SELECT star_id, template_id, ws_s, k,
+         list_slice(long_mags, from_i + 1, to_i) AS sm,
+         (to_i - from_i) AS wn
+  FROM dwin
+),
+wstats AS (SELECT *, list_avg(sm) AS m FROM wslice),
+wstats2 AS (
+  SELECT *, sqrt(list_avg(list_transform(sm, x -> (x - m) * (x - m)))) AS s
+  FROM wstats
+),
+wnorm AS (
+  SELECT star_id, template_id, ws_s, k, wn,
+         CASE WHEN s < {eps!r} THEN list_transform(sm, x -> 0.0e0)
+              ELSE list_transform(sm, x -> (x - m) / s) END AS nm
+  FROM wstats2
+),
+widx AS (
+  SELECT star_id, template_id, ws_s, k, wn, nm,
+         unnest(generate_series(0, CAST(2 * ws_s + 1 AS BIGINT))) AS i
+  FROM wnorm
+),
+wfr AS (
+  SELECT star_id, template_id, ws_s, k, wn, nm, i,
+         CAST(ceil(CAST(wn AS DOUBLE) / ws_s) AS INT) AS width,
+         CAST(floor(CAST(i AS DOUBLE) * (CAST(wn AS DOUBLE) / ws_s)) AS INT) AS start
+  FROM widx
+),
+wpaa AS (
+  SELECT star_id, template_id, k, i,
+         list_reduce(list_slice(nm, start + 1, start + width),
+                     (acc, x) -> acc + x) / CAST(width AS DOUBLE) AS v
+  FROM wfr WHERE start <= wn - width
+),
+wlett AS (
+  SELECT star_id, template_id, k, i,
+         len(list_filter({beta_sql}, b -> v >= b)) AS code
+  FROM wpaa
+),
+wwords AS (
+  SELECT star_id, template_id, k, list(code ORDER BY i) AS wword
+  FROM wlett GROUP BY star_id, template_id, k
+),
+dshort AS (SELECT DISTINCT star_id, template_id, short_id FROM dmeta),
+dcand AS (
+  SELECT w.star_id, w.template_id,
+         {d2_sum('w.wword', 'sw.word', 'len(sw.word)')} AS ssum
+  FROM wwords w
+  JOIN dshort dm ON dm.star_id = w.star_id AND dm.template_id = w.template_id
+  JOIN words sw ON sw.star_id = dm.short_id
+  WHERE len(w.wword) = len(sw.word)
+),
+dmin AS (SELECT star_id, template_id, min(ssum) AS msum FROM dcand GROUP BY 1, 2),
+diff_scores AS (
+  SELECT dm.star_id, dm.template_id,
+         COALESCE(sqrt(CAST(sw.n AS DOUBLE) / sw.ws) * sqrt(dmin.msum), 1e9) AS score
+  FROM dshort dm
+  JOIN words sw ON sw.star_id = dm.short_id
+  LEFT JOIN dmin ON dmin.star_id = dm.star_id AND dmin.template_id = dm.template_id
+),
+allsc AS (
+  SELECT * FROM eq_scores UNION ALL SELECT * FROM diff_scores
+)
+SELECT star_id, round(avg(score), 6) AS feature
+FROM allsc GROUP BY star_id
+"""
