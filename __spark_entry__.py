@@ -858,9 +858,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     * 51+: full-oracle queries that were driver-green in earlier rounds
       and are covered every session by tests/test_oracle_parity.py
       (rotated out to make window room; still fully oracled locally).
-    * tail: the inherently iteration/model-dependent `no_oracle` entries
-      (sliding re-SAX, Lloyd-trained IVF) — rows-only by design, with
-      recall/pinned-value tests in tests/.
+    * tail: the single inherently model-dependent `no_oracle` entry
+      (embedding_ivf_topk — Lloyd-trained cells) — rows-only by design,
+      with an exact-recall baseline test in tests/.
     """
     return {
         # --- 1-50: oracled, driver-checked window ---

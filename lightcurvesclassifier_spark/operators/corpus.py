@@ -206,8 +206,14 @@ def length_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
             "bucket_floor",
             "n_docs",
             "sum_tokens",
-            F.round(
-                1.0 - F.col("sum_tokens") / (F.col("n_docs") * cap), 6
+            # clamped at 0: the TOP bucket is open-ended, so documents
+            # longer than its 2·floor−1 cap would otherwise drive the
+            # "waste" negative (nonsense — they'd be split, not padded)
+            F.greatest(
+                F.lit(0.0),
+                F.round(
+                    1.0 - F.col("sum_tokens") / (F.col("n_docs") * cap), 6
+                ),
             ).alias("pad_waste_frac"),
         )
     )
@@ -232,7 +238,8 @@ agg AS (
   FROM sized GROUP BY bucket_floor
 )
 SELECT bucket_floor, n_docs, CAST(sum_tokens AS BIGINT) AS sum_tokens,
-       round(1.0 - sum_tokens / (n_docs * (2 * bucket_floor - 1)), 6)
+       greatest(0.0e0,
+         round(1.0 - sum_tokens / (n_docs * (2 * bucket_floor - 1)), 6))
          AS pad_waste_frac
 FROM agg
 """

@@ -1,25 +1,77 @@
-"""Deduplication operators — exact, n-gram Jaccard, MinHash-LSH, SimHash.
+"""Deduplication operators — exact, n-gram Jaccard, MinHash-LSH,
+SimHash, exact repeated substrings.
 
-The scale-first designs:
+The scale-first designs (all hash paths deterministic + oracle-checkable
+since r4 — no MLlib, no JVM-private hash seeds):
 
 - **exact**: hash-groupBy on a content fingerprint (md5) — one shuffle,
   no pairwise work.
 - **n-gram Jaccard**: token-shingle inverted index self-join
   (doc↔shingle, join on shingle, count intersections) — work is
   proportional to true shingle collisions, never O(n²) over documents.
-- **MinHash-LSH**: MLlib ``MinHashLSH`` over hashed shingle vectors —
-  banding reduces candidates to probable near-dups; the standard
-  100 TB-scale path.
-- **SimHash**: 64-bit weighted-bit fingerprint; candidate pairs share at
-  least one of four 16-bit bands (pigeonhole: hamming ≤ 3 ⇒ some band
-  equal), verified by exact hamming distance.
+- **MinHash-LSH**: explicit affine hash family over md5-derived shingle
+  keys, banding + exact verify; the standard 100 TB-scale path.
+- **SimHash**: 60-bit md5-keyed weighted-bit fingerprint; candidate
+  pairs share at least one of four 15-bit bands (pigeonhole:
+  hamming ≤ 3 ⇒ some band equal), verified by exact hamming distance.
+- **repeated_spans**: the ExactSubstr pass — per-doc duplicated
+  k-token-span stats via span-hash counting, O(total tokens).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, functions as F
 
 SHINGLE_N = 4  # token n-gram size
+
+
+def _ngram_rows(
+    df: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    key_fn: Callable[[Column], Column],
+    empty_type: str,
+    out_col: str,
+    distinct: bool = True,
+) -> DataFrame:
+    """Shared token-n-gram explode skeleton: one row per (doc, n-gram
+    key), where ``key_fn`` maps the joined n-gram string to the key
+    expression (identity / xxhash64 / md5-int / …).
+
+    Two subtleties every caller needs and must not re-implement:
+
+    * short-document guard — with < ``n`` tokens,
+      ``F.sequence(1, size-(n-1))`` would produce a *descending*
+      sequence and ``slice`` would throw; the guard emits an empty
+      array, matching the DuckDB mirrors' empty ``generate_series``;
+    * the token split is materialized into a column BEFORE the
+      higher-order ``transform`` — Catalyst does not
+      common-subexpression-eliminate inside lambdas, so an inline
+      ``split()`` would re-split the document once per position
+      (~2× measured cost on the sf0.1 corpus).
+    """
+    tk = F.col("_toks")
+    grams = F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+            lambda i: key_fn(F.array_join(F.slice(tk, i, n), " ")),
+        ),
+    ).otherwise(F.array().cast(f"array<{empty_type}>"))
+    out = df.withColumn("_toks", F.split(F.col(text_col), " ")).select(
+        F.col(id_col), F.explode(grams).alias(out_col)
+    )
+    return out.distinct() if distinct else out
+
+
+def _md5_int60(s: Column) -> Column:
+    """First 15 hex chars of md5 as a 60-bit integer — reproducible
+    bit-for-bit in DuckDB (``CAST('0x'||substr(md5(s),1,15) AS BIGINT)``),
+    which is what makes the MinHash/span paths oracle-checkable."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -40,30 +92,11 @@ def shingles(df: DataFrame, n: int = SHINGLE_N, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
     """Distinct token n-gram shingles per document (long format).
 
-    Documents with fewer than ``n`` tokens yield no shingles (and hence no
-    rows): without the guard, ``F.sequence(1, size-(n-1))`` would produce a
-    *descending* sequence when the stop is ≤ 0 and ``slice`` would throw.
-    The DuckDB mirror's ``generate_series`` is empty for the same doc, so
-    the guard also keeps engine and oracle aligned.
-
-    The token split is materialized into a column BEFORE the higher-order
-    ``transform``: Catalyst does not common-subexpression-eliminate an
-    expression referenced inside a lambda, so an inline ``split()`` would
-    re-split the document once per shingle position (~2× measured cost on
-    the sf0.1 corpus).
+    Short-document guard and pre-materialized token split live in
+    :func:`_ngram_rows` (shared by every shingle/span builder here).
     """
-    tk = F.col("_toks")
-    sh = F.when(
-        F.size(tk) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
-            lambda i: F.array_join(F.slice(tk, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.withColumn("_toks", F.split(F.col(text_col), " "))
-        .select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .distinct()
+    return _ngram_rows(
+        df, n, text_col, id_col, lambda g: g, "string", "shingle"
     )
 
 
@@ -76,21 +109,10 @@ def shingles_hashed(
     negligible). Shared by the Jaccard and MinHash paths so their
     cached plans are identical (one materialization per run).
 
-    Short documents (< ``n`` tokens) yield no rows — same guard (and same
-    rationale) as :func:`shingles`, and the same pre-materialized token
-    split (Catalyst does not CSE inside lambdas — see :func:`shingles`)."""
-    tk = F.col("_toks")
-    sh = F.when(
-        F.size(tk) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
-            lambda i: F.xxhash64(F.array_join(F.slice(tk, i, n), " ")),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    return (
-        df.withColumn("_toks", F.split(F.col(text_col), " "))
-        .select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .distinct()
+    Short-document guard and pre-materialized token split live in
+    :func:`_ngram_rows`."""
+    return _ngram_rows(
+        df, n, text_col, id_col, F.xxhash64, "bigint", "shingle"
     )
 
 
@@ -181,28 +203,14 @@ def shingles_md5(
     """Distinct shingles as 60-bit md5-derived integer keys.
 
     Unlike :func:`shingles_hashed` (xxhash64 — JVM-only), the key here
-    is the first 15 hex chars of md5(shingle) parsed as an integer —
-    reproducible bit-for-bit in any engine with md5 (DuckDB:
-    ``CAST('0x'||substr(md5(s),1,15) AS BIGINT)``), which is what makes
-    the MinHash path fully oracle-checkable. Distinct runs on the 8-byte
-    key, not the shingle string. Same short-document guard and
-    pre-materialized token split as :func:`shingles`."""
-    tk = F.col("_toks")
-    sh = F.when(
-        F.size(tk) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
-            lambda i: F.conv(
-                F.substring(F.md5(F.array_join(F.slice(tk, i, n), " ")), 1, 15),
-                16,
-                10,
-            ).cast("bigint"),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    return (
-        df.withColumn("_toks", F.split(F.col(text_col), " "))
-        .select(F.col(id_col), F.explode(sh).alias("key"))
-        .distinct()
+    is the first 15 hex chars of md5(shingle) parsed as an integer
+    (:func:`_md5_int60`) — reproducible bit-for-bit in any engine with
+    md5, which is what makes the MinHash path fully oracle-checkable.
+    Distinct runs on the 8-byte key, not the shingle string.
+    Short-document guard and pre-materialized token split live in
+    :func:`_ngram_rows`."""
+    return _ngram_rows(
+        df, n, text_col, id_col, _md5_int60, "bigint", "key"
     )
 
 
@@ -542,28 +550,17 @@ def repeated_spans(
     comparison anywhere. ``n_spans`` is recomputed arithmetically from
     the token count so the totals side never shuffles.
 
-    Documents with < ``k`` tokens yield no spans — same descending-
-    ``sequence`` guard (and DuckDB ``generate_series`` alignment) as
-    :func:`shingles`, and the same pre-materialized token split (no CSE
-    inside lambdas).
+    Short-document guard and pre-materialized token split live in
+    :func:`_ngram_rows` (called with ``distinct=False`` — occurrence
+    counts matter here, unlike the shingle-set paths).
     """
     toks = F.split(F.col(text_col), " ")
-    tk = F.col("_toks")
-    sp = F.when(
-        F.size(tk) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tk) - (k - 1)),
-            lambda i: F.xxhash64(F.array_join(F.slice(tk, i, k), " ")),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
     # lazy localCheckpoint: the span table feeds both the count aggregate
     # and the join probe side — materialize once (same pattern as
     # ngram_jaccard_pairs)
-    spans = (
-        df.withColumn("_toks", F.split(F.col(text_col), " "))
-        .select(F.col(id_col), F.explode(sp).alias("span"))
-        .localCheckpoint(eager=False)
-    )
+    spans = _ngram_rows(
+        df, k, text_col, id_col, F.xxhash64, "bigint", "span", distinct=False
+    ).localCheckpoint(eager=False)
     counts = spans.groupBy("span").agg(F.count("*").alias("n_occ"))
     dup = (
         spans.join(counts.filter(F.col("n_occ") >= 2), "span")
@@ -636,10 +633,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     half = SIMHASH_BITS // 2
     tok = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    ).withColumn(
-        "h",
-        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint"),
-    )
+    ).withColumn("h", _md5_int60(F.col("tok")))
     packed = [
         F.sum(
             F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1))

@@ -689,6 +689,18 @@ def lsh_topk(
     (query side). Zero-norm vectors are dropped on both sides (their
     cosine is 0/0 = NaN, which a DESC window would rank first).
     """
+    # Validate dim against a real query vector (queries are small by
+    # contract — one tiny job). A silent mismatch would not error: the
+    # null-padded zip_with folds every projection to NULL, every vector
+    # lands in bucket 0 of every table, and the candidate join quietly
+    # degenerates to the full corpus × queries cross product — the exact
+    # scan LSH exists to avoid.
+    first = queries.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is not None and first["d"] != dim:
+        raise ValueError(
+            f"lsh_topk: embedding length {first['d']} != dim={dim}; pass "
+            "dim explicitly so the hyperplanes match the vectors"
+        )
     signs = _lsh_signs(num_tables, bits, dim, seed)
 
     def prep(df, name):

@@ -6,18 +6,18 @@ training-data feed also wants boilerplate variants dropped as they
 arrive. Composition (same banding scheme as the batch operator, so
 batch and stream agree on what counts as a near-dup):
 
-1. Per-document 64-bit SimHash, computed as a pure row expression over
-   the token array (one ``aggregate`` pass building the 64 bit-vote
-   counters) — stateless, so it runs on an unbounded stream with no
-   shuffle. Bit-for-bit identical to the batch ``dedup.simhash``
+1. Per-document 60-bit md5-keyed SimHash, computed as a pure row
+   expression over the token array (one ``aggregate`` pass building the
+   60 bit-vote counters) — stateless, so it runs on an unbounded stream
+   with no shuffle. Bit-for-bit identical to the batch ``dedup.simhash``
    lane-packed aggregate (pinned by test).
-2. Explode into the 4×16-bit bands and key the state on
+2. Explode into the 4×15-bit bands and key the state on
    ``(band_idx, band_val)`` — the streaming analog of the batch band
    self-join: hamming ≤ 3 guarantees a shared band (pigeonhole), so
    every true near-dup pair meets in at least one state group.
 3. ``applyInPandasWithState``: each band group keeps the fingerprints
    of up to ``_MAX_OWNERS`` mutually-distinct documents that claimed
-   the band (a single 16-bit band collision does NOT imply near-dup, so
+   the band (a single 15-bit band collision does NOT imply near-dup, so
    one owner is not enough — two true near-dups arriving after an
    unrelated claimant must still meet). An arrival is compared against
    every owner; matches (hamming ≤ max) emit candidate rows, a
