@@ -902,7 +902,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r03, pinned locally) rotated to the 51+ section to make room
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
-        "doc_fingerprint": q_doc_fingerprint,
+        # first driver value-check for the newly-oracled sliding SAX
+        # (r4); doc_fingerprint (driver-green r03, pinned locally)
+        # rotated to the 51+ section to make room
+        "comp_curves_shape": q_comp_curves_shape,
         "text_bpe_tokens": q_text_bpe_tokens,
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
         "dedup_exact": q_dedup_exact,
@@ -942,7 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "length_buckets": q_length_buckets,
         "domain_stats": q_domain_stats,
-        "comp_curves_shape": q_comp_curves_shape,
+        "doc_fingerprint": q_doc_fingerprint,
         # --- tail: no_oracle by design (Lloyd-trained IVF cells) ---
         "embedding_ivf_topk": q_embedding_ivf_topk,
     }
