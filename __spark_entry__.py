@@ -725,6 +725,13 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.domain_stats(corpus)
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization over the planted-noise corpus (typographic
+    punctuation, caps, control/whitespace debris): before/after lengths
+    + md5 of the normalized text. Map-only, zero shuffles."""
+    return text_ops.normalize_text(testdata.noisy_corpus(spark, sf_dir))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = testdata.dedup_corpus(spark, sf_dir)
     return dedup_ops.exact_dedup(corpus)
@@ -945,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "length_buckets": q_length_buckets,
         "domain_stats": q_domain_stats,
+        "normalize_text": q_normalize_text,
         "doc_fingerprint": q_doc_fingerprint,
         # --- tail: no_oracle by design (Lloyd-trained IVF cells) ---
         "embedding_ivf_topk": q_embedding_ivf_topk,
@@ -1322,6 +1330,7 @@ FROM corpus GROUP BY md5(text)
             threshold=0.8,
         ),
         "pii_redact": text_ops.pii_redact_sql(testdata.PII_CORPUS_SQL),
+        "normalize_text": text_ops.normalize_text_sql(testdata.NOISY_CORPUS_SQL),
         "repetition_features": text_ops.REPETITION_SQL,
         "doc_chunks": text_ops.chunk_documents_sql(chunk_size=32, overlap=8),
         "unigram_logprob": text_ops.unigram_logprob_sql(),

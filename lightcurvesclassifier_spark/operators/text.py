@@ -580,3 +580,60 @@ hosts AS (
 SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
 FROM hosts GROUP BY domain
 """
+
+
+# Typographic-to-ASCII character map for normalization: curly quotes,
+# en/em dashes, and NBSP.  translate() is a per-character map in both
+# engines, so FROM and TO must be the same length in CHARACTERS.
+NORM_TRANSLATE_FROM = "\u2019\u2018\u201c\u201d\u2013\u2014\u00a0"
+NORM_TRANSLATE_TO = "''\"\"-- "
+
+
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Text normalization — the first scrub pass of a training pipeline:
+    fold typographic punctuation to ASCII, lowercase, replace control
+    characters with spaces (deleting them would weld adjacent words),
+    and collapse whitespace runs.  Emits per-doc before/after lengths
+    and an md5 of the normalized text so the result stays compact while
+    still value-checking the full output byte-for-byte.
+
+    Map-only JVM expressions (translate / lower / regexp) — zero
+    shuffles; at 100 TB this is a pure scan stage that fuses into
+    whole-stage codegen with whatever runs next."""
+    t = F.col(text_col)
+    norm = F.translate(t, NORM_TRANSLATE_FROM, NORM_TRANSLATE_TO)
+    # \x00-\x1f covers tab/CR/LF too, so one collapse pass on ' +' after
+    # this replacement handles every whitespace class
+    norm = F.regexp_replace(F.lower(norm), "[\\x00-\\x1f\\x7f]", " ")
+    norm = F.trim(F.regexp_replace(norm, " +", " "))
+    return df.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        F.md5(norm.cast("binary")).alias("norm_md5"),
+    )
+
+
+def normalize_text_sql(corpus_sql: str) -> str:
+    """DuckDB mirror of :func:`normalize_text` (same translate map,
+    same regex source strings — DuckDB's RE2 and Java's regex agree on
+    these simple character classes)."""
+    # chr()-concat keeps the quote characters out of the SQL literal
+    frm = "'’‘“”–—' || chr(160)"
+    to = "$$''\"\"--$$ || ' '"
+    return f"""
+WITH corpus AS ({corpus_sql}),
+n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+           regexp_replace(lower(translate(text, {frm}, {to})),
+                          '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+           ' +', ' ', 'g')) AS norm
+  FROM corpus
+)
+SELECT doc_id,
+       length(text) AS n_chars_raw,
+       length(norm) AS n_chars_norm,
+       md5(norm) AS norm_md5
+FROM n
+"""

@@ -430,3 +430,40 @@ def curves(spark: SparkSession, sf_dir: str, per_band: bool = False) -> DataFram
             F.col("pairs.mag").alias("mag"),
         )
     )
+
+
+# Messy-text corpus for the normalization operator: deterministic noise
+# classes planted per doc_id residue — typographic quotes/dashes, NBSP,
+# shouting caps, CR/LF and tab debris, doubled spaces — so
+# text.normalize_text has real work, identically on both engines.
+NOISY_CORPUS_SQL = (
+    "SELECT doc_id, CASE "
+    "WHEN doc_id % 8 = 0 THEN '  ' || chr(9) || '“' || text || '”' "
+    "|| chr(160) || '— fin ' "
+    "WHEN doc_id % 8 = 1 THEN upper(text) || chr(13) || chr(10) "
+    "WHEN doc_id % 8 = 2 THEN replace(text, ' ', '  ') "
+    "WHEN doc_id % 8 = 3 THEN '‘' || text || '’' || chr(9) || chr(9) "
+    "ELSE text END AS text FROM documents"
+)
+
+
+def noisy_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    t = F.col("text")
+    text = (
+        F.when(
+            did % 8 == 0,
+            F.concat(
+                F.lit("  \t“"), t, F.lit("” — fin ")
+            ),
+        )
+        .when(did % 8 == 1, F.concat(F.upper(t), F.lit("\r\n")))
+        .when(did % 8 == 2, F.replace(t, F.lit(" "), F.lit("  ")))
+        .when(
+            did % 8 == 3,
+            F.concat(F.lit("‘"), t, F.lit("’\t\t")),
+        )
+        .otherwise(t)
+    )
+    return d.select("doc_id", text.alias("text"))

@@ -257,3 +257,38 @@ def test_domain_stats_planted(spark):
     assert out[out.domain.str.startswith("www.site")].n_urls.sum() == n_plant1
     # n_docs <= n_urls always; no empty domains
     assert (out.n_docs <= out.n_urls).all() and (out.domain != "").all()
+
+
+def test_normalize_text_planted_noise(spark):
+    """Each planted noise class comes out as the clean lowercase ASCII
+    form; already-clean text is a fixed point (idempotence)."""
+    import hashlib
+
+    rows = [
+        (1, "  \t“Hello  World” — fin "),
+        (2, "SHOUTING TEXT\r\n"),
+        (3, "a ‘quoted’ word"),
+        (4, "already clean text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r for r in text.normalize_text(df).collect()
+    }
+    expected = {
+        1: '"hello world" - fin',
+        2: "shouting text",
+        3: "a 'quoted' word",
+        4: "already clean text",
+    }
+    for did, want in expected.items():
+        got = out[did]
+        assert got["norm_md5"] == hashlib.md5(want.encode()).hexdigest(), did
+        assert got["n_chars_norm"] == len(want)
+        assert got["n_chars_raw"] == len(rows[did - 1][1])
+    # idempotence: re-normalizing the normalized form changes nothing
+    clean = spark.createDataFrame(
+        [(k, v) for k, v in expected.items()], "doc_id long, text string"
+    )
+    again = {r["doc_id"]: r for r in text.normalize_text(clean).collect()}
+    for did, want in expected.items():
+        assert again[did]["n_chars_norm"] == again[did]["n_chars_raw"]
