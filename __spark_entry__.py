@@ -725,6 +725,23 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.domain_stats(corpus)
 
 
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: (shard, position) per doc as a pure
+    function of (seed, doc_id) — one shuffle keyed by shard."""
+    docs = testdata.load_table(spark, sf_dir, "documents").select("doc_id")
+    return corpus_ops.shuffle_shards(docs, "doc_id", n_shards=16, seed="s0")
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5-style temperature rebalancing (alpha=0.5): rarest language
+    kept whole, dominant ones down-sampled by share^(alpha-1) — tiny
+    count aggregate + broadcast rates + map-only md5 filter."""
+    docs = testdata.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    return corpus_ops.temperature_sample(docs, "lang", "doc_id", alpha=0.5)
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization over the planted-noise corpus (typographic
     punctuation, caps, control/whitespace debris): before/after lengths
@@ -953,6 +970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": q_length_buckets,
         "domain_stats": q_domain_stats,
         "normalize_text": q_normalize_text,
+        "shuffle_shards": q_shuffle_shards,
+        "temperature_sample": q_temperature_sample,
         "doc_fingerprint": q_doc_fingerprint,
         # --- tail: no_oracle by design (Lloyd-trained IVF cells) ---
         "embedding_ivf_topk": q_embedding_ivf_topk,
@@ -1331,6 +1350,12 @@ FROM corpus GROUP BY md5(text)
         ),
         "pii_redact": text_ops.pii_redact_sql(testdata.PII_CORPUS_SQL),
         "normalize_text": text_ops.normalize_text_sql(testdata.NOISY_CORPUS_SQL),
+        "shuffle_shards": corpus_ops.shuffle_shards_sql(
+            "SELECT doc_id FROM documents", "doc_id", n_shards=16, seed="s0"
+        ),
+        "temperature_sample": corpus_ops.temperature_sample_sql(
+            "SELECT doc_id, lang FROM documents", "lang", "doc_id", alpha=0.5
+        ),
         "repetition_features": text_ops.REPETITION_SQL,
         "doc_chunks": text_ops.chunk_documents_sql(chunk_size=32, overlap=8),
         "unigram_logprob": text_ops.unigram_logprob_sql(),

@@ -243,3 +243,145 @@ SELECT bucket_floor, n_docs, CAST(sum_tokens AS BIGINT) AS sum_tokens,
          AS pad_waste_frac
 FROM agg
 """
+
+
+# Shared hex alphabet for portable md5-prefix arithmetic (the DuckDB
+# mirror has no base-conv builtin, so it uses instr() digit lookups).
+_HEX = "0123456789abcdef"
+
+
+def shuffle_shards(
+    df: DataFrame, key: str = "doc_id", n_shards: int = 16,
+    seed: str = "s0",
+) -> DataFrame:
+    """Deterministic global corpus shuffle — the write path of a training
+    run: every row gets a shard (which output file) and a position
+    (write order within the file), both pure functions of (seed, key).
+    Changing ``seed`` is the epoch reshuffle; same seed = byte-identical
+    shard files on any cluster size.
+
+    shard = first byte of md5(seed_key) mod n_shards (uniform, portable);
+    pos = rank of md5(seed_key) within the shard. ONE shuffle keyed by
+    shard; the per-shard window is a streaming rank, so at 100 TB each
+    shard sorts independently — parallelism = n_shards, no global sort,
+    no driver involvement.
+
+    ``n_shards`` must be ≤ 256 (shard is drawn from one hash byte);
+    production jobs shard by thousands, which would extend the prefix to
+    2 bytes the same way."""
+    if not 1 <= n_shards <= 256:
+        raise ValueError(f"n_shards must be in [1, 256], got {n_shards}")
+    h = F.md5(
+        F.concat(F.lit(f"{seed}_"), F.col(key).cast("string")).cast("binary")
+    )
+    # F.conv returns a string; the value is 0-255 so the cast is safe
+    shard = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % n_shards
+    w = Window.partitionBy("shard").orderBy("h", key)
+    return (
+        df.select(F.col(key), h.alias("h"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(key, "shard", "pos")
+    )
+
+
+def shuffle_shards_sql(
+    table_sql: str, key: str = "doc_id", n_shards: int = 16,
+    seed: str = "s0",
+) -> str:
+    """DuckDB mirror of :func:`shuffle_shards` (instr() digit lookup in
+    place of Spark's conv())."""
+    d1 = f"(instr('{_HEX}', substring(h, 1, 1)) - 1)"
+    d2 = f"(instr('{_HEX}', substring(h, 2, 1)) - 1)"
+    return f"""
+WITH x AS (
+  SELECT {key}, md5('{seed}_' || CAST({key} AS VARCHAR)) AS h
+  FROM ({table_sql})
+),
+s AS (
+  SELECT {key}, h, ({d1} * 16 + {d2}) % {n_shards} AS shard
+  FROM x
+)
+SELECT {key}, CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, {key})
+            AS BIGINT) AS pos
+FROM s
+"""
+
+
+def temperature_sample(
+    df: DataFrame, stratum_col: str = "lang", key: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based corpus rebalancing (the mT5 / UniMax recipe,
+    Xue et al. 2021 §3.2): sample language l with probability
+    proportional to share_l^alpha, alpha < 1 flattening the Zipf head.
+    Realized as per-stratum acceptance rates normalized so the rarest
+    stratum keeps 100% and dominant strata are down-sampled:
+    rate_l = share_l^(alpha-1) / max_l' share_l'^(alpha-1).
+
+    Per-row acceptance is the deterministic md5-prefix fraction (same
+    scheme as mixture_sample), so the draw is reproducible across
+    engines and runs. Plan shape: one tiny stratum-count aggregate
+    (map-side partial into |langs| groups), rates broadcast back, then
+    a map-only filter — the corpus itself never shuffles."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    cnt = df.groupBy(F.col(stratum_col).alias("_stratum")).agg(
+        F.count("*").alias("_c")
+    )
+    w_all = Window.partitionBy()
+    share = F.col("_c") / F.sum("_c").over(w_all)
+    # two levels: windows cannot nest (DuckDB binder rule; mirrored here
+    # so the expression order is identical on both engines)
+    boosted = cnt.select(
+        "_stratum", F.pow(share, F.lit(alpha - 1.0)).alias("_boost")
+    )
+    rates = boosted.select(
+        "_stratum",
+        F.round(F.col("_boost") / F.max("_boost").over(w_all), 9).alias("rate"),
+    )
+    h = F.md5(F.col(key).cast("string").cast("binary"))
+    frac = F.conv(F.substring(h, 1, 6), 16, 10).cast("long") / F.lit(16**6)
+    return (
+        df.join(
+            F.broadcast(rates),
+            F.col(stratum_col) == F.col("_stratum"),
+        )
+        .filter(frac < F.col("rate"))
+        .select(key, stratum_col, "rate")
+    )
+
+
+def temperature_sample_sql(
+    table_sql: str, stratum_col: str = "lang", key: str = "doc_id",
+    alpha: float = 0.5,
+) -> str:
+    """DuckDB mirror of :func:`temperature_sample` (same rate formula
+    and expression order; md5 fraction via instr() digit lookups)."""
+    exp = repr(alpha - 1.0)
+    digits = " + ".join(
+        f"(instr('{_HEX}', substring(hh, {i}, 1)) - 1) * {16 ** (6 - i)}"
+        for i in range(1, 7)
+    )
+    return f"""
+WITH corpus AS ({table_sql}),
+cnt AS (
+  SELECT {stratum_col} AS stratum, count(*) AS _c FROM corpus GROUP BY 1
+),
+b AS (
+  SELECT stratum,
+         pow(_c / CAST(sum(_c) OVER () AS BIGINT), {exp}) AS _boost
+  FROM cnt
+),
+r AS (
+  SELECT stratum, round(_boost / max(_boost) OVER (), 9) AS rate FROM b
+),
+hashed AS (
+  SELECT {key}, {stratum_col},
+         md5(CAST({key} AS VARCHAR)) AS hh
+  FROM corpus
+)
+SELECT hashed.{key}, hashed.{stratum_col}, r.rate
+FROM hashed JOIN r ON hashed.{stratum_col} = r.stratum
+WHERE ({digits}) / {16 ** 6}.0 < r.rate
+"""

@@ -292,3 +292,59 @@ def test_normalize_text_planted_noise(spark):
     again = {r["doc_id"]: r for r in text.normalize_text(clean).collect()}
     for did, want in expected.items():
         assert again[did]["n_chars_norm"] == again[did]["n_chars_raw"]
+
+
+def test_shuffle_shards_deterministic_permutation(spark):
+    import pytest
+
+    docs = testdata.load_table(spark, SF_ORACLE, "documents").select("doc_id")
+    a = corpus.shuffle_shards(docs, "doc_id", n_shards=8, seed="s0").collect()
+    b = corpus.shuffle_shards(docs, "doc_id", n_shards=8, seed="s0").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    # a true permutation: every doc exactly once, shard positions contiguous
+    n_docs = docs.count()
+    assert len(a) == n_docs
+    assert len({r["doc_id"] for r in a}) == n_docs
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # epoch reshuffle: a different seed is a different permutation
+    c = corpus.shuffle_shards(docs, "doc_id", n_shards=8, seed="s1").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+    with pytest.raises(ValueError):
+        corpus.shuffle_shards(docs, n_shards=0)
+
+
+def test_temperature_sample_flattens_head(spark):
+    import pytest
+
+    docs = testdata.load_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "lang"
+    )
+    counts = {r["lang"]: r["cnt"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    out = corpus.temperature_sample(docs, "lang", "doc_id", alpha=0.5).collect()
+    rates = {}
+    kept: dict[str, int] = {}
+    for r in out:
+        rates[r["lang"]] = r["rate"]
+        kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+    # the rarest language is kept in full (rate 1.0), and rates are
+    # anti-monotone in corpus share: bigger language -> smaller rate
+    rare = min(counts, key=counts.get)
+    assert rates[rare] == 1.0 and kept[rare] == counts[rare]
+    ordered = sorted(counts, key=counts.get)
+    for small, big in zip(ordered, ordered[1:]):
+        assert rates[big] <= rates[small]
+    # realized keep-fraction tracks the rate (md5 fraction is uniform)
+    for lang, rate in rates.items():
+        frac = kept[lang] / counts[lang]
+        assert abs(frac - rate) < 0.15, (lang, frac, rate)
+    # alpha=1 is the no-op temperature: every rate is 1.0
+    flat = corpus.temperature_sample(docs, "lang", "doc_id", alpha=1.0)
+    assert all(r["rate"] == 1.0 for r in flat.collect())
+    with pytest.raises(ValueError):
+        corpus.temperature_sample(docs, alpha=0.0)
