@@ -725,6 +725,14 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.domain_stats(corpus)
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column (FAISS-SQ8
+    baseline): per-vector scale, exact code checksums + md5, and mean
+    reconstruction error. Map-only, zero shuffles."""
+    emb = testdata.load_table(spark, sf_dir, "embeddings")
+    return sim_ops.quantize_embeddings(emb)
+
+
 def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch shuffle: (shard, position) per doc as a pure
     function of (seed, doc_id) — one shuffle keyed by shard."""
@@ -932,11 +940,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comp_curves_shape": q_comp_curves_shape,
         "text_bpe_tokens": q_text_bpe_tokens,
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram": q_dedup_ngram,
+        # first driver value-checks for the four r4-session-2 operators
+        # (normalize/shuffle/temperature/quantize); dedup_exact,
+        # dedup_ngram, decontamination, and pii_redact (driver-green
+        # r03, pinned locally) rotated to the 51+ section to make room
+        "normalize_text": q_normalize_text,
+        "shuffle_shards": q_shuffle_shards,
+        "temperature_sample": q_temperature_sample,
+        "quantize_embeddings": q_quantize_embeddings,
         "dedup_clusters": q_dedup_clusters,
-        "decontamination": q_decontamination,
-        "pii_redact": q_pii_redact,
         "repetition_features": q_repetition_features,
         "detrend": q_detrend,
         "mixture_sample": q_mixture_sample,
@@ -969,10 +981,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "length_buckets": q_length_buckets,
         "domain_stats": q_domain_stats,
-        "normalize_text": q_normalize_text,
-        "shuffle_shards": q_shuffle_shards,
-        "temperature_sample": q_temperature_sample,
         "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram": q_dedup_ngram,
+        "decontamination": q_decontamination,
+        "pii_redact": q_pii_redact,
         # --- tail: no_oracle by design (Lloyd-trained IVF cells) ---
         "embedding_ivf_topk": q_embedding_ivf_topk,
     }
@@ -1350,6 +1363,7 @@ FROM corpus GROUP BY md5(text)
         ),
         "pii_redact": text_ops.pii_redact_sql(testdata.PII_CORPUS_SQL),
         "normalize_text": text_ops.normalize_text_sql(testdata.NOISY_CORPUS_SQL),
+        "quantize_embeddings": sim_ops.quantize_embeddings_sql("embeddings"),
         "shuffle_shards": corpus_ops.shuffle_shards_sql(
             "SELECT doc_id FROM documents", "doc_id", n_shards=16, seed="s0"
         ),

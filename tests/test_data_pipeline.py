@@ -442,3 +442,38 @@ def test_lsh_bucket_determinism_across_sessions_constants(spark):
     b = similarity.lsh_topk(emb, q, k=5).toPandas().sort_values(
         ["query_id", "rank"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_quantize_embeddings_reconstruction_and_edge_cases(spark):
+    """Hand-built vectors: codes clamp to ±127, reconstruction error is
+    bounded by scale/2 per element, and the zero vector quantizes to
+    all-zero codes with zero error."""
+    import hashlib
+
+    from lightcurvesclassifier_spark.operators import similarity as sim
+
+    rows = [
+        (1, [1.0, -1.0, 0.5, 0.25]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [127.0, -0.5, 0.0, 63.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in sim.quantize_embeddings(df).collect()}
+
+    # vec 1: scale = 1/127, codes are exactly [127, -127, 64, 32]
+    # (0.5/scale = 63.5 rounds half-away-from-zero to 64)
+    got = out[1]
+    assert got["q_sum"] == 127 - 127 + 64 + 32
+    assert got["q_abs_sum"] == 127 + 127 + 64 + 32
+    assert got["q_md5"] == hashlib.md5(b"127,-127,64,32").hexdigest()
+    assert got["recon_err"] <= (1.0 / 127.0) / 2 + 1e-12
+
+    # zero vector: all-zero codes, exact reconstruction
+    assert out[2]["scale"] == 0.0
+    assert out[2]["q_sum"] == 0 and out[2]["q_abs_sum"] == 0
+    assert out[2]["recon_err"] == 0.0
+    assert out[2]["q_md5"] == hashlib.md5(b"0,0,0,0").hexdigest()
+
+    # vec 3: max|x| lands exactly on a code (127); half-code values
+    # round away from zero (63.5/scale = 63.5 -> 64)
+    assert out[3]["q_md5"] == hashlib.md5(b"127,-1,0,64").hexdigest()
