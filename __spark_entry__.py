@@ -776,6 +776,13 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.repeated_spans(corpus, k=12)
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply-side of dedup: canonical doc per near-dup cluster (longest
+    text, tie-break min id) + keep flags — the delete/redirect map."""
+    corpus = testdata.dedup_corpus(spark, sf_dir)
+    return dedup_ops.dedup_canonical(corpus, threshold=0.6)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clustering: ngram-Jaccard pairs -> connected
     components (iterative min-label propagation; one shuffle join per
@@ -949,7 +956,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "quantize_embeddings": q_quantize_embeddings,
         "dedup_clusters": q_dedup_clusters,
-        "repetition_features": q_repetition_features,
+        # dedup_canonical takes the window slot of repetition_features
+        # (driver-green r03, pinned locally, now in the 51+ section)
+        "dedup_canonical": q_dedup_canonical,
         "detrend": q_detrend,
         "mixture_sample": q_mixture_sample,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -986,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram": q_dedup_ngram,
         "decontamination": q_decontamination,
         "pii_redact": q_pii_redact,
+        "repetition_features": q_repetition_features,
         # --- tail: no_oracle by design (Lloyd-trained IVF cells) ---
         "embedding_ivf_topk": q_embedding_ivf_topk,
     }
@@ -1335,6 +1345,9 @@ SELECT md5(text) AS fingerprint,
 FROM corpus GROUP BY md5(text)
 """,
         "dedup_ngram": dedup_ops.ngram_jaccard_sql(
+            testdata.DEDUP_CORPUS_SQL, threshold=0.6
+        ),
+        "dedup_canonical": dedup_ops.dedup_canonical_sql(
             testdata.DEDUP_CORPUS_SQL, threshold=0.6
         ),
         "dedup_clusters": dedup_ops.dedup_clusters_sql(

@@ -751,3 +751,65 @@ JOIN fp fa ON fa.doc_id = c.id_a
 JOIN fp fb ON fb.doc_id = c.id_b
 WHERE {ham} <= {max_hamming}
 """
+
+
+def dedup_canonical(
+    df: DataFrame, n: int = SHINGLE_N, threshold: float = 0.6,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """The APPLY side of near-dup dedup: after clustering, pick one
+    canonical document per cluster and flag the rest for deletion.
+    Keep rule = longest text (most content survives), tie-break min id
+    — deterministic, so the kept corpus is reproducible run-to-run.
+
+    Emits one row per document: (doc_id, cluster_id, cluster_size,
+    canonical_id, keep). Filtering ``keep`` is the dedup delete;
+    joining ``canonical_id`` is the redirect map (e.g. for provenance
+    or URL aliasing). Cost over dedup_clusters: one broadcast-able
+    length projection join + ONE window shuffle keyed by cluster_id."""
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(df, n, threshold, text_col, id_col)
+    sized = clusters.join(
+        df.select(F.col(id_col), F.length(text_col).alias("_len")), id_col
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_len").desc(), F.col(id_col)
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        sized.withColumn("_rk", F.row_number().over(w))
+        .withColumn("canonical_id", F.first(id_col).over(w_full))
+        .select(
+            id_col,
+            "cluster_id",
+            "cluster_size",
+            "canonical_id",
+            (F.col("_rk") == 1).alias("keep"),
+        )
+    )
+
+
+def dedup_canonical_sql(
+    corpus_sql: str, n: int = SHINGLE_N, threshold: float = 0.6
+) -> str:
+    """DuckDB mirror of :func:`dedup_canonical` (same keep rule over
+    the recursive-CTE cluster labels)."""
+    return f"""
+WITH cl AS ({dedup_clusters_sql(corpus_sql, n, threshold)}),
+corpus AS ({corpus_sql}),
+sized AS (
+  SELECT cl.doc_id, cl.cluster_id, cl.cluster_size,
+         length(corpus.text) AS _len
+  FROM cl JOIN corpus USING (doc_id)
+)
+SELECT doc_id, cluster_id, cluster_size,
+       first_value(doc_id) OVER (
+         PARTITION BY cluster_id ORDER BY _len DESC, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS canonical_id,
+       row_number() OVER (
+         PARTITION BY cluster_id ORDER BY _len DESC, doc_id
+       ) = 1 AS keep
+FROM sized
+"""

@@ -477,3 +477,29 @@ def test_quantize_embeddings_reconstruction_and_edge_cases(spark):
     # vec 3: max|x| lands exactly on a code (127); half-code values
     # round away from zero (63.5/scale = 63.5 -> 64)
     assert out[3]["q_md5"] == hashlib.md5(b"127,-1,0,64").hexdigest()
+
+
+def test_dedup_canonical_keep_rule(spark):
+    """Within every cluster exactly one keep, the canonical doc has the
+    longest text (tie-break min id), and singleton docs keep themselves."""
+    from lightcurvesclassifier_spark.operators import dedup
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta eta"),   # near-dup of 1, longer
+        (3, "alpha beta gamma delta epsilon zeta"),       # exact dup of 1
+        (9, "completely different text about nothing"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.dedup_canonical(df, n=3, threshold=0.5).collect()}
+    assert len(out) == 4
+    # 1,2,3 cluster together; 2 is longest -> canonical
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"]
+    for d in (1, 2, 3):
+        assert out[d]["canonical_id"] == 2
+        assert out[d]["cluster_size"] == 3
+        assert out[d]["keep"] == (d == 2)
+    # the singleton keeps itself
+    assert out[9]["keep"] and out[9]["canonical_id"] == 9
+    assert out[9]["cluster_size"] == 1
