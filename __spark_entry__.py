@@ -725,6 +725,17 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.domain_stats(corpus)
 
 
+def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum deciles over the stopword-ratio score: exact
+    quantile boundaries in one reduce, broadcast, map-only assignment —
+    no global sort (the ntile() trap at 100 TB)."""
+    docs = testdata.load_table(spark, sf_dir, "documents")
+    scored = text_ops.quality_features(docs).select(
+        "doc_id", F.col("stopword_ratio").alias("score")
+    )
+    return corpus_ops.quality_buckets(scored, "score", "doc_id", n_buckets=10)
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding column (FAISS-SQ8
     baseline): per-vector scale, exact code checksums + md5, and mean
@@ -946,7 +957,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated to the 51+ section to make room
         "comp_curves_shape": q_comp_curves_shape,
         "text_bpe_tokens": q_text_bpe_tokens,
-        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
+        # quality_buckets takes the window slot of doc_rolling_fingerprint
+        # (driver-green r03, pinned locally, now in the 51+ section)
+        "quality_buckets": q_quality_buckets,
         # first driver value-checks for the four r4-session-2 operators
         # (normalize/shuffle/temperature/quantize); dedup_exact,
         # dedup_ngram, decontamination, and pii_redact (driver-green
@@ -996,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "pii_redact": q_pii_redact,
         "repetition_features": q_repetition_features,
+        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
         # --- tail: no_oracle by design (Lloyd-trained IVF cells) ---
         "embedding_ivf_topk": q_embedding_ivf_topk,
     }
@@ -1377,6 +1391,10 @@ FROM corpus GROUP BY md5(text)
         "pii_redact": text_ops.pii_redact_sql(testdata.PII_CORPUS_SQL),
         "normalize_text": text_ops.normalize_text_sql(testdata.NOISY_CORPUS_SQL),
         "quantize_embeddings": sim_ops.quantize_embeddings_sql("embeddings"),
+        "quality_buckets": corpus_ops.quality_buckets_sql(
+            f"SELECT doc_id, stopword_ratio AS score FROM ({text_ops.quality_features_sql()})",
+            n_buckets=10,
+        ),
         "shuffle_shards": corpus_ops.shuffle_shards_sql(
             "SELECT doc_id FROM documents", "doc_id", n_shards=16, seed="s0"
         ),

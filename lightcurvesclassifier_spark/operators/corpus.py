@@ -385,3 +385,59 @@ SELECT hashed.{key}, hashed.{stratum_col}, r.rate
 FROM hashed JOIN r ON hashed.{stratum_col} = r.stratum
 WHERE ({digits}) / {16 ** 6}.0 < r.rate
 """
+
+
+def quality_buckets(
+    df: DataFrame, score_col: str = "score", id_col: str = "doc_id",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Quality-curriculum binning: assign each document its corpus-wide
+    score quantile bucket (decile by default) — the selection key for
+    quality-thresholded corpora and curriculum ordering.
+
+    The naive form is ``ntile()`` over a GLOBAL sort — a single-partition
+    window that dies at 100 TB. Instead: ONE reduce computes the exact
+    quantile boundaries, the (n_buckets-1)-value row is broadcast, and
+    bucket assignment is a map-only comparison count — so the corpus is
+    scanned twice but never shuffled or globally sorted, and the second
+    scan fuses into whatever runs next. Scores and boundaries are
+    rounded to 6 decimals before comparison so the rule is
+    engine-portable. bucket = 1 + #(boundaries below score) ∈ [1, n]."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    score = F.round(F.col(score_col), 6)
+    bounds = df.select(score.alias("_s")).agg(
+        F.percentile(F.col("_s"), F.lit(qs)).alias("_b")
+    )
+    bucket = F.lit(1) + F.size(
+        F.filter(F.col("_b"), lambda v: score > F.round(v, 6))
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .select(
+            id_col,
+            score.alias("score"),
+            bucket.cast("long").alias("bucket"),
+        )
+    )
+
+
+def quality_buckets_sql(
+    scored_sql: str, n_buckets: int = 10
+) -> str:
+    """DuckDB mirror of :func:`quality_buckets`. ``scored_sql`` must
+    yield (doc_id, score)."""
+    qs = ", ".join(repr(i / n_buckets) for i in range(1, n_buckets))
+    return f"""
+WITH s AS (
+  SELECT doc_id, round(score, 6) AS score FROM ({scored_sql})
+),
+b AS (
+  SELECT quantile_cont(score, [{qs}]) AS _b FROM s
+)
+SELECT s.doc_id, s.score,
+       CAST(1 + len(list_filter(b._b, v -> s.score > round(v, 6)))
+            AS BIGINT) AS bucket
+FROM s CROSS JOIN b
+"""

@@ -348,3 +348,30 @@ def test_temperature_sample_flattens_head(spark):
     assert all(r["rate"] == 1.0 for r in flat.collect())
     with pytest.raises(ValueError):
         corpus.temperature_sample(docs, alpha=0.0)
+
+
+def test_quality_buckets_partitions_without_global_sort(spark):
+    """Buckets cover [1, n], are monotone in score, and the plan has no
+    single-partition global sort (the ntile trap)."""
+    import pytest
+
+    rows = [(i, float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    out = corpus.quality_buckets(df, "score", "doc_id", n_buckets=4)
+    got = sorted((r["score"], r["bucket"]) for r in out.collect())
+    # 100 evenly spread scores into quartiles: monotone, all 4 present
+    assert {b for _, b in got} == {1, 2, 3, 4}
+    assert all(b1 <= b2 for (_, b1), (_, b2) in zip(got, got[1:]))
+    # equal scores always land in the same bucket
+    dup = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 1.0), (4, 9.0)], "doc_id long, score double"
+    )
+    res = {r["doc_id"]: r["bucket"] for r in
+           corpus.quality_buckets(dup, n_buckets=2).collect()}
+    assert res[1] == res[2]
+    # plan: no Window/ntile — boundary row is broadcast
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    with pytest.raises(ValueError):
+        corpus.quality_buckets(df, n_buckets=1)
