@@ -725,6 +725,15 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.domain_stats(corpus)
 
 
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact token quota: md5-order prefix until the
+    running token count crosses 500 — one shuffle keyed by lang."""
+    docs = testdata.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    return corpus_ops.token_budget_sample(docs, budget=500, stratum_col="lang")
+
+
 def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-curriculum deciles over the stopword-ratio score: exact
     quantile boundaries in one reduce, broadcast, map-only assignment —
@@ -956,7 +965,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (r4); doc_fingerprint (driver-green r03, pinned locally)
         # rotated to the 51+ section to make room
         "comp_curves_shape": q_comp_curves_shape,
-        "text_bpe_tokens": q_text_bpe_tokens,
+        # token_budget_sample takes the window slot of text_bpe_tokens
+        # (driver-green r03, pinned locally, now in the 51+ section)
+        "token_budget_sample": q_token_budget_sample,
         # quality_buckets takes the window slot of doc_rolling_fingerprint
         # (driver-green r03, pinned locally, now in the 51+ section)
         "quality_buckets": q_quality_buckets,
@@ -1010,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "repetition_features": q_repetition_features,
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
+        "text_bpe_tokens": q_text_bpe_tokens,
         # --- tail: no_oracle by design (Lloyd-trained IVF cells) ---
         "embedding_ivf_topk": q_embedding_ivf_topk,
     }
@@ -1391,6 +1403,10 @@ FROM corpus GROUP BY md5(text)
         "pii_redact": text_ops.pii_redact_sql(testdata.PII_CORPUS_SQL),
         "normalize_text": text_ops.normalize_text_sql(testdata.NOISY_CORPUS_SQL),
         "quantize_embeddings": sim_ops.quantize_embeddings_sql("embeddings"),
+        "token_budget_sample": corpus_ops.token_budget_sample_sql(
+            "SELECT doc_id, lang, text FROM documents", budget=500,
+            stratum_col="lang",
+        ),
         "quality_buckets": corpus_ops.quality_buckets_sql(
             f"SELECT doc_id, stopword_ratio AS score FROM ({text_ops.quality_features_sql()})",
             n_buckets=10,

@@ -441,3 +441,64 @@ SELECT s.doc_id, s.score,
             AS BIGINT) AS bucket
 FROM s CROSS JOIN b
 """
+
+
+def token_budget_sample(
+    df: DataFrame, budget: int, stratum_col: str | None = None,
+    key: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Deterministic sampling to an exact token budget — "give me N
+    tokens of this source", the quota step of corpus mixing. Documents
+    are taken in the engine-portable md5(key) shuffle order until the
+    running token count reaches ``budget``; the document that crosses
+    the boundary is KEPT (budgets are met, never undershot), so the
+    selection is the unique deterministic prefix with cum_tokens'
+    previous value < budget.
+
+    With ``stratum_col`` the budget applies per stratum (per language /
+    source). One shuffle keyed by the stratum (or a single partition
+    for the global case — at 100 TB always pass a stratum; the window
+    is a streaming running sum either way)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    h = F.md5(F.col(key).cast("string").cast("binary"))
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    part = [stratum_col] if stratum_col else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy("_h", key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out_cols = [key] + part + ["n_tokens", "cum_tokens"]
+    return (
+        df.select(
+            F.col(key), *part, h.alias("_h"), n_tok.alias("n_tokens")
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < budget)
+        .select(*out_cols)
+    )
+
+
+def token_budget_sample_sql(
+    table_sql: str, budget: int, stratum_col: str | None = None,
+    key: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`token_budget_sample`."""
+    part = f"PARTITION BY {stratum_col} " if stratum_col else ""
+    strat = f"{stratum_col}, " if stratum_col else ""
+    return f"""
+WITH sized AS (
+  SELECT {key}, {strat}md5(CAST({key} AS VARCHAR)) AS _h,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM ({table_sql})
+),
+summed AS (
+  SELECT {key}, {strat}n_tokens,
+         CAST(sum(n_tokens) OVER ({part}ORDER BY _h, {key}
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM sized
+)
+SELECT {key}, {strat}n_tokens, cum_tokens
+FROM summed WHERE cum_tokens - n_tokens < {budget}
+"""

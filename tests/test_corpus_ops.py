@@ -375,3 +375,35 @@ def test_quality_buckets_partitions_without_global_sort(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     with pytest.raises(ValueError):
         corpus.quality_buckets(df, n_buckets=1)
+
+
+def test_token_budget_sample_exact_boundary(spark):
+    """The selection is the minimal md5-order prefix meeting the budget:
+    every kept doc starts under budget, the crossing doc is kept, and
+    dropping the last kept doc would undershoot."""
+    import pytest
+
+    docs = testdata.load_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    out = corpus.token_budget_sample(docs, budget=500, stratum_col="lang")
+    rows = out.collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs = sorted(rs, key=lambda r: r["cum_tokens"])
+        # running sum is internally consistent
+        run = 0
+        for r in rs:
+            assert r["cum_tokens"] == run + r["n_tokens"]
+            assert run < 500  # started under budget
+            run = r["cum_tokens"]
+        assert run >= 500 or len(rs) == docs.filter(
+            F.col("lang") == lang
+        ).count()  # met the budget unless the stratum ran out
+    # determinism
+    again = sorted(map(tuple, out.collect()))
+    assert again == sorted(map(tuple, rows))
+    with pytest.raises(ValueError):
+        corpus.token_budget_sample(docs, budget=0)
