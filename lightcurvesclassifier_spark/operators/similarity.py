@@ -904,3 +904,152 @@ SELECT vec_id,
        ELSE 0.0 END AS recon_err
 FROM q
 """
+
+
+def ivf_flat_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with a *data-derived deterministic* coarse quantizer —
+    the fully-oracled sibling of :func:`ivf_topk`.
+
+    Cell seeds are the ``n_cells`` corpus vectors with the smallest
+    ``md5(id)`` (a uniform deterministic sample — the same md5-ordering
+    idiom as sample_head), rather than Lloyd-trained centroids, so the
+    *entire* index-build → assign → probe → re-rank path is expressible
+    in ANSI SQL and value-checked against DuckDB. Recall is below the
+    trained quantizer's (seeds are not centroids) but the plan shape is
+    identical, and that is what this variant exists to pin.
+
+    Plan: the seed pick is a TakeOrdered of ``n_cells`` rows; cell
+    assignment is a broadcast nested-loop (corpus × n_cells) collapsed
+    by a map-side-combined ``max_by`` — the shuffle carries |corpus|
+    rows, not |corpus|·n_cells (the production path, ivf_topk, does the
+    same argmin in numpy against broadcast centroids; this one trades a
+    constant-factor broadcast join for exact cross-engine arithmetic).
+    Probing re-ranks only ~n_probe/n_cells of the corpus per query.
+    Ties everywhere break toward the smaller id: the assignment encodes
+    (rounded cos, cell_idx) into one double — cell_idx·1e-9 is far
+    below the 1e-6 rounding quantum, so the encoding is exact and
+    engine-independent.
+    """
+    v = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    # seed pick: orderBy().limit() lowers to TakeOrderedAndProject —
+    # every partition ships only its local n_cells candidates; the
+    # global-window numbering then runs on just the n_cells survivors
+    # (same total order, so identical to the oracle's row_number+filter)
+    seeds = (
+        v.withColumn(
+            "_h", F.md5(F.col(id_col).cast("string").cast("binary"))
+        )
+        .orderBy("_h", id_col)
+        .limit(n_cells)
+    )
+    w_seed = Window.orderBy("_h", id_col)
+    cells = seeds.select(
+        (F.row_number().over(w_seed) - 1).alias("cell_idx"),
+        F.col("_v").alias("_cell_v"),
+    )
+    cell_cos = F.round(cosine(F.col("_v"), F.col("_cell_v")), 6)
+    enc = cell_cos - F.col("cell_idx") * F.lit(1e-9)
+    assigned = (
+        v.crossJoin(F.broadcast(cells))
+        .groupBy(id_col)
+        .agg(
+            F.max_by(F.col("cell_idx"), enc).alias("cell_idx"),
+            F.first("_v").alias("_v"),
+        )
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("_pcos").desc(), F.col("cell_idx")
+    )
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_q"),
+        )
+        .crossJoin(F.broadcast(cells))
+        .withColumn("_pcos", F.round(cosine(F.col("_q"), F.col("_cell_v")), 6))
+        .withColumn("_pr", F.row_number().over(w_probe))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "_q", "cell_idx")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell_idx")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("_q"), F.col("_v")), 6).alias("cos"),
+        )
+    )
+    return _topk_rank(scored, k, id_col)
+
+
+def ivf_flat_topk_sql(
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """DuckDB mirror of :func:`ivf_flat_topk`: same md5 seed pick, same
+    fold arithmetic, same (rounded cos, idx) tie encoding."""
+
+    def dot(a: str, b: str) -> str:
+        return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+
+    def norm(a: str) -> str:
+        return f"sqrt(list_sum(list_transform({a}, x -> x * x)))"
+
+    def cos(a: str, b: str) -> str:
+        return f"round({dot(a, b)} / ({norm(a)} * {norm(b)}), 6)"
+
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cells AS (
+  SELECT CAST(rn - 1 AS INT) AS cell_idx, v AS cell_v FROM (
+    SELECT v, row_number() OVER (
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM vecs
+  ) WHERE rn <= {n_cells}
+),
+assigned AS (
+  SELECT c.vec_id,
+         arg_max(l.cell_idx, {cos("c.v", "l.cell_v")} - l.cell_idx * 1e-9)
+           AS cell_idx,
+         any_value(c.v) AS v
+  FROM vecs c, cells l GROUP BY c.vec_id
+),
+probes AS (
+  SELECT query_id, q, cell_idx FROM (
+    SELECT qs.vec_id AS query_id, qs.v AS q, l.cell_idx,
+           row_number() OVER (
+             PARTITION BY qs.vec_id
+             ORDER BY {cos("qs.v", "l.cell_v")} DESC, l.cell_idx) AS pr
+    FROM (SELECT * FROM vecs WHERE {query_pred}) qs, cells l
+  ) WHERE pr <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id, {cos("p.q", "a.v")} AS cos
+  FROM assigned a JOIN probes p USING (cell_idx)
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

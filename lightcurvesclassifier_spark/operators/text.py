@@ -637,3 +637,52 @@ SELECT doc_id,
        md5(norm) AS norm_md5
 FROM n
 """
+
+
+def bigram_counts(
+    df: DataFrame, k: int = 30, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide top-``k`` bigram heavy hitters.
+
+    The n-gram statistic every corpus audit runs (boilerplate
+    detection, template mining): adjacent whitespace-token pairs,
+    counted globally, top-``k`` by (count desc, bigram asc).
+
+    Scale shape: bigram expansion is map-only (zip of two array
+    slices — no Python), the count is a partial+final aggregate on
+    the bigram key, and the global top-k is ``orderBy().limit(k)``,
+    which Spark executes as TakeOrderedAndProject — every partition
+    ships only its local top-k to the driver, no global sort.  A hot
+    template bigram skews the count's reduce key; AQE's skew handling
+    (or pre-aggregation, which the map-side combine already is)
+    absorbs it.
+    """
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, F.lit(1), n - 1),
+        F.slice(toks, F.lit(2), n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        df.select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(k)
+    )
+
+
+def bigram_counts_sql(k: int = 30) -> str:
+    """DuckDB mirror: same slice/zip pairing, count and tie-break."""
+    return f"""
+WITH toks AS (SELECT string_split(text, ' ') AS tk FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(
+           list_zip(tk[1:len(tk) - 1], tk[2:len(tk)]),
+           p -> p[1] || ' ' || p[2])) AS bigram
+  FROM toks
+)
+SELECT bigram, count(*) AS cnt FROM pairs
+GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT {k}
+"""

