@@ -52,6 +52,7 @@ from lightcurvesclassifier_spark.operators import corpus as corpus_ops
 from lightcurvesclassifier_spark.operators import decontamination as decon_ops
 from lightcurvesclassifier_spark.operators import profile as profile_ops
 from lightcurvesclassifier_spark.operators import rollup as rollup_ops
+from lightcurvesclassifier_spark.operators import sketch as sketch_ops
 from lightcurvesclassifier_spark.operators import dedup as dedup_ops
 from lightcurvesclassifier_spark.operators import searcher as search_ops
 from lightcurvesclassifier_spark.operators import similarity as sim_ops
@@ -925,6 +926,25 @@ def q_obs_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_ops.downsample(obs, width_days=10.0)
 
 
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-deterministic HyperLogLog register table over the
+    corpus's 3-gram shingles — the mergeable-sketch dataflow (explode →
+    per-bucket max with map-side combine; the shuffle carries ≤256 rows
+    per map partition regardless of corpus size). Spark's built-in
+    approx_count_distinct is this shape but unoracleable; the md5
+    register scheme makes every register value-checkable in DuckDB."""
+    docs = testdata.load_table(spark, sf_dir, "documents")
+    return sketch_ops.hll_registers(docs, n=3)
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct-3-gram estimate off the HLL registers (Flajolet
+    estimator + linear-counting small-range correction), ~2.6 % off
+    exact at sf0.01 with all 256 registers live."""
+    docs = testdata.load_table(spark, sf_dir, "documents")
+    return sketch_ops.hll_distinct(docs, n=3)
+
+
 def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide bigram heavy hitters (boilerplate/template mining):
     map-only adjacent-pair expansion → combined count → distributed
@@ -963,9 +983,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curve_stats": q_curve_stats,
         "abbe_value": q_abbe_value,
         "abbe_filter": q_abbe_filter,
-        "custom_decider": q_custom_decider,
         "systematic_search": q_systematic_search,
-        "plan_anti_join": q_plan_anti_join,
+        # hll_registers / hll_distinct take the window slots of
+        # custom_decider / plan_anti_join (driver-green r02+r03, pinned
+        # locally, now in the 51+ section) — first driver rows for the
+        # deterministic-HLL sketch family
+        "hll_registers": q_hll_registers,
+        "hll_distinct": q_hll_distinct,
         "cone_search": q_cone_search,
         "crossmatch": q_crossmatch,
         # event_sessions / obs_downsample take the window slots of
@@ -1040,6 +1064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (driver-green r02+r03, pinned locally) rotated out to make room
         "curve_descr_pca": q_curve_descr_pca,
         # --- 51+: oracled, driver-green in earlier rounds, local parity ---
+        "custom_decider": q_custom_decider,
+        "plan_anti_join": q_plan_anti_join,
         "cone_nearest": q_cone_nearest,
         "crossmatch_full": q_crossmatch_full,
         "table_profile": q_table_profile,
@@ -1476,6 +1502,8 @@ FROM corpus GROUP BY md5(text)
         ),
         "tfidf_top_terms": text_ops.tfidf_top_terms_sql(k=5),
         "bigram_counts": text_ops.bigram_counts_sql(k=30),
+        "hll_registers": sketch_ops.hll_registers_sql(n=3),
+        "hll_distinct": sketch_ops.hll_distinct_sql(n=3),
         "event_sessions": rollup_ops.observing_sessions_sql(gap_days=1.0),
         "obs_downsample": rollup_ops.downsample_sql(width_days=10.0),
         "embedding_ivf_flat_topk": sim_ops.ivf_flat_topk_sql(

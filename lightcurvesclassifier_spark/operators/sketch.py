@@ -1,0 +1,156 @@
+"""Deterministic distributed sketches: a cross-engine HyperLogLog.
+
+Counting distinct tokens across a 100 TB corpus with an exact
+``groupBy(term)`` shuffles the full token stream; the sketch shape
+shuffles 256 numbers per partition instead.  Spark's built-in
+``approx_count_distinct`` is exactly this — but its xxhash-based
+registers aren't reproducible in another engine, so it can't be
+value-checked.  This HLL derives every register from ``md5(term)``,
+which both Spark and DuckDB compute identically, so the whole sketch —
+registers AND estimate — has an exact SQL oracle (the estimate math is
+all exact-in-IEEE arithmetic except one ``ln``, which both engines take
+from libm and which is rounded away at 3 decimals).
+
+Register scheme (m = 256): ``bucket`` = first 2 hex chars of
+``md5(token)``; ``rank`` = 1 + number of leading zero bits in the next
+48 bits (12 hex chars), computed portably as ``49 - length(bin(v))``
+(both engines' ``bin`` drops leading zeros).  Estimator is the standard
+Flajolet HLL with linear-counting small-range correction.
+
+Plan shape: explode tokens (map-only) → per-bucket ``max(rank)`` with
+map-side combine (the shuffle carries ≤ 256 rows *per map partition*,
+independent of corpus size) → a 256-row final aggregate.  This is the
+canonical mergeable-sketch dataflow; at 1000 executors the reduce input
+is ~256k tiny rows regardless of data volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+HLL_M = 256  # registers = one md5 byte; std error ≈ 1.04/√m ≈ 6.5 %
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+# Hex alphabet for the DuckDB mirror's instr() digit lookup (DuckDB has
+# no base-conv builtin) — same convention as corpus._HEX.
+_HEX = "0123456789abcdef"
+
+
+def _hll_parts(term: Column) -> tuple[Column, Column]:
+    """(bucket, rank) register coordinates for one token."""
+    h = F.md5(term.cast("binary"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
+    v = F.conv(F.substring(h, 3, 12), 16, 10).cast("long")  # 48 bits
+    rank = F.when(v == 0, F.lit(49)).otherwise(
+        F.lit(49) - F.length(F.bin(v))
+    )
+    return bucket, rank.cast("long")
+
+
+def hll_registers(
+    df: DataFrame, text_col: str = "text", n: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The HLL register table over the corpus's whitespace token
+    ``n``-grams: (bucket, max_rank), ≤ 256 rows.  Mergeable state —
+    union two corpora's registers with ``max`` per bucket and the
+    estimate composes."""
+    from .dedup import _ngram_rows
+
+    terms = _ngram_rows(
+        df, n, text_col, id_col,
+        key_fn=lambda s: s, empty_type="string", out_col="term",
+        distinct=False,
+    )
+    bucket, rank = _hll_parts(F.col("term"))
+    return (
+        terms.select(bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame, text_col: str = "text", n: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Single-row distinct-``n``-gram estimate from the registers: the
+    Flajolet raw estimator with linear counting below 2.5·m."""
+    regs = hll_registers(df, text_col, n, id_col)
+    m = float(HLL_M)
+    agg = regs.agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("z_present"),
+    )
+    v = F.lit(m) - F.col("n_present")  # empty registers
+    z = F.col("z_present") + v  # each empty register contributes 2⁰
+    raw = F.lit(_HLL_ALPHA * m * m) / z
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0), F.lit(m) * F.log(F.lit(m) / v)
+    ).otherwise(raw)
+    return agg.select(
+        F.col("n_present").cast("long").alias("n_registers"),
+        F.round(est, 3).alias("distinct_est"),
+    )
+
+
+def _hex_to_int_sql(expr: str, n_digits: int) -> str:
+    """DuckDB hex→int via instr() digit lookups (mirrors Spark conv)."""
+    terms = [
+        f"(instr('{_HEX}', substring({expr}, {i + 1}, 1)) - 1) "
+        f"* {16 ** (n_digits - 1 - i)}"
+        for i in range(n_digits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _hll_registers_sql(corpus_sql: str, n: int) -> str:
+    bucket = _hex_to_int_sql("substring(h, 1, 2)", 2)
+    v = _hex_to_int_sql("substring(h, 3, 12)", 12)
+    return f"""
+WITH tk0 AS (SELECT string_split(text, ' ') AS tk FROM ({corpus_sql})),
+toks AS (
+  SELECT array_to_string(tk[g:g+{n - 1}], ' ') AS term
+  FROM tk0, unnest(generate_series(1, len(tk) - {n - 1})) AS t(g)
+),
+hashed AS (SELECT md5(term) AS h FROM toks),
+coords AS (
+  SELECT CAST({bucket} AS BIGINT) AS bucket,
+         CAST(CASE WHEN {v} = 0 THEN 49
+              ELSE 49 - length(bin(CAST({v} AS BIGINT))) END AS BIGINT)
+           AS rank
+  FROM hashed
+)
+SELECT bucket, max(rank) AS max_rank FROM coords GROUP BY bucket
+"""
+
+
+def hll_registers_sql(
+    corpus_sql: str = "SELECT doc_id, text FROM documents", n: int = 1
+) -> str:
+    """DuckDB mirror of :func:`hll_registers`."""
+    return _hll_registers_sql(corpus_sql, n)
+
+
+def hll_distinct_sql(
+    corpus_sql: str = "SELECT doc_id, text FROM documents", n: int = 1
+) -> str:
+    """DuckDB mirror of :func:`hll_distinct` (same estimator constants,
+    same correction branch, rounded to 3 decimals)."""
+    m = float(HLL_M)
+    return f"""
+WITH regs AS ({_hll_registers_sql(corpus_sql, n)}),
+agg AS (
+  SELECT count(*) AS n_present,
+         sum(pow(2.0, -max_rank)) AS z_present
+  FROM regs
+)
+SELECT CAST(n_present AS BIGINT) AS n_registers,
+       round(CASE WHEN {_HLL_ALPHA * m * m} / (z_present + ({m} - n_present))
+                       <= {2.5 * m}
+                  AND {m} - n_present > 0
+             THEN {m} * ln({m} / ({m} - n_present))
+             ELSE {_HLL_ALPHA * m * m} / (z_present + ({m} - n_present))
+             END, 3) AS distinct_est
+FROM agg
+"""

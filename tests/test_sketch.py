@@ -1,0 +1,72 @@
+"""Deterministic HLL: accuracy vs exact, mergeability, plan shape."""
+
+import __spark_entry__ as em
+from pyspark.sql import functions as F
+
+from lightcurvesclassifier_spark.operators import sketch
+from lightcurvesclassifier_spark.sources import testdata
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+
+def test_hll_estimate_within_error_bound(spark):
+    docs = testdata.load_table(spark, SF_ORACLE, "documents")
+    est = sketch.hll_distinct(docs, n=3).collect()[0].distinct_est
+    exact = (
+        docs.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(F.split("text", " ")) - 2),
+                    lambda i: F.array_join(
+                        F.slice(F.split("text", " "), i, 3), " "
+                    ),
+                )
+            ).alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    # m=256 → σ ≈ 6.5 %; assert within 3σ
+    assert abs(est - exact) / exact < 0.2, (est, exact)
+
+
+def test_hll_registers_merge_composes(spark):
+    """Union two halves' registers with max-per-bucket == whole-corpus
+    registers — the property that makes the sketch shardable."""
+    docs = testdata.load_table(spark, SF_ORACLE, "documents")
+    lo = docs.filter(F.col("doc_id") % 2 == 0)
+    hi = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = (
+        sketch.hll_registers(lo, n=3)
+        .unionByName(sketch.hll_registers(hi, n=3))
+        .groupBy("bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    whole = sketch.hll_registers(docs, n=3)
+    got = {(r.bucket, r.max_rank) for r in merged.collect()}
+    want = {(r.bucket, r.max_rank) for r in whole.collect()}
+    assert got == want
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    # 31-token vocabulary at n=1 → V>0 → the linear-counting branch;
+    # the estimate must still be close for tiny cardinalities
+    docs = testdata.load_table(spark, SF_ORACLE, "documents")
+    row = sketch.hll_distinct(docs, n=1).collect()[0]
+    exact = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .distinct()
+        .count()
+    )
+    assert row.n_registers < 256
+    assert abs(row.distinct_est - exact) / exact < 0.25, (row, exact)
+
+
+def test_hll_registers_plan_single_shuffle_no_python(spark):
+    plan = (
+        em.queries()["hll_registers"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan  # the 256-key aggregate
+    assert "Python" not in plan
