@@ -945,6 +945,23 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_ops.hll_distinct(docs, n=3)
 
 
+def q_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min counter table (d=4 md5-salted rows × w=512) over the
+    corpus's bigrams — the other half of the mergeable-sketch family:
+    counter updates combine map-side, the reduce fan-in is ≤ d·w keys
+    at any corpus size, and every counter is value-checked in DuckDB."""
+    docs = testdata.load_table(spark, sf_dir, "documents")
+    return sketch_ops.cms_counters(docs, n=2)
+
+
+def q_cms_point_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bigram frequency estimates off the CMS (min over the d
+    counters): est ≥ truth always, overshoot ≤ e·N/w — the broadcast
+    probe join keeps the corpus-sized side shuffle-free."""
+    docs = testdata.load_table(spark, sf_dir, "documents")
+    return sketch_ops.cms_point_estimates(docs, n=2)
+
+
 def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide bigram heavy hitters (boilerplate/template mining):
     map-only adjacent-pair expansion → combined count → distributed
@@ -1050,12 +1067,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (driver-green r03, pinned locally, now in the 51+ section)
         "dedup_canonical": q_dedup_canonical,
         "detrend": q_detrend,
-        "mixture_sample": q_mixture_sample,
+        # cms_counters / cms_point_est take the window slots of
+        # mixture_sample / stratified_sample (driver-green r03, pinned
+        # locally, now in the 51+ section; token_budget_sample keeps the
+        # md5-threshold sampling family represented in the window)
+        "cms_counters": q_cms_counters,
+        "cms_point_est": q_cms_point_est,
         # embedding_ivf_flat_topk takes the window slot of
         # tfidf_top_terms (driver-green r03, pinned locally, now in the
         # 51+ section) — first driver row for the oracled IVF path
         "embedding_ivf_flat_topk": q_embedding_ivf_flat_topk,
-        "stratified_sample": q_stratified_sample,
         "sequence_packing": q_sequence_packing,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -1066,6 +1087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 51+: oracled, driver-green in earlier rounds, local parity ---
         "custom_decider": q_custom_decider,
         "plan_anti_join": q_plan_anti_join,
+        "mixture_sample": q_mixture_sample,
+        "stratified_sample": q_stratified_sample,
         "cone_nearest": q_cone_nearest,
         "crossmatch_full": q_crossmatch_full,
         "table_profile": q_table_profile,
@@ -1504,6 +1527,8 @@ FROM corpus GROUP BY md5(text)
         "bigram_counts": text_ops.bigram_counts_sql(k=30),
         "hll_registers": sketch_ops.hll_registers_sql(n=3),
         "hll_distinct": sketch_ops.hll_distinct_sql(n=3),
+        "cms_counters": sketch_ops.cms_counters_sql(n=2),
+        "cms_point_est": sketch_ops.cms_point_estimates_sql(n=2),
         "event_sessions": rollup_ops.observing_sessions_sql(gap_days=1.0),
         "obs_downsample": rollup_ops.downsample_sql(width_days=10.0),
         "embedding_ivf_flat_topk": sim_ops.ivf_flat_topk_sql(

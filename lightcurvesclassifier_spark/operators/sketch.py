@@ -154,3 +154,140 @@ SELECT CAST(n_present AS BIGINT) AS n_registers,
              END, 3) AS distinct_est
 FROM agg
 """
+
+
+# Count-min geometry: d=4 independent md5-salted hash rows × w=512
+# columns. Additive overestimate ≤ e·N/w with prob 1−e^−d; at w=512
+# that is ~0.5 % of the stream length — heavy-hitter accurate while the
+# counter table stays ≤ d·w rows no matter the corpus size.
+CMS_D = 4
+CMS_W = 512
+
+
+def _cms_col(term: Column, row: int) -> Column:
+    """Column index of ``term`` in hash row ``row``: first 8 hex chars
+    of the salted md5, mod w — portable to DuckDB digit-by-digit."""
+    h = F.md5(F.concat(F.lit(f"cms{row}_"), term).cast("binary"))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")) % CMS_W
+
+
+def cms_counters(
+    df: DataFrame, text_col: str = "text", n: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The count-min counter table over whitespace token ``n``-grams:
+    (row, col, cnt), ≤ d·w non-zero rows.  Mergeable by summing
+    counters; the reduce fan-in is ≤ d·w keys independent of scale."""
+    from .dedup import _ngram_rows
+
+    terms = _ngram_rows(
+        df, n, text_col, id_col,
+        key_fn=lambda s: s, empty_type="string", out_col="term",
+        distinct=False,
+    )
+    rows = [
+        terms.select(
+            F.lit(i).cast("long").alias("row"),
+            _cms_col(F.col("term"), i).alias("col"),
+        )
+        for i in range(CMS_D)
+    ]
+    united = rows[0]
+    for r in rows[1:]:
+        united = united.unionByName(r)
+    return united.groupBy("row", "col").agg(F.count("*").alias("cnt"))
+
+
+def cms_point_estimates(
+    df: DataFrame, text_col: str = "text", n: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frequency estimate for every distinct ``n``-gram: the min over
+    the d salted counters — (term, est).  est ≥ true count always;
+    the overshoot is bounded by e·N/w per the CMS guarantee.
+
+    The probe side joins each term to its d counters via a broadcast of
+    the ≤ d·w counter table — the sketch is the small side by
+    construction, so the corpus-sized probe stream never shuffles."""
+    from .dedup import _ngram_rows
+
+    counters = cms_counters(df, text_col, n, id_col)
+    terms = (
+        _ngram_rows(
+            df, n, text_col, id_col,
+            key_fn=lambda s: s, empty_type="string", out_col="term",
+            distinct=False,
+        )
+        .select("term")
+        .distinct()
+    )
+    probes = None
+    for i in range(CMS_D):
+        p = terms.select(
+            "term",
+            F.lit(i).cast("long").alias("row"),
+            _cms_col(F.col("term"), i).alias("col"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    est = (
+        probes.join(F.broadcast(counters), ["row", "col"])
+        .groupBy("term")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return est
+
+
+def _cms_col_sql(term: str, row: int) -> str:
+    h8 = _hex_to_int_sql(f"substring(md5('cms{row}_' || {term}), 1, 8)", 8)
+    return f"(CAST({h8} AS BIGINT) % {CMS_W})"
+
+
+def _cms_terms_sql(corpus_sql: str, n: int) -> str:
+    return f"""
+tk0 AS (SELECT string_split(text, ' ') AS tk FROM ({corpus_sql})),
+terms AS (
+  SELECT array_to_string(tk[g:g+{n - 1}], ' ') AS term
+  FROM tk0, unnest(generate_series(1, len(tk) - {n - 1})) AS t(g)
+)"""
+
+
+def cms_counters_sql(
+    corpus_sql: str = "SELECT doc_id, text FROM documents", n: int = 1
+) -> str:
+    """DuckDB mirror of :func:`cms_counters`."""
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS row, {_cms_col_sql('term', i)} AS col "
+        "FROM terms"
+        for i in range(CMS_D)
+    )
+    return f"""
+WITH {_cms_terms_sql(corpus_sql, n)},
+coords AS ({unions})
+SELECT row, col, count(*) AS cnt FROM coords GROUP BY row, col
+"""
+
+
+def cms_point_estimates_sql(
+    corpus_sql: str = "SELECT doc_id, text FROM documents", n: int = 1
+) -> str:
+    """DuckDB mirror of :func:`cms_point_estimates`."""
+    counter_unions = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS row, {_cms_col_sql('term', i)} AS col "
+        "FROM terms"
+        for i in range(CMS_D)
+    )
+    probe_unions = " UNION ALL ".join(
+        f"SELECT term, CAST({i} AS BIGINT) AS row, "
+        f"{_cms_col_sql('term', i)} AS col FROM dterms"
+        for i in range(CMS_D)
+    )
+    return f"""
+WITH {_cms_terms_sql(corpus_sql, n)},
+coords AS ({counter_unions}),
+counters AS (SELECT row, col, count(*) AS cnt FROM coords GROUP BY row, col),
+dterms AS (SELECT DISTINCT term FROM terms),
+probes AS ({probe_unions})
+SELECT p.term, min(c.cnt) AS est
+FROM probes p JOIN counters c USING (row, col)
+GROUP BY p.term
+"""

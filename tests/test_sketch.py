@@ -70,3 +70,59 @@ def test_hll_registers_plan_single_shuffle_no_python(spark):
     )
     assert plan.count("Exchange") == 1, plan  # the 256-key aggregate
     assert "Python" not in plan
+
+
+def test_cms_never_underestimates_and_bounds_overshoot(spark):
+    docs = testdata.load_table(spark, SF_ORACLE, "documents")
+    est = sketch.cms_point_estimates(docs, n=2).toPandas()
+    exact = (
+        docs.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(F.split("text", " ")) - 1),
+                    lambda i: F.array_join(
+                        F.slice(F.split("text", " "), i, 2), " "
+                    ),
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .count()
+        .toPandas()
+    )
+    j = est.merge(exact, on="term")
+    assert len(j) == len(est)
+    assert (j.est >= j["count"]).all()
+    n_stream = exact["count"].sum()
+    # CMS guarantee: overshoot <= e*N/w with prob 1-e^-d; assert the
+    # loose deterministic-ish bound 3*e*N/w on the max
+    import math
+
+    assert (j.est - j["count"]).max() <= 3 * math.e * n_stream / sketch.CMS_W
+
+
+def test_cms_counters_merge_composes(spark):
+    docs = testdata.load_table(spark, SF_ORACLE, "documents")
+    lo = docs.filter(F.col("doc_id") % 2 == 0)
+    hi = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = (
+        sketch.cms_counters(lo, n=2)
+        .unionByName(sketch.cms_counters(hi, n=2))
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = sketch.cms_counters(docs, n=2)
+    got = {(r.row, r.col, r.cnt) for r in merged.collect()}
+    want = {(r.row, r.col, r.cnt) for r in whole.collect()}
+    assert got == want
+
+
+def test_cms_probe_join_broadcasts_the_sketch(spark):
+    plan = (
+        em.queries()["cms_point_est"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Python" not in plan
