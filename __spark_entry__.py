@@ -945,6 +945,27 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_ops.hll_distinct(docs, n=3)
 
 
+def q_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set bits of a Bloom filter (m=16384, k=5 md5-salted hashes) over
+    the eval suite's distinct 5-gram shingles — a fixed-2-KiB broadcast
+    membership filter that stops growing with the benchmark suite;
+    OR-merge = distinct union of bits."""
+    ev = testdata.contamination_eval(spark, sf_dir)
+    return sketch_ops.bloom_bits(ev, n=5)
+
+
+def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom prefilter for decontamination: per train doc, the fraction
+    of its shingles the eval-set filter *maybe* contains. Sound (no
+    false negatives — contaminated docs always flag) with ~0.1 % FPs;
+    only flagged docs proceed to the exact containment join."""
+    docs = testdata.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    ev = testdata.contamination_eval(spark, sf_dir)
+    return sketch_ops.bloom_probe(docs, ev, n=5)
+
+
 def q_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min counter table (d=4 md5-salted rows × w=512) over the
     corpus's bigrams — the other half of the mergeable-sketch family:
@@ -1018,7 +1039,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comp_hist_shape": q_comp_hist_shape,
         "comp_variogram_shape": q_comp_variogram_shape,
         "stars_filter_pipeline": q_stars_filter_pipeline,
-        "roc_sweep": q_roc_sweep,
+        # bloom_bits / bloom_probe take the window slots of roc_sweep /
+        # embedding_topk (driver-green r02+r03, pinned locally, now in
+        # the 51+ section) — first driver rows for the Bloom family
+        "bloom_bits": q_bloom_bits,
+        "bloom_probe": q_bloom_probe,
         # first driver rows for the r4 additions; ensemble_combine /
         # best_coords / confusion_stats (driver-green r02+r03, pinned by
         # test_oracle_parity) rotated to the 51+ section to make room
@@ -1078,7 +1103,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 51+ section) — first driver row for the oracled IVF path
         "embedding_ivf_flat_topk": q_embedding_ivf_flat_topk,
         "sequence_packing": q_sequence_packing,
-        "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_dedup_clusters": q_embedding_dedup_clusters,
         # first driver row for the newly-oracled PCA path (r4); query_dsl
@@ -1089,6 +1113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plan_anti_join": q_plan_anti_join,
         "mixture_sample": q_mixture_sample,
         "stratified_sample": q_stratified_sample,
+        "roc_sweep": q_roc_sweep,
+        "embedding_topk": q_embedding_topk,
         "cone_nearest": q_cone_nearest,
         "crossmatch_full": q_crossmatch_full,
         "table_profile": q_table_profile,
@@ -1529,6 +1555,14 @@ FROM corpus GROUP BY md5(text)
         "hll_distinct": sketch_ops.hll_distinct_sql(n=3),
         "cms_counters": sketch_ops.cms_counters_sql(n=2),
         "cms_point_est": sketch_ops.cms_point_estimates_sql(n=2),
+        "bloom_bits": sketch_ops.bloom_bits_sql(
+            testdata.CONTAM_EVAL_SQL, n=5
+        ),
+        "bloom_probe": sketch_ops.bloom_probe_sql(
+            "SELECT doc_id, text FROM documents",
+            testdata.CONTAM_EVAL_SQL,
+            n=5,
+        ),
         "event_sessions": rollup_ops.observing_sessions_sql(gap_days=1.0),
         "obs_downsample": rollup_ops.downsample_sql(width_days=10.0),
         "embedding_ivf_flat_topk": sim_ops.ivf_flat_topk_sql(

@@ -291,3 +291,155 @@ SELECT p.term, min(c.cnt) AS est
 FROM probes p JOIN counters c USING (row, col)
 GROUP BY p.term
 """
+
+
+# Bloom geometry: m=16384 bits (2 KiB), k=5 md5-salted hashes. FP
+# rate for n_keys set elements ≈ (1 − e^(−k·n/m))^k — ~0.1 % at the
+# sf0.01 eval set's ~1k distinct shingles; the filter is m bits at ANY
+# eval-set size, which is the point: the broadcast side of a
+# contamination probe stops growing with the benchmark suite.
+BLOOM_M = 16384
+BLOOM_K = 5
+
+
+def _bloom_bit(term: Column, i: int) -> Column:
+    h = F.md5(F.concat(F.lit(f"bf{i}_"), term).cast("binary"))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")) % BLOOM_M
+
+
+def _distinct_shingles(
+    df: DataFrame, text_col: str, n: int, id_col: str
+) -> DataFrame:
+    from .dedup import _ngram_rows
+
+    return _ngram_rows(
+        df, n, text_col, id_col,
+        key_fn=lambda s: s, empty_type="string", out_col="shingle",
+        distinct=True,
+    )
+
+
+def bloom_bits(
+    df: DataFrame, text_col: str = "text", n: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The set bits of a Bloom filter over the corpus's distinct token
+    ``n``-grams: one row per set bit, ≤ m rows.  Mergeable by union —
+    OR-ing two filters is exactly the distinct union of their bits."""
+    sh = _distinct_shingles(df, text_col, n, id_col).select("shingle").distinct()
+    bits = F.array(*[_bloom_bit(F.col("shingle"), i) for i in range(BLOOM_K)])
+    return sh.select(F.explode(bits).alias("bit")).distinct()
+
+
+def bloom_probe(
+    train: DataFrame,
+    evals: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Probe every train document's ``n``-grams against a Bloom filter
+    built from the eval set: (doc_id, n_shingles, n_maybe, maybe_frac),
+    where a shingle is *maybe contained* iff all k of its bits are set.
+
+    No false negatives ever (a truly shared shingle always probes
+    positive) — so this is a sound cheap prefilter for the exact
+    contamination join: at 100 TB the filter is a 2 KiB broadcast, the
+    train side is map-only + one per-doc aggregate, and only flagged
+    docs proceed to the exact containment pass."""
+    bits = bloom_bits(evals, text_col, n, id_col)
+    tr = _distinct_shingles(train, text_col, n, id_col)
+    probe = tr.select(
+        id_col,
+        "shingle",
+        F.explode(
+            F.array(*[_bloom_bit(F.col("shingle"), i) for i in range(BLOOM_K)])
+        ).alias("bit"),
+    ).distinct()  # k bits of one shingle may collide on the same bit
+    hit = (
+        probe.join(F.broadcast(bits), "bit")
+        .groupBy(id_col, "shingle")
+        .agg(F.count("*").alias("n_bits_set"))
+    )
+    n_distinct_bits = (
+        probe.groupBy(id_col, "shingle")
+        .agg(F.count("*").alias("n_bits"))
+    )
+    maybe = (
+        n_distinct_bits.join(hit, [id_col, "shingle"], "left")
+        .withColumn(
+            "maybe",
+            (F.coalesce("n_bits_set", F.lit(0)) == F.col("n_bits")).cast("long"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("maybe").alias("n_maybe"),
+        )
+        .withColumn(
+            "maybe_frac", F.round(F.col("n_maybe") / F.col("n_shingles"), 6)
+        )
+    )
+    return maybe
+
+
+def _bloom_bit_sql(term: str, i: int) -> str:
+    h8 = _hex_to_int_sql(f"substring(md5('bf{i}_' || {term}), 1, 8)", 8)
+    return f"(CAST({h8} AS BIGINT) % {BLOOM_M})"
+
+
+def _shingle_cte_sql(corpus_sql: str, n: int, prefix: str) -> str:
+    return f"""
+{prefix}_tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM ({corpus_sql})),
+{prefix}_sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[g:g+{n - 1}], ' ') AS shingle
+  FROM {prefix}_tk, unnest(generate_series(1, len(tk) - {n - 1})) AS t(g)
+)"""
+
+
+def _bits_union_sql(src: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT shingle, {_bloom_bit_sql('shingle', i)} AS bit FROM {src}"
+        for i in range(BLOOM_K)
+    )
+
+
+def bloom_bits_sql(corpus_sql: str, n: int = 5) -> str:
+    """DuckDB mirror of :func:`bloom_bits`."""
+    return f"""
+WITH {_shingle_cte_sql(corpus_sql, n, "ev")},
+dsh AS (SELECT DISTINCT shingle FROM ev_sh),
+coords AS ({_bits_union_sql("dsh")})
+SELECT DISTINCT bit FROM coords
+"""
+
+
+def bloom_probe_sql(train_sql: str, evals_sql: str, n: int = 5) -> str:
+    """DuckDB mirror of :func:`bloom_probe`."""
+    return f"""
+WITH {_shingle_cte_sql(evals_sql, n, "ev")},
+{_shingle_cte_sql(train_sql, n, "tr").lstrip()},
+ev_dsh AS (SELECT DISTINCT shingle FROM ev_sh),
+bits AS (SELECT DISTINCT bit FROM ({_bits_union_sql("ev_dsh")})),
+probe2 AS (
+  SELECT DISTINCT doc_id, shingle, bit FROM (
+    {" UNION ALL ".join(f"SELECT doc_id, shingle, {_bloom_bit_sql('shingle', i)} AS bit FROM tr_sh" for i in range(BLOOM_K))}
+  )
+),
+nb AS (SELECT doc_id, shingle, count(*) AS n_bits FROM probe2 GROUP BY 1, 2),
+hit AS (
+  SELECT p.doc_id, p.shingle, count(*) AS n_bits_set
+  FROM probe2 p JOIN bits b USING (bit)
+  GROUP BY 1, 2
+),
+per_sh AS (
+  SELECT nb.doc_id, nb.shingle,
+         CASE WHEN coalesce(h.n_bits_set, 0) = nb.n_bits THEN 1 ELSE 0 END
+           AS maybe
+  FROM nb LEFT JOIN hit h ON h.doc_id = nb.doc_id AND h.shingle = nb.shingle
+)
+SELECT doc_id, count(*) AS n_shingles,
+       CAST(sum(maybe) AS BIGINT) AS n_maybe,
+       round(sum(maybe) / count(*), 6) AS maybe_frac
+FROM per_sh GROUP BY doc_id
+"""

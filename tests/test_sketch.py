@@ -126,3 +126,63 @@ def test_cms_probe_join_broadcasts_the_sketch(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "Python" not in plan
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    """Soundness: every doc that truly shares a 5-gram with the eval
+    set must have maybe_frac > 0 covering those shingles; docs sharing
+    nothing should probe near zero (FP ≈ 0.1 % at m=16384)."""
+    docs = testdata.load_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "text"
+    )
+    ev = testdata.contamination_eval(spark, SF_ORACLE)
+    probe = sketch.bloom_probe(docs, ev, n=5).toPandas().set_index("doc_id")
+
+    # ground truth via exact shingle join
+    from lightcurvesclassifier_spark.operators.dedup import _ngram_rows
+
+    tr = _ngram_rows(
+        docs, 5, "text", "doc_id",
+        key_fn=lambda s: s, empty_type="string", out_col="shingle",
+    )
+    evs = _ngram_rows(
+        ev, 5, "text", "doc_id",
+        key_fn=lambda s: s, empty_type="string", out_col="shingle",
+    ).select("shingle").distinct()
+    truth = (
+        tr.join(evs, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_true"))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    for doc_id, row in truth.iterrows():
+        assert probe.loc[doc_id, "n_maybe"] >= row.n_true, doc_id
+    clean = probe.drop(index=truth.index)
+    # false-positive shingle fraction across clean docs stays tiny
+    fp_rate = clean.n_maybe.sum() / clean.n_shingles.sum()
+    assert fp_rate < 0.01, fp_rate
+
+
+def test_bloom_merge_is_bit_union(spark):
+    ev = testdata.contamination_eval(spark, SF_ORACLE)
+    lo = ev.filter(F.col("doc_id") % 2 == 0)
+    hi = ev.filter(F.col("doc_id") % 2 == 1)
+    merged = (
+        sketch.bloom_bits(lo).unionByName(sketch.bloom_bits(hi)).distinct()
+    )
+    whole = sketch.bloom_bits(ev)
+    assert {r.bit for r in merged.collect()} == {
+        r.bit for r in whole.collect()
+    }
+
+
+def test_bloom_probe_plan_broadcasts_filter_no_python(spark):
+    plan = (
+        em.queries()["bloom_probe"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Python" not in plan
