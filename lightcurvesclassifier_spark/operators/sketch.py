@@ -70,13 +70,10 @@ def hll_registers(
     )
 
 
-def hll_distinct(
-    df: DataFrame, text_col: str = "text", n: int = 1,
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Single-row distinct-``n``-gram estimate from the registers: the
-    Flajolet raw estimator with linear counting below 2.5·m."""
-    regs = hll_registers(df, text_col, n, id_col)
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """Register table → single-row estimate (the Flajolet raw estimator
+    with linear counting below 2.5·m).  Shared by the batch path and
+    the streaming foreachBatch sink, so both report identically."""
     m = float(HLL_M)
     agg = regs.agg(
         F.count("*").alias("n_present"),
@@ -92,6 +89,14 @@ def hll_distinct(
         F.col("n_present").cast("long").alias("n_registers"),
         F.round(est, 3).alias("distinct_est"),
     )
+
+
+def hll_distinct(
+    df: DataFrame, text_col: str = "text", n: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Single-row distinct-``n``-gram estimate for a corpus."""
+    return hll_estimate(hll_registers(df, text_col, n, id_col))
 
 
 def _hex_to_int_sql(expr: str, n_digits: int) -> str:

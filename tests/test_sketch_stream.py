@@ -1,0 +1,76 @@
+"""Streaming HLL: cross-batch register accumulation with bounded state,
+exact parity with the batch sketch over the concatenated input."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from lightcurvesclassifier_spark.operators import sketch
+from lightcurvesclassifier_spark.streaming.sketch_stream import (
+    doc_stream,
+    hll_register_stream,
+)
+
+
+def _write_batch(d, name, rows):
+    (d / name).write_text(
+        "\n".join(
+            json.dumps(
+                {
+                    "doc_id": i,
+                    "text": t,
+                    "event_time": f"2026-01-01T00:{m:02d}:00.000Z",
+                }
+            )
+            for i, t, m in rows
+        )
+    )
+
+
+def test_streaming_hll_matches_batch_registers(spark, tmp_path):
+    docs_dir = tmp_path / "docs_in"
+    docs_dir.mkdir()
+    b1 = [(1, "alpha beta gamma delta epsilon zeta", 0),
+          (2, "one two three four five six seven", 1)]
+    b2 = [(3, "alpha beta gamma delta epsilon zeta", 2),  # pure dup
+          (4, "eight nine ten eleven twelve thirteen", 3)]
+    _write_batch(docs_dir, "b1.json", b1)
+    _write_batch(docs_dir, "b2.json", b2)
+
+    out_dir = tmp_path / "regs_out"
+    regs = hll_register_stream(doc_stream(spark, str(docs_dir)), n=3)
+
+    def sink(batch_df, batch_id):
+        # update-mode deltas: overwrite per changed bucket is the
+        # production shape; for the test, append and keep the last
+        batch_df.withColumn("batch", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(str(out_dir))
+
+    q = (
+        regs.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(out_dir))
+    w_latest = got.groupBy("bucket").agg(
+        F.max_by("max_rank", "batch").alias("max_rank")
+    )
+    batch_docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in b1 + b2], "doc_id long, text string"
+    )
+    want = sketch.hll_registers(batch_docs, n=3)
+    got_set = {(r.bucket, r.max_rank) for r in w_latest.collect()}
+    want_set = {(r.bucket, r.max_rank) for r in want.collect()}
+    assert got_set == want_set
+    # state bound: never more rows than HLL_M registers
+    assert len(got_set) <= sketch.HLL_M
+
+    # the shared estimator reports identically off either table
+    est_stream = sketch.hll_estimate(w_latest).collect()[0]
+    est_batch = sketch.hll_estimate(want).collect()[0]
+    assert est_stream == est_batch
