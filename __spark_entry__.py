@@ -966,6 +966,18 @@ def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_ops.bloom_probe(docs, ev, n=5)
 
 
+def q_bloom_probe_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The map-only formulation of bloom_probe: the filter collapses to
+    a 16-KiB '0'/'1'-string plan literal and every doc's shingles are
+    tested with a higher-order filter — zero Exchanges on the train
+    side (plan-pinned), identical output, same DuckDB oracle."""
+    docs = testdata.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    ev = testdata.contamination_eval(spark, sf_dir)
+    return sketch_ops.bloom_probe_fast(docs, ev, n=5)
+
+
 def q_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min counter table (d=4 md5-salted rows × w=512) over the
     corpus's bigrams — the other half of the mergeable-sketch family:
@@ -1115,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "roc_sweep": q_roc_sweep,
         "embedding_topk": q_embedding_topk,
+        "bloom_probe_fast": q_bloom_probe_fast,
         "cone_nearest": q_cone_nearest,
         "crossmatch_full": q_crossmatch_full,
         "table_profile": q_table_profile,
@@ -1559,6 +1572,13 @@ FROM corpus GROUP BY md5(text)
             testdata.CONTAM_EVAL_SQL, n=5
         ),
         "bloom_probe": sketch_ops.bloom_probe_sql(
+            "SELECT doc_id, text FROM documents",
+            testdata.CONTAM_EVAL_SQL,
+            n=5,
+        ),
+        # the map-only twin computes the same relation, so it shares
+        # the join-based mirror verbatim
+        "bloom_probe_fast": sketch_ops.bloom_probe_sql(
             "SELECT doc_id, text FROM documents",
             testdata.CONTAM_EVAL_SQL,
             n=5,

@@ -448,3 +448,62 @@ SELECT doc_id, count(*) AS n_shingles,
        round(sum(maybe) / count(*), 6) AS maybe_frac
 FROM per_sh GROUP BY doc_id
 """
+
+
+def bloom_probe_fast(
+    train: DataFrame,
+    evals: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Map-only :func:`bloom_probe`: identical output, zero shuffles on
+    the train side.
+
+    The filter is materialized once into an m-char '0'/'1' string (a
+    16 KiB plan literal — the eval side is collected, which is the
+    whole point of a Bloom prefilter: it is O(m) regardless of
+    eval-suite size) and each document's distinct shingles are tested
+    with a higher-order ``filter`` doing k ``substring`` lookups —
+    whole-stage-codegen, no explode, no join, no aggregate.  The only
+    Spark job before the scan is the eval-side bit build.
+
+    This is the shape that runs at 100 TB; :func:`bloom_probe` is the
+    join-based formulation kept as the cross-engine-oracled baseline
+    (both are value-checked equal — see tests/test_sketch.py)."""
+    bit_rows = bloom_bits(evals, text_col, n, id_col).collect()
+    bitset = set(r.bit for r in bit_rows)
+    bitmap = "".join("1" if i in bitset else "0" for i in range(BLOOM_M))
+
+    tk = F.col("_toks")
+    grams = F.when(
+        F.size(tk) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+                lambda i: F.array_join(F.slice(tk, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def _in_filter(s: Column) -> Column:
+        cond = None
+        for i in range(BLOOM_K):
+            c = F.substring(F.lit(bitmap), (_bloom_bit(s, i) + 1).cast("int"), 1) == "1"
+            cond = c if cond is None else cond & c
+        return cond
+
+    maybe = F.size(F.filter(F.col("_sh"), _in_filter))
+    return (
+        train.withColumn("_toks", F.split(F.col(text_col), " "))
+        .withColumn("_sh", grams)
+        .filter(F.size("_sh") > 0)
+        .select(
+            id_col,
+            F.size("_sh").cast("long").alias("n_shingles"),
+            maybe.cast("long").alias("n_maybe"),
+        )
+        .withColumn(
+            "maybe_frac", F.round(F.col("n_maybe") / F.col("n_shingles"), 6)
+        )
+    )

@@ -186,3 +186,24 @@ def test_bloom_probe_plan_broadcasts_filter_no_python(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "Python" not in plan
+
+
+def test_bloom_probe_fast_equals_join_form_and_is_map_only(spark):
+    docs = testdata.load_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "text"
+    )
+    ev = testdata.contamination_eval(spark, SF_ORACLE)
+    slow = sketch.bloom_probe(docs, ev, n=5).toPandas()
+    fast = sketch.bloom_probe_fast(docs, ev, n=5).toPandas()
+    cols = sorted(slow.columns)
+    s = slow[cols].sort_values("doc_id").reset_index(drop=True)
+    f = fast[cols].sort_values("doc_id").reset_index(drop=True)
+    assert s.equals(f)
+    plan = (
+        em.queries()["bloom_probe_fast"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 0, plan
+    assert "Python" not in plan
