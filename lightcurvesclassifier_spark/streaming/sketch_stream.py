@@ -49,3 +49,46 @@ def hll_register_stream(docs: DataFrame, n: int = 3) -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("rank").alias("max_rank"))
     )
+
+
+def cms_counter_stream(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Unbounded doc stream → continuously-updated count-min counter
+    table over token ``n``-grams.
+
+    Counters fold by SUM, which streaming aggregation state maintains
+    natively; state is ≤ d·w rows total, forever.  Exact batch parity:
+    after the whole stream, counters equal the batch
+    ``sketch.cms_counters`` over the concatenated input (pinned in
+    tests), so point estimates off either table agree."""
+    from ..operators.sketch import CMS_D, _cms_col
+
+    tk = F.col("_toks")
+    grams = F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+            lambda i: F.array_join(F.slice(tk, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    terms = docs.withColumn("_toks", F.split(F.col("text"), " ")).select(
+        F.explode(grams).alias("term")
+    )
+    # one (row, col) coordinate pair per hash row, exploded in a single
+    # pass (array of structs) so the stream is scanned once, not d times
+    coords = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("long").alias("row"),
+                    _cms_col(F.col("term"), i).alias("col"),
+                )
+                for i in range(CMS_D)
+            ]
+        )
+    ).alias("c")
+    return (
+        terms.select(coords)
+        .select(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -74,3 +74,46 @@ def test_streaming_hll_matches_batch_registers(spark, tmp_path):
     est_stream = sketch.hll_estimate(w_latest).collect()[0]
     est_batch = sketch.hll_estimate(want).collect()[0]
     assert est_stream == est_batch
+
+
+def test_streaming_cms_matches_batch_counters(spark, tmp_path):
+    from lightcurvesclassifier_spark.streaming.sketch_stream import (
+        cms_counter_stream,
+    )
+
+    docs_dir = tmp_path / "cms_in"
+    docs_dir.mkdir()
+    b1 = [(1, "a b c d e", 0), (2, "a b x y z", 1)]
+    b2 = [(3, "a b c d e", 2), (4, "p q r s", 3)]
+    _write_batch(docs_dir, "b1.json", b1)
+    _write_batch(docs_dir, "b2.json", b2)
+
+    out_dir = tmp_path / "cms_out"
+    counters = cms_counter_stream(doc_stream(spark, str(docs_dir)), n=2)
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("batch", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(str(out_dir))
+
+    q = (
+        counters.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(out_dir))
+    latest = got.groupBy("row", "col").agg(
+        F.max_by("cnt", "batch").alias("cnt")
+    )
+    batch_docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in b1 + b2], "doc_id long, text string"
+    )
+    want = sketch.cms_counters(batch_docs, n=2)
+    got_set = {(r.row, r.col, r.cnt) for r in latest.collect()}
+    want_set = {(r.row, r.col, r.cnt) for r in want.collect()}
+    assert got_set == want_set
+    assert len(got_set) <= sketch.CMS_D * sketch.CMS_W
