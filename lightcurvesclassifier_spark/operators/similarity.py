@@ -938,9 +938,14 @@ def ivf_flat_topk(
     below the 1e-6 rounding quantum, so the encoding is exact and
     engine-independent.
     """
+    # zero-norm vectors dropped on BOTH sides (same rule as _unit_rows /
+    # ivf_topk): cosine against them is 0/0, which Spark evaluates to
+    # NaN (sorts first under DESC) but DuckDB to NULL (sorts last) — a
+    # silent cross-engine divergence, and a NaN seed would swallow the
+    # whole corpus in max_by
     v = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    )
+    ).filter(F.aggregate("_v", F.lit(0.0), lambda a, x: a + x * x) > 0.0)
     # seed pick: orderBy().limit() lowers to TakeOrderedAndProject —
     # every partition ships only its local n_cells candidates; the
     # global-window numbering then runs on just the n_cells survivors
@@ -975,6 +980,7 @@ def ivf_flat_topk(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("_q"),
         )
+        .filter(F.aggregate("_q", F.lit(0.0), lambda a, x: a + x * x) > 0.0)
         .crossJoin(F.broadcast(cells))
         .withColumn("_pcos", F.round(cosine(F.col("_q"), F.col("_cell_v")), 6))
         .withColumn("_pr", F.row_number().over(w_probe))
@@ -1013,8 +1019,10 @@ def ivf_flat_topk_sql(
 
     return f"""
 WITH vecs AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+  SELECT vec_id, v FROM (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+  ) WHERE list_sum(list_transform(v, x -> x * x)) > 0.0
 ),
 cells AS (
   SELECT CAST(rn - 1 AS INT) AS cell_idx, v AS cell_v FROM (

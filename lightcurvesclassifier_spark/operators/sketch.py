@@ -80,7 +80,10 @@ def hll_estimate(regs: DataFrame) -> DataFrame:
         F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("z_present"),
     )
     v = F.lit(m) - F.col("n_present")  # empty registers
-    z = F.col("z_present") + v  # each empty register contributes 2⁰
+    # coalesce: an empty register table (corpus with no n-grams at all)
+    # gives sum=NULL; treating it as 0 routes V=m into linear counting,
+    # whose m·ln(m/m) = 0 is the correct cardinality
+    z = F.coalesce(F.col("z_present"), F.lit(0.0)) + v
     raw = F.lit(_HLL_ALPHA * m * m) / z
     est = F.when(
         (raw <= 2.5 * m) & (v > 0), F.lit(m) * F.log(F.lit(m) / v)
@@ -147,7 +150,7 @@ def hll_distinct_sql(
 WITH regs AS ({_hll_registers_sql(corpus_sql, n)}),
 agg AS (
   SELECT count(*) AS n_present,
-         sum(pow(2.0, -max_rank)) AS z_present
+         coalesce(sum(pow(2.0, -max_rank)), 0.0) AS z_present
   FROM regs
 )
 SELECT CAST(n_present AS BIGINT) AS n_registers,
@@ -176,6 +179,21 @@ def _cms_col(term: Column, row: int) -> Column:
     return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")) % CMS_W
 
 
+def _cms_coords(term: Column) -> Column:
+    """All d (row, col) coordinates of one term as an array of structs —
+    exploded by callers so the input is scanned ONCE, not d times
+    (Spark does not CSE identical subtrees across union branches)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("row"),
+                _cms_col(term, i).alias("col"),
+            )
+            for i in range(CMS_D)
+        ]
+    )
+
+
 def cms_counters(
     df: DataFrame, text_col: str = "text", n: int = 1,
     id_col: str = "doc_id",
@@ -190,17 +208,12 @@ def cms_counters(
         key_fn=lambda s: s, empty_type="string", out_col="term",
         distinct=False,
     )
-    rows = [
-        terms.select(
-            F.lit(i).cast("long").alias("row"),
-            _cms_col(F.col("term"), i).alias("col"),
-        )
-        for i in range(CMS_D)
-    ]
-    united = rows[0]
-    for r in rows[1:]:
-        united = united.unionByName(r)
-    return united.groupBy("row", "col").agg(F.count("*").alias("cnt"))
+    return (
+        terms.select(F.explode(_cms_coords(F.col("term"))).alias("c"))
+        .select(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count("*").alias("cnt"))
+    )
 
 
 def cms_point_estimates(
@@ -226,14 +239,9 @@ def cms_point_estimates(
         .select("term")
         .distinct()
     )
-    probes = None
-    for i in range(CMS_D):
-        p = terms.select(
-            "term",
-            F.lit(i).cast("long").alias("row"),
-            _cms_col(F.col("term"), i).alias("col"),
-        )
-        probes = p if probes is None else probes.unionByName(p)
+    probes = terms.select(
+        "term", F.explode(_cms_coords(F.col("term"))).alias("c")
+    ).select("term", F.col("c.row").alias("row"), F.col("c.col").alias("col"))
     est = (
         probes.join(F.broadcast(counters), ["row", "col"])
         .groupBy("term")
@@ -361,20 +369,24 @@ def bloom_probe(
             F.array(*[_bloom_bit(F.col("shingle"), i) for i in range(BLOOM_K)])
         ).alias("bit"),
     ).distinct()  # k bits of one shingle may collide on the same bit
-    hit = (
-        probe.join(F.broadcast(bits), "bit")
+    # ONE pass over the probe subtree: a left join against the broadcast
+    # bit set marks hits, then a single per-(doc, shingle) aggregate
+    # counts bits and set-bits together (two separate aggregates would
+    # re-execute the shingle explode + distinct shuffle twice)
+    per_shingle = (
+        probe.join(
+            F.broadcast(bits.withColumn("_hit", F.lit(1))), "bit", "left"
+        )
         .groupBy(id_col, "shingle")
-        .agg(F.count("*").alias("n_bits_set"))
-    )
-    n_distinct_bits = (
-        probe.groupBy(id_col, "shingle")
-        .agg(F.count("*").alias("n_bits"))
+        .agg(
+            F.count("*").alias("n_bits"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_bits_set"),
+        )
     )
     maybe = (
-        n_distinct_bits.join(hit, [id_col, "shingle"], "left")
-        .withColumn(
+        per_shingle.withColumn(
             "maybe",
-            (F.coalesce("n_bits_set", F.lit(0)) == F.col("n_bits")).cast("long"),
+            (F.col("n_bits_set") == F.col("n_bits")).cast("long"),
         )
         .groupBy(id_col)
         .agg(
@@ -470,7 +482,12 @@ def bloom_probe_fast(
 
     This is the shape that runs at 100 TB; :func:`bloom_probe` is the
     join-based formulation kept as the cross-engine-oracled baseline
-    (both are value-checked equal — see tests/test_sketch.py)."""
+    (both are value-checked equal — see tests/test_sketch.py).
+
+    Precondition: ``id_col`` must be unique (one row per document, the
+    contract of every corpus here).  Duplicate ids would give one
+    output row per input row, while the join form's groupBy would merge
+    them over the union of their shingles."""
     bit_rows = bloom_bits(evals, text_col, n, id_col).collect()
     bitset = set(r.bit for r in bit_rows)
     bitmap = "".join("1" if i in bitset else "0" for i in range(BLOOM_M))

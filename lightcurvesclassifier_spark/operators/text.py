@@ -648,8 +648,9 @@ def bigram_counts(
     detection, template mining): adjacent whitespace-token pairs,
     counted globally, top-``k`` by (count desc, bigram asc).
 
-    Scale shape: bigram expansion is map-only (zip of two array
-    slices — no Python), the count is a partial+final aggregate on
+    Scale shape: bigram expansion is map-only (the shared
+    ``dedup._ngram_rows`` explode — no Python), the count is a
+    partial+final aggregate on
     the bigram key, and the global top-k is ``orderBy().limit(k)``,
     which Spark executes as TakeOrderedAndProject — every partition
     ships only its local top-k to the driver, no global sort.  A hot
@@ -657,15 +658,15 @@ def bigram_counts(
     (or pre-aggregation, which the map-side combine already is)
     absorbs it.
     """
-    toks = _tokens(F.col(text_col))
-    n = F.size(toks)
-    pairs = F.zip_with(
-        F.slice(toks, F.lit(1), n - 1),
-        F.slice(toks, F.lit(2), n - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
+    from .dedup import _ngram_rows
+
+    pairs = _ngram_rows(
+        df, 2, text_col, id_col,
+        key_fn=lambda s: s, empty_type="string", out_col="bigram",
+        distinct=False,
     )
     return (
-        df.select(F.explode(pairs).alias("bigram"))
+        pairs.select("bigram")
         .groupBy("bigram")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("bigram").asc())

@@ -16,9 +16,9 @@ consuming the whole stream, the register table equals the batch
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
-from ..operators.sketch import _hll_parts
+from ..operators import sketch
 from .dedup_stream import doc_stream  # noqa: F401  (shared source)
 
 
@@ -26,69 +26,23 @@ def hll_register_stream(docs: DataFrame, n: int = 3) -> DataFrame:
     """Unbounded doc stream → continuously-updated HLL register table
     over token ``n``-grams.
 
-    The n-gram explode mirrors ``dedup._ngram_rows`` (same short-doc
-    guard, same pre-materialized token split) but is written inline
-    because streaming plans cannot reuse the batch helper's
-    ``distinct`` path; here every occurrence may stream through — the
-    ``max`` aggregate is idempotent to duplicates, which is exactly why
-    HLL state composes on a stream."""
-    tk = F.col("_toks")
-    grams = F.when(
-        F.size(tk) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
-            lambda i: F.array_join(F.slice(tk, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    terms = docs.withColumn("_toks", F.split(F.col("text"), " ")).select(
-        F.explode(grams).alias("term")
-    )
-    bucket, rank = _hll_parts(F.col("term"))
-    return (
-        terms.select(bucket.alias("bucket"), rank.alias("rank"))
-        .groupBy("bucket")
-        .agg(F.max("rank").alias("max_rank"))
-    )
+    Delegates to the batch ``sketch.hll_registers`` verbatim — its plan
+    (n-gram explode via ``dedup._ngram_rows`` + per-bucket ``max``) is
+    pure deterministic column ops, which Structured Streaming runs as a
+    stateful aggregation unchanged.  The ``max`` fold is idempotent to
+    duplicate occurrences, which is exactly why HLL state composes on
+    a stream."""
+    return sketch.hll_registers(docs, text_col="text", n=n, id_col="doc_id")
 
 
 def cms_counter_stream(docs: DataFrame, n: int = 2) -> DataFrame:
     """Unbounded doc stream → continuously-updated count-min counter
     table over token ``n``-grams.
 
-    Counters fold by SUM, which streaming aggregation state maintains
-    natively; state is ≤ d·w rows total, forever.  Exact batch parity:
-    after the whole stream, counters equal the batch
-    ``sketch.cms_counters`` over the concatenated input (pinned in
-    tests), so point estimates off either table agree."""
-    from ..operators.sketch import CMS_D, _cms_col
-
-    tk = F.col("_toks")
-    grams = F.when(
-        F.size(tk) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
-            lambda i: F.array_join(F.slice(tk, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    terms = docs.withColumn("_toks", F.split(F.col("text"), " ")).select(
-        F.explode(grams).alias("term")
-    )
-    # one (row, col) coordinate pair per hash row, exploded in a single
-    # pass (array of structs) so the stream is scanned once, not d times
-    coords = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).cast("long").alias("row"),
-                    _cms_col(F.col("term"), i).alias("col"),
-                )
-                for i in range(CMS_D)
-            ]
-        )
-    ).alias("c")
-    return (
-        terms.select(coords)
-        .select(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
-        .groupBy("row", "col")
-        .agg(F.count("*").alias("cnt"))
-    )
+    Delegates to the batch ``sketch.cms_counters`` (single-pass
+    coordinate explode + SUM aggregation, which streaming state
+    maintains natively); state is ≤ d·w rows total, forever.  Exact
+    batch parity is pinned in tests: after the whole stream, counters
+    equal the batch sketch over the concatenated input, so point
+    estimates off either table agree."""
+    return sketch.cms_counters(docs, text_col="text", n=n, id_col="doc_id")
