@@ -945,6 +945,21 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_ops.hll_distinct(docs, n=3)
 
 
+def q_score_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-quantile sketch over the stopword-ratio
+    quality score: three bounded-state passes (min/max, ≤4096 bin
+    counts, cumulative walk) where an exact percentile buffers every
+    value on one reducer — the decile boundaries quality_buckets would
+    broadcast, off a sketch that survives 100 TB. Guarantee: within one
+    bin width (range/4096) of the order-statistic quantile; deviation
+    vs the *interpolated* percentile can exceed that on tied scores."""
+    docs = testdata.load_table(spark, sf_dir, "documents")
+    scored = text_ops.quality_features(docs).select(
+        "doc_id", F.col("stopword_ratio").alias("score")
+    )
+    return sketch_ops.histogram_quantiles(scored, "score", n_quantiles=10)
+
+
 def q_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set bits of a Bloom filter (m=16384, k=5 md5-salted hashes) over
     the eval suite's distinct 5-gram shingles — a fixed-2-KiB broadcast
@@ -1074,7 +1089,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ekvi_paa": q_ekvi_paa,
         "ekvi_paa_exact": q_ekvi_paa_exact,
         "variogram_slope": q_variogram_slope,
-        "multimodal_features": q_multimodal_features,
+        # score_quantiles takes the window slot of multimodal_features
+        # (driver-green r03, pinned locally, now in the 51+ section)
+        "score_quantiles": q_score_quantiles,
         "mag_histogram": q_mag_histogram,
         # first driver value-checks for the newly-oracled deterministic
         # MinHash/SimHash (r4); lang_id and text_features (driver-green
@@ -1128,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_sweep": q_roc_sweep,
         "embedding_topk": q_embedding_topk,
         "bloom_probe_fast": q_bloom_probe_fast,
+        "multimodal_features": q_multimodal_features,
         "cone_nearest": q_cone_nearest,
         "crossmatch_full": q_crossmatch_full,
         "table_profile": q_table_profile,
@@ -1568,6 +1586,11 @@ FROM corpus GROUP BY md5(text)
         "hll_distinct": sketch_ops.hll_distinct_sql(n=3),
         "cms_counters": sketch_ops.cms_counters_sql(n=2),
         "cms_point_est": sketch_ops.cms_point_estimates_sql(n=2),
+        "score_quantiles": sketch_ops.histogram_quantiles_sql(
+            "SELECT doc_id, stopword_ratio AS score "
+            f"FROM ({text_ops.quality_features_sql()})",
+            n_quantiles=10,
+        ),
         "bloom_bits": sketch_ops.bloom_bits_sql(
             testdata.CONTAM_EVAL_SQL, n=5
         ),

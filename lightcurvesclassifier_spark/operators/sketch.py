@@ -26,7 +26,7 @@ is ~256k tiny rows regardless of data volume.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 HLL_M = 256  # registers = one md5 byte; std error ≈ 1.04/√m ≈ 6.5 %
 _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
@@ -524,3 +524,126 @@ def bloom_probe_fast(
             "maybe_frac", F.round(F.col("n_maybe") / F.col("n_shingles"), 6)
         )
     )
+
+
+# Histogram-quantile geometry: G fine-grained bins over the observed
+# [min, max]. Error ≤ one bin width = range/G; state is ≤ G counters —
+# a mergeable sketch, unlike an exact percentile whose aggregation
+# buffer holds every value of the group.
+HISTQ_BINS = 4096
+
+
+def histogram_quantiles(
+    df: DataFrame, value_col: str = "score", n_quantiles: int = 10,
+    n_bins: int = HISTQ_BINS,
+) -> DataFrame:
+    """Approximate quantile boundaries from a fixed-grid histogram:
+    (q, boundary) rows for q = 1/n … (n-1)/n.
+
+    Three bounded-state passes — min/max (2 values), bin counts (≤ G
+    rows, map-side combined), cumulative walk over the G-row histogram
+    — versus the exact ``percentile``'s single reducer buffering every
+    value. Guarantee: within one bin width ((max−min)/G) of the
+    ⌈q·N⌉-th order statistic; ties/discrete data can put the
+    *interpolated* percentile farther away.  Boundary = the upper edge
+    of the first
+    bin where the cumulative count reaches ⌈q·N⌉, all exact integer +
+    deterministic double arithmetic, so the DuckDB mirror matches
+    bit-for-bit."""
+    v = F.round(F.col(value_col), 6)
+    mm = df.agg(
+        F.min(v).alias("_lo"), F.max(v).alias("_hi"),
+        F.count(v).alias("_n"),
+    )
+    # bin index: clamp to [0, G-1]; degenerate range (all equal) → bin 0
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    idx = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor((v - F.col("_lo")) / width).cast("int"),
+        )
+    )
+    hist = (
+        df.crossJoin(F.broadcast(mm))
+        .select(idx.alias("bin"), "_lo", "_hi", "_n")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.first("_lo").alias("_lo"),
+            F.first("_hi").alias("_hi"),
+            F.first("_n").alias("_n"),
+        )
+    )
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    targets = F.array(
+        *[
+            F.struct(
+                F.lit(q).cast("int").alias("q"),
+                F.ceil(F.col("_n") * q / n_quantiles).cast("long").alias(
+                    "target"
+                ),
+            )
+            for q in range(1, n_quantiles)
+        ]
+    )
+    hit = (
+        cum.select("bin", "cum", "_lo", "_hi", "_n", F.explode(targets).alias("t"))
+        .filter(
+            (F.col("cum") >= F.col("t.target"))
+            & (F.col("cum") - F.col("cnt") < F.col("t.target"))
+        )
+    )
+    boundary = F.round(
+        F.col("_lo")
+        + (F.col("bin") + 1)
+        * (F.col("_hi") - F.col("_lo"))
+        / F.lit(float(n_bins)),
+        6,
+    )
+    return hit.select(
+        F.col("t.q").alias("q"), boundary.alias("boundary")
+    )
+
+
+def histogram_quantiles_sql(
+    scored_sql: str, n_quantiles: int = 10, n_bins: int = HISTQ_BINS
+) -> str:
+    """DuckDB mirror of :func:`histogram_quantiles` (same bin rule,
+    same ceil target, same boundary arithmetic). ``scored_sql`` must
+    yield a ``score`` column."""
+    g = n_bins
+    return f"""
+WITH s AS (SELECT round(score, 6) AS v FROM ({scored_sql})),
+mm AS (SELECT min(v) AS lo, max(v) AS hi, count(v) AS n FROM s),
+binned AS (
+  SELECT CASE WHEN hi = lo THEN 0
+         ELSE least({g} - 1,
+                    CAST(floor((v - lo) / ((hi - lo) / {float(g)})) AS INT))
+         END AS bin
+  FROM s, mm
+),
+hist AS (SELECT bin, count(*) AS cnt FROM binned GROUP BY bin),
+cum AS (
+  SELECT bin, cnt,
+         sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+targets AS (
+  SELECT q, CAST(ceil(n * q / {n_quantiles}) AS BIGINT) AS target
+  FROM mm, unnest(generate_series(1, {n_quantiles - 1})) t(q)
+),
+hit AS (
+  SELECT t.q, c.bin FROM cum c, targets t
+  WHERE c.cum >= t.target AND c.cum - c.cnt < t.target
+)
+SELECT CAST(q AS INT) AS q,
+       round(lo + (bin + 1) * (hi - lo) / {float(g)}, 6) AS boundary
+FROM hit, mm
+"""

@@ -207,3 +207,40 @@ def test_bloom_probe_fast_equals_join_form_and_is_map_only(spark):
     )
     assert plan.count("Exchange") == 0, plan
     assert "Python" not in plan
+
+
+def test_histogram_quantiles_within_bin_width_of_exact(spark):
+    docs = testdata.load_table(spark, SF_ORACLE, "documents")
+    from lightcurvesclassifier_spark.operators import text
+
+    scored = text.quality_features(docs).select(
+        "doc_id", F.col("stopword_ratio").alias("score")
+    )
+    approx = (
+        sketch.histogram_quantiles(scored, "score", n_quantiles=10)
+        .toPandas()
+        .sort_values("q")
+    )
+    assert list(approx.q) == list(range(1, 10))
+    # the sketch's guarantee is one bin width vs the ORDER-STATISTIC
+    # quantile (the ceil(qN/10)-th smallest value); the interpolated
+    # percentile() can sit farther away on tied/discrete data
+    vals = sorted(r.score for r in scored.select("score").collect())
+    n = len(vals)
+    lo, hi = vals[0], vals[-1]
+    bin_w = (hi - lo) / sketch.HISTQ_BINS
+    import math
+
+    for q, b in zip(approx.q, approx.boundary):
+        kth = vals[math.ceil(n * q / 10) - 1]
+        assert abs(b - kth) <= bin_w + 1e-6, (q, b, kth)
+
+
+def test_histogram_quantiles_degenerate_constant_column(spark):
+    df = spark.createDataFrame(
+        [(i, 3.5) for i in range(20)], "doc_id long, score double"
+    )
+    out = sketch.histogram_quantiles(df, "score", n_quantiles=4).toPandas()
+    # all mass in bin 0; every boundary is the (degenerate) upper edge
+    assert list(sorted(out.q)) == [1, 2, 3]
+    assert (out.boundary == 3.5).all()
