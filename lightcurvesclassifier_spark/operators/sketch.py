@@ -472,13 +472,16 @@ def bloom_probe_fast(
     """Map-only :func:`bloom_probe`: identical output, zero shuffles on
     the train side.
 
-    The filter is materialized once into an m-char '0'/'1' string (a
-    16 KiB plan literal — the eval side is collected, which is the
-    whole point of a Bloom prefilter: it is O(m) regardless of
-    eval-suite size) and each document's distinct shingles are tested
-    with a higher-order ``filter`` doing k ``substring`` lookups —
-    whole-stage-codegen, no explode, no join, no aggregate.  The only
-    Spark job before the scan is the eval-side bit build.
+    The filter is materialized once into an m-element char-array plan
+    constant (the eval side is collected, which is the whole point of a
+    Bloom prefilter: it is O(m) regardless of eval-suite size) and each
+    document's distinct shingles are tested with a higher-order
+    ``filter`` doing k O(1) ``element_at`` lookups — whole-stage-
+    codegen, no explode, no join, no aggregate.  The only Spark job
+    before the scan is the eval-side bit build.  (A '0'/'1' string
+    bitmap probed with ``substring`` was the first version — UTF8String
+    indexing is O(offset), measured 50× slower at sf0.1: every probe
+    scanned half the 16 KiB bitmap.)
 
     This is the shape that runs at 100 TB; :func:`bloom_probe` is the
     join-based formulation kept as the cross-engine-oracled baseline
@@ -490,7 +493,14 @@ def bloom_probe_fast(
     them over the union of their shingles."""
     bit_rows = bloom_bits(evals, text_col, n, id_col).collect()
     bitset = set(r.bit for r in bit_rows)
-    bitmap = "".join("1" if i in bitset else "0" for i in range(BLOOM_M))
+    # ONE string literal shipped over py4j, split server-side into a
+    # char array that ConstantFolding collapses to a single array
+    # literal before codegen.  (F.lit(list) would instead build 16384
+    # individual py4j literal calls — measured ~8 s of plan build.)
+    bitmap = F.split(
+        F.lit("".join("1" if i in bitset else "0" for i in range(BLOOM_M))),
+        "",
+    )
 
     tk = F.col("_toks")
     grams = F.when(
@@ -506,15 +516,19 @@ def bloom_probe_fast(
     def _in_filter(s: Column) -> Column:
         cond = None
         for i in range(BLOOM_K):
-            c = F.substring(F.lit(bitmap), (_bloom_bit(s, i) + 1).cast("int"), 1) == "1"
+            c = F.element_at(bitmap, (_bloom_bit(s, i) + 1).cast("int")) == "1"
             cond = c if cond is None else cond & c
         return cond
 
     maybe = F.size(F.filter(F.col("_sh"), _in_filter))
     return (
         train.withColumn("_toks", F.split(F.col(text_col), " "))
+        # grams is non-empty exactly when the doc has >= n tokens;
+        # filtering on the token count keeps the (non-cheap) shingle
+        # transform out of the Filter node so it is built once, in the
+        # projection, where its two references block CollapseProject
+        .filter(F.size("_toks") >= n)
         .withColumn("_sh", grams)
-        .filter(F.size("_sh") > 0)
         .select(
             id_col,
             F.size("_sh").cast("long").alias("n_shingles"),
