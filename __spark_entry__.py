@@ -945,6 +945,20 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_ops.hll_distinct(docs, n=3)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    exponential keys over the deterministic md5 uniform): token-count-
+    weighted draw of 50 docs as a pure row-local expression + one
+    distributed TakeOrdered — no RNG state, no corpus shuffle,
+    engine/cluster/run reproducible."""
+    docs = testdata.load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("double").alias("n_tokens"),
+    )
+    return corpus_ops.weighted_sample(sized, "n_tokens", k=50)
+
+
 def q_score_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable histogram-quantile sketch over the stopword-ratio
     quality score: three bounded-state passes (min/max, ≤4096 bin
@@ -1116,7 +1130,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": q_shuffle_shards,
         "temperature_sample": q_temperature_sample,
         "quantize_embeddings": q_quantize_embeddings,
-        "dedup_clusters": q_dedup_clusters,
+        # weighted_sample takes the window slot of dedup_clusters
+        # (driver-green r02+r03, pinned locally, now in the 51+
+        # section; embedding_dedup_clusters keeps the CC family
+        # represented in the window)
+        "weighted_sample": q_weighted_sample,
         # dedup_canonical takes the window slot of repetition_features
         # (driver-green r03, pinned locally, now in the 51+ section)
         "dedup_canonical": q_dedup_canonical,
@@ -1146,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "bloom_probe_fast": q_bloom_probe_fast,
         "multimodal_features": q_multimodal_features,
+        "dedup_clusters": q_dedup_clusters,
         "cone_nearest": q_cone_nearest,
         "crossmatch_full": q_crossmatch_full,
         "table_profile": q_table_profile,
@@ -1586,6 +1605,12 @@ FROM corpus GROUP BY md5(text)
         "hll_distinct": sketch_ops.hll_distinct_sql(n=3),
         "cms_counters": sketch_ops.cms_counters_sql(n=2),
         "cms_point_est": sketch_ops.cms_point_estimates_sql(n=2),
+        "weighted_sample": corpus_ops.weighted_sample_sql(
+            "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens "
+            "FROM documents",
+            "n_tokens",
+            k=50,
+        ),
         "score_quantiles": sketch_ops.histogram_quantiles_sql(
             "SELECT doc_id, stopword_ratio AS score "
             f"FROM ({text_ops.quality_features_sql()})",

@@ -502,3 +502,73 @@ summed AS (
 SELECT {key}, {strat}n_tokens, cum_tokens
 FROM summed WHERE cum_tokens - n_tokens < {budget}
 """
+
+
+def weighted_sample(
+    df: DataFrame, weight_col: str, k: int = 100,
+    key: str = "doc_id", seed: str = "w0",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of ``k`` rows — the
+    Efraimidis–Spirakis exponential-key scheme (A-ES): each row draws
+    the deterministic uniform u = md5-fraction(seed, key) and gets the
+    key ``u^(1/w)``; the k LARGEST keys are the sample, which is
+    exactly weighted sampling without replacement.
+
+    Everything is a pure row-local expression + one distributed
+    TakeOrdered (each partition ships its local top-k) — no RNG state,
+    no shuffle of the corpus, reproducible across engines, cluster
+    sizes and runs; ``seed`` reshuffles the draw.  Rows with w <= 0 are
+    excluded (their key is 0, i.e. never competitive — dropped
+    explicitly so the k-th slot is never wasted).
+
+    The sort key is ln(u)/w (monotone with u^(1/w), numerically
+    flatter); output carries it rounded to 6 so the DuckDB mirror's
+    ranking is value-checked, not just membership."""
+    h = F.substring(
+        F.md5(
+            F.concat(F.lit(f"{seed}_"), F.col(key).cast("string")).cast(
+                "binary"
+            )
+        ),
+        1,
+        8,
+    )
+    # u in (0, 1]: (int(h) + 1) / 16^8 — the +1 keeps ln defined
+    u = (F.conv(h, 16, 10).cast("double") + 1.0) / F.lit(float(16**8))
+    w = F.col(weight_col).cast("double")
+    es_key = F.round(F.log(u) / w, 6)
+    return (
+        df.filter(w > 0)
+        .select(F.col(key), w.alias("weight"), es_key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), F.col(key))
+        .limit(k)
+    )
+
+
+def weighted_sample_sql(
+    table_sql: str, weight_col: str, k: int = 100,
+    key: str = "doc_id", seed: str = "w0",
+) -> str:
+    """DuckDB mirror of :func:`weighted_sample` (same md5 uniform, same
+    ln(u)/w key, same tie-break)."""
+    d1 = f"(instr('{_HEX}', substring(h, 1, 1)) - 1)"
+    digits = " + ".join(
+        f"(instr('{_HEX}', substring(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"""
+WITH x AS (
+  SELECT {key}, CAST({weight_col} AS DOUBLE) AS weight,
+         md5('{seed}_' || CAST({key} AS VARCHAR)) AS h
+  FROM ({table_sql})
+  WHERE {weight_col} > 0
+),
+keyed AS (
+  SELECT {key}, weight,
+         round(ln((({digits}) + 1.0) / {float(16 ** 8)}) / weight, 6)
+           AS es_key
+  FROM x
+)
+SELECT {key}, weight, es_key FROM keyed
+ORDER BY es_key DESC, {key} LIMIT {k}
+"""

@@ -407,3 +407,41 @@ def test_token_budget_sample_exact_boundary(spark):
     assert again == sorted(map(tuple, rows))
     with pytest.raises(ValueError):
         corpus.token_budget_sample(docs, budget=0)
+
+
+def test_weighted_sample_prefers_heavy_rows_and_is_take_ordered(spark):
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+    from lightcurvesclassifier_spark.operators import corpus
+    from tests.conftest import SF_SMOKE, SF_ORACLE
+    from lightcurvesclassifier_spark.sources import testdata
+
+    # statistical: across 10 seeds, a doc with 10x weight is sampled
+    # ~10x as often (A-ES inclusion scales with weight for k << N)
+    rows = [(i, 10.0 if i % 10 == 0 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    heavy_hits = light_hits = 0
+    for s in range(10):
+        got = corpus.weighted_sample(df, "w", k=20, seed=f"s{s}").collect()
+        heavy_hits += sum(1 for r in got if r.weight == 10.0)
+        light_hits += sum(1 for r in got if r.weight == 1.0)
+    # 20 heavy docs carry 200/380 of the total weight; expect heavy to
+    # take roughly half of each draw — assert a conservative margin
+    assert heavy_hits > 1.5 * (light_hits / 9), (heavy_hits, light_hits)
+
+    # zero/negative weights never sampled
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, 5.0)], "doc_id long, w double"
+    )
+    got2 = corpus.weighted_sample(df2, "w", k=3).collect()
+    assert [r.doc_id for r in got2] == [3]
+
+    # plan: distributed TakeOrdered, no global sort, no Python
+    plan = (
+        em.queries()["weighted_sample"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Python" not in plan
