@@ -945,6 +945,25 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_ops.hll_distinct(docs, n=3)
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot delta between corpus v(n) and a synthetic v(n+1)
+    (PII-planted edits = changed, doc_id%17 dropped = removed, the
+    dedup clones = added): per-doc status by content fingerprint, one
+    full-outer shuffle join on the id — no corpus text moves, only
+    (id, md5)."""
+    old = testdata.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    kept = testdata.pii_corpus(spark, sf_dir).filter(
+        F.col("doc_id") % 17 != 0
+    )
+    added = old.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    new = kept.unionByName(added)
+    return text_ops.corpus_diff(old, new)
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (Efraimidis–Spirakis
     exponential keys over the deterministic md5 uniform): token-count-
@@ -1135,6 +1154,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # section; embedding_dedup_clusters keeps the CC family
         # represented in the window)
         "weighted_sample": q_weighted_sample,
+        # corpus_diff takes the window slot of embedding_neardup
+        # (driver-green r03+r04-local, pinned; the cell-blocked GEMM
+        # family stays represented via embedding_dedup_clusters)
+        "corpus_diff": q_corpus_diff,
         # dedup_canonical takes the window slot of repetition_features
         # (driver-green r03, pinned locally, now in the 51+ section)
         "dedup_canonical": q_dedup_canonical,
@@ -1150,7 +1173,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 51+ section) — first driver row for the oracled IVF path
         "embedding_ivf_flat_topk": q_embedding_ivf_flat_topk,
         "sequence_packing": q_sequence_packing,
-        "embedding_neardup": q_embedding_neardup,
         "embedding_dedup_clusters": q_embedding_dedup_clusters,
         # first driver row for the newly-oracled PCA path (r4); query_dsl
         # (driver-green r02+r03, pinned locally) rotated out to make room
@@ -1165,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_probe_fast": q_bloom_probe_fast,
         "multimodal_features": q_multimodal_features,
         "dedup_clusters": q_dedup_clusters,
+        "embedding_neardup": q_embedding_neardup,
         "cone_nearest": q_cone_nearest,
         "crossmatch_full": q_crossmatch_full,
         "table_profile": q_table_profile,
@@ -1605,6 +1628,13 @@ FROM corpus GROUP BY md5(text)
         "hll_distinct": sketch_ops.hll_distinct_sql(n=3),
         "cms_counters": sketch_ops.cms_counters_sql(n=2),
         "cms_point_est": sketch_ops.cms_point_estimates_sql(n=2),
+        "corpus_diff": text_ops.corpus_diff_sql(
+            "SELECT doc_id, text FROM documents",
+            f"SELECT doc_id, text FROM ({testdata.PII_CORPUS_SQL}) "
+            "WHERE doc_id % 17 <> 0 "
+            "UNION ALL SELECT doc_id + 2000000 AS doc_id, text "
+            "FROM documents WHERE doc_id % 7 = 0",
+        ),
         "weighted_sample": corpus_ops.weighted_sample_sql(
             "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens "
             "FROM documents",

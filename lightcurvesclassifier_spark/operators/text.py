@@ -687,3 +687,54 @@ pairs AS (
 SELECT bigram, count(*) AS cnt FROM pairs
 GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT {k}
 """
+
+
+def corpus_diff(
+    old: DataFrame, new: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snapshot delta between two corpus versions: one row per doc_id
+    seen in either, with status ``added`` / ``removed`` / ``changed`` /
+    ``unchanged`` by content fingerprint (the :func:`fingerprint`
+    identity, so whitespace/case-only edits are 'unchanged').
+
+    The audit every dataset release runs — what moved between v(n) and
+    v(n+1).  Plan: two map-only fingerprint projections and ONE
+    full-outer shuffle join on the id (both sides hash-partition the
+    same key; no corpus text moves, only (id, 32-char md5))."""
+    norm_old = fingerprint(old.select(id_col, text_col), text_col).select(
+        id_col, F.col("fingerprint").alias("_fp_old")
+    )
+    norm_new = fingerprint(new.select(id_col, text_col), text_col).select(
+        id_col, F.col("fingerprint").alias("_fp_new")
+    )
+    status = (
+        F.when(F.col("_fp_old").isNull(), "added")
+        .when(F.col("_fp_new").isNull(), "removed")
+        .when(F.col("_fp_old") != F.col("_fp_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        norm_old.join(norm_new, id_col, "full_outer")
+        .select(
+            id_col,
+            status.alias("status"),
+            F.coalesce("_fp_new", "_fp_old").alias("fingerprint"),
+        )
+    )
+
+
+def corpus_diff_sql(old_sql: str, new_sql: str) -> str:
+    """DuckDB mirror of :func:`corpus_diff` (same fingerprint rule)."""
+    fp = "md5(regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g'))"
+    return f"""
+WITH o AS (SELECT doc_id, {fp} AS fp_old FROM ({old_sql})),
+n AS (SELECT doc_id, {fp} AS fp_new FROM ({new_sql}))
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN fp_old <> fp_new THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       coalesce(fp_new, fp_old) AS fingerprint
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""

@@ -521,3 +521,19 @@ def test_embedding_ivf_flat_recall_and_coverage(spark):
     a = {(q, v) for q, v in zip(flat.query_id, flat.vec_id)}
     recall = len(e & a) / len(e)
     assert recall > 0.5, f"ivf_flat recall {recall}"
+
+
+def test_corpus_diff_statuses(spark):
+    from lightcurvesclassifier_spark.operators.text import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a b"), (2, "keep me"), (3, "gone soon")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "A  B"), (2, "keep me edited"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    # case/whitespace-only edit is 'unchanged' by content fingerprint
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
