@@ -50,6 +50,7 @@ from lightcurvesclassifier_spark.ml.curve_pca import curve_pca3_oracle_sql
 from lightcurvesclassifier_spark.operators import asof as asof_ops
 from lightcurvesclassifier_spark.operators import corpus as corpus_ops
 from lightcurvesclassifier_spark.operators import decontamination as decon_ops
+from lightcurvesclassifier_spark.operators import layout as layout_ops
 from lightcurvesclassifier_spark.operators import profile as profile_ops
 from lightcurvesclassifier_spark.operators import rollup as rollup_ops
 from lightcurvesclassifier_spark.operators import sketch as sketch_ops
@@ -945,6 +946,22 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_ops.hll_distinct(docs, n=3)
 
 
+def q_sky_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) sky key per star — pure integer shift/mask
+    interleave of the quantized (ra, dec). Sorting/partitioning the
+    catalog by this key clusters sky neighbours into the same files so
+    box/cone queries prune on parquet min/max stats
+    (layout.write_zorder_layout is the write path; pruning is
+    plan-pinned in tests/test_layout.py)."""
+    st = testdata.stars(spark, sf_dir)
+    return st.select(
+        "star_id",
+        layout_ops.sky_zorder_key(
+            F.col("ra_deg"), F.col("dec_deg")
+        ).alias("zkey"),
+    )
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot delta between corpus v(n) and a synthetic v(n+1)
     (PII-planted edits = changed, doc_id%17 dropped = removed, the
@@ -1089,7 +1106,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_registers": q_hll_registers,
         "hll_distinct": q_hll_distinct,
         "cone_search": q_cone_search,
-        "crossmatch": q_crossmatch,
+        # sky_zorder takes the window slot of crossmatch (driver-green
+        # r02+r03, pinned locally, now in the 51+ section beside
+        # crossmatch_full; cone_search keeps the sky-join family's
+        # recovery check in the window)
+        "sky_zorder": q_sky_zorder,
         # event_sessions / obs_downsample take the window slots of
         # cone_nearest / crossmatch_full (driver-green r02+r03, pinned
         # locally, now in the 51+ section)
@@ -1189,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "embedding_neardup": q_embedding_neardup,
         "cone_nearest": q_cone_nearest,
+        "crossmatch": q_crossmatch,
         "crossmatch_full": q_crossmatch_full,
         "table_profile": q_table_profile,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -1628,6 +1650,7 @@ FROM corpus GROUP BY md5(text)
         "hll_distinct": sketch_ops.hll_distinct_sql(n=3),
         "cms_counters": sketch_ops.cms_counters_sql(n=2),
         "cms_point_est": sketch_ops.cms_point_estimates_sql(n=2),
+        "sky_zorder": layout_ops.sky_zorder_sql(testdata.STARS_SQL),
         "corpus_diff": text_ops.corpus_diff_sql(
             "SELECT doc_id, text FROM documents",
             f"SELECT doc_id, text FROM ({testdata.PII_CORPUS_SQL}) "

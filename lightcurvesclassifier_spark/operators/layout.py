@@ -188,3 +188,89 @@ def salted_join(
     )
     out = big_s.join(dim_s, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+# Morton (Z-order) geometry: bits per axis. 12 bits ≈ 0.09° cells in RA
+# — fine enough that a typical cone's key range touches a handful of
+# cells, coarse enough that the 24-bit interleaved key fits easily in a
+# BIGINT and file min/max stats stay selective.
+ZORDER_BITS = 12
+
+
+def sky_zorder_key(
+    ra: "F.Column", dec: "F.Column", bits: int = ZORDER_BITS
+) -> "F.Column":
+    """Interleaved Morton key of (ra, dec): bit i of the quantized RA
+    lands at position 2i, of dec at 2i+1 — points close on the sky get
+    close keys, so sorting by the key clusters neighbours into the same
+    parquet files and a box/cone query prunes on file min/max stats.
+
+    Pure integer shift/mask arithmetic (exact in both engines; the
+    DuckDB mirror is the same expression).  Quantization clamps to
+    [0, 2^bits) so dec=+90 and ra→360⁻ stay in range."""
+    scale = 1 << bits
+    qx = F.least(
+        F.lit(scale - 1), F.floor(ra / F.lit(360.0) * scale).cast("long")
+    )
+    qy = F.least(
+        F.lit(scale - 1),
+        F.floor((dec + F.lit(90.0)) / F.lit(180.0) * scale).cast("long"),
+    )
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = (
+            key
+            + F.shiftleft(F.shiftright(qx, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftright(qy, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return key
+
+
+def sky_zorder_sql(
+    stars_sql: str, bits: int = ZORDER_BITS
+) -> str:
+    """DuckDB mirror of :func:`sky_zorder_key` over a star catalog
+    (same quantization, same interleave)."""
+    scale = 1 << bits
+    qx = f"least({scale - 1}, CAST(floor(ra_deg / 360.0 * {scale}) AS BIGINT))"
+    qy = (
+        f"least({scale - 1}, "
+        f"CAST(floor((dec_deg + 90.0) / 180.0 * {scale}) AS BIGINT))"
+    )
+    terms = " + ".join(
+        f"(((qx >> {i}) & 1) << {2 * i}) + (((qy >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    return f"""
+WITH s AS ({stars_sql}),
+q AS (SELECT star_id, ra_deg, dec_deg, {qx} AS qx, {qy} AS qy FROM s)
+SELECT star_id, CAST({terms} AS BIGINT) AS zkey FROM q
+"""
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    ra_col: str = "ra_deg",
+    dec_col: str = "dec_deg",
+    bits: int = ZORDER_BITS,
+    prefix_bits: int = 4,
+) -> None:
+    """Write a star catalog Z-order-clustered: partitioned by the top
+    ``prefix_bits`` of the Morton key (directory pruning) and sorted by
+    the full key within partitions (parquet row-group min/max pruning).
+    A box query filtered on ``zprefix`` reads only the matching
+    directories — asserted in tests/test_layout.py."""
+    zkey = sky_zorder_key(F.col(ra_col), F.col(dec_col), bits)
+    out = df.withColumn("zkey", zkey).withColumn(
+        "zprefix", F.shiftright(F.col("zkey"), 2 * bits - prefix_bits)
+    )
+    (
+        out.repartition("zprefix")
+        .sortWithinPartitions("zkey")
+        .write.mode("overwrite")
+        .partitionBy("zprefix")
+        .parquet(path)
+    )

@@ -94,3 +94,53 @@ def test_ivf_layout_partition_pruning(spark, tmp_path):
     a = rows.sort_values(["query_id", "rank"]).reset_index(drop=True)
     b = mem.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_zorder_layout_prunes_partitions_and_clusters_neighbors(
+    spark, tmp_path
+):
+    from lightcurvesclassifier_spark.operators import layout
+    from lightcurvesclassifier_spark.sources import testdata
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    st = testdata.stars(spark, SF_SMOKE)
+    path = str(tmp_path / "stars_z")
+    layout.write_zorder_layout(st, path)
+    back = spark.read.parquet(path)
+    assert back.count() == st.count()
+
+    # locality: two stars within ~0.1 deg share a zprefix (same coarse
+    # Morton cell) far more often than random pairs — check a known
+    # neighborhood box query prunes directories
+    # a sky-quadrant box: populated even at the sf0.001 star count, yet
+    # far from covering every coarse Morton cell
+    box = back.filter(
+        (F.col("ra_deg") >= 0) & (F.col("ra_deg") < 90)
+        & (F.col("dec_deg") >= -90) & (F.col("dec_deg") < 0)
+    )
+    prefixes = {r.zprefix for r in box.select("zprefix").distinct().collect()}
+    n_all = back.select("zprefix").distinct().count()
+    assert 0 < len(prefixes) < n_all  # the box does not touch every cell
+
+    # pruning: filtering on zprefix reaches the scan as a partition
+    # filter (directory-level pruning, no data read from other cells)
+    one = sorted(prefixes)[0]
+    plan = (
+        back.filter(F.col("zprefix") == one)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan and "zprefix" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0], plan
+
+    # the key itself is consistent with the oracle rule: recompute and
+    # compare for a sample
+    recomputed = st.select(
+        "star_id",
+        layout.sky_zorder_key(F.col("ra_deg"), F.col("dec_deg")).alias("zk"),
+    )
+    j = back.select("star_id", "zkey").join(recomputed, "star_id")
+    assert j.filter(F.col("zkey") != F.col("zk")).count() == 0
