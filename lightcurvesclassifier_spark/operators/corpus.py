@@ -551,11 +551,9 @@ def weighted_sample_sql(
 ) -> str:
     """DuckDB mirror of :func:`weighted_sample` (same md5 uniform, same
     ln(u)/w key, same tie-break)."""
-    d1 = f"(instr('{_HEX}', substring(h, 1, 1)) - 1)"
-    digits = " + ".join(
-        f"(instr('{_HEX}', substring(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
-        for i in range(8)
-    )
+    from .sketch import _hex_to_int_sql
+
+    digits = _hex_to_int_sql("h", 8)
     return f"""
 WITH x AS (
   SELECT {key}, CAST({weight_col} AS DOUBLE) AS weight,

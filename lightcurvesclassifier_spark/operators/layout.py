@@ -209,12 +209,21 @@ def sky_zorder_key(
     DuckDB mirror is the same expression).  Quantization clamps to
     [0, 2^bits) so dec=+90 and ra→360⁻ stay in range."""
     scale = 1 << bits
-    qx = F.least(
-        F.lit(scale - 1), F.floor(ra / F.lit(360.0) * scale).cast("long")
+    # clamp BOTH edges: a catalog in the (-180, 180] RA convention
+    # would otherwise quantize negative, and arithmetic shiftright of a
+    # negative long scrambles every interleaved bit
+    qx = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(scale - 1), F.floor(ra / F.lit(360.0) * scale).cast("long")
+        ),
     )
-    qy = F.least(
-        F.lit(scale - 1),
-        F.floor((dec + F.lit(90.0)) / F.lit(180.0) * scale).cast("long"),
+    qy = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(scale - 1),
+            F.floor((dec + F.lit(90.0)) / F.lit(180.0) * scale).cast("long"),
+        ),
     )
     key = F.lit(0).cast("long")
     for i in range(bits):
@@ -234,10 +243,13 @@ def sky_zorder_sql(
     """DuckDB mirror of :func:`sky_zorder_key` over a star catalog
     (same quantization, same interleave)."""
     scale = 1 << bits
-    qx = f"least({scale - 1}, CAST(floor(ra_deg / 360.0 * {scale}) AS BIGINT))"
+    qx = (
+        f"greatest(0, least({scale - 1}, "
+        f"CAST(floor(ra_deg / 360.0 * {scale}) AS BIGINT)))"
+    )
     qy = (
-        f"least({scale - 1}, "
-        f"CAST(floor((dec_deg + 90.0) / 180.0 * {scale}) AS BIGINT))"
+        f"greatest(0, least({scale - 1}, "
+        f"CAST(floor((dec_deg + 90.0) / 180.0 * {scale}) AS BIGINT)))"
     )
     terms = " + ".join(
         f"(((qx >> {i}) & 1) << {2 * i}) + (((qy >> {i}) & 1) << {2 * i + 1})"
@@ -268,8 +280,12 @@ def write_zorder_layout(
         "zprefix", F.shiftright(F.col("zkey"), 2 * bits - prefix_bits)
     )
     (
+        # sort on (zprefix, zkey): the partitioned writer REQUIRES child
+        # ordering on zprefix, and only a sort whose prefix satisfies it
+        # avoids an extra planner-inserted zprefix-only sort that would
+        # leave the within-file zkey order to sort-stability luck
         out.repartition("zprefix")
-        .sortWithinPartitions("zkey")
+        .sortWithinPartitions("zprefix", "zkey")
         .write.mode("overwrite")
         .partitionBy("zprefix")
         .parquet(path)

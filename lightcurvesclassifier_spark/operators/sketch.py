@@ -565,6 +565,10 @@ def histogram_quantiles(
     deterministic double arithmetic, so the DuckDB mirror matches
     bit-for-bit."""
     v = F.round(F.col(value_col), 6)
+    # NULL scores are excluded up front: a NULL bin would sort FIRST in
+    # Spark's cumulative window but LAST in DuckDB, and its rows are
+    # not in the count(v) the targets derive from
+    df = df.filter(v.isNotNull())
     mm = df.agg(
         F.min(v).alias("_lo"), F.max(v).alias("_hi"),
         F.count(v).alias("_n"),
@@ -634,7 +638,9 @@ def histogram_quantiles_sql(
     yield a ``score`` column."""
     g = n_bins
     return f"""
-WITH s AS (SELECT round(score, 6) AS v FROM ({scored_sql})),
+WITH s AS (
+  SELECT round(score, 6) AS v FROM ({scored_sql}) WHERE score IS NOT NULL
+),
 mm AS (SELECT min(v) AS lo, max(v) AS hi, count(v) AS n FROM s),
 binned AS (
   SELECT CASE WHEN hi = lo THEN 0

@@ -702,16 +702,24 @@ def corpus_diff(
     v(n+1).  Plan: two map-only fingerprint projections and ONE
     full-outer shuffle join on the id (both sides hash-partition the
     same key; no corpus text moves, only (id, 32-char md5))."""
+    # presence is tracked with explicit markers, NOT fingerprint
+    # nullity — a NULL-text document has a NULL fingerprint while being
+    # genuinely present (and two NULL-text versions are 'unchanged',
+    # hence the null-safe comparison for the change test)
     norm_old = fingerprint(old.select(id_col, text_col), text_col).select(
-        id_col, F.col("fingerprint").alias("_fp_old")
+        id_col,
+        F.col("fingerprint").alias("_fp_old"),
+        F.lit(1).alias("_in_old"),
     )
     norm_new = fingerprint(new.select(id_col, text_col), text_col).select(
-        id_col, F.col("fingerprint").alias("_fp_new")
+        id_col,
+        F.col("fingerprint").alias("_fp_new"),
+        F.lit(1).alias("_in_new"),
     )
     status = (
-        F.when(F.col("_fp_old").isNull(), "added")
-        .when(F.col("_fp_new").isNull(), "removed")
-        .when(F.col("_fp_old") != F.col("_fp_new"), "changed")
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "removed")
+        .when(~F.col("_fp_old").eqNullSafe(F.col("_fp_new")), "changed")
         .otherwise("unchanged")
     )
     return (
@@ -733,7 +741,7 @@ n AS (SELECT doc_id, {fp} AS fp_new FROM ({new_sql}))
 SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
        CASE WHEN o.doc_id IS NULL THEN 'added'
             WHEN n.doc_id IS NULL THEN 'removed'
-            WHEN fp_old <> fp_new THEN 'changed'
+            WHEN fp_old IS DISTINCT FROM fp_new THEN 'changed'
             ELSE 'unchanged' END AS status,
        coalesce(fp_new, fp_old) AS fingerprint
 FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id

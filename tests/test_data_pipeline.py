@@ -537,3 +537,19 @@ def test_corpus_diff_statuses(spark):
     got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
     # case/whitespace-only edit is 'unchanged' by content fingerprint
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_corpus_diff_null_text_presence(spark):
+    from lightcurvesclassifier_spark.operators.text import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "now real"), (2, None), (4, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    # NULL text is a PRESENT doc with a NULL fingerprint: 1 changed
+    # (null -> value), 2 unchanged (null == null, null-safe), 3 removed,
+    # 4 added
+    assert got == {1: "changed", 2: "unchanged", 3: "removed", 4: "added"}

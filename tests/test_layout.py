@@ -144,3 +144,27 @@ def test_zorder_layout_prunes_partitions_and_clusters_neighbors(
     )
     j = back.select("star_id", "zkey").join(recomputed, "star_id")
     assert j.filter(F.col("zkey") != F.col("zk")).count() == 0
+
+
+def test_zorder_key_clamps_negative_coordinates(spark):
+    from lightcurvesclassifier_spark.operators import layout
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, -0.5, -91.0), (2, 0.0, -90.0), (3, 359.99, 90.0)],
+        "star_id long, ra_deg double, dec_deg double",
+    )
+    out = {
+        r.star_id: r.zk
+        for r in df.select(
+            "star_id",
+            layout.sky_zorder_key(
+                F.col("ra_deg"), F.col("dec_deg")
+            ).alias("zk"),
+        ).collect()
+    }
+    max_key = (1 << (2 * layout.ZORDER_BITS)) - 1
+    for k in out.values():
+        assert 0 <= k <= max_key, out
+    # the (-0.5, -91) point clamps to the same cell as (0, -90)
+    assert out[1] == out[2]

@@ -244,3 +244,14 @@ def test_histogram_quantiles_degenerate_constant_column(spark):
     # all mass in bin 0; every boundary is the (degenerate) upper edge
     assert list(sorted(out.q)) == [1, 2, 3]
     assert (out.boundary == 3.5).all()
+
+
+def test_histogram_quantiles_ignores_null_scores(spark):
+    rows = [(i, None) for i in range(5)] + [
+        (10 + i, float(i + 1)) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    out = sketch.histogram_quantiles(df, "score", n_quantiles=4).toPandas()
+    assert out.boundary.notna().all()
+    # boundaries derive from the 5 non-null values only
+    assert out.boundary.min() >= 1.0 and out.boundary.max() <= 5.0 + 1e-3
