@@ -290,3 +290,46 @@ def write_zorder_layout(
         .partitionBy("zprefix")
         .parquet(path)
     )
+
+
+def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) of every data file under ``path`` (recursive,
+    Hadoop FS — works on any supported filesystem, not just local)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    out = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().toString()
+        if not st.getPath().getName().startswith(("_", ".")):
+            out.append((name, int(st.getLen())))
+    return out
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_mb: int = 128,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset so output files
+    approach ``target_mb`` — the maintenance job every long-lived table
+    needs (file listings, footers and task scheduling all scale with
+    file COUNT; a 100 TB table of 1 MB files is unqueryable).
+
+    Only file METADATA is driver-side (the listing); the data itself is
+    rewritten by one distributed job whose output-file count is the
+    byte-exact bin count ⌈total_bytes/target⌉.  Parquet's encoded size
+    ≈ input size here since the rewrite preserves encoding-friendly
+    order (no shuffle: ``coalesce`` merges whole input splits).
+    Returns the number of output files requested."""
+    files = list_data_files(spark, path)
+    total = sum(b for _, b in files)
+    n_out = max(1, -(-total // (target_mb * 1024 * 1024)))
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(
+        out_path
+    )
+    return n_out

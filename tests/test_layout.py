@@ -168,3 +168,23 @@ def test_zorder_key_clamps_negative_coordinates(spark):
         assert 0 <= k <= max_key, out
     # the (-0.5, -91) point clamps to the same cell as (0, -90)
     assert out[1] == out[2]
+
+
+def test_compact_files_reduces_file_count_preserving_rows(spark, tmp_path):
+    from lightcurvesclassifier_spark.operators import layout
+    from lightcurvesclassifier_spark.sources import testdata
+    from tests.conftest import SF_SMOKE
+
+    obs = testdata.observations(spark, SF_SMOKE)
+    frag = str(tmp_path / "fragmented")
+    obs.repartition(24).write.parquet(frag)  # 24 tiny files
+    n_before = len(layout.list_data_files(spark, frag))
+    assert n_before >= 24
+
+    compacted = str(tmp_path / "compacted")
+    n_req = layout.compact_files(spark, frag, compacted, target_mb=128)
+    n_after = len(layout.list_data_files(spark, compacted))
+    assert n_req == 1 and n_after == 1  # tiny table -> one file
+    back = spark.read.parquet(compacted)
+    assert back.count() == obs.count()
+    assert back.exceptAll(obs).count() == 0
