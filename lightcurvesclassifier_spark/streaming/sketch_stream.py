@@ -46,3 +46,33 @@ def cms_counter_stream(docs: DataFrame, n: int = 2) -> DataFrame:
     equal the batch sketch over the concatenated input, so point
     estimates off either table agree."""
     return sketch.cms_counters(docs, text_col="text", n=n, id_col="doc_id")
+
+
+def bloom_bits_stream(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Unbounded doc stream → the Bloom filter's set bits, incrementally.
+
+    OR-ing a Bloom filter is the distinct union of its bits, so the
+    streaming form is ``dropDuplicates`` on the bit value: state is
+    ≤ m rows forever, each bit is emitted exactly once (append
+    semantics — a downstream consumer materializes the filter by
+    unioning emitted bits).  Exact batch parity with
+    ``sketch.bloom_bits`` over the concatenated stream is pinned in
+    tests."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sketch import BLOOM_K, _bloom_bit
+    from ..operators.dedup import _ngram_rows
+
+    sh = _ngram_rows(
+        docs, n, "text", "doc_id",
+        key_fn=lambda s: s, empty_type="string", out_col="shingle",
+        distinct=False,
+    )
+    bits = sh.select(
+        F.explode(
+            F.array(
+                *[_bloom_bit(F.col("shingle"), i) for i in range(BLOOM_K)]
+            )
+        ).alias("bit")
+    )
+    return bits.dropDuplicates(["bit"])

@@ -117,3 +117,42 @@ def test_streaming_cms_matches_batch_counters(spark, tmp_path):
     want_set = {(r.row, r.col, r.cnt) for r in want.collect()}
     assert got_set == want_set
     assert len(got_set) <= sketch.CMS_D * sketch.CMS_W
+
+
+def test_streaming_bloom_bits_match_batch(spark, tmp_path):
+    from lightcurvesclassifier_spark.streaming.sketch_stream import (
+        bloom_bits_stream,
+    )
+
+    docs_dir = tmp_path / "bloom_in"
+    docs_dir.mkdir()
+    b1 = [(1, "alpha beta gamma delta epsilon zeta", 0)]
+    b2 = [(2, "alpha beta gamma delta epsilon zeta", 1),  # dup content
+          (3, "one two three four five six", 2)]
+    _write_batch(docs_dir, "b1.json", b1)
+    _write_batch(docs_dir, "b2.json", b2)
+
+    out_dir = tmp_path / "bloom_out"
+    bits = bloom_bits_stream(doc_stream(spark, str(docs_dir)), n=5)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(str(out_dir))
+
+    q = (
+        bits.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "bloom_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(out_dir))
+    batch_docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in b1 + b2], "doc_id long, text string"
+    )
+    want = sketch.bloom_bits(batch_docs, n=5)
+    got_bits = [r.bit for r in got.collect()]
+    assert sorted(got_bits) == sorted(r.bit for r in want.collect())
+    # each bit emitted exactly once across batches (dedup state works)
+    assert len(got_bits) == len(set(got_bits))
