@@ -102,3 +102,53 @@ def test_bigram_plan_take_ordered_no_global_sort(spark):
     plan = _plan(spark, "bigram_counts")
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("Exchange") == 1, plan  # the count's shuffle only
+
+
+def test_sessions_properties_random_series(spark):
+    """Property: for random gap patterns, (1) session count per star =
+    1 + #gaps exceeding the threshold, (2) n_obs sums to the series
+    length, (3) session spans never overlap."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    expected_sessions = {}
+    for star in range(1, 8):
+        t = 0.0
+        n = rng.randint(1, 30)
+        gaps_over = 0
+        for i in range(n):
+            if i:
+                gap = rng.choice([0.1, 0.5, 0.9, 1.5, 3.0])
+                if gap > 1.0:
+                    gaps_over += 1
+                t += gap
+            rows.append((star, "V", round(t, 6), 10.0 + i * 0.01, None))
+        expected_sessions[star] = (gaps_over + 1, n)
+    out = rollup.observing_sessions(_obs(spark, rows), 1.0).collect()
+    by_star = {}
+    for r in out:
+        by_star.setdefault(r.star_id, []).append(r)
+    for star, (n_sess, n_obs) in expected_sessions.items():
+        sess = sorted(by_star[star], key=lambda r: r.t_start)
+        assert len(sess) == n_sess, (star, sess)
+        assert sum(r.n_obs for r in sess) == n_obs
+        for a, b in zip(sess, sess[1:]):
+            assert a.t_end < b.t_start  # disjoint, ordered
+
+
+def test_downsample_preserves_totals(spark):
+    """Property: bucket counts sum to the input size and min <= mean <=
+    max within every bucket."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (rng.randint(1, 5), rng.choice(["V", "B"]),
+         rng.uniform(-30, 300), rng.uniform(8, 20), None)
+        for _ in range(500)
+    ]
+    out = rollup.downsample(_obs(spark, rows), 10.0).collect()
+    assert sum(r.n_obs for r in out) == len(rows)
+    for r in out:
+        assert r.min_mag <= r.mean_mag <= r.max_mag
