@@ -294,17 +294,23 @@ def write_zorder_layout(
 
 def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     """(path, bytes) of every data file under ``path`` (recursive,
-    Hadoop FS — works on any supported filesystem, not just local)."""
+    Hadoop FS — works on any supported filesystem, not just local).
+
+    Hidden names are excluded at EVERY path level below the base, not
+    just the leaf — a crashed write's ``_temporary/.../part-*.parquet``
+    must not count, matching what ``spark.read`` itself would scan."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(conf)
+    base = fs.makeQualified(p).toString().rstrip("/")
     out = []
     it = fs.listFiles(p, True)
     while it.hasNext():
         st = it.next()
         name = st.getPath().toString()
-        if not st.getPath().getName().startswith(("_", ".")):
+        rel = name[len(base):].lstrip("/") if name.startswith(base) else name
+        if not any(part.startswith(("_", ".")) for part in rel.split("/")):
             out.append((name, int(st.getLen())))
     return out
 
@@ -320,16 +326,22 @@ def compact_files(
     needs (file listings, footers and task scheduling all scale with
     file COUNT; a 100 TB table of 1 MB files is unqueryable).
 
-    Only file METADATA is driver-side (the listing); the data itself is
-    rewritten by one distributed job whose output-file count is the
-    byte-exact bin count ⌈total_bytes/target⌉.  Parquet's encoded size
-    ≈ input size here since the rewrite preserves encoding-friendly
-    order (no shuffle: ``coalesce`` merges whole input splits).
-    Returns the number of output files requested."""
-    files = list_data_files(spark, path)
-    total = sum(b for _, b in files)
-    n_out = max(1, -(-total // (target_mb * 1024 * 1024)))
-    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(
-        out_path
-    )
+    Only one metadata call is driver-side (``getContentSummary`` — a
+    single RPC even on object stores, vs a recursive listing the read
+    will do anyway); the data itself is rewritten by one distributed
+    no-shuffle job (``coalesce`` merges whole input splits).  Compaction
+    only MERGES: the requested bin count ⌈total_bytes/target⌉ is capped
+    at the read's split count, because ``coalesce`` cannot split
+    partitions — a ``target_mb`` below the read split size therefore
+    yields read-split-sized files, not smaller ones.  Returns the
+    actual output-file count."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    total = int(fs.getContentSummary(p).getLength())
+    n_bins = max(1, -(-total // (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    n_out = max(1, min(n_bins, df.rdd.getNumPartitions()))
+    df.coalesce(n_out).write.mode("overwrite").parquet(out_path)
     return n_out

@@ -320,6 +320,12 @@ def _bloom_bit(term: Column, i: int) -> Column:
     return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")) % BLOOM_M
 
 
+def _bloom_bit_array(term: Column) -> Column:
+    """All k bit positions of one term — the single definition the
+    batch filter build, the probe, and the streaming form all share."""
+    return F.array(*[_bloom_bit(term, i) for i in range(BLOOM_K)])
+
+
 def _distinct_shingles(
     df: DataFrame, text_col: str, n: int, id_col: str
 ) -> DataFrame:
@@ -340,8 +346,9 @@ def bloom_bits(
     ``n``-grams: one row per set bit, ≤ m rows.  Mergeable by union —
     OR-ing two filters is exactly the distinct union of their bits."""
     sh = _distinct_shingles(df, text_col, n, id_col).select("shingle").distinct()
-    bits = F.array(*[_bloom_bit(F.col("shingle"), i) for i in range(BLOOM_K)])
-    return sh.select(F.explode(bits).alias("bit")).distinct()
+    return sh.select(
+        F.explode(_bloom_bit_array(F.col("shingle"))).alias("bit")
+    ).distinct()
 
 
 def bloom_probe(
@@ -365,9 +372,7 @@ def bloom_probe(
     probe = tr.select(
         id_col,
         "shingle",
-        F.explode(
-            F.array(*[_bloom_bit(F.col("shingle"), i) for i in range(BLOOM_K)])
-        ).alias("bit"),
+        F.explode(_bloom_bit_array(F.col("shingle"))).alias("bit"),
     ).distinct()  # k bits of one shingle may collide on the same bit
     # ONE pass over the probe subtree: a left join against the broadcast
     # bit set marks hits, then a single per-(doc, shingle) aggregate

@@ -60,8 +60,8 @@ def bloom_bits_stream(docs: DataFrame, n: int = 5) -> DataFrame:
     tests."""
     from pyspark.sql import functions as F
 
-    from ..operators.sketch import BLOOM_K, _bloom_bit
     from ..operators.dedup import _ngram_rows
+    from ..operators.sketch import _bloom_bit_array
 
     sh = _ngram_rows(
         docs, n, "text", "doc_id",
@@ -69,10 +69,6 @@ def bloom_bits_stream(docs: DataFrame, n: int = 5) -> DataFrame:
         distinct=False,
     )
     bits = sh.select(
-        F.explode(
-            F.array(
-                *[_bloom_bit(F.col("shingle"), i) for i in range(BLOOM_K)]
-            )
-        ).alias("bit")
+        F.explode(_bloom_bit_array(F.col("shingle"))).alias("bit")
     )
     return bits.dropDuplicates(["bit"])

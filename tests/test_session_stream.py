@@ -68,7 +68,7 @@ def test_streaming_sessions_match_batch_gap_rule(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish in time"
 
     got = spark.read.parquet(str(out_dir)).toPandas()
     by_star = got.sort_values(["star_id", "t_start"]).reset_index(drop=True)

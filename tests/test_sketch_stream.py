@@ -54,7 +54,7 @@ def test_streaming_hll_matches_batch_registers(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
 
     got = spark.read.parquet(str(out_dir))
     w_latest = got.groupBy("bucket").agg(
@@ -103,7 +103,7 @@ def test_streaming_cms_matches_batch_counters(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
 
     got = spark.read.parquet(str(out_dir))
     latest = got.groupBy("row", "col").agg(
@@ -145,7 +145,7 @@ def test_streaming_bloom_bits_match_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
 
     got = spark.read.parquet(str(out_dir))
     batch_docs = spark.createDataFrame(
