@@ -962,6 +962,24 @@ def q_sky_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-score deciles off per-group histogram
+    sketches — the group-wise threshold table a mixture pipeline
+    applies. All passes keyed by lang: per-group min/max/count, (lang,
+    bin) counts, lang-partitioned cumulative walk; ≤4096 counters of
+    state per language, no per-group value buffering, no global
+    sort."""
+    from lightcurvesclassifier_spark.operators.text import stopword_ratio
+
+    docs = testdata.load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang", F.round(stopword_ratio(F.col("text")), 6).alias("score")
+    )
+    return sketch_ops.grouped_histogram_quantiles(
+        scored, "lang", "score", n_quantiles=10
+    )
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot delta between corpus v(n) and a synthetic v(n+1)
     (PII-planted edits = changed, doc_id%17 dropped = removed, the
@@ -1209,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "dedup_clusters": q_dedup_clusters,
         "embedding_neardup": q_embedding_neardup,
+        "lang_quantiles": q_lang_quantiles,
         "cone_nearest": q_cone_nearest,
         "crossmatch": q_crossmatch,
         "crossmatch_full": q_crossmatch_full,
@@ -1663,6 +1682,14 @@ FROM corpus GROUP BY md5(text)
             "FROM documents",
             "n_tokens",
             k=50,
+        ),
+        "lang_quantiles": sketch_ops.grouped_histogram_quantiles_sql(
+            "SELECT lang, "
+            "round(len(list_filter(string_split(text, ' '), "
+            f"x -> x IN ({', '.join(repr(w) for w in text_ops.STOPWORDS)}))) "
+            "/ len(string_split(text, ' ')), 6) AS score FROM documents",
+            group_col="lang",
+            n_quantiles=10,
         ),
         "score_quantiles": sketch_ops.histogram_quantiles_sql(
             "SELECT doc_id, stopword_ratio AS score "

@@ -672,3 +672,128 @@ SELECT CAST(q AS INT) AS q,
        round(lo + (bin + 1) * (hi - lo) / {float(g)}, 6) AS boundary
 FROM hit, mm
 """
+
+
+def grouped_histogram_quantiles(
+    df: DataFrame, group_col: str, value_col: str = "score",
+    n_quantiles: int = 10, n_bins: int = HISTQ_BINS,
+) -> DataFrame:
+    """Per-group quantile boundaries from per-group fixed-grid
+    histograms: (group, q, boundary) — the per-language / per-domain
+    quality-threshold table a mixture pipeline applies group-wise.
+
+    Same three bounded-state passes as :func:`histogram_quantiles`, all
+    keyed by the group: per-group min/max/count (one aggregate, tiny
+    output for dimension-like groups — broadcast back), per-(group,
+    bin) counts, and a cumulative window PARTITIONED by group (≤ G rows
+    per group, never a global sort).  State per group is ≤ G counters,
+    so a thousand-language corpus costs ~4M counters total where a
+    per-group exact percentile would buffer every value."""
+    v = F.round(F.col(value_col), 6)
+    df = df.filter(v.isNotNull())
+    mm = df.groupBy(group_col).agg(
+        F.min(v).alias("_lo"), F.max(v).alias("_hi"), F.count(v).alias("_n")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    idx = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor((v - F.col("_lo")) / width).cast("int"),
+        )
+    )
+    hist = (
+        df.join(F.broadcast(mm), group_col)
+        .select(F.col(group_col), idx.alias("bin"), "_lo", "_hi", "_n")
+        .groupBy(group_col, "bin")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.first("_lo").alias("_lo"),
+            F.first("_hi").alias("_hi"),
+            F.first("_n").alias("_n"),
+        )
+    )
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy(group_col)
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    targets = F.array(
+        *[
+            F.struct(
+                F.lit(q).cast("int").alias("q"),
+                F.ceil(F.col("_n") * q / n_quantiles).cast("long").alias(
+                    "target"
+                ),
+            )
+            for q in range(1, n_quantiles)
+        ]
+    )
+    hit = cum.select(
+        F.col(group_col), "bin", "cum", "cnt", "_lo", "_hi",
+        F.explode(targets).alias("t"),
+    ).filter(
+        (F.col("cum") >= F.col("t.target"))
+        & (F.col("cum") - F.col("cnt") < F.col("t.target"))
+    )
+    boundary = F.round(
+        F.col("_lo")
+        + (F.col("bin") + 1) * (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins)),
+        6,
+    )
+    return hit.select(
+        F.col(group_col), F.col("t.q").alias("q"), boundary.alias("boundary")
+    )
+
+
+def grouped_histogram_quantiles_sql(
+    scored_sql: str, group_col: str = "lang",
+    n_quantiles: int = 10, n_bins: int = HISTQ_BINS,
+) -> str:
+    """DuckDB mirror of :func:`grouped_histogram_quantiles`.
+    ``scored_sql`` must yield (group_col, score)."""
+    g = n_bins
+    return f"""
+WITH s AS (
+  SELECT {group_col}, round(score, 6) AS v
+  FROM ({scored_sql}) WHERE score IS NOT NULL
+),
+mm AS (
+  SELECT {group_col}, min(v) AS lo, max(v) AS hi, count(v) AS n
+  FROM s GROUP BY {group_col}
+),
+binned AS (
+  SELECT s.{group_col},
+         CASE WHEN hi = lo THEN 0
+         ELSE least({g} - 1,
+                    CAST(floor((v - lo) / ((hi - lo) / {float(g)})) AS INT))
+         END AS bin
+  FROM s JOIN mm USING ({group_col})
+),
+hist AS (
+  SELECT {group_col}, bin, count(*) AS cnt
+  FROM binned GROUP BY {group_col}, bin
+),
+cum AS (
+  SELECT {group_col}, bin, cnt,
+         sum(cnt) OVER (PARTITION BY {group_col} ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+targets AS (
+  SELECT {group_col}, q,
+         CAST(ceil(n * q / {n_quantiles}) AS BIGINT) AS target,
+         lo, hi
+  FROM mm, unnest(generate_series(1, {n_quantiles - 1})) t(q)
+),
+hit AS (
+  SELECT t.{group_col}, t.q, c.bin, t.lo, t.hi
+  FROM cum c JOIN targets t USING ({group_col})
+  WHERE c.cum >= t.target AND c.cum - c.cnt < t.target
+)
+SELECT {group_col}, CAST(q AS INT) AS q,
+       round(lo + (bin + 1) * (hi - lo) / {float(g)}, 6) AS boundary
+FROM hit
+"""

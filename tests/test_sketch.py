@@ -255,3 +255,28 @@ def test_histogram_quantiles_ignores_null_scores(spark):
     assert out.boundary.notna().all()
     # boundaries derive from the 5 non-null values only
     assert out.boundary.min() >= 1.0 and out.boundary.max() <= 5.0 + 1e-3
+
+
+def test_grouped_quantiles_match_per_group_global_sketch(spark):
+    """Each group's boundaries equal running the global sketch on that
+    group alone — per-key composition is exact."""
+    docs = testdata.load_table(spark, SF_ORACLE, "documents")
+    from lightcurvesclassifier_spark.operators.text import stopword_ratio
+
+    scored = docs.select(
+        "lang", F.round(stopword_ratio(F.col("text")), 6).alias("score")
+    )
+    grouped = sketch.grouped_histogram_quantiles(
+        scored, "lang", "score", n_quantiles=4
+    ).toPandas()
+    langs = [r.lang for r in scored.select("lang").distinct().collect()]
+    assert set(grouped.lang) == set(langs)
+    for lang in langs:
+        solo = sketch.histogram_quantiles(
+            scored.filter(F.col("lang") == lang), "score", n_quantiles=4
+        ).toPandas()
+        g = grouped[grouped.lang == lang].sort_values("q").reset_index(
+            drop=True
+        )[["q", "boundary"]]
+        s = solo.sort_values("q").reset_index(drop=True)
+        assert g.equals(s), (lang, g, s)
