@@ -50,6 +50,7 @@ from lightcurvesclassifier_spark.ml.curve_pca import curve_pca3_oracle_sql
 from lightcurvesclassifier_spark.operators import asof as asof_ops
 from lightcurvesclassifier_spark.operators import corpus as corpus_ops
 from lightcurvesclassifier_spark.operators import decontamination as decon_ops
+from lightcurvesclassifier_spark.operators import fuzzy as fuzzy_ops
 from lightcurvesclassifier_spark.operators import layout as layout_ops
 from lightcurvesclassifier_spark.operators import profile as profile_ops
 from lightcurvesclassifier_spark.operators import rollup as rollup_ops
@@ -962,6 +963,26 @@ def q_sky_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage: the star catalog vs a planted-typo
+    variant (mid-name 'X' for key%3==0, leading 'X' for key%3==1),
+    matched by frequency-pruned prefix+suffix blocking + thresholded
+    levenshtein — never all-pairs; the degenerate shared-prefix block
+    ('Cust', occupancy = whole catalog) is pruned by the cap and every
+    planted pair is still recovered through its discriminative block."""
+    st = testdata.stars(spark, sf_dir).select("star_id", "name")
+    key = F.col("star_id")
+    name = F.col("name")
+    typo = F.when(
+        key % 3 == 0,
+        F.concat(
+            F.substring(name, 1, 11), F.lit("X"), F.substring(name, 13, 6)
+        ),
+    ).otherwise(F.concat(F.lit("X"), F.substring(name, 2, 17)))
+    b = st.filter(key % 3 != 2).select("star_id", typo.alias("name"))
+    return fuzzy_ops.fuzzy_name_pairs(st, b, max_dist=2)
+
+
 def q_lang_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quality-score deciles off per-group histogram
     sketches — the group-wise threshold table a mixture pipeline
@@ -1228,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "embedding_neardup": q_embedding_neardup,
         "lang_quantiles": q_lang_quantiles,
+        "fuzzy_match": q_fuzzy_match,
         "cone_nearest": q_cone_nearest,
         "crossmatch": q_crossmatch,
         "crossmatch_full": q_crossmatch_full,
@@ -1682,6 +1704,14 @@ FROM corpus GROUP BY md5(text)
             "FROM documents",
             "n_tokens",
             k=50,
+        ),
+        "fuzzy_match": fuzzy_ops.fuzzy_name_pairs_sql(
+            testdata.STARS_SQL,
+            "SELECT star_id, CASE WHEN star_id % 3 = 0 "
+            "THEN substring(name, 1, 11) || 'X' || substring(name, 13, 6) "
+            "ELSE 'X' || substring(name, 2, 17) END AS name "
+            f"FROM ({testdata.STARS_SQL}) WHERE star_id % 3 <> 2",
+            max_dist=2,
         ),
         "lang_quantiles": sketch_ops.grouped_histogram_quantiles_sql(
             "SELECT lang, "
