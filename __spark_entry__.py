@@ -963,6 +963,16 @@ def q_sky_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_string_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-column ingestion profile (n, nulls, length range, HLL
+    distinct estimate) over documents.lang/text — one pass emitting
+    (col, value) pairs from a single inline array (no per-column union
+    rescans), reduce input ≤ |cols|·257 rows per map partition at any
+    table size."""
+    docs = testdata.load_table(spark, sf_dir, "documents")
+    return profile_ops.string_profile(docs, ["lang", "text"])
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy record linkage: the star catalog vs a planted-typo
     variant (mid-name 'X' for key%3==0, leading 'X' for key%3==1),
@@ -1250,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "lang_quantiles": q_lang_quantiles,
         "fuzzy_match": q_fuzzy_match,
+        "string_profile": q_string_profile,
         "cone_nearest": q_cone_nearest,
         "crossmatch": q_crossmatch,
         "crossmatch_full": q_crossmatch_full,
@@ -1704,6 +1715,9 @@ FROM corpus GROUP BY md5(text)
             "FROM documents",
             "n_tokens",
             k=50,
+        ),
+        "string_profile": profile_ops.string_profile_sql(
+            "SELECT * FROM documents", ["lang", "text"]
         ),
         "fuzzy_match": fuzzy_ops.fuzzy_name_pairs_sql(
             testdata.STARS_SQL,

@@ -553,3 +553,19 @@ def test_corpus_diff_null_text_presence(spark):
     # (null -> value), 2 unchanged (null == null, null-safe), 3 removed,
     # 4 added
     assert got == {1: "changed", 2: "unchanged", 3: "removed", 4: "added"}
+
+
+def test_string_profile_accuracy_and_nulls(spark):
+    from lightcurvesclassifier_spark.operators.profile import string_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "x"), (3, "a", "yy"), (4, None, "yy")],
+        "id long, s1 string, s2 string",
+    )
+    out = {r.col_name: r for r in string_profile(df, ["s1", "s2"]).collect()}
+    assert out["s1"].n == 4 and out["s1"].n_null == 1
+    assert out["s1"].min_len == 1 and out["s1"].max_len == 1
+    # tiny cardinalities: linear counting is near-exact
+    assert abs(out["s1"].distinct_est - 2) < 0.1
+    assert abs(out["s2"].distinct_est - 2) < 0.1
+    assert out["s2"].min_len == 1 and out["s2"].max_len == 2
