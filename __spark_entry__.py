@@ -23,6 +23,7 @@ from lightcurvesclassifier_spark.functions.curves import (
     lc_stats,
     abbe_value,
     skewness_kurtosis,
+    stetson_jk_sql,
 )
 from lightcurvesclassifier_spark.operators.comparative import (
     comparative_scores,
@@ -525,6 +526,71 @@ def q_period_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower frequency) engine-portable tie-break."""
     obs = testdata.observations(spark, sf_dir)
     return periodogram.best_period(spark, obs)
+
+
+def q_period_pdm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-dispersion-minimization best period (Stellingwerf 1978) —
+    the non-sinusoidal complement to Lomb–Scargle, same obs × broadcast
+    grid → single wide shuffle skeleton."""
+    obs = testdata.observations(spark, sf_dir)
+    return periodogram.pdm_best_period(spark, obs)
+
+
+def q_stetson_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stetson J/K variability indices (Stetson 1996) — robust
+    correlated-variability + outlier-shape pair, one star_id shuffle
+    shared by the moment window, the lag window and the final agg."""
+    from lightcurvesclassifier_spark.functions.curves import stetson_jk
+
+    obs = testdata.observations(spark, sf_dir)
+    return stetson_jk(obs)
+
+
+def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding QC sweep (drift / dead-dimension check):
+    posexplode → 64-group partial aggregate, shuffle ≤ d tuples per map
+    partition at any corpus size."""
+    emb = testdata.load_table(spark, sf_dir, "embeddings")
+    return profile_ops.embedding_profile(emb)
+
+
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: referential-integrity + constraint checks as
+    one result table — the admission gate a warehouse runs before a
+    table joins the training corpus. Each check is a single aggregate
+    (anti-join-free: distinct-parent left join + null flag), unioned;
+    the two referential checks are broadcast-joinable here and plain
+    shuffle joins at 100 TB."""
+    cust = testdata.load_table(spark, sf_dir, "customer")
+    orders = testdata.load_table(spark, sf_dir, "orders")
+    li = testdata.load_table(spark, sf_dir, "lineitem")
+    events = testdata.load_table(spark, sf_dir, "events")
+    checks = [
+        profile_ops.referential_violations(
+            orders, "o_custkey", cust, "c_custkey", "orders_orphan_custkey"
+        ),
+        profile_ops.referential_violations(
+            li, "l_orderkey", orders, "o_orderkey", "lineitem_orphan_orderkey"
+        ),
+        profile_ops.predicate_violations(
+            cust, F.col("c_acctbal") < 0, "customer_negative_acctbal"
+        ),
+        profile_ops.predicate_violations(
+            li, F.col("l_discount") > 0.06, "lineitem_discount_gt_6pct"
+        ),
+        profile_ops.predicate_violations(
+            li,
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+            "lineitem_qty_range",
+        ),
+        profile_ops.predicate_violations(
+            events, F.col("value").isNull(), "events_null_value"
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
 
 
 def q_phase_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1293,6 +1359,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_features": q_repetition_features,
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
         "text_bpe_tokens": q_text_bpe_tokens,
+        "period_pdm": q_period_pdm,
+        "stetson_variability": q_stetson_variability,
+        "embedding_profile": q_embedding_profile,
+        "dq_audit": q_dq_audit,
         # --- tail: no_oracle by design (Lloyd-trained IVF cells) ---
         "embedding_ivf_topk": q_embedding_ivf_topk,
     }
@@ -1581,6 +1651,56 @@ FROM obs o ASOF LEFT JOIN calib c
 """,
         "periodogram": periodogram.lomb_scargle_sql(_OBS),
         "period_search": periodogram.best_period_sql(_OBS),
+        "period_pdm": periodogram.pdm_best_period_sql(_OBS),
+        "stetson_variability": stetson_jk_sql(_OBS),
+        "embedding_profile": profile_ops.embedding_profile_sql("embeddings"),
+        "dq_audit": f"""
+WITH ref1 AS (
+  SELECT 'orders_orphan_custkey' AS check_name,
+         count(*) AS n_rows,
+         CAST(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bad
+  FROM orders c LEFT JOIN
+       (SELECT DISTINCT c_custkey AS __pk FROM customer) p
+    ON c.o_custkey = p.__pk
+),
+ref2 AS (
+  SELECT 'lineitem_orphan_orderkey' AS check_name,
+         count(*) AS n_rows,
+         CAST(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bad
+  FROM lineitem c LEFT JOIN
+       (SELECT DISTINCT o_orderkey AS __pk FROM orders) p
+    ON c.l_orderkey = p.__pk
+),
+preds AS (
+  SELECT 'customer_negative_acctbal' AS check_name, count(*) AS n_rows,
+         CAST(sum(CASE WHEN coalesce(c_acctbal < 0, TRUE)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+  FROM customer
+  UNION ALL
+  SELECT 'lineitem_discount_gt_6pct', count(*),
+         CAST(sum(CASE WHEN coalesce(l_discount > 0.06, TRUE)
+                  THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_qty_range', count(*),
+         CAST(sum(CASE WHEN coalesce(l_quantity < 1 OR l_quantity > 50, TRUE)
+                  THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'events_null_value', count(*),
+         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+),
+allc AS (
+  SELECT * FROM ref1 UNION ALL SELECT * FROM ref2
+  UNION ALL SELECT * FROM preds
+)
+SELECT check_name, n_rows, n_bad,
+       round(CAST(n_bad AS DOUBLE) / n_rows, 6) AS bad_rate
+FROM allc
+""",
         "phase_fold": f"""
 SELECT o.star_id, round(o.t, 6) AS t,
        round(fmod(o.t, p.period) / p.period, 6) AS phase

@@ -234,6 +234,97 @@ def detrend_stats(obs: DataFrame) -> DataFrame:
     return out
 
 
+def stetson_jk(obs: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Stetson J and K variability indices per star (Stetson 1996, PASP
+    108, 851) — the standard robust variability pair: J from the product
+    of time-adjacent normalized residuals (correlated variability), K
+    from the |δ|/δ² ratio (0.798 for a Gaussian, →0.9 sinusoid,
+    →smaller for outlier-dominated noise).
+
+    Equal-weight variant: the testdata carries no per-point errors
+    (``err`` is null), so δᵢ = √(n/(n−1))·(mᵢ−m̄)/σ_pop replaces the
+    per-point-σᵢ normalization of the paper; Pₖ pairs successive
+    observations in time order (tie-break (t, mag), the same discipline
+    as :func:`abbe_value`).
+
+        J = Σₖ sign(Pₖ)·√|Pₖ| / n_pairs,  Pₖ = δᵢ·δᵢ₋₁
+        K = (Σ|δ|/n) / √(Σδ²/n)
+
+    One shuffle: the unordered per-star moment window, the ordered lag
+    window, and the final aggregate all share the star_id partitioning
+    (same single-Exchange plan as :func:`curve_features`).
+    """
+    keys = keys or [KEY]
+    wp = Window.partitionBy(*keys)
+    wo = Window.partitionBy(*keys).orderBy("t", "mag")
+    m = F.col("mag")
+    n = F.count(m).over(wp)
+    s1 = F.sum(m).over(wp)
+    s2 = F.sum(m * m).over(wp)
+    mean = s1 / n
+    std = F.sqrt((s2 - s1 * s1 / n) / n)
+    delta = F.sqrt(n / (n - 1.0)) * (m - mean) / std
+    rows = obs.select(
+        *keys,
+        F.col("t"),
+        m,
+        n.alias("_n"),
+        delta.alias("_d"),
+    ).withColumn("_dprev", F.lag("_d").over(wo))
+    p = F.col("_d") * F.col("_dprev")
+    term = F.signum(p) * F.sqrt(F.abs(p))
+    agg = rows.groupBy(*keys).agg(
+        F.max("_n").alias("n_obs"),
+        F.sum(term).alias("_jsum"),
+        F.count(p).alias("_npairs"),
+        F.sum(F.abs(F.col("_d"))).alias("_sabs"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_sd2"),
+    )
+    nn = F.col("n_obs")
+    j = F.col("_jsum") / F.col("_npairs")
+    k = (F.col("_sabs") / nn) / F.sqrt(F.col("_sd2") / nn)
+    return agg.select(
+        *keys,
+        "n_obs",
+        F.round(j, 6).alias("stetson_j"),
+        F.round(k, 6).alias("stetson_k"),
+    )
+
+
+def stetson_jk_sql(obs_sql: str) -> str:
+    """DuckDB mirror of :func:`stetson_jk` (same δ derivation order,
+    same (t, mag) lag tie-break)."""
+    return f"""
+WITH obs AS ({obs_sql}),
+st AS (
+  SELECT star_id, t, mag,
+         count(mag) OVER w AS n,
+         sum(mag) OVER w AS s1,
+         sum(mag * mag) OVER w AS s2
+  FROM obs
+  WINDOW w AS (PARTITION BY star_id)
+),
+deltas AS (
+  SELECT star_id, t, mag, n,
+         sqrt(n / (n - 1.0)) * (mag - s1 / n)
+           / sqrt((s2 - s1 * s1 / n) / n) AS d
+  FROM st
+),
+lagged AS (
+  SELECT star_id, n, d,
+         lag(d) OVER (PARTITION BY star_id ORDER BY t, mag) AS dprev
+  FROM deltas
+)
+SELECT star_id,
+       max(n) AS n_obs,
+       round(sum(sign(d * dprev) * sqrt(abs(d * dprev)))
+             / count(d * dprev), 6) AS stetson_j,
+       round((sum(abs(d)) / max(n))
+             / sqrt(sum(d * d) / max(n)), 6) AS stetson_k
+FROM lagged GROUP BY star_id
+"""
+
+
 def detrend_stats_sql(obs_sql: str) -> str:
     """DuckDB mirror of :func:`detrend_stats` (same sums, same order)."""
     return f"""

@@ -149,6 +149,103 @@ def best_period(
     )
 
 
+PDM_BINS = 10
+
+
+def pdm_theta(
+    spark: SparkSession,
+    obs: DataFrame,
+    freqs: list[float] | None = None,
+    n_bins: int = PDM_BINS,
+    t_col: str = "t",
+    mag_col: str = "mag",
+    id_col: str = "star_id",
+) -> DataFrame:
+    """Phase-dispersion-minimization statistic (Stellingwerf 1978, ApJ
+    224, 953): one row per (star, freq) with Θ = pooled within-phase-bin
+    variance / total variance. A true period concentrates magnitudes
+    inside phase bins, so Θ dips well below 1 there — the classic
+    complement to Lomb–Scargle for non-sinusoidal folds (eclipsing
+    binaries), and a second upstream source for the reference's phase
+    folding (lcc/utils/stars_processing.py folds by a known period).
+
+    Spark-first shape, same skeleton as :func:`lomb_scargle`:
+
+        observations × broadcast(frequency grid)      (narrow, no shuffle)
+          → per-(star, freq, phase-bin) power sums    (single wide shuffle;
+            map-side partials shrink it to |stars|·|grid|·n_bins tuples)
+          → per-(star, freq) pooled variance          (tiny second agg)
+          → ⋈ per-star total variance                 (|stars| rows — AQE
+            broadcasts it)
+
+    Phase = t·f − floor(t·f) is pure double arithmetic on values both
+    engines hold bit-identically (t from integer micros, f from repr'd
+    literals), so bin assignment is deterministic across engines.
+    """
+    freqs = freqs if freqs is not None else frequency_grid()
+    grid = spark.createDataFrame([(f,) for f in freqs], "freq double")
+    t, m = F.col(t_col), F.col(mag_col)
+    tf = t * F.col("freq")
+    phase = tf - F.floor(tf)
+    bin_ = F.least(F.floor(phase * n_bins), F.lit(n_bins - 1)).cast("int")
+    per_bin = (
+        obs.select(id_col, t_col, mag_col)
+        .crossJoin(F.broadcast(grid))
+        .select(id_col, "freq", bin_.alias("pbin"), m.alias("m"))
+        .groupBy(id_col, "freq", "pbin")
+        .agg(
+            F.count("m").alias("nj"),
+            F.sum("m").alias("s1j"),
+            F.sum(F.col("m") * F.col("m")).alias("s2j"),
+        )
+    )
+    nj = F.col("nj")
+    ssj = F.col("s2j") - F.col("s1j") * F.col("s1j") / nj
+    pooled = per_bin.groupBy(id_col, "freq").agg(
+        F.sum(ssj).alias("ss_within"),
+        F.sum(nj - 1).alias("dof"),
+    )
+    totals = obs.groupBy(id_col).agg(
+        F.count(m).alias("n"),
+        F.sum(m).alias("s1"),
+        F.sum(m * m).alias("s2"),
+    )
+    joined = pooled.join(totals, id_col)
+    n = F.col("n")
+    ss_tot = F.col("s2") - F.col("s1") * F.col("s1") / n
+    theta = (F.col("ss_within") / F.col("dof")) / (ss_tot / (n - 1))
+    return joined.select(
+        id_col, "freq", F.round(theta, 6).alias("theta")
+    )
+
+
+def pdm_best_period(
+    spark: SparkSession,
+    obs: DataFrame,
+    freqs: list[float] | None = None,
+    n_bins: int = PDM_BINS,
+    t_col: str = "t",
+    mag_col: str = "mag",
+    id_col: str = "star_id",
+) -> DataFrame:
+    """Argmin of Θ per star ((rounded Θ, lower frequency) — the same
+    engine-portable tie-break discipline as :func:`best_period`)."""
+    th = pdm_theta(spark, obs, freqs, n_bins, t_col, mag_col, id_col)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("theta").asc(), F.col("freq").asc()
+    )
+    return (
+        th.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            id_col,
+            F.col("freq").alias("best_freq"),
+            F.round(1.0 / F.col("freq"), 6).alias("best_period"),
+            "theta",
+        )
+    )
+
+
 def _grid_sql(freqs: list[float]) -> str:
     # String → DOUBLE casts: a bare numeric literal is DECIMAL in DuckDB,
     # and DECIMAL→DOUBLE can land 1 ulp away from the Python double the
@@ -222,5 +319,63 @@ ranked AS (
 )
 SELECT star_id, freq AS best_freq,
        round(1.0 / freq, 6) AS best_period, power
+FROM ranked WHERE rk = 1
+"""
+
+
+def pdm_theta_sql(
+    obs_sql: str,
+    freqs: list[float] | None = None,
+    n_bins: int = PDM_BINS,
+) -> str:
+    """DuckDB mirror of :func:`pdm_theta` — identical phase/bin
+    arithmetic and identical pooled-variance derivation order."""
+    freqs = freqs if freqs is not None else frequency_grid()
+    return f"""
+WITH obs AS ({obs_sql}),
+grid AS ({_grid_sql(freqs)}),
+binned AS (
+  SELECT star_id, freq, mag AS m,
+         CAST(least(floor((t * freq - floor(t * freq)) * {n_bins}),
+                    {n_bins - 1}) AS INTEGER) AS pbin
+  FROM obs CROSS JOIN grid
+),
+per_bin AS (
+  SELECT star_id, freq, pbin,
+         count(m) AS nj, sum(m) AS s1j, sum(m * m) AS s2j
+  FROM binned GROUP BY star_id, freq, pbin
+),
+pooled AS (
+  SELECT star_id, freq,
+         sum(s2j - s1j * s1j / nj) AS ss_within,
+         sum(nj - 1) AS dof
+  FROM per_bin GROUP BY star_id, freq
+),
+totals AS (
+  SELECT star_id, count(mag) AS n, sum(mag) AS s1, sum(mag * mag) AS s2
+  FROM obs GROUP BY star_id
+)
+SELECT p.star_id, p.freq,
+       round((p.ss_within / p.dof)
+             / ((t.s2 - t.s1 * t.s1 / t.n) / (t.n - 1)), 6) AS theta
+FROM pooled p JOIN totals t ON p.star_id = t.star_id
+"""
+
+
+def pdm_best_period_sql(
+    obs_sql: str,
+    freqs: list[float] | None = None,
+    n_bins: int = PDM_BINS,
+) -> str:
+    return f"""
+WITH th AS ({pdm_theta_sql(obs_sql, freqs, n_bins)}),
+ranked AS (
+  SELECT star_id, freq, theta,
+         row_number() OVER (PARTITION BY star_id
+                            ORDER BY theta ASC, freq ASC) AS rk
+  FROM th
+)
+SELECT star_id, freq AS best_freq,
+       round(1.0 / freq, 6) AS best_period, theta
 FROM ranked WHERE rk = 1
 """

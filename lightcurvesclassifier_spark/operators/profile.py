@@ -73,6 +73,111 @@ FROM t"""
     return f"WITH t AS ({table_sql})" + " UNION ALL ".join(parts)
 
 
+def embedding_profile(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension embedding QC: (dim, n, mean, std_pop, min, max) —
+    the drift/collapse check a training pipeline runs over every
+    embedding batch (a dead dimension or a runaway scale shows up here
+    before it poisons an ANN index or a contrastive loss).
+
+    ``posexplode`` widens the scan by d (=64 here) but feeds straight
+    into a partial hash aggregate keyed by the d dimension indices, so
+    the shuffle carries ≤ d sum-tuples per map partition at any corpus
+    size — the same mergeable-sketch dataflow as the HLL profile.
+    Values are cast float→double (exact) before the power sums so both
+    engines accumulate in double.
+    """
+    v = F.col("val").cast("double")
+    agg = (
+        df.select(F.posexplode(vec_col).alias("dim", "val"))
+        .groupBy("dim")
+        .agg(
+            F.count("val").alias("n"),
+            F.sum(v).alias("_s1"),
+            F.sum(v * v).alias("_s2"),
+            F.min(v).alias("_min"),
+            F.max(v).alias("_max"),
+        )
+    )
+    n = F.col("n")
+    mean = F.col("_s1") / n
+    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / n) / n
+    return agg.select(
+        "dim",
+        "n",
+        F.round(mean, 6).alias("mean_v"),
+        F.round(F.sqrt(var), 6).alias("std_v"),
+        F.round("_min", 6).alias("min_v"),
+        F.round("_max", 6).alias("max_v"),
+    )
+
+
+def embedding_profile_sql(table: str = "embeddings") -> str:
+    """DuckDB mirror of :func:`embedding_profile` (0-based dim, same
+    power-sum derivation order)."""
+    return f"""
+WITH long_v AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM {table}
+)
+SELECT CAST(dim AS INTEGER) AS dim,
+       count(v) AS n,
+       round(sum(v) / count(v), 6) AS mean_v,
+       round(sqrt((sum(v * v) - sum(v) * sum(v) / count(v)) / count(v)), 6)
+         AS std_v,
+       round(min(v), 6) AS min_v,
+       round(max(v), 6) AS max_v
+FROM long_v GROUP BY dim
+"""
+
+
+def referential_violations(
+    child: DataFrame, child_key: str, parent: DataFrame, parent_key: str,
+    check_name: str,
+) -> DataFrame:
+    """One-row referential-integrity check: child rows whose key has no
+    parent (orphans). Left join against the DISTINCT parent keys + null
+    flag in a single aggregate — at warehouse scale this is one shuffle
+    join Catalyst is free to broadcast when the parent side is small,
+    and NULL child keys count as violations (an orphan by definition)."""
+    pk = parent.select(F.col(parent_key).alias("__pk")).distinct()
+    joined = child.join(
+        pk, child[child_key] == F.col("__pk"), "left"
+    )
+    return joined.agg(
+        F.lit(check_name).alias("check_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("__pk").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_bad"),
+    ).select(
+        "check_name",
+        "n_rows",
+        "n_bad",
+        F.round(F.col("n_bad") / F.col("n_rows"), 6).alias("bad_rate"),
+    )
+
+
+def predicate_violations(
+    df: DataFrame, bad: F.Column, check_name: str
+) -> DataFrame:
+    """One-row constraint check: count of rows where ``bad`` holds
+    (NULL-safe: a NULL predicate counts as bad — an unevaluable
+    constraint is a violation, matching warehouse DQ-tool semantics)."""
+    return df.agg(
+        F.lit(check_name).alias("check_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.coalesce(bad, F.lit(True)), 1).otherwise(0)
+        ).cast("long").alias("n_bad"),
+    ).select(
+        "check_name",
+        "n_rows",
+        "n_bad",
+        F.round(F.col("n_bad") / F.col("n_rows"), 6).alias("bad_rate"),
+    )
+
+
 def string_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     """Per-string-column profile: (col_name, n, n_null, min_len,
     max_len, distinct_est) — the ingestion sweep for text-typed columns,

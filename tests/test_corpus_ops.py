@@ -445,3 +445,59 @@ def test_weighted_sample_prefers_heavy_rows_and_is_take_ordered(spark):
     )
     assert "TakeOrderedAndProject" in plan, plan
     assert "Python" not in plan
+
+
+def test_embedding_profile_matches_numpy(spark):
+    from lightcurvesclassifier_spark.operators import profile as profile_ops
+
+    emb = testdata.load_table(spark, SF_ORACLE, "embeddings")
+    got = (
+        profile_ops.embedding_profile(emb)
+        .toPandas()
+        .sort_values("dim")
+        .reset_index(drop=True)
+    )
+    import numpy as np
+
+    mat = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    assert len(got) == mat.shape[1]
+    assert (got.n == mat.shape[0]).all()
+    assert np.allclose(got.mean_v, np.round(mat.mean(axis=0), 6), atol=2e-6)
+    assert np.allclose(got.std_v, np.round(mat.std(axis=0), 6), atol=2e-6)
+    assert np.allclose(got.min_v, np.round(mat.min(axis=0), 6), atol=1e-9)
+    assert np.allclose(got.max_v, np.round(mat.max(axis=0), 6), atol=1e-9)
+
+
+def test_dq_referential_counts_planted_orphans(spark):
+    """The orphan path: child keys 4 and NULL have no parent → n_bad=2;
+    the clean parent join contributes zero."""
+    from lightcurvesclassifier_spark.operators import profile as profile_ops
+
+    child = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (4, "c"), (None, "d")], "k int, v string"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    out = profile_ops.referential_violations(
+        child, "k", parent, "pk", "orphans"
+    ).collect()[0]
+    assert out.check_name == "orphans"
+    assert out.n_rows == 4
+    assert out.n_bad == 2
+    assert out.bad_rate == 0.5
+
+
+def test_dq_predicate_null_counts_as_violation(spark):
+    from lightcurvesclassifier_spark.operators import profile as profile_ops
+
+    df = spark.createDataFrame(
+        [(1.0,), (-2.0,), (None,)], "x double"
+    )
+    out = profile_ops.predicate_violations(
+        df, F.col("x") < 0, "neg_x"
+    ).collect()[0]
+    # -2.0 violates; NULL is unevaluable → counted as a violation
+    assert out.n_rows == 3
+    assert out.n_bad == 2

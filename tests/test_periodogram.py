@@ -72,3 +72,57 @@ def test_periodogram_plan_is_jvm_only(spark):
     plan = pg._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pdm_planted_periods_recovered(spark):
+    """PDM Θ dips at the planted frequency — including a sharply
+    non-sinusoidal (eclipse-shaped) fold where PDM is the right tool."""
+    rng = np.random.default_rng(13)
+    rows = _planted(1, 2.5, rng)
+    # eclipsing-binary shape: flat with a narrow dip — non-sinusoidal
+    t = np.sort(rng.uniform(0.0, 40.0, 400))
+    phase = (t / 1.6) % 1.0
+    y = 12.0 + np.where(np.abs(phase - 0.5) < 0.08, 1.2, 0.0)
+    y = y + rng.normal(0, 0.03, t.size)
+    rows += [(2, float(ti), float(yi)) for ti, yi in zip(t, y)]
+    obs = spark.createDataFrame(rows, "star_id long, t double, mag double")
+    freqs = periodogram.frequency_grid(0.05, 3.2, 256)
+    best = periodogram.pdm_best_period(spark, obs, freqs).toPandas()
+    got = best.set_index("star_id")
+    grid_step = freqs[1] - freqs[0]
+    for star, true_p in [(1, 2.5), (2, 1.6)]:
+        assert abs(1.0 / got.best_period[star] - 1.0 / true_p) <= grid_step
+    # a real fold concentrates variance: Θ well below 1 at the minimum
+    # (the off-grid eclipse fold smears across bins → looser bound there)
+    assert (best.theta < 0.8).all()
+    assert got.theta[1] < 0.3
+
+
+def test_pdm_matches_numpy_pooled_variance(spark):
+    """The declarative Θ equals a direct numpy fold-bin-pool evaluation."""
+    rng = np.random.default_rng(17)
+    rows = _planted(5, 3.3, rng, n=150)
+    obs = spark.createDataFrame(rows, "star_id long, t double, mag double")
+    freqs = periodogram.frequency_grid(0.1, 2.0, 16)
+    got = (
+        periodogram.pdm_theta(spark, obs, freqs)
+        .toPandas()
+        .sort_values("freq")
+        .theta.to_numpy()
+    )
+    t = np.array([r[1] for r in rows])
+    y = np.array([r[2] for r in rows])
+    nb = periodogram.PDM_BINS
+    want = []
+    for f in freqs:
+        phase = t * f - np.floor(t * f)
+        bins = np.minimum((phase * nb).astype(int), nb - 1)
+        ss_within = 0.0
+        dof = 0
+        for b in np.unique(bins):
+            seg = y[bins == b]
+            ss_within += ((seg - seg.mean()) ** 2).sum()
+            dof += seg.size - 1
+        s2_tot = ((y - y.mean()) ** 2).sum() / (y.size - 1)
+        want.append((ss_within / dof) / s2_tot)
+    assert np.allclose(got, np.array(want), atol=2e-6)
