@@ -152,3 +152,30 @@ def test_lsh_topk_corpus_never_shuffles_before_candidates(spark):
     plan = _plan(spark, "embedding_lsh_topk")
     assert "BroadcastExchange" in plan
     assert "Python" not in plan
+
+
+def test_stetson_single_shuffle(spark):
+    # moment window + lag window + final agg share star_id: 1 Exchange
+    plan = _plan(spark, "stetson_variability")
+    assert plan.count("Exchange") == 1, plan
+    assert "pythonUDF" not in plan
+
+
+def test_embedding_profile_single_shuffle(spark):
+    # posexplode → d-group partial agg: one Exchange carrying ≤64 groups
+    plan = _plan(spark, "embedding_profile")
+    assert plan.count("Exchange") == 1, plan
+    assert "partial" in plan.lower()  # map-side combine before the shuffle
+
+
+def test_pdm_grid_broadcast_wide_shuffle_only_once(spark):
+    # one |obs|×|grid| wide shuffle on (star,freq,pbin); everything after
+    # is |stars|·|grid|-sized. Grid + totals arrive via broadcast.
+    plan = _plan(spark, "period_pdm")
+    assert "BroadcastExchange" in plan
+    wide = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "pbin" in ln
+    ]
+    assert len(wide) == 1, plan
