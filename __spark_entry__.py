@@ -593,6 +593,22 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP CUBE subtotals/grand total over lineitem — Spark's Expand
+    operator feeding ONE hash aggregate; sums are exact BIGINT cents so
+    the hash needs no float-rounding leeway."""
+    li = testdata.load_table(spark, sf_dir, "lineitem")
+    return rollup_ops.revenue_cube(li)
+
+
+def q_lc_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered ±2-day RANGE-frame moving average per star + residual —
+    the transient/flare detrend; integer micro-mag frame sums keep the
+    window arithmetic associative and engine-exact."""
+    obs = testdata.observations(spark, sf_dir)
+    return rollup_ops.moving_average(obs)
+
+
 def q_phase_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phase folding by a broadcast (star_id, period) dim
     (lcc/db_tier/vizier_tap_base.py:268-298, asas.py:45-66)."""
@@ -1363,6 +1379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stetson_variability": q_stetson_variability,
         "embedding_profile": q_embedding_profile,
         "dq_audit": q_dq_audit,
+        "revenue_cube": q_revenue_cube,
+        "lc_smooth": q_lc_smooth,
         # --- tail: no_oracle by design (Lloyd-trained IVF cells) ---
         "embedding_ivf_topk": q_embedding_ivf_topk,
     }
@@ -1654,6 +1672,8 @@ FROM obs o ASOF LEFT JOIN calib c
         "period_pdm": periodogram.pdm_best_period_sql(_OBS),
         "stetson_variability": stetson_jk_sql(_OBS),
         "embedding_profile": profile_ops.embedding_profile_sql("embeddings"),
+        "revenue_cube": rollup_ops.revenue_cube_sql(),
+        "lc_smooth": rollup_ops.moving_average_sql(_OBS),
         "dq_audit": f"""
 WITH ref1 AS (
   SELECT 'orders_orphan_custkey' AS check_name,

@@ -119,3 +119,114 @@ SELECT star_id, band,
        round(max(mag), 6) AS max_mag
 FROM obs GROUP BY star_id, band, bucket
 """
+
+
+def revenue_cube(li: DataFrame) -> DataFrame:
+    """CUBE aggregate over (returnflag, linestatus) — the OLAP
+    subtotal/grand-total shape (Spark's ``Expand`` operator: each input
+    row is replicated once per grouping set BEFORE the single hash
+    aggregate, so the whole cube is still one shuffle with map-side
+    combine; 4 grouping sets × |groups| output rows).
+
+    Revenue sums are EXACT and engine-portable: the per-row double
+    product is identical in both engines, ``floor(x·100 + 0.5)`` makes
+    it an integer number of cents deterministically (no half-even vs
+    half-up divergence), and BIGINT addition is associative — so the
+    order-insensitive value hash matches without any float rounding
+    leeway. ``grp_id`` is the standard GROUPING bitmask; NULL group
+    keys (subtotal rows) are folded to 'ALL' on both engines."""
+    cents = F.floor(
+        F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100.0 + 0.5
+    ).cast("long")
+    cube = (
+        li.select("l_returnflag", "l_linestatus", cents.alias("_cents"))
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("grp_id"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("_cents").alias("revenue_cents"),
+        )
+    )
+    return cube.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        "grp_id",
+        "n_items",
+        "revenue_cents",
+    )
+
+
+def revenue_cube_sql() -> str:
+    """DuckDB mirror of :func:`revenue_cube` (same cents arithmetic,
+    same GROUPING bit order: returnflag is the high bit)."""
+    return """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS grp_id,
+       count(*) AS n_items,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+                           + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def moving_average(
+    obs: DataFrame, half_width_days: float = 2.0
+) -> DataFrame:
+    """Centered moving average of each star's light curve over a ±Δt
+    time window (RANGE frame — neighbors by TIME, not by row count:
+    uneven sampling means a row-count frame would smooth over gaps).
+    The residual against the local mean is the transient/flare signal.
+
+    Exact cross-engine arithmetic: magnitudes are converted per-row to
+    integer micro-mags (identical doubles → identical ``floor``), the
+    frame sum is BIGINT (associative — no float summation-order skew
+    between Spark's sliding-frame accumulation and DuckDB's segment
+    tree), and the mean divides once at the end.  One Exchange on
+    star_id; the RANGE frame sorts within partitions.
+    """
+    # pyspark's Window.rangeBetween only accepts long offsets; a
+    # fractional-day RANGE frame needs the SQL form (same plan).
+    hw = repr(float(half_width_days))
+    frame = (
+        "OVER (PARTITION BY star_id ORDER BY t "
+        f"RANGE BETWEEN {hw} PRECEDING AND {hw} FOLLOWING)"
+    )
+    micro = F.floor(F.col("mag") * 1e6 + 0.5).cast("long")
+    rows = obs.select("star_id", "t", "mag", micro.alias("_um"))
+    wsum = F.expr(f"sum(_um) {frame}")
+    wcnt = F.expr(f"count(_um) {frame}")
+    smooth = wsum / (wcnt * 1e6)
+    return rows.select(
+        "star_id",
+        F.round("t", 6).alias("t"),
+        F.round("mag", 6).alias("mag"),
+        F.round(smooth, 6).alias("mag_smooth"),
+        F.round(F.col("mag") - smooth, 6).alias("resid"),
+        wcnt.alias("n_window"),
+    )
+
+
+def moving_average_sql(obs_sql: str, half_width_days: float = 2.0) -> str:
+    """DuckDB mirror of :func:`moving_average` (same micro-mag ints,
+    same RANGE frame bounds)."""
+    hw = repr(half_width_days)
+    return f"""
+WITH obs AS ({obs_sql}),
+um AS (
+  SELECT star_id, t, mag,
+         CAST(floor(mag * 1e6 + 0.5) AS BIGINT) AS _um
+  FROM obs
+)
+SELECT star_id,
+       round(t, 6) AS t,
+       round(mag, 6) AS mag,
+       round(sum(_um) OVER w / (count(_um) OVER w * 1e6), 6) AS mag_smooth,
+       round(mag - sum(_um) OVER w / (count(_um) OVER w * 1e6), 6) AS resid,
+       count(_um) OVER w AS n_window
+FROM um
+WINDOW w AS (PARTITION BY star_id ORDER BY t
+             RANGE BETWEEN {hw} PRECEDING AND {hw} FOLLOWING)
+"""

@@ -152,3 +152,68 @@ def test_downsample_preserves_totals(spark):
     assert sum(r.n_obs for r in out) == len(rows)
     for r in out:
         assert r.min_mag <= r.mean_mag <= r.max_mag
+
+
+def test_revenue_cube_grouping_sets_consistent(spark):
+    """CUBE invariants: the grand total equals the sum of every level-0
+    group; each one-dimension subtotal equals the sum of its children;
+    grp_id encodes which keys are aggregated (returnflag = high bit)."""
+    rows = [
+        ("A", "F", 100.0, 0.0),
+        ("A", "O", 50.0, 0.1),
+        ("R", "F", 10.0, 0.5),
+        ("A", "F", 1.0, 0.0),
+    ]
+    li = spark.createDataFrame(
+        rows, "l_returnflag string, l_linestatus string, "
+        "l_extendedprice double, l_discount double"
+    )
+    out = {
+        (r.returnflag, r.linestatus): r
+        for r in rollup.revenue_cube(li).collect()
+    }
+    assert len(out) == 3 + 2 + 2 + 1  # cells + row subtotals + col + total
+    assert out[("A", "F")].revenue_cents == 10100
+    assert out[("A", "ALL")].revenue_cents == 10100 + 4500
+    assert out[("ALL", "F")].revenue_cents == 10100 + 500
+    assert out[("ALL", "ALL")].revenue_cents == 10100 + 4500 + 500
+    assert out[("ALL", "ALL")].grp_id == 3
+    assert out[("A", "ALL")].grp_id == 1  # linestatus aggregated → low bit
+    assert out[("ALL", "F")].grp_id == 2
+    assert out[("A", "F")].grp_id == 0
+    assert out[("ALL", "ALL")].n_items == 4
+
+
+def test_revenue_cube_single_aggregate_exchange(spark):
+    plan = _plan_of(em.queries()["revenue_cube"], spark)
+    # Expand replicates rows BEFORE one hash aggregate: 1 Exchange total
+    assert "Expand" in plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_moving_average_smooths_planted_flare(spark):
+    """A single-epoch flare is preserved in resid but absent from the
+    local mean; flat regions have ~zero residual; window counts follow
+    the ±2-day RANGE frame over uneven sampling."""
+    rows = []
+    ts = [0.0, 1.0, 2.0, 3.0, 4.0, 10.0, 11.0]
+    for t in ts:
+        rows.append((1, t, 12.0 + (5.0 if t == 2.0 else 0.0)))
+    obs = spark.createDataFrame(rows, "star_id long, t double, mag double")
+    out = {r.t: r for r in rollup.moving_average(obs).collect()}
+    # the 10/11-day pair is its own neighborhood (gap > frame)
+    assert out[10.0].n_window == 2 and out[11.0].n_window == 2
+    assert abs(out[10.0].resid) < 1e-9
+    # frame at t=2 covers t∈[0,4]: mean = 12 + 5/5
+    assert out[2.0].n_window == 5
+    assert abs(out[2.0].mag_smooth - 13.0) < 1e-9
+    assert abs(out[2.0].resid - 4.0) < 1e-9
+
+
+def _plan_of(fn, spark):
+    return (
+        fn(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
