@@ -60,6 +60,7 @@ from lightcurvesclassifier_spark.operators import dedup as dedup_ops
 from lightcurvesclassifier_spark.operators import searcher as search_ops
 from lightcurvesclassifier_spark.operators import similarity as sim_ops
 from lightcurvesclassifier_spark.operators import text as text_ops
+from lightcurvesclassifier_spark.operators import warehouse as wh_ops
 from lightcurvesclassifier_spark.plans.query_compiler import (
     apply_queries,
     range_predicate,
@@ -591,6 +592,27 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: multi-measure single-scan pricing rollup; date
+    predicate pushed to the parquet scan, exact integer-cents sums."""
+    li = testdata.load_table(spark, sf_dir, "lineitem")
+    return wh_ops.pricing_summary(li)
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact-side shuffle-join chain + broadcast
+    nation/region dims, same-nation customer-supplier predicate riding
+    the supplier join."""
+    return wh_ops.local_supplier_volume(
+        testdata.load_table(spark, sf_dir, "lineitem"),
+        testdata.load_table(spark, sf_dir, "orders"),
+        testdata.load_table(spark, sf_dir, "customer"),
+        testdata.load_table(spark, sf_dir, "supplier"),
+        testdata.load_table(spark, sf_dir, "nation"),
+        testdata.load_table(spark, sf_dir, "region"),
+    )
 
 
 def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1381,6 +1403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_audit": q_dq_audit,
         "revenue_cube": q_revenue_cube,
         "lc_smooth": q_lc_smooth,
+        "pricing_summary": q_pricing_summary,
+        "nation_revenue": q_nation_revenue,
         # --- tail: no_oracle by design (Lloyd-trained IVF cells) ---
         "embedding_ivf_topk": q_embedding_ivf_topk,
     }
@@ -1674,6 +1698,8 @@ FROM obs o ASOF LEFT JOIN calib c
         "embedding_profile": profile_ops.embedding_profile_sql("embeddings"),
         "revenue_cube": rollup_ops.revenue_cube_sql(),
         "lc_smooth": rollup_ops.moving_average_sql(_OBS),
+        "pricing_summary": wh_ops.pricing_summary_sql(),
+        "nation_revenue": wh_ops.local_supplier_volume_sql(),
         "dq_audit": f"""
 WITH ref1 AS (
   SELECT 'orders_orphan_custkey' AS check_name,

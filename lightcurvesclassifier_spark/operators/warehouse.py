@@ -1,0 +1,176 @@
+"""Classic warehouse rollups over the star schema — the TPC-H Q1/Q5
+shapes, here as the engine's demonstration of (a) a multi-measure
+single-scan aggregate and (b) a fact-to-dimension join chain with
+broadcast dims, the two plans every OLAP workload reduces to.
+
+Cross-engine exactness discipline: money is summed as BIGINT cents
+(``floor(x·100 + 0.5)`` — the per-row double product is bit-identical
+in both engines, integer addition is associative), discounts as basis
+points, quantities as integers — so no aggregate needs float-rounding
+leeway and the value hash is exact. Averages divide the exact integer
+sums once at the end and round to 6.
+
+Scale shape
+-----------
+``pricing_summary`` is one partial→final hash aggregate over the
+filtered scan (the date predicate reaches the parquet scan as a pushed
+filter; group count is tiny). ``local_supplier_volume`` joins the
+lineitem fact to orders/customer/supplier on their keys (shuffle
+joins — all sides are fact-sized at 100 TB) and then to nation/region
+via explicit ``broadcast()``; the nation-match predicate
+(c_nationkey = s_nationkey) rides on the supplier join, so no extra
+exchange. AQE is free to turn the orders join into a broadcast at
+small SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+Q1_CUTOFF = "1998-09-02"
+Q5_FROM = "1996-01-01"
+Q5_TO = "1997-01-01"
+
+
+def _cents(x: Column) -> Column:
+    return F.floor(x * 100.0 + 0.5).cast("long")
+
+
+def pricing_summary(li: DataFrame, cutoff: str = Q1_CUTOFF) -> DataFrame:
+    """TPC-H Q1 shape: per (returnflag, linestatus) quantity / price /
+    discounted / charged sums plus averages, one scan, one aggregate."""
+    base = F.col("l_extendedprice")
+    disc = base * (1.0 - F.col("l_discount"))
+    charge = disc * (1.0 + F.col("l_tax"))
+    rows = li.filter(
+        F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("_qty"),
+        _cents(base).alias("_base_c"),
+        _cents(disc).alias("_disc_c"),
+        _cents(charge).alias("_charge_c"),
+        F.floor(F.col("l_discount") * 10000.0 + 0.5)
+        .cast("long")
+        .alias("_disc_bp"),
+    )
+    agg = rows.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("_qty").alias("sum_qty"),
+        F.sum("_base_c").alias("sum_base_cents"),
+        F.sum("_disc_c").alias("sum_disc_cents"),
+        F.sum("_charge_c").alias("sum_charge_cents"),
+        F.sum("_disc_bp").alias("_bp"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    n = F.col("count_order")
+    return agg.select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+        "sum_qty",
+        "sum_base_cents",
+        "sum_disc_cents",
+        "sum_charge_cents",
+        F.round(F.col("sum_qty") / n, 6).alias("avg_qty"),
+        F.round(F.col("sum_base_cents") / (n * 100.0), 6).alias("avg_price"),
+        F.round(F.col("_bp") / (n * 10000.0), 6).alias("avg_disc"),
+        "count_order",
+    )
+
+
+def pricing_summary_sql(cutoff: str = Q1_CUTOFF) -> str:
+    """DuckDB mirror of :func:`pricing_summary` (same cents/bp ints,
+    same product order, same final divisions)."""
+    return f"""
+WITH rows_f AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS BIGINT) AS _qty,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS _base_c,
+         CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+              AS BIGINT) AS _disc_c,
+         CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                    * 100.0 + 0.5) AS BIGINT) AS _charge_c,
+         CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT) AS _disc_bp
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '{cutoff}'
+)
+SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+       CAST(sum(_qty) AS BIGINT) AS sum_qty,
+       CAST(sum(_base_c) AS BIGINT) AS sum_base_cents,
+       CAST(sum(_disc_c) AS BIGINT) AS sum_disc_cents,
+       CAST(sum(_charge_c) AS BIGINT) AS sum_charge_cents,
+       round(CAST(sum(_qty) AS BIGINT) / count(*), 6) AS avg_qty,
+       round(CAST(sum(_base_c) AS BIGINT) / (count(*) * 100.0), 6)
+         AS avg_price,
+       round(CAST(sum(_disc_bp) AS BIGINT) / (count(*) * 10000.0), 6)
+         AS avg_disc,
+       count(*) AS count_order
+FROM rows_f GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def local_supplier_volume(
+    li: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    r_name: str = "ASIA",
+    date_from: str = Q5_FROM,
+    date_to: str = Q5_TO,
+) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation for orders placed by customers
+    of that nation at suppliers of the SAME nation, within a region and
+    an order-date year. Fact-side shuffle joins; nation/region are
+    explicit broadcasts."""
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    )
+    rev = _cents(F.col("l_extendedprice") * (1.0 - F.col("l_discount")))
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == r_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum(rev).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def local_supplier_volume_sql(
+    r_name: str = "ASIA",
+    date_from: str = Q5_FROM,
+    date_to: str = Q5_TO,
+) -> str:
+    """DuckDB mirror of :func:`local_supplier_volume`."""
+    return f"""
+SELECT n_name AS nation,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+                           + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{r_name}'
+  AND o_orderdate >= TIMESTAMP '{date_from}'
+  AND o_orderdate <  TIMESTAMP '{date_to}'
+GROUP BY n_name
+"""

@@ -1,0 +1,91 @@
+"""Warehouse rollup semantics (TPC-H Q1/Q5 shapes): measure arithmetic
+on a hand-computable fixture, the same-nation join predicate, and the
+plan shapes (pushed date filter / broadcast dims)."""
+
+import __spark_entry__ as em
+from lightcurvesclassifier_spark.operators import warehouse
+from tests.conftest import SF_SMOKE
+
+
+def test_pricing_summary_measures(spark):
+    rows = [
+        # flag, status, qty, price, disc, tax, shipdate
+        ("A", "F", 10.0, 100.0, 0.10, 0.05, "1997-01-01"),
+        ("A", "F", 20.0, 200.0, 0.00, 0.10, "1997-06-01"),
+        ("N", "O", 1.0, 50.0, 0.05, 0.00, "1997-01-01"),
+        ("A", "F", 99.0, 999.0, 0.99, 0.99, "1999-01-01"),  # after cutoff
+    ]
+    li = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4], r[5], r[6]) for r in rows],
+        "l_returnflag string, l_linestatus string, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_tax double, "
+        "l_shipdate_s string",
+    ).withColumn("l_shipdate", em.F.col("l_shipdate_s").cast("timestamp"))
+    out = {
+        (r.returnflag, r.linestatus): r
+        for r in warehouse.pricing_summary(li).collect()
+    }
+    af = out[("A", "F")]
+    assert af.count_order == 2  # 1999 row filtered by the cutoff
+    assert af.sum_qty == 30
+    assert af.sum_base_cents == 30000
+    # disc: 100*0.9=90 → 9000c; 200*1.0 → 20000c
+    assert af.sum_disc_cents == 29000
+    # charge: 90*1.05=94.5 → 9450c; 200*1.1=220 → 22000c
+    assert af.sum_charge_cents == 31450
+    assert af.avg_qty == 15.0
+    assert af.avg_price == 150.0
+    assert af.avg_disc == 0.05
+    assert out[("N", "O")].sum_disc_cents == 4750
+
+
+def test_q5_same_nation_predicate(spark):
+    """Only (customer, supplier) pairs of the SAME nation contribute."""
+    li = spark.createDataFrame(
+        [(1, 101, 100.0, 0.0), (2, 102, 200.0, 0.0)],
+        "l_orderkey long, l_suppkey long, l_extendedprice double, "
+        "l_discount double",
+    )
+    orders = spark.createDataFrame(
+        [(1, 11, "1996-05-01"), (2, 12, "1996-05-01")],
+        "o_orderkey long, o_custkey long, d string",
+    ).withColumn("o_orderdate", em.F.col("d").cast("timestamp"))
+    customer = spark.createDataFrame(
+        [(11, 1), (12, 2)], "c_custkey long, c_nationkey int"
+    )
+    supplier = spark.createDataFrame(
+        [(101, 1), (102, 1)], "s_suppkey long, s_nationkey int"
+    )  # order 2's supplier is nation 1, customer nation 2 → excluded
+    nation = spark.createDataFrame(
+        [(1, "N1", 0), (2, "N2", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    region = spark.createDataFrame([(0, "ASIA")], "r_regionkey int, r_name string")
+    out = warehouse.local_supplier_volume(
+        li, orders, customer, supplier, nation, region
+    ).collect()
+    assert len(out) == 1
+    assert out[0].nation == "N1"
+    assert out[0].revenue_cents == 10000
+    assert out[0].n_items == 1
+
+
+def test_q1_filter_pushed_single_aggregate(spark):
+    plan = (
+        em.queries()["pricing_summary"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LessThanOrEqual(l_shipdate" in plan  # pushed to the scan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_q5_dims_arrive_via_broadcast(spark):
+    plan = (
+        em.queries()["nation_revenue"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastExchange") >= 2  # nation + region at least
