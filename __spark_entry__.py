@@ -594,6 +594,21 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation maintenance: the per-star curve stats
+    derived from TWO independently-computed mergeable power-sum states
+    (even-day vs odd-day observations) folded by pure addition — the
+    continuous-aggregate pattern that makes a day's ingest cost one
+    pass over the delta instead of a recompute over the history."""
+    obs = testdata.observations(spark, sf_dir)
+    day_par = F.floor("t").cast("long") % 2
+    even = rollup_ops.lc_stats_state(obs.filter(day_par == 0))
+    odd = rollup_ops.lc_stats_state(obs.filter(day_par != 0))
+    return rollup_ops.finalize_lc_stats(
+        rollup_ops.merge_lc_states(even, odd)
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: multi-measure single-scan pricing rollup; date
     predicate pushed to the parquet scan, exact integer-cents sums."""
@@ -1405,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lc_smooth": q_lc_smooth,
         "pricing_summary": q_pricing_summary,
         "nation_revenue": q_nation_revenue,
+        "incremental_stats": q_incremental_stats,
         # --- tail: no_oracle by design (Lloyd-trained IVF cells) ---
         "embedding_ivf_topk": q_embedding_ivf_topk,
     }
@@ -1700,6 +1716,7 @@ FROM obs o ASOF LEFT JOIN calib c
         "lc_smooth": rollup_ops.moving_average_sql(_OBS),
         "pricing_summary": wh_ops.pricing_summary_sql(),
         "nation_revenue": wh_ops.local_supplier_volume_sql(),
+        "incremental_stats": rollup_ops.incremental_stats_sql(_OBS),
         "dq_audit": f"""
 WITH ref1 AS (
   SELECT 'orders_orphan_custkey' AS check_name,

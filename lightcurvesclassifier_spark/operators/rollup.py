@@ -230,3 +230,91 @@ FROM um
 WINDOW w AS (PARTITION BY star_id ORDER BY t
              RANGE BETWEEN {hw} PRECEDING AND {hw} FOLLOWING)
 """
+
+
+# --- incremental aggregation maintenance (mergeable power-sum state) ---
+#
+# The 100 TB pattern behind every "continuous aggregate": keep per-key
+# POWER SUMS (n, Σm, Σm², min t, max t) as the stored state, fold new
+# partitions in by pure addition (associative, re-aggregation is a tiny
+# |keys|-sized shuffle), and derive the human stats only at read time.
+# A day's ingest then costs one pass over the DELTA, never a recompute
+# over the full history.
+
+LC_STATE_COLS = ("n", "s1", "s2", "tmin", "tmax")
+
+
+def lc_stats_state(obs: DataFrame) -> DataFrame:
+    """Per-star mergeable state for :func:`~..functions.curves.lc_stats`."""
+    m = F.col("mag")
+    return obs.groupBy("star_id").agg(
+        F.count(m).alias("n"),
+        F.sum(m).alias("s1"),
+        F.sum(m * m).alias("s2"),
+        F.min("t").alias("tmin"),
+        F.max("t").alias("tmax"),
+    )
+
+
+def merge_lc_states(*states: DataFrame) -> DataFrame:
+    """Fold any number of state tables into one (sum/sum/sum/min/max).
+    Merging k states per key adds k numbers — IEEE addition is
+    commutative, so a two-way merge is bit-deterministic regardless of
+    which side arrives first."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("star_id").agg(
+        F.sum("n").alias("n"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+        F.min("tmin").alias("tmin"),
+        F.max("tmax").alias("tmax"),
+    )
+
+
+def finalize_lc_stats(state: DataFrame) -> DataFrame:
+    """Derive the curve_stats surface from the state (same formulas and
+    derivation order as ``functions.curves.lc_stats``, rounded 6)."""
+    n = F.col("n")
+    mean = F.col("s1") / n
+    ss = F.col("s2") - F.col("s1") * F.col("s1") / n
+    span = F.col("tmax") - F.col("tmin")
+    # single-point keys have span 0 — density is undefined, not an
+    # ANSI divide-by-zero crash (same CASE guard in the SQL mirror)
+    density = F.when(span != 0, n / span)
+    return state.select(
+        "star_id",
+        n.alias("n_obs"),
+        F.round(mean, 6).alias("mean_mag"),
+        F.round(F.sqrt(ss / n), 6).alias("std_mag"),
+        F.round(span, 6).alias("timespan"),
+        F.round(density, 6).alias("curve_density"),
+    )
+
+
+def incremental_stats_sql(obs_sql: str) -> str:
+    """DuckDB mirror of the split → state → merge → finalize pipeline
+    (same even/odd-day split, same two-term merge, same finalize)."""
+    state = (
+        "SELECT star_id, count(mag) AS n, sum(mag) AS s1, "
+        "sum(mag * mag) AS s2, min(t) AS tmin, max(t) AS tmax "
+        "FROM obs WHERE CAST(floor(t) AS BIGINT) % 2 {op} 0 GROUP BY star_id"
+    )
+    return f"""
+WITH obs AS ({obs_sql}),
+se AS ({state.format(op='=')}),
+so AS ({state.format(op='<>')}),
+merged AS (
+  SELECT star_id, CAST(sum(n) AS BIGINT) AS n, sum(s1) AS s1,
+         sum(s2) AS s2, min(tmin) AS tmin, max(tmax) AS tmax
+  FROM (SELECT * FROM se UNION ALL SELECT * FROM so) GROUP BY star_id
+)
+SELECT star_id, n AS n_obs,
+       round(s1 / n, 6) AS mean_mag,
+       round(sqrt((s2 - s1 * s1 / n) / n), 6) AS std_mag,
+       round(tmax - tmin, 6) AS timespan,
+       round(CASE WHEN tmax - tmin <> 0 THEN n / (tmax - tmin) END, 6)
+         AS curve_density
+FROM merged
+"""

@@ -217,3 +217,48 @@ def _plan_of(fn, spark):
         .executedPlan()
         .toString()
     )
+
+
+def test_incremental_merge_equals_one_shot(spark):
+    """State merge invariant: splitting the input arbitrarily, folding
+    the per-split power-sum states, and finalizing equals the one-shot
+    aggregate (float association differs at the ulp level → approx)."""
+    import numpy as np
+    from lightcurvesclassifier_spark.functions.curves import lc_stats
+    from lightcurvesclassifier_spark.sources import testdata as td
+
+    obs = td.observations(spark, SF_SMOKE)
+    day_par = em.F.floor("t").cast("long") % 2
+    merged = rollup.finalize_lc_stats(
+        rollup.merge_lc_states(
+            rollup.lc_stats_state(obs.filter(day_par == 0)),
+            rollup.lc_stats_state(obs.filter(day_par != 0)),
+        )
+    ).toPandas().sort_values("star_id").reset_index(drop=True)
+    direct = lc_stats(obs).toPandas().sort_values("star_id").reset_index(drop=True)
+    assert (merged.star_id == direct.star_id).all()
+    assert (merged.n_obs == direct.n_obs).all()
+    for col in ["mean_mag", "std_mag", "timespan", "curve_density"]:
+        assert np.allclose(merged[col], direct[col], rtol=0, atol=2e-6), col
+
+
+def test_merge_three_way_and_empty_split(spark):
+    """Merging k>2 states works, and a split that leaves one state
+    empty for a key still yields the correct totals."""
+    rows = [(1, 0.5, 10.0), (1, 1.5, 12.0), (1, 2.5, 14.0), (2, 0.25, 9.0)]
+    obs = spark.createDataFrame(rows, "star_id long, t double, mag double")
+    s1 = rollup.lc_stats_state(obs.filter(em.F.col("t") < 1.0))
+    s2 = rollup.lc_stats_state(
+        obs.filter((em.F.col("t") >= 1.0) & (em.F.col("t") < 2.0))
+    )
+    s3 = rollup.lc_stats_state(obs.filter(em.F.col("t") >= 2.0))
+    out = {
+        r.star_id: r
+        for r in rollup.finalize_lc_stats(
+            rollup.merge_lc_states(s1, s2, s3)
+        ).collect()
+    }
+    assert out[1].n_obs == 3 and out[1].mean_mag == 12.0
+    assert out[1].timespan == 2.0
+    assert out[2].n_obs == 1  # star 2 exists in only one state
+    assert out[2].curve_density is None  # zero span → undefined, no crash
