@@ -594,6 +594,15 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_phase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folded-binned light-curve template (phase curve): broadcast
+    period dim, one (star, phase-bin) aggregate — |stars|·20 rows out
+    at any input size."""
+    obs = testdata.observations(spark, sf_dir)
+    periods = testdata.periods(spark, sf_dir)
+    return descr.phase_curve(obs, periods)
+
+
 def q_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregation maintenance: the per-star curve stats
     derived from TWO independently-computed mergeable power-sum states
@@ -1421,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "nation_revenue": q_nation_revenue,
         "incremental_stats": q_incremental_stats,
+        "phase_curve": q_phase_curve,
         # --- tail: no_oracle by design (Lloyd-trained IVF cells) ---
         "embedding_ivf_topk": q_embedding_ivf_topk,
     }
@@ -1717,6 +1727,7 @@ FROM obs o ASOF LEFT JOIN calib c
         "pricing_summary": wh_ops.pricing_summary_sql(),
         "nation_revenue": wh_ops.local_supplier_volume_sql(),
         "incremental_stats": rollup_ops.incremental_stats_sql(_OBS),
+        "phase_curve": descr.phase_curve_sql(_OBS, testdata.PERIODS_SQL),
         "dq_audit": f"""
 WITH ref1 AS (
   SELECT 'orders_orphan_custkey' AS check_name,

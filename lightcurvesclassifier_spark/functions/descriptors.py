@@ -602,6 +602,73 @@ def phase_fold(
     )
 
 
+def phase_curve(
+    obs: DataFrame,
+    periods: DataFrame,
+    n_bins: int = 20,
+    t_col: str = "t",
+    mag_col: str = "mag",
+) -> DataFrame:
+    """Folded-binned light-curve template: fold by the star's period
+    (broadcast dim, fact never shuffles for the join), bin the phase,
+    and aggregate each bin's magnitude — the phase curve a classifier
+    or a plot reads instead of raw points. One partial→final aggregate
+    on (star, bin); output is |stars|·n_bins rows at any input size.
+
+    Phase/bin arithmetic is pure double ops on values both engines hold
+    bit-identically, so bin assignment is engine-deterministic (same
+    discipline as pdm_theta)."""
+    joined = obs.join(F.broadcast(periods), "star_id")
+    phase = F.pmod(F.col(t_col), F.col("period")) / F.col("period")
+    pbin = F.least(F.floor(phase * n_bins), F.lit(n_bins - 1)).cast("int")
+    m = F.col(mag_col)
+    agg = (
+        joined.select("star_id", pbin.alias("pbin"), m.alias("m"))
+        .groupBy("star_id", "pbin")
+        .agg(
+            F.count("m").alias("n_obs"),
+            F.sum("m").alias("_s1"),
+            F.sum(F.col("m") * F.col("m")).alias("_s2"),
+        )
+    )
+    n = F.col("n_obs")
+    mean = F.col("_s1") / n
+    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / n) / n
+    return agg.select(
+        "star_id",
+        "pbin",
+        "n_obs",
+        F.round(mean, 6).alias("mean_mag"),
+        F.round(F.sqrt(var), 6).alias("std_mag"),
+    )
+
+
+def phase_curve_sql(
+    obs_sql: str, periods_sql: str, n_bins: int = 20
+) -> str:
+    """DuckDB mirror of :func:`phase_curve` (same pmod/bin arithmetic —
+    DuckDB ``fmod`` matches Spark ``pmod`` for positive operands — and
+    the same power-sum derivation order)."""
+    return f"""
+WITH obs AS ({obs_sql}), periods AS ({periods_sql}),
+binned AS (
+  SELECT o.star_id, o.mag AS m,
+         CAST(least(floor((fmod(o.t, p.period) / p.period) * {n_bins}),
+                    {n_bins - 1}) AS INTEGER) AS pbin
+  FROM obs o JOIN periods p USING (star_id)
+),
+agg AS (
+  SELECT star_id, pbin, count(m) AS n_obs,
+         sum(m) AS s1, sum(m * m) AS s2
+  FROM binned GROUP BY star_id, pbin
+)
+SELECT star_id, pbin, n_obs,
+       round(s1 / n_obs, 6) AS mean_mag,
+       round(sqrt((s2 - s1 * s1 / n_obs) / n_obs), 6) AS std_mag
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling (the ':N' / '%frac' slices, scale-safe)
 

@@ -126,3 +126,34 @@ def test_pdm_matches_numpy_pooled_variance(spark):
         s2_tot = ((y - y.mean()) ** 2).sum() / (y.size - 1)
         want.append((ss_within / dof) / s2_tot)
     assert np.allclose(got, np.array(want), atol=2e-6)
+
+
+def test_phase_curve_recovers_sinusoid_shape(spark):
+    """Folding a planted sinusoid at its true period gives a phase
+    curve that is itself one sinusoid cycle with small per-bin scatter;
+    folding at an unrelated period smears it flat."""
+    from lightcurvesclassifier_spark.functions import descriptors as D
+
+    rng = np.random.default_rng(31)
+    t = np.sort(rng.uniform(0.0, 40.0, 2000))
+    period = 2.5
+    y = 12.0 + 0.8 * np.sin(2 * math.pi * t / period) + rng.normal(0, 0.02, t.size)
+    obs = spark.createDataFrame(
+        [(1, float(ti), float(yi)) for ti, yi in zip(t, y)],
+        "star_id long, t double, mag double",
+    )
+    good = spark.createDataFrame([(1, period)], "star_id long, period double")
+    badp = spark.createDataFrame([(1, 1.1)], "star_id long, period double")
+    pc = (
+        D.phase_curve(obs, good)
+        .toPandas()
+        .sort_values("pbin")
+        .reset_index(drop=True)
+    )
+    assert len(pc) == 20 and pc.n_obs.sum() == 2000
+    centers = (pc.pbin.to_numpy() + 0.5) / 20.0
+    want = 12.0 + 0.8 * np.sin(2 * math.pi * centers)
+    assert np.abs(pc.mean_mag.to_numpy() - want).max() < 0.05
+    assert pc.std_mag.max() < 0.1  # coherent fold: tight bins
+    smeared = D.phase_curve(obs, badp).toPandas()
+    assert smeared.std_mag.mean() > 0.3  # wrong period: bins span the cycle
