@@ -24,6 +24,8 @@ from lightcurvesclassifier_spark.functions.curves import (
     abbe_value,
     skewness_kurtosis,
     stetson_jk_sql,
+    robust_outliers,
+    robust_outliers_sql,
 )
 from lightcurvesclassifier_spark.operators.comparative import (
     comparative_scores,
@@ -592,6 +594,14 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier census per star — breakdown-50% robust clip
+    (the mean/std 3σ clip's flare-proof complement); exact percentiles
+    for the oracle, percentile_approx is the documented scale switch."""
+    obs = testdata.observations(spark, sf_dir)
+    return robust_outliers(obs)
 
 
 def q_phase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1431,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue": q_nation_revenue,
         "incremental_stats": q_incremental_stats,
         "phase_curve": q_phase_curve,
+        "robust_outliers": q_robust_outliers,
         # --- tail: no_oracle by design (Lloyd-trained IVF cells) ---
         "embedding_ivf_topk": q_embedding_ivf_topk,
     }
@@ -1728,6 +1739,7 @@ FROM obs o ASOF LEFT JOIN calib c
         "nation_revenue": wh_ops.local_supplier_volume_sql(),
         "incremental_stats": rollup_ops.incremental_stats_sql(_OBS),
         "phase_curve": descr.phase_curve_sql(_OBS, testdata.PERIODS_SQL),
+        "robust_outliers": robust_outliers_sql(_OBS),
         "dq_audit": f"""
 WITH ref1 AS (
   SELECT 'orders_orphan_custkey' AS check_name,

@@ -291,6 +291,35 @@ def stetson_jk(obs: DataFrame, keys: list[str] | None = None) -> DataFrame:
     )
 
 
+def robust_outliers_sql(obs_sql: str, n_sigma: float = 3.0) -> str:
+    """DuckDB mirror of :func:`robust_outliers` (quantile_cont matches
+    Spark's exact interpolated percentile; same threshold product)."""
+    k = repr(n_sigma * MAD_K)
+    return f"""
+WITH obs AS ({obs_sql}),
+med AS (
+  SELECT star_id, quantile_cont(mag, 0.5e0) AS med
+  FROM obs GROUP BY star_id
+),
+dev AS (
+  SELECT o.star_id, o.mag, abs(o.mag - m.med) AS ad, m.med
+  FROM obs o JOIN med m USING (star_id)
+),
+mad AS (
+  SELECT star_id, quantile_cont(ad, 0.5e0) AS mad_v
+  FROM dev GROUP BY star_id
+)
+SELECT d.star_id,
+       count(d.mag) AS n_obs,
+       round(max(d.med), 6) AS median_mag,
+       round(max(m.mad_v), 6) AS mad,
+       CAST(sum(CASE WHEN d.ad > {k} * m.mad_v THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (star_id)
+GROUP BY d.star_id
+"""
+
+
 def stetson_jk_sql(obs_sql: str) -> str:
     """DuckDB mirror of :func:`stetson_jk` (same δ derivation order,
     same (t, mag) lag tie-break)."""
@@ -323,6 +352,43 @@ SELECT star_id,
              / sqrt(sum(d * d) / max(n)), 6) AS stetson_k
 FROM lagged GROUP BY star_id
 """
+
+
+MAD_K = 1.4826  # Gaussian consistency factor: MAD·1.4826 ≈ σ
+
+
+def robust_outliers(obs: DataFrame, n_sigma: float = 3.0) -> DataFrame:
+    """Median/MAD outlier census per star — the robust complement to
+    the 3σ detrend clip (``detrend_stats``): median and MAD are
+    breakdown-50% estimators, so a flare-heavy curve doesn't inflate
+    its own threshold the way mean/std do.
+
+    Per star: median(mag), MAD = median(|mag − med|), and the count of
+    points with |mag − med| > n_sigma·1.4826·MAD. Exact sort-based
+    ``percentile`` so the DuckDB ``quantile_cont`` oracle matches (the
+    documented 100 TB switch is ``percentile_approx``, same as
+    table_profile); two aggregates + one broadcast-size join back —
+    all keyed by star_id.
+    """
+    med = obs.groupBy(KEY).agg(
+        F.percentile("mag", F.lit(0.5)).alias("med")
+    )
+    w = Window.partitionBy(KEY)
+    dev = (
+        obs.join(med, KEY)
+        .withColumn("_ad", F.abs(F.col("mag") - F.col("med")))
+        .withColumn("_mad", F.percentile("_ad", F.lit(0.5)).over(w))
+    )
+    return dev.groupBy(KEY).agg(
+        F.count("mag").alias("n_obs"),
+        F.round(F.first("med"), 6).alias("median_mag"),
+        F.round(F.first("_mad"), 6).alias("mad"),
+        F.sum(
+            F.when(
+                F.col("_ad") > F.lit(n_sigma * MAD_K) * F.col("_mad"), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_outliers"),
+    )
 
 
 def detrend_stats_sql(obs_sql: str) -> str:

@@ -62,3 +62,28 @@ def test_stetson_separates_signal_from_noise(spark):
     assert abs(got.stetson_k[2] - 0.798) < 0.05
     # sinusoid K → 2√2/π ≈ 0.9003
     assert abs(got.stetson_k[1] - 0.9003) < 0.05
+
+
+def test_robust_outliers_flags_flares_not_threshold_inflation(spark):
+    """Planted flares are counted, and because MAD has 50% breakdown,
+    heavy flares do NOT inflate the threshold enough to hide each
+    other (the failure mode of a mean/std clip)."""
+    from lightcurvesclassifier_spark.functions.curves import robust_outliers
+
+    rng = np.random.default_rng(37)
+    n = 500
+    t = np.sort(rng.uniform(0, 50, n))
+    m = 12.0 + rng.normal(0, 0.05, n)
+    flare_idx = [50, 150, 250, 350, 450]
+    m[flare_idx] += 3.0  # five strong flares
+    obs = spark.createDataFrame(
+        [(1, float(ti), float(mi)) for ti, mi in zip(t, m)],
+        "star_id long, t double, mag double",
+    )
+    out = robust_outliers(obs).collect()[0]
+    assert out.n_obs == n
+    assert abs(out.median_mag - 12.0) < 0.02  # flares don't move the median
+    assert out.n_outliers >= 5  # every flare flagged (plus noise tail)
+    assert out.n_outliers < 30
+    # MAD tracks the 0.05 noise scale, not the flare amplitude
+    assert out.mad < 0.08
