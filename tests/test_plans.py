@@ -169,13 +169,20 @@ def test_embedding_profile_single_shuffle(spark):
 
 
 def test_pdm_grid_broadcast_wide_shuffle_only_once(spark):
-    # one |obs|×|grid| wide shuffle on (star,freq,pbin); everything after
-    # is |stars|·|grid|-sized. Grid + totals arrive via broadcast.
+    # one |obs|×|grid| wide shuffle keyed (star, freq) — the phase bins
+    # live as 3·n_bins conditional aggregate buffers, NOT in the key
+    # (the (star,freq,pbin) key was measured >3× slower at sf0.1).
+    # Grid + totals arrive via broadcast.
     plan = _plan(spark, "period_pdm")
     assert "BroadcastExchange" in plan
+    assert not any(
+        "pbin" in ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    )
     wide = [
         ln
         for ln in plan.splitlines()
-        if "Exchange hashpartitioning" in ln and "pbin" in ln
+        if "Exchange hashpartitioning" in ln and "freq" in ln
     ]
     assert len(wide) == 1, plan
