@@ -596,6 +596,22 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle over orders: first-order-month cohorts
+    × month offset, distinct customers per cell — integer month
+    linearization keeps the arithmetic engine-exact."""
+    orders = testdata.load_table(spark, sf_dir, "orders")
+    return wh_ops.cohort_retention(orders)
+
+
+def q_cmd_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color–magnitude diagram density over the star catalog's
+    open-schema b/v magnitudes (null-B stars excluded) — one
+    partial→final 2-D binned aggregate."""
+    sm = testdata.stars_more(spark, sf_dir)
+    return descr.cmd_histogram(sm)
+
+
 def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD outlier census per star — breakdown-50% robust clip
     (the mean/std 3σ clip's flare-proof complement); exact percentiles
@@ -1442,6 +1458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_stats": q_incremental_stats,
         "phase_curve": q_phase_curve,
         "robust_outliers": q_robust_outliers,
+        "cohort_retention": q_cohort_retention,
+        "cmd_histogram": q_cmd_histogram,
         # --- tail: no_oracle by design (Lloyd-trained IVF cells) ---
         "embedding_ivf_topk": q_embedding_ivf_topk,
     }
@@ -1740,6 +1758,8 @@ FROM obs o ASOF LEFT JOIN calib c
         "incremental_stats": rollup_ops.incremental_stats_sql(_OBS),
         "phase_curve": descr.phase_curve_sql(_OBS, testdata.PERIODS_SQL),
         "robust_outliers": robust_outliers_sql(_OBS),
+        "cohort_retention": wh_ops.cohort_retention_sql(),
+        "cmd_histogram": descr.cmd_histogram_sql(),
         "dq_audit": f"""
 WITH ref1 AS (
   SELECT 'orders_orphan_custkey' AS check_name,

@@ -643,6 +643,63 @@ def phase_curve(
     )
 
 
+def cmd_histogram(
+    stars_more: DataFrame, mag_width: float = 0.5, color_width: float = 0.25
+) -> DataFrame:
+    """Color–magnitude diagram density: the 2-D (B−V color, V magnitude)
+    binned star count — the classic population diagnostic plot, here as
+    the aggregation table a plotting tier reads. Stars missing B (the
+    open-schema ``more`` map's null path) are excluded, mirroring
+    ColorIndexDescr's pass_not_found=False behavior.
+
+    One partial→final aggregate; bin ids are ``floor(x / width)`` on
+    doubles both engines hold identically, so the cells are
+    engine-deterministic. Output is |occupied cells| rows (≪ |stars|)."""
+    b = F.element_at("more", "b_mag")
+    v = F.element_at("more", "v_mag")
+    rows = stars_more.select(b.alias("_b"), v.alias("_v")).filter(
+        F.col("_b").isNotNull()
+    )
+    vbin = F.floor(F.col("_v") / mag_width).cast("int")
+    cbin = F.floor((F.col("_b") - F.col("_v")) / color_width).cast("int")
+    return (
+        rows.groupBy(vbin.alias("vbin"), cbin.alias("cbin"))
+        .agg(F.count(F.lit(1)).alias("n_stars"))
+        .select(
+            "vbin",
+            "cbin",
+            F.round(F.col("vbin") * mag_width, 6).alias("v_lo"),
+            F.round(F.col("cbin") * color_width, 6).alias("color_lo"),
+            "n_stars",
+        )
+    )
+
+
+def cmd_histogram_sql(
+    mag_width: float = 0.5, color_width: float = 0.25
+) -> str:
+    """DuckDB mirror of :func:`cmd_histogram` (same derived b/v mags —
+    testdata.B_MAG_SQL/V_MAG_SQL — and the same floor bins)."""
+    from ..sources.testdata import B_MAG_SQL, V_MAG_SQL
+
+    mw, cw = repr(float(mag_width)), repr(float(color_width))
+    return f"""
+WITH bv AS (
+  SELECT {B_MAG_SQL} AS b, {V_MAG_SQL} AS v FROM customer
+),
+binned AS (
+  SELECT CAST(floor(v / {mw}) AS INTEGER) AS vbin,
+         CAST(floor((b - v) / {cw}) AS INTEGER) AS cbin
+  FROM bv WHERE b IS NOT NULL
+)
+SELECT vbin, cbin,
+       round(vbin * {mw}, 6) AS v_lo,
+       round(cbin * {cw}, 6) AS color_lo,
+       count(*) AS n_stars
+FROM binned GROUP BY vbin, cbin
+"""
+
+
 def phase_curve_sql(
     obs_sql: str, periods_sql: str, n_bins: int = 20
 ) -> str:

@@ -174,3 +174,55 @@ WHERE r_name = '{r_name}'
   AND o_orderdate <  TIMESTAMP '{date_to}'
 GROUP BY n_name
 """
+
+
+def cohort_retention(orders: DataFrame) -> DataFrame:
+    """Cohort retention matrix: customers bucketed by first-order month
+    (the cohort), counted distinct in each month offset since — the
+    standard product-analytics triangle.
+
+    Months are linearized to integer ``year·12 + month − 1`` so the
+    offset arithmetic is pure integers (engine-exact, no date-diff
+    semantics to reconcile). Two shuffles at scale: the per-customer
+    min (partial-agg shrinks it to |customers|), then the
+    (cohort, offset) distinct count — count(DISTINCT custkey) keyed by
+    a small group set; Spark plans it as the standard two-phase expand
+    + aggregate."""
+    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias(
+        "_ym"
+    )
+    o = orders.select(F.col("o_custkey").alias("custkey"), ym)
+    first = o.groupBy("custkey").agg(F.min("_ym").alias("_cohort"))
+    joined = o.join(first, "custkey")
+    return (
+        joined.groupBy(
+            F.col("_cohort").alias("cohort_ym"),
+            (F.col("_ym") - F.col("_cohort")).alias("month_offset"),
+        )
+        .agg(F.count_distinct("custkey").alias("n_customers"))
+        .select(
+            "cohort_ym",
+            "month_offset",
+            F.col("n_customers").cast("long").alias("n_customers"),
+        )
+    )
+
+
+def cohort_retention_sql() -> str:
+    """DuckDB mirror of :func:`cohort_retention`."""
+    return """
+WITH o AS (
+  SELECT o_custkey AS custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS INTEGER)
+           AS ym
+  FROM orders
+),
+first_o AS (
+  SELECT custkey, min(ym) AS cohort FROM o GROUP BY custkey
+)
+SELECT f.cohort AS cohort_ym,
+       o.ym - f.cohort AS month_offset,
+       CAST(count(DISTINCT o.custkey) AS BIGINT) AS n_customers
+FROM o JOIN first_o f USING (custkey)
+GROUP BY 1, 2
+"""

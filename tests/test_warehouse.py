@@ -89,3 +89,43 @@ def test_q5_dims_arrive_via_broadcast(spark):
         .toString()
     )
     assert plan.count("BroadcastExchange") >= 2  # nation + region at least
+
+
+def test_cohort_retention_triangle(spark):
+    """Hand-checkable cohort: the cohort month is the first order,
+    offsets count distinct customers (repeat orders in one month count
+    once), and later-joining customers form their own cohort."""
+    rows = [
+        (1, "1995-01-15"), (1, "1995-02-10"), (1, "1995-02-20"),
+        (2, "1995-01-03"), (2, "1995-03-01"),
+        (3, "1995-02-05"),
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_custkey long, d string"
+    ).withColumn("o_orderdate", em.F.col("d").cast("timestamp"))
+    out = {
+        (r.cohort_ym, r.month_offset): r.n_customers
+        for r in warehouse.cohort_retention(orders).collect()
+    }
+    jan = 1995 * 12 + 0
+    feb = jan + 1
+    assert out[(jan, 0)] == 2          # customers 1 and 2
+    assert out[(jan, 1)] == 1          # only customer 1 returned in Feb
+    assert out[(jan, 2)] == 1          # only customer 2 in Mar
+    assert out[(feb, 0)] == 1          # customer 3's own cohort
+    assert len(out) == 4
+
+
+def test_cmd_histogram_bins_and_null_b_excluded(spark):
+    from lightcurvesclassifier_spark.functions import descriptors as D
+    from lightcurvesclassifier_spark.sources import testdata as td
+    from tests.conftest import SF_SMOKE
+
+    sm = td.stars_more(spark, SF_SMOKE)
+    out = D.cmd_histogram(sm).toPandas()
+    n_with_b = sm.filter(
+        em.F.element_at("more", "b_mag").isNotNull()
+    ).count()
+    assert out.n_stars.sum() == n_with_b  # every B-carrying star binned once
+    assert (out.v_lo == out.vbin * 0.5).all()
+    assert len(out) > 1
