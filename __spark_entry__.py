@@ -596,6 +596,22 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_monthly_flag_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivoted wide report: monthly revenue per return flag — explicit
+    pivot value list compiles to conditional aggregates in ONE hash
+    aggregate (no driver-blocking distinct discovery pass)."""
+    li = testdata.load_table(spark, sf_dir, "lineitem")
+    return wh_ops.monthly_flag_revenue(li)
+
+
+def q_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op surface: customers active in both 1996 and 1997 via
+    INTERSECT distinct (planned as a left-semi join over distinct
+    keys)."""
+    orders = testdata.load_table(spark, sf_dir, "orders")
+    return wh_ops.repeat_customers(orders)
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle over orders: first-order-month cohorts
     × month offset, distinct customers per cell — integer month
@@ -1460,6 +1476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers": q_robust_outliers,
         "cohort_retention": q_cohort_retention,
         "cmd_histogram": q_cmd_histogram,
+        "monthly_flag_revenue": q_monthly_flag_revenue,
+        "repeat_customers": q_repeat_customers,
         # --- tail: no_oracle by design (Lloyd-trained IVF cells) ---
         "embedding_ivf_topk": q_embedding_ivf_topk,
     }
@@ -1760,6 +1778,8 @@ FROM obs o ASOF LEFT JOIN calib c
         "robust_outliers": robust_outliers_sql(_OBS),
         "cohort_retention": wh_ops.cohort_retention_sql(),
         "cmd_histogram": descr.cmd_histogram_sql(),
+        "monthly_flag_revenue": wh_ops.monthly_flag_revenue_sql(),
+        "repeat_customers": wh_ops.repeat_customers_sql(),
         "dq_audit": f"""
 WITH ref1 AS (
   SELECT 'orders_orphan_custkey' AS check_name,

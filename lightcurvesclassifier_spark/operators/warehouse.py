@@ -226,3 +226,71 @@ SELECT f.cohort AS cohort_ym,
 FROM o JOIN first_o f USING (custkey)
 GROUP BY 1, 2
 """
+
+
+RETURNFLAGS = ("A", "N", "R")
+
+
+def monthly_flag_revenue(li: DataFrame) -> DataFrame:
+    """Monthly revenue pivoted by return flag — the wide report table
+    (one row per month, one revenue column per flag). Spark's
+    ``pivot()`` with an EXPLICIT value list plans as a two-phase
+    aggregate ((month, flag) partials, then the pivot assembly) —
+    never a driver-blocking distinct scan to discover the pivot values
+    (which the implicit form adds; always pass the list at scale).
+    Exact BIGINT-cents sums; months linearized like cohort_retention."""
+    ym = (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).alias("ym")
+    cents = _cents(F.col("l_extendedprice") * (1.0 - F.col("l_discount")))
+    wide = (
+        li.select(ym, F.col("l_returnflag").alias("flag"), cents.alias("_c"))
+        .groupBy("ym")
+        .pivot("flag", list(RETURNFLAGS))
+        .agg(F.sum("_c"))
+    )
+    cols = [F.col("ym")]
+    for f in RETURNFLAGS:
+        cols.append(
+            F.coalesce(F.col(f), F.lit(0)).alias(f"rev_{f.lower()}_cents")
+        )
+    return wide.select(*cols)
+
+
+def monthly_flag_revenue_sql() -> str:
+    """DuckDB mirror of :func:`monthly_flag_revenue` (the pivot written
+    as the same conditional aggregates Spark compiles to)."""
+    cells = ", ".join(
+        "coalesce(CAST(sum(CASE WHEN l_returnflag = '{f}' THEN _c END)"
+        " AS BIGINT), 0) AS rev_{fl}_cents".format(f=f, fl=f.lower())
+        for f in RETURNFLAGS
+    )
+    return f"""
+WITH rows_c AS (
+  SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS INTEGER)
+           AS ym,
+         l_returnflag,
+         CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+              AS BIGINT) AS _c
+  FROM lineitem
+)
+SELECT ym, {cells}
+FROM rows_c GROUP BY ym
+"""
+
+
+def repeat_customers(orders: DataFrame, y1: int = 1996, y2: int = 1997) -> DataFrame:
+    """Customers active in BOTH years — the set-operation surface
+    (INTERSECT distinct): two filtered key projections intersected.
+    Catalyst plans this as a left-semi hash join over the distinct
+    keys; both sides shrink to |customers| before the shuffle."""
+    yr = F.year("o_orderdate")
+    a = orders.filter(yr == y1).select(F.col("o_custkey").alias("custkey"))
+    b = orders.filter(yr == y2).select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+def repeat_customers_sql(y1: int = 1996, y2: int = 1997) -> str:
+    return f"""
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = {y1}
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = {y2}
+"""

@@ -129,3 +129,38 @@ def test_cmd_histogram_bins_and_null_b_excluded(spark):
     assert out.n_stars.sum() == n_with_b  # every B-carrying star binned once
     assert (out.v_lo == out.vbin * 0.5).all()
     assert len(out) > 1
+
+
+def test_pivot_wide_report_and_zero_fill(spark):
+    rows = [
+        ("A", 100.0, 0.0, "1996-01-10"),
+        ("A", 50.0, 0.5, "1996-01-20"),
+        ("R", 10.0, 0.0, "1996-02-01"),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_extendedprice double, l_discount double, "
+        "d string",
+    ).withColumn("l_shipdate", em.F.col("d").cast("timestamp"))
+    out = {
+        r.ym: r for r in warehouse.monthly_flag_revenue(li).collect()
+    }
+    jan = 1996 * 12 + 0
+    assert out[jan].rev_a_cents == 12500  # 100 + 50*0.5
+    assert out[jan].rev_n_cents == 0      # absent flag → zero-filled
+    assert out[jan].rev_r_cents == 0
+    assert out[jan + 1].rev_r_cents == 1000
+
+
+def test_repeat_customers_intersect_distinct(spark):
+    rows = [
+        (1, "1996-03-01"), (1, "1996-07-01"),  # twice in y1 → once out
+        (1, "1997-01-01"),
+        (2, "1996-05-05"),                      # y1 only
+        (3, "1997-02-02"),                      # y2 only
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_custkey long, d string"
+    ).withColumn("o_orderdate", em.F.col("d").cast("timestamp"))
+    got = [r.custkey for r in warehouse.repeat_customers(orders).collect()]
+    assert got == [1]
