@@ -596,6 +596,34 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as a LEFT SEMI join (probe stops at first
+    match, no fan-out) — orders with a >60-day-late line, per
+    priority."""
+    return wh_ops.late_order_priority(
+        testdata.load_table(spark, sf_dir, "orders"),
+        testdata.load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery decorrelated to a
+    per-part average joined back to the fact; exact integer-average
+    threshold."""
+    li = testdata.load_table(spark, sf_dir, "lineitem")
+    return wh_ops.small_qty_revenue(li)
+
+
+def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + double aggregation — the
+    customers-by-order-count distribution including zero-order
+    customers."""
+    return wh_ops.custdist(
+        testdata.load_table(spark, sf_dir, "customer"),
+        testdata.load_table(spark, sf_dir, "orders"),
+    )
+
+
 def q_monthly_flag_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivoted wide report: monthly revenue per return flag — explicit
     pivot value list compiles to conditional aggregates in ONE hash
@@ -1478,6 +1506,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cmd_histogram": q_cmd_histogram,
         "monthly_flag_revenue": q_monthly_flag_revenue,
         "repeat_customers": q_repeat_customers,
+        "late_order_priority": q_late_order_priority,
+        "small_qty_revenue": q_small_qty_revenue,
+        "custdist": q_custdist,
         # --- tail: no_oracle by design (Lloyd-trained IVF cells) ---
         "embedding_ivf_topk": q_embedding_ivf_topk,
     }
@@ -1780,6 +1811,9 @@ FROM obs o ASOF LEFT JOIN calib c
         "cmd_histogram": descr.cmd_histogram_sql(),
         "monthly_flag_revenue": wh_ops.monthly_flag_revenue_sql(),
         "repeat_customers": wh_ops.repeat_customers_sql(),
+        "late_order_priority": wh_ops.late_order_priority_sql(),
+        "small_qty_revenue": wh_ops.small_qty_revenue_sql(),
+        "custdist": wh_ops.custdist_sql(),
         "dq_audit": f"""
 WITH ref1 AS (
   SELECT 'orders_orphan_custkey' AS check_name,

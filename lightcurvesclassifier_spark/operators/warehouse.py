@@ -294,3 +294,105 @@ SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = {y1}
 INTERSECT
 SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = {y2}
 """
+
+
+def late_order_priority(
+    orders: DataFrame, li: DataFrame, late_days: int = 60
+) -> DataFrame:
+    """TPC-H Q4 shape: orders counted per priority where AT LEAST ONE
+    line shipped later than ``late_days`` after the order date — the
+    EXISTS form, planned as a LEFT SEMI join (the probe side stops at
+    the first match; no fan-out, no distinct needed)."""
+    late = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_shipdate").alias("_sd")
+    )
+    cond = (F.col("o_orderkey") == F.col("_ok")) & (
+        F.col("_sd")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+    )
+    semi = orders.join(late, cond, "left_semi")
+    return semi.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+def late_order_priority_sql(late_days: int = 60) -> str:
+    return f"""
+SELECT o_orderpriority AS priority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL {late_days} DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+def small_qty_revenue(li: DataFrame, frac: float = 0.5) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked in small orders — lines whose
+    quantity is below ``frac`` of their part's average quantity. The
+    correlated scalar subquery decorrelates to a per-part aggregate
+    joined back to the fact (the join side is |parts| rows — AQE
+    broadcasts it at small SF, shuffle join at 100 TB).
+
+    The threshold comparison uses the exact integer-quantity average
+    (sum/count of integral quantities) on both engines — identical
+    division inputs, identical comparison."""
+    q = F.col("l_quantity")
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (
+            F.sum(q.cast("long")) / F.count(q)
+        ).alias("_avg_qty")
+    )
+    j = li.join(per_part, F.col("l_partkey") == F.col("_pk"))
+    small = j.filter(q < frac * F.col("_avg_qty"))
+    rev = _cents(F.col("l_extendedprice"))
+    return small.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(rev).alias("revenue_cents"),
+    )
+
+
+def small_qty_revenue_sql(frac: float = 0.5) -> str:
+    return f"""
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) * 1.0
+           / count(l_quantity) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT count(*) AS n_lines,
+       CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN per_part p ON l.l_partkey = p.pk
+WHERE l.l_quantity < {frac!r} * p.avg_qty
+"""
+
+
+def custdist(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of customers by order count,
+    INCLUDING zero-order customers — a LEFT OUTER join followed by two
+    aggregations (per-customer count, then count-of-counts). Both
+    aggregates shrink to |customers| then |distinct counts| rows."""
+    o = orders.select(F.col("o_custkey").alias("_ck"))
+    per_cust = (
+        customer.join(o, F.col("c_custkey") == F.col("_ck"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("_ck").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+def custdist_sql() -> str:
+    return """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_custkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS n_customers
+FROM per_cust GROUP BY c_count
+"""

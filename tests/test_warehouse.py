@@ -164,3 +164,52 @@ def test_repeat_customers_intersect_distinct(spark):
     ).withColumn("o_orderdate", em.F.col("d").cast("timestamp"))
     got = [r.custkey for r in warehouse.repeat_customers(orders).collect()]
     assert got == [1]
+
+
+def test_late_order_priority_semi_semantics(spark):
+    """One late line flags the order once (no fan-out from multiple
+    late lines); on-time orders are excluded."""
+    orders = spark.createDataFrame(
+        [(1, "P1", "1996-01-01"), (2, "P1", "1996-01-01"),
+         (3, "P2", "1996-01-01")],
+        "o_orderkey long, o_orderpriority string, d string",
+    ).withColumn("o_orderdate", em.F.col("d").cast("timestamp"))
+    li = spark.createDataFrame(
+        [(1, "1996-06-01"), (1, "1996-07-01"),  # two late lines, one order
+         (2, "1996-01-15"),                      # on time
+         (3, "1996-09-01")],
+        "l_orderkey long, d string",
+    ).withColumn("l_shipdate", em.F.col("d").cast("timestamp"))
+    out = {
+        r.priority: r.n_orders
+        for r in warehouse.late_order_priority(orders, li).collect()
+    }
+    assert out == {"P1": 1, "P2": 1}
+
+
+def test_custdist_includes_zero_order_customers(spark):
+    customer = spark.createDataFrame(
+        [(1,), (2,), (3,)], "c_custkey long"
+    )
+    orders = spark.createDataFrame(
+        [(1,), (1,), (2,)], "o_custkey long"
+    )
+    out = {
+        r.c_count: r.n_customers
+        for r in warehouse.custdist(customer, orders).collect()
+    }
+    assert out == {2: 1, 1: 1, 0: 1}  # customer 3 has zero orders
+
+
+def test_small_qty_threshold(spark):
+    """Part avg qty = 10; only the qty-4 line is under half of it."""
+    rows = [
+        (7, 4.0, 100.0), (7, 16.0, 200.0),
+        (8, 10.0, 50.0),
+    ]
+    li = spark.createDataFrame(
+        rows, "l_partkey long, l_quantity double, l_extendedprice double"
+    )
+    out = warehouse.small_qty_revenue(li).collect()[0]
+    assert out.n_lines == 1
+    assert out.revenue_cents == 10000
