@@ -26,6 +26,8 @@ from lightcurvesclassifier_spark.functions.curves import (
     stetson_jk_sql,
     robust_outliers,
     robust_outliers_sql,
+    lag_correlation,
+    lag_correlation_sql,
 )
 from lightcurvesclassifier_spark.operators.comparative import (
     comparative_scores,
@@ -594,6 +596,14 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def q_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete day-lag ACF of the daily-mean magnitude series — the
+    self-join correlation pattern: (star, day+lag) equi-join bounds
+    pairs at |days|·max_lag per star, never |obs|²."""
+    obs = testdata.observations(spark, sf_dir)
+    return lag_correlation(obs)
 
 
 def q_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1509,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_order_priority": q_late_order_priority,
         "small_qty_revenue": q_small_qty_revenue,
         "custdist": q_custdist,
+        "lag_correlation": q_lag_correlation,
         # --- tail: no_oracle by design (Lloyd-trained IVF cells) ---
         "embedding_ivf_topk": q_embedding_ivf_topk,
     }
@@ -1814,6 +1825,7 @@ FROM obs o ASOF LEFT JOIN calib c
         "late_order_priority": wh_ops.late_order_priority_sql(),
         "small_qty_revenue": wh_ops.small_qty_revenue_sql(),
         "custdist": wh_ops.custdist_sql(),
+        "lag_correlation": lag_correlation_sql(_OBS),
         "dq_audit": f"""
 WITH ref1 AS (
   SELECT 'orders_orphan_custkey' AS check_name,

@@ -354,6 +354,86 @@ FROM lagged GROUP BY star_id
 """
 
 
+def lag_correlation(obs: DataFrame, max_lag: int = 10) -> DataFrame:
+    """Day-lag autocorrelation of each star's DAILY-MEAN magnitude
+    series: Pearson r between (m_d, m_{d+ℓ}) for ℓ = 1..max_lag — the
+    discrete ACF whose first minimum/peak hints at periods and
+    distinguishes correlated variability from white noise.
+
+    Spark-first: daily means (one aggregate), then the lagged pairs
+    come from an EQUI-join of the series with itself shifted by an
+    exploded lag list — join key (star, day+ℓ), so candidate pairs are
+    |days|·max_lag per star, never |obs|². Correlation from power sums
+    per (star, lag); all three stages keyed by star_id.
+    """
+    day = F.floor("t").cast("int")
+    daily = obs.groupBy(
+        F.col(KEY), day.alias("day")
+    ).agg((F.sum("mag") / F.count("mag")).alias("m"))
+    lags = F.explode(
+        F.array(*[F.lit(l) for l in range(1, max_lag + 1)])
+    ).alias("lag")
+    left = daily.select(
+        KEY, "day", F.col("m").alias("x"), lags
+    ).withColumn("_jday", F.col("day") + F.col("lag"))
+    right = daily.select(
+        F.col(KEY).alias("_sid"),
+        F.col("day").alias("_jday"),
+        F.col("m").alias("y"),
+    )
+    pairs = left.join(
+        right,
+        (F.col(KEY) == F.col("_sid")) & (left["_jday"] == right["_jday"]),
+    )
+    x, y = F.col("x"), F.col("y")
+    agg = pairs.groupBy(KEY, "lag").agg(
+        F.count(x).alias("n_pairs"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sx2"),
+        F.sum(y * y).alias("_sy2"),
+    )
+    n = F.col("n_pairs")
+    cov = F.col("_sxy") - F.col("_sx") * F.col("_sy") / n
+    vx = F.col("_sx2") - F.col("_sx") * F.col("_sx") / n
+    vy = F.col("_sy2") - F.col("_sy") * F.col("_sy") / n
+    r = F.when(
+        (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)
+    )
+    return agg.select(
+        KEY, "lag", "n_pairs", F.round(r, 6).alias("acf")
+    )
+
+
+def lag_correlation_sql(obs_sql: str, max_lag: int = 10) -> str:
+    """DuckDB mirror of :func:`lag_correlation` (same daily means,
+    same join, same power-sum derivation)."""
+    return f"""
+WITH obs AS ({obs_sql}),
+daily AS (
+  SELECT star_id, CAST(floor(t) AS INTEGER) AS day,
+         sum(mag) / count(mag) AS m
+  FROM obs GROUP BY star_id, day
+),
+lagged AS (
+  SELECT d.star_id, l.lag, d.m AS x, r.m AS y
+  FROM daily d
+  CROSS JOIN (SELECT unnest(generate_series(1, {max_lag})) AS lag) l
+  JOIN daily r ON r.star_id = d.star_id AND r.day = d.day + l.lag
+)
+SELECT star_id, CAST(lag AS INTEGER) AS lag,
+       count(x) AS n_pairs,
+       round(CASE WHEN sum(x*x) - sum(x)*sum(x)/count(x) > 0
+                   AND sum(y*y) - sum(y)*sum(y)/count(x) > 0
+             THEN (sum(x*y) - sum(x)*sum(y)/count(x))
+                  / sqrt((sum(x*x) - sum(x)*sum(x)/count(x))
+                         * (sum(y*y) - sum(y)*sum(y)/count(x)))
+             END, 6) AS acf
+FROM lagged GROUP BY star_id, lag
+"""
+
+
 MAD_K = 1.4826  # Gaussian consistency factor: MAD·1.4826 ≈ σ
 
 

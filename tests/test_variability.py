@@ -87,3 +87,30 @@ def test_robust_outliers_flags_flares_not_threshold_inflation(spark):
     assert out.n_outliers < 30
     # MAD tracks the 0.05 noise scale, not the flare amplitude
     assert out.mad < 0.08
+
+
+def test_lag_correlation_periodic_vs_noise(spark):
+    """A period-4-day sinusoid's daily-mean ACF peaks at lag 4 and dips
+    negative at lag 2; white noise stays near zero at every lag."""
+    from lightcurvesclassifier_spark.functions.curves import lag_correlation
+
+    rng = np.random.default_rng(41)
+    rows = []
+    for d in range(120):           # one sample per day, 120 days
+        for frac in (0.2, 0.7):    # two obs a day
+            t = d + frac
+            rows.append((1, t, 12 + np.sin(2 * np.pi * t / 4.0)))
+            rows.append((2, t, float(12 + rng.normal(0, 1.0))))
+    obs = spark.createDataFrame(
+        [(s, float(t), float(m)) for s, t, m in rows],
+        "star_id long, t double, mag double",
+    )
+    acf = lag_correlation(obs).toPandas()
+    sine = acf[acf.star_id == 1].set_index("lag").acf
+    noise = acf[acf.star_id == 2].set_index("lag").acf
+    assert sine[4] > 0.9 and sine[8] > 0.9   # period and harmonic
+    assert sine[2] < -0.9                     # anti-phase
+    assert noise.abs().max() < 0.35           # white noise ~ 0
+    # pair counts shrink by exactly one day per lag
+    n = acf[acf.star_id == 1].set_index("lag").n_pairs
+    assert n[1] == 119 and n[10] == 110
