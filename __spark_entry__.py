@@ -65,6 +65,7 @@ from lightcurvesclassifier_spark.operators import searcher as search_ops
 from lightcurvesclassifier_spark.operators import similarity as sim_ops
 from lightcurvesclassifier_spark.operators import text as text_ops
 from lightcurvesclassifier_spark.operators import warehouse as wh_ops
+from lightcurvesclassifier_spark.operators import pipelines as pipe_ops
 from lightcurvesclassifier_spark.plans.query_compiler import (
     apply_queries,
     range_predicate,
@@ -596,6 +597,16 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def q_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pre-training pipeline as ONE plan: quality gate →
+    exact-dedup canonical keep → benchmark decontamination — every
+    stage an already-oracled operator, the whole chain value-checked
+    end-to-end."""
+    corpus = testdata.dedup_corpus(spark, sf_dir)
+    evals = testdata.contamination_eval(spark, sf_dir)
+    return pipe_ops.pretraining_corpus(corpus, evals)
 
 
 def q_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1520,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "custdist": q_custdist,
         "lag_correlation": q_lag_correlation,
+        "pretraining_corpus": q_pretraining_corpus,
         # --- tail: no_oracle by design (Lloyd-trained IVF cells) ---
         "embedding_ivf_topk": q_embedding_ivf_topk,
     }
@@ -1826,6 +1838,9 @@ FROM obs o ASOF LEFT JOIN calib c
         "small_qty_revenue": wh_ops.small_qty_revenue_sql(),
         "custdist": wh_ops.custdist_sql(),
         "lag_correlation": lag_correlation_sql(_OBS),
+        "pretraining_corpus": pipe_ops.pretraining_corpus_sql(
+            testdata.DEDUP_CORPUS_SQL, testdata.CONTAM_EVAL_SQL
+        ),
         "dq_audit": f"""
 WITH ref1 AS (
   SELECT 'orders_orphan_custkey' AS check_name,

@@ -569,3 +569,39 @@ def test_string_profile_accuracy_and_nulls(spark):
     assert abs(out["s1"].distinct_est - 2) < 0.1
     assert abs(out["s2"].distinct_est - 2) < 0.1
     assert out["s2"].min_len == 1 and out["s2"].max_len == 2
+
+
+def test_pretraining_pipeline_composed_stages(spark):
+    """The composed pipeline drops exactly what its stages say: short
+    docs at the quality gate, planted exact dups at dedup (canonical
+    kept), verbatim-slice docs at decontamination — and an untouched
+    doc flows through."""
+    from pyspark.sql import functions as F
+    from lightcurvesclassifier_spark.operators.pipelines import (
+        pretraining_corpus,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),                       # clean → kept
+            (2, base),                       # exact dup of 1 → dropped
+            (3, "too short"),                # < 5 tokens → dropped
+            (4, "one two three four five six seven eight nine ten"),
+            (5, "x " * 3 + base),            # contains eval slice? no
+        ],
+        "doc_id long, text string",
+    )
+    # eval doc = a verbatim 8-token slice of doc 4 → doc 4 contaminated
+    evals = spark.createDataFrame(
+        [(100, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    kept = {
+        r.doc_id: r for r in pretraining_corpus(corpus, evals).collect()
+    }
+    assert 1 in kept and 2 not in kept        # canonical min-id survives
+    assert 3 not in kept                      # quality gate
+    assert 4 not in kept                      # decontaminated
+    assert 5 in kept
+    assert kept[1].n_tokens == 10
