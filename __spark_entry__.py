@@ -599,6 +599,14 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT DISTINCT surface: customers active in 1996 but not 1997
+    (left-anti hash join over distinct key sets) — the churn complement
+    of repeat_customers."""
+    orders = testdata.load_table(spark, sf_dir, "orders")
+    return wh_ops.churned_customers(orders)
+
+
 def q_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed pre-training pipeline as ONE plan: quality gate →
     exact-dedup canonical keep → benchmark decontamination — every
@@ -1532,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custdist": q_custdist,
         "lag_correlation": q_lag_correlation,
         "pretraining_corpus": q_pretraining_corpus,
+        "churned_customers": q_churned_customers,
         # --- tail: no_oracle by design (Lloyd-trained IVF cells) ---
         "embedding_ivf_topk": q_embedding_ivf_topk,
     }
@@ -1841,6 +1850,7 @@ FROM obs o ASOF LEFT JOIN calib c
         "pretraining_corpus": pipe_ops.pretraining_corpus_sql(
             testdata.DEDUP_CORPUS_SQL, testdata.CONTAM_EVAL_SQL
         ),
+        "churned_customers": wh_ops.churned_customers_sql(),
         "dq_audit": f"""
 WITH ref1 AS (
   SELECT 'orders_orphan_custkey' AS check_name,

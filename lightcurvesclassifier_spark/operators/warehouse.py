@@ -396,3 +396,23 @@ WITH per_cust AS (
 SELECT c_count, count(*) AS n_customers
 FROM per_cust GROUP BY c_count
 """
+
+
+def churned_customers(
+    orders: DataFrame, y1: int = 1996, y2: int = 1997
+) -> DataFrame:
+    """Customers active in ``y1`` but NOT in ``y2`` — the EXCEPT
+    DISTINCT surface (the churn complement of :func:`repeat_customers`;
+    planned as a left-anti hash join over the distinct key sets)."""
+    yr = F.year("o_orderdate")
+    a = orders.filter(yr == y1).select(F.col("o_custkey").alias("custkey"))
+    b = orders.filter(yr == y2).select(F.col("o_custkey").alias("custkey"))
+    return a.subtract(b)  # subtract == EXCEPT DISTINCT
+
+
+def churned_customers_sql(y1: int = 1996, y2: int = 1997) -> str:
+    return f"""
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = {y1}
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = {y2}
+"""

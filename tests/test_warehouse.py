@@ -213,3 +213,16 @@ def test_small_qty_threshold(spark):
     out = warehouse.small_qty_revenue(li).collect()[0]
     assert out.n_lines == 1
     assert out.revenue_cents == 10000
+
+
+def test_churned_customers_except_distinct(spark):
+    rows = [
+        (1, "1996-03-01"), (1, "1996-07-01"),  # y1 twice → once out
+        (2, "1996-05-05"), (2, "1997-06-06"),  # retained → excluded
+        (3, "1997-02-02"),                      # y2 only → excluded
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_custkey long, d string"
+    ).withColumn("o_orderdate", em.F.col("d").cast("timestamp"))
+    got = [r.custkey for r in warehouse.churned_customers(orders).collect()]
+    assert got == [1]
