@@ -599,6 +599,15 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_line_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level boilerplate removal over the planted
+    multi-line corpus: cross-doc repeated lines dropped, per-doc line
+    order preserved — line hash shuffle + broadcast boilerplate set,
+    no pairwise comparison."""
+    corpus = testdata.lines_corpus(spark, sf_dir)
+    return text_ops.line_scrub(corpus)
+
+
 def q_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT DISTINCT surface: customers active in 1996 but not 1997
     (left-anti hash join over distinct key sets) — the churn complement
@@ -1541,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_correlation": q_lag_correlation,
         "pretraining_corpus": q_pretraining_corpus,
         "churned_customers": q_churned_customers,
+        "line_scrub": q_line_scrub,
         # --- tail: no_oracle by design (Lloyd-trained IVF cells) ---
         "embedding_ivf_topk": q_embedding_ivf_topk,
     }
@@ -1851,6 +1861,7 @@ FROM obs o ASOF LEFT JOIN calib c
             testdata.DEDUP_CORPUS_SQL, testdata.CONTAM_EVAL_SQL
         ),
         "churned_customers": wh_ops.churned_customers_sql(),
+        "line_scrub": text_ops.line_scrub_sql(testdata.LINES_CORPUS_SQL),
         "dq_audit": f"""
 WITH ref1 AS (
   SELECT 'orders_orphan_custkey' AS check_name,

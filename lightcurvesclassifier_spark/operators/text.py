@@ -746,3 +746,75 @@ SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
        coalesce(fp_new, fp_old) AS fingerprint
 FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 """
+
+
+def line_scrub(
+    df: DataFrame, min_docs: int = 10, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4/RefinedWeb-style line-level boilerplate removal: any LINE
+    that appears in ≥ ``min_docs`` distinct documents (nav chrome,
+    subscribe prompts, license footers) is dropped from every document;
+    per-doc line order is preserved on re-assembly.
+
+    Shape at 100 TB: explode lines → per-line distinct-doc count (the
+    boilerplate table is tiny — lines crossing the threshold — and is
+    BROADCAST back) → anti-filter + ordered re-assembly under one
+    doc_id aggregation. The corpus shuffles once on the line hash and
+    once on doc_id; no pairwise comparison anywhere (this is what
+    makes line dedup tractable where doc-level near-dup needs LSH)."""
+    lines = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    parts = F.array_sort(
+        F.collect_list(F.struct(F.col("pos"), F.col("line")))
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count("line").alias("n_kept"),
+            parts.alias("_parts"),
+        )
+        .select(
+            id_col,
+            "n_kept",
+            F.md5(
+                F.array_join(F.col("_parts.line"), "\n")
+            ).alias("clean_md5"),
+        )
+    )
+
+
+def line_scrub_sql(
+    corpus_sql: str, min_docs: int = 10
+) -> str:
+    """DuckDB mirror of :func:`line_scrub` (same newline split, same
+    distinct-doc threshold, same ordered re-assembly)."""
+    return f"""
+WITH corpus AS ({corpus_sql}),
+lines_t AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
+         unnest(string_split(text, chr(10))) AS line
+  FROM corpus
+),
+boiler AS (
+  SELECT line FROM lines_t
+  GROUP BY line HAVING count(DISTINCT doc_id) >= {min_docs}
+),
+kept AS (
+  SELECT l.* FROM lines_t l
+  WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.line = l.line)
+)
+SELECT doc_id, count(line) AS n_kept,
+       md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+FROM kept GROUP BY doc_id
+"""

@@ -467,3 +467,35 @@ def noisy_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(t)
     )
     return d.select("doc_id", text.alias("text"))
+
+
+# Multi-line corpus with planted cross-document boilerplate: every doc
+# becomes 3 newline-separated lines — a unique head (the original
+# text), a middle that is shared boilerplate for doc_id % 3 == 0, and
+# a tail that is shared boilerplate for doc_id % 2 == 0 — so a C4-style
+# line-level dedup has real work with an exact oracle.
+BOILER_A = "subscribe to our newsletter for daily updates"
+BOILER_B = "all rights reserved contact us for licensing"
+LINES_CORPUS_SQL = (
+    "SELECT doc_id, text || chr(10) || "
+    f"CASE WHEN doc_id % 3 = 0 THEN '{BOILER_A}' "
+    "ELSE 'middle section ' || CAST(doc_id AS VARCHAR) END || chr(10) || "
+    f"CASE WHEN doc_id % 2 = 0 THEN '{BOILER_B}' "
+    "ELSE 'closing note ' || CAST(doc_id AS VARCHAR) END AS text "
+    "FROM documents"
+)
+
+
+def lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    mid = F.when(did % 3 == 0, F.lit(BOILER_A)).otherwise(
+        F.concat(F.lit("middle section "), did.cast("string"))
+    )
+    tail = F.when(did % 2 == 0, F.lit(BOILER_B)).otherwise(
+        F.concat(F.lit("closing note "), did.cast("string"))
+    )
+    text = F.concat(
+        F.col("text"), F.lit("\n"), mid, F.lit("\n"), tail
+    )
+    return d.select("doc_id", text.alias("text"))

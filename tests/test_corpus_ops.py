@@ -501,3 +501,22 @@ def test_dq_predicate_null_counts_as_violation(spark):
     # -2.0 violates; NULL is unevaluable → counted as a violation
     assert out.n_rows == 3
     assert out.n_bad == 2
+
+
+def test_line_scrub_drops_cross_doc_boilerplate_preserves_order(spark):
+    import hashlib
+
+    docs = [(i, f"unique head {i}\nBOILER\nunique tail {i}") for i in range(12)]
+    docs.append((99, "solo head\nsolo mid\nsolo tail"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.line_scrub(df, min_docs=10).collect()}
+    # BOILER appears in 12 docs → dropped everywhere; unique lines kept
+    assert out[0].n_kept == 2
+    assert out[0].clean_md5 == hashlib.md5(
+        b"unique head 0\nunique tail 0"
+    ).hexdigest()
+    # below-threshold doc untouched, order preserved
+    assert out[99].n_kept == 3
+    assert out[99].clean_md5 == hashlib.md5(
+        b"solo head\nsolo mid\nsolo tail"
+    ).hexdigest()
