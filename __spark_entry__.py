@@ -599,6 +599,21 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_neardup_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the n-gram near-dup graph over the
+    planted-dup corpus (zero-degree docs included) — the structural
+    health check of a dedup run."""
+    corpus = testdata.dedup_corpus(spark, sf_dir)
+    return dedup_ops.neardup_degree_dist(corpus)
+
+
+def q_period_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best period + analytic M-trials false-alarm probability
+    (Scargle 1982) — pure projection over the periodogram argmax."""
+    obs = testdata.observations(spark, sf_dir)
+    return periodogram.period_significance(spark, obs)
+
+
 def q_line_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line-level boilerplate removal over the planted
     multi-line corpus: cross-doc repeated lines dropped, per-doc line
@@ -1551,6 +1566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pretraining_corpus": q_pretraining_corpus,
         "churned_customers": q_churned_customers,
         "line_scrub": q_line_scrub,
+        "neardup_degrees": q_neardup_degrees,
+        "period_significance": q_period_significance,
         # --- tail: no_oracle by design (Lloyd-trained IVF cells) ---
         "embedding_ivf_topk": q_embedding_ivf_topk,
     }
@@ -1862,6 +1879,10 @@ FROM obs o ASOF LEFT JOIN calib c
         ),
         "churned_customers": wh_ops.churned_customers_sql(),
         "line_scrub": text_ops.line_scrub_sql(testdata.LINES_CORPUS_SQL),
+        "neardup_degrees": dedup_ops.neardup_degree_dist_sql(
+            testdata.DEDUP_CORPUS_SQL
+        ),
+        "period_significance": periodogram.period_significance_sql(_OBS),
         "dq_audit": f"""
 WITH ref1 AS (
   SELECT 'orders_orphan_custkey' AS check_name,

@@ -338,6 +338,46 @@ FROM ranked WHERE rk = 1
 """
 
 
+def period_significance(
+    spark: SparkSession,
+    obs: DataFrame,
+    freqs: list[float] | None = None,
+    t_col: str = "t",
+    mag_col: str = "mag",
+    id_col: str = "star_id",
+) -> DataFrame:
+    """Best period + analytic false-alarm probability: the classic
+    M-independent-trials estimate FAP = 1 − (1 − e^{−P})^M with M =
+    grid size (Scargle 1982 §IV; conservative for a correlated grid —
+    the standard first-pass significance screen before any expensive
+    bootstrap). Pure projection on top of :func:`best_period`, so the
+    plan is unchanged."""
+    freqs = freqs if freqs is not None else frequency_grid()
+    bp = best_period(spark, obs, freqs, t_col, mag_col, id_col)
+    m = float(len(freqs))
+    fap = 1.0 - F.pow(1.0 - F.exp(-F.col("power")), F.lit(m))
+    return bp.select(
+        id_col,
+        "best_freq",
+        "best_period",
+        "power",
+        F.round(fap, 6).alias("fap"),
+    )
+
+
+def period_significance_sql(
+    obs_sql: str, freqs: list[float] | None = None
+) -> str:
+    freqs = freqs if freqs is not None else frequency_grid()
+    m = repr(float(len(freqs)))
+    return f"""
+WITH bp AS ({best_period_sql(obs_sql, freqs)})
+SELECT star_id, best_freq, best_period, power,
+       round(1.0 - pow(1.0 - exp(-power), {m}), 6) AS fap
+FROM bp
+"""
+
+
 def pdm_theta_sql(
     obs_sql: str,
     freqs: list[float] | None = None,

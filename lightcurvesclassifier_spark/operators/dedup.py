@@ -813,3 +813,50 @@ SELECT doc_id, cluster_id, cluster_size,
        ) = 1 AS keep
 FROM sized
 """
+
+
+def neardup_degree_dist(
+    df: DataFrame, n: int = SHINGLE_N, threshold: float = 0.6,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Degree distribution of the near-duplicate graph — the structural
+    health check of a dedup run (a heavy-tailed degree histogram means
+    template families / boilerplate clusters; all-zeros means the
+    threshold is too tight). Zero-degree documents are included so the
+    histogram covers the whole corpus.
+
+    Cost = the pairs join itself; the two extra aggregates are keyed by
+    doc then by degree (≤ max-degree distinct groups)."""
+    pairs = ngram_jaccard_pairs(df, n, threshold, text_col, id_col)
+    ends = pairs.select(F.col("id_a").alias(id_col)).unionAll(
+        pairs.select(F.col("id_b").alias(id_col))
+    )
+    deg = ends.groupBy(id_col).agg(F.count(F.lit(1)).alias("degree"))
+    all_deg = (
+        df.select(id_col)
+        .join(deg, id_col, "left")
+        .select(F.coalesce("degree", F.lit(0)).cast("long").alias("degree"))
+    )
+    return all_deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def neardup_degree_dist_sql(
+    corpus_sql: str, n: int = SHINGLE_N, threshold: float = 0.6
+) -> str:
+    """DuckDB mirror of :func:`neardup_degree_dist`."""
+    return f"""
+WITH corpus_all AS ({corpus_sql}),
+pairs AS ({ngram_jaccard_sql(corpus_sql, n, threshold)}),
+ends AS (
+  SELECT id_a AS doc_id FROM pairs
+  UNION ALL SELECT id_b AS doc_id FROM pairs
+),
+deg AS (SELECT doc_id, count(*) AS degree FROM ends GROUP BY doc_id),
+all_deg AS (
+  SELECT CAST(coalesce(d.degree, 0) AS BIGINT) AS degree
+  FROM corpus_all c LEFT JOIN deg d USING (doc_id)
+)
+SELECT degree, count(*) AS n_docs FROM all_deg GROUP BY degree
+"""

@@ -605,3 +605,23 @@ def test_pretraining_pipeline_composed_stages(spark):
     assert 4 not in kept                      # decontaminated
     assert 5 in kept
     assert kept[1].n_tokens == 10
+
+
+def test_neardup_degree_dist_planted_graph(spark):
+    """Three exact copies form a triangle (degree 2 each); a pair forms
+    an edge (degree 1 each); a loner is degree 0 — and the histogram
+    covers the whole corpus."""
+    from lightcurvesclassifier_spark.operators.dedup import (
+        neardup_degree_dist,
+    )
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    t2 = "one two three four five six seven eight nine"
+    docs = [(1, t1), (2, t1), (3, t1), (4, t2), (5, t2),
+            (6, "lonely words that match nothing else at all here")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.degree: r.n_docs
+        for r in neardup_degree_dist(df, threshold=0.9).collect()
+    }
+    assert out == {2: 3, 1: 2, 0: 1}

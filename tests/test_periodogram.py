@@ -157,3 +157,17 @@ def test_phase_curve_recovers_sinusoid_shape(spark):
     assert pc.std_mag.max() < 0.1  # coherent fold: tight bins
     smeared = D.phase_curve(obs, badp).toPandas()
     assert smeared.std_mag.mean() > 0.3  # wrong period: bins span the cycle
+
+
+def test_period_significance_separates_signal_from_noise(spark):
+    """A strong planted signal gets FAP ~ 0; pure noise gets FAP ~ 1
+    (the M-trials analytic screen)."""
+    rng = np.random.default_rng(43)
+    rows = _planted(1, 2.5, rng, n=400)
+    t = np.sort(rng.uniform(0.0, 40.0, 400))
+    rows += [(2, float(ti), float(12 + rng.normal(0, 0.3))) for ti in t]
+    obs = spark.createDataFrame(rows, "star_id long, t double, mag double")
+    out = periodogram.period_significance(spark, obs).toPandas()
+    fap = out.set_index("star_id").fap
+    assert fap[1] < 1e-6
+    assert fap[2] > 0.5
