@@ -50,7 +50,11 @@ from lightcurvesclassifier_spark.functions import curve_udfs
 from lightcurvesclassifier_spark.functions import periodogram
 from lightcurvesclassifier_spark.functions import descriptors as descr
 from lightcurvesclassifier_spark.operators import multimodal as mm_ops
-from lightcurvesclassifier_spark.ml.stars_filter import combine_probabilities, lda_pipeline_sql
+from lightcurvesclassifier_spark.ml.stars_filter import (
+    combine_probabilities,
+    lda_pipeline_sql,
+    lda_holdout_sql,
+)
 from lightcurvesclassifier_spark.ml.curve_pca import curve_pca3_oracle_sql
 from lightcurvesclassifier_spark.operators import asof as asof_ops
 from lightcurvesclassifier_spark.operators import corpus as corpus_ops
@@ -597,6 +601,52 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def q_lda_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the LDA filter: fit on the ~70% md5-split
+    train fold, score the ~30% test fold, report confusion counts +
+    accuracy — the model-evaluation loop a make_filter user runs before
+    trusting a filter (ml/params_estim.py is the tuning analog)."""
+    from lightcurvesclassifier_spark.ml.deciders import GaussianDecider
+
+    obs = testdata.observations(spark, sf_dir)
+    feats = _round6(
+        curve_features(obs),
+        "mean_mag", "std_mag", "timespan", "curve_density", "abbe",
+    )
+    cols = ["mean_mag", "std_mag", "abbe"]
+    is_test = F.substring(
+        F.md5(F.col("star_id").cast("string")), 1, 8
+    ) < "4ccccccc"
+    labeled = feats.na.drop(subset=cols).withColumn(
+        "lbl", F.when(F.col("abbe") < 0.9, 1).otherwise(0)
+    ).withColumn("is_test", is_test)
+    train = labeled.filter(~F.col("is_test"))
+    test = labeled.filter(F.col("is_test"))
+    dec = GaussianDecider("lda").learn(
+        train.filter(F.col("lbl") == 1), train.filter(F.col("lbl") == 0),
+        cols,
+    )
+    scored = dec.evaluate(test, cols, out_col="prob")
+    pred = F.when(F.round("prob", 2) >= 0.5, 1).otherwise(0)
+    lbl = F.col("lbl")
+    return scored.select(pred.alias("pred"), lbl).agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(F.when((F.col("pred") == 1) & (lbl == 1), 1).otherwise(0))
+        .cast("long").alias("tp"),
+        F.sum(F.when((F.col("pred") == 1) & (lbl == 0), 1).otherwise(0))
+        .cast("long").alias("fp"),
+        F.sum(F.when((F.col("pred") == 0) & (lbl == 0), 1).otherwise(0))
+        .cast("long").alias("tn"),
+        F.sum(F.when((F.col("pred") == 0) & (lbl == 1), 1).otherwise(0))
+        .cast("long").alias("fn"),
+        F.round(
+            F.sum(F.when(F.col("pred") == lbl, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
+    )
 
 
 def q_neardup_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1568,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_scrub": q_line_scrub,
         "neardup_degrees": q_neardup_degrees,
         "period_significance": q_period_significance,
+        "lda_holdout": q_lda_holdout,
         # --- tail: no_oracle by design (Lloyd-trained IVF cells) ---
         "embedding_ivf_topk": q_embedding_ivf_topk,
     }
@@ -1883,6 +1934,7 @@ FROM obs o ASOF LEFT JOIN calib c
             testdata.DEDUP_CORPUS_SQL
         ),
         "period_significance": periodogram.period_significance_sql(_OBS),
+        "lda_holdout": lda_holdout_sql(_CURVE_FEATURES_SQL),
         "dq_audit": f"""
 WITH ref1 AS (
   SELECT 'orders_orphan_custkey' AS check_name,

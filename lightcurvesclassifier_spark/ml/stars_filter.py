@@ -270,3 +270,103 @@ prob AS (
 )
 SELECT star_id, prob FROM prob WHERE prob >= {threshold!r}
 """
+
+
+def lda_holdout_sql(feats_sql: str, split_pred: str = "abbe < 0.9",
+                    test_hex: str = "4ccccccc", reg: float = 1e-6,
+                    threshold: float = 0.5) -> str:
+    """DuckDB oracle for the held-out evaluation of the closed-form LDA
+    pipeline: fit on the ~70% md5-split train fold, score the ~30% test
+    fold, report confusion counts + accuracy. Same fit CTEs as
+    :func:`lda_pipeline_sql` restricted to the train fold; the md5
+    split is the engine-portable ``sample_fraction`` rule."""
+    return f"""
+WITH feats AS ({feats_sql}),
+labeled AS (
+  SELECT star_id, mean_mag AS f1, std_mag AS f2, abbe AS f3,
+         CASE WHEN {split_pred} THEN 1 ELSE 0 END AS lbl,
+         substring(md5(CAST(star_id AS VARCHAR)), 1, 8) < '{test_hex}'
+           AS is_test
+  FROM feats
+  WHERE mean_mag IS NOT NULL AND std_mag IS NOT NULL AND abbe IS NOT NULL
+),
+cls AS (SELECT * FROM labeled WHERE NOT is_test),
+tst AS (SELECT * FROM labeled WHERE is_test),
+mstats AS (
+  SELECT lbl, count(*) AS n, avg(f1) AS m1, avg(f2) AS m2, avg(f3) AS m3
+  FROM cls GROUP BY lbl
+),
+scat AS (
+  SELECT c.lbl,
+         sum((f1 - m1) * (f1 - m1)) AS s11,
+         sum((f1 - m1) * (f2 - m2)) AS s12,
+         sum((f1 - m1) * (f3 - m3)) AS s13,
+         sum((f2 - m2) * (f2 - m2)) AS s22,
+         sum((f2 - m2) * (f3 - m3)) AS s23,
+         sum((f3 - m3) * (f3 - m3)) AS s33
+  FROM cls c JOIN mstats m USING (lbl) GROUP BY c.lbl
+),
+tot AS (SELECT sum(n) AS ntot FROM mstats),
+pooled AS (
+  SELECT sum(s11) / (ntot - 2) + {reg!r} AS p11,
+         sum(s12) / (ntot - 2) AS p12,
+         sum(s13) / (ntot - 2) AS p13,
+         sum(s22) / (ntot - 2) + {reg!r} AS p22,
+         sum(s23) / (ntot - 2) AS p23,
+         sum(s33) / (ntot - 2) + {reg!r} AS p33,
+         ntot
+  FROM scat, tot GROUP BY ntot
+),
+det AS (
+  SELECT *,
+         p11 * (p22 * p33 - p23 * p23)
+         - p12 * (p12 * p33 - p23 * p13)
+         + p13 * (p12 * p23 - p22 * p13) AS dt
+  FROM pooled
+),
+inv AS (
+  SELECT ntot, ln(dt) AS logdet,
+         (p22 * p33 - p23 * p23) / dt AS i11,
+         (p13 * p23 - p12 * p33) / dt AS i12,
+         (p12 * p23 - p13 * p22) / dt AS i13,
+         (p11 * p33 - p13 * p13) / dt AS i22,
+         (p12 * p13 - p11 * p23) / dt AS i23,
+         (p11 * p22 - p12 * p12) / dt AS i33
+  FROM det
+),
+cm AS (
+  SELECT m0.m1 AS a1, m0.m2 AS a2, m0.m3 AS a3, m0.n AS n0,
+         m1.m1 AS b1, m1.m2 AS b2, m1.m3 AS b3, m1.n AS n1
+  FROM mstats m0, mstats m1 WHERE m0.lbl = 0 AND m1.lbl = 1
+),
+scored AS (
+  SELECT c.star_id, c.lbl,
+         -0.5 * (((f1 - a1) * (f1 - a1) * i11 + (f2 - a2) * (f2 - a2) * i22
+                  + (f3 - a3) * (f3 - a3) * i33
+                  + 2 * ((f1 - a1) * (f2 - a2) * i12
+                         + (f1 - a1) * (f3 - a3) * i13
+                         + (f2 - a2) * (f3 - a3) * i23)) + logdet)
+         + ln(CAST(n0 AS DOUBLE) / ntot) AS ll0,
+         -0.5 * (((f1 - b1) * (f1 - b1) * i11 + (f2 - b2) * (f2 - b2) * i22
+                  + (f3 - b3) * (f3 - b3) * i33
+                  + 2 * ((f1 - b1) * (f2 - b2) * i12
+                         + (f1 - b1) * (f3 - b3) * i13
+                         + (f2 - b2) * (f3 - b3) * i23)) + logdet)
+         + ln(CAST(n1 AS DOUBLE) / ntot) AS ll1
+  FROM tst c, inv, cm
+),
+preds AS (
+  SELECT lbl,
+         CASE WHEN round(1.0 / (1.0 + exp(ll0 - ll1)), 2) >= {threshold!r}
+              THEN 1 ELSE 0 END AS pred
+  FROM scored
+)
+SELECT count(*) AS n_test,
+       CAST(sum(CASE WHEN pred = 1 AND lbl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN pred = 1 AND lbl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(sum(CASE WHEN pred = 0 AND lbl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       CAST(sum(CASE WHEN pred = 0 AND lbl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       round(CAST(sum(CASE WHEN pred = lbl THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS accuracy
+FROM preds
+"""

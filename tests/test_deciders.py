@@ -319,3 +319,17 @@ def test_statistics_degenerate_sample_none_rates(spark, populations):
     assert stats["true_positive_rate"] is not None
     roc = filt.roc(searched, empty, n_thresholds=3)
     assert all(fpr is None and tpr is not None for _, fpr, tpr in roc)
+
+
+def test_lda_holdout_deterministic_and_consistent(spark):
+    """The held-out evaluation query is deterministic across runs and
+    its confusion cells partition the test fold."""
+    import __spark_entry__ as em
+    from tests.conftest import SF_SMOKE
+
+    a = em.queries()["lda_holdout"](spark, SF_SMOKE).collect()[0]
+    b = em.queries()["lda_holdout"](spark, SF_SMOKE).collect()[0]
+    assert a == b
+    assert a.tp + a.fp + a.tn + a.fn == a.n_test
+    assert 0.0 <= a.accuracy <= 1.0
+    assert a.n_test > 0
