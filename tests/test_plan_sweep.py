@@ -28,6 +28,7 @@ ARROW_OK = {
     "comp_variogram_shape",
     "comp_curves_shape",
     "stars_filter_pipeline",
+    "lda_holdout",  # Gaussian-decider pandas-UDF scoring + 1-row final
     "ekvi_paa_exact",
     "variogram_slope",
     "embedding_topk",
