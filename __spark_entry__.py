@@ -603,6 +603,15 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly promo-class revenue share — fact ⋈
+    broadcast part dim, conditional exact-cents sums, one division."""
+    return wh_ops.promo_revenue_share(
+        testdata.load_table(spark, sf_dir, "lineitem"),
+        testdata.load_table(spark, sf_dir, "part"),
+    )
+
+
 def q_lda_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out evaluation of the LDA filter: fit on the ~70% md5-split
     train fold, score the ~30% test fold, report confusion counts +
@@ -1619,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_degrees": q_neardup_degrees,
         "period_significance": q_period_significance,
         "lda_holdout": q_lda_holdout,
+        "promo_revenue": q_promo_revenue,
         # --- tail: no_oracle by design (Lloyd-trained IVF cells) ---
         "embedding_ivf_topk": q_embedding_ivf_topk,
     }
@@ -1935,6 +1945,7 @@ FROM obs o ASOF LEFT JOIN calib c
         ),
         "period_significance": periodogram.period_significance_sql(_OBS),
         "lda_holdout": lda_holdout_sql(_CURVE_FEATURES_SQL),
+        "promo_revenue": wh_ops.promo_revenue_share_sql(),
         "dq_audit": f"""
 WITH ref1 AS (
   SELECT 'orders_orphan_custkey' AS check_name,

@@ -416,3 +416,51 @@ SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = {y1}
 EXCEPT
 SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = {y2}
 """
+
+
+def promo_revenue_share(li: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape: monthly share of revenue from promo-class parts
+    — fact ⋈ broadcast part dimension, conditional sum over exact
+    BIGINT cents, share as one division of the two exact sums."""
+    p = part.select("p_partkey", "p_type")
+    rev = _cents(F.col("l_extendedprice") * (1.0 - F.col("l_discount")))
+    ym = (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).alias("ym")
+    j = li.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    ).select(ym, F.col("p_type"), rev.alias("_c"))
+    agg = j.groupBy("ym").agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("promo_cents"),
+        F.sum("_c").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    share = 100.0 * F.col("promo_cents") / F.col("total_cents")
+    return agg.select(
+        "ym",
+        "promo_cents",
+        "total_cents",
+        "n_items",
+        F.round(share, 6).alias("promo_share_pct"),
+    )
+
+
+def promo_revenue_share_sql() -> str:
+    return """
+WITH j AS (
+  SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS INTEGER)
+           AS ym,
+         p_type,
+         CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+              AS BIGINT) AS _c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT ym,
+       CAST(sum(CASE WHEN p_type = 'PROMO' THEN _c ELSE 0 END) AS BIGINT)
+         AS promo_cents,
+       CAST(sum(_c) AS BIGINT) AS total_cents,
+       count(*) AS n_items,
+       round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN _c ELSE 0 END)
+             / sum(_c), 6) AS promo_share_pct
+FROM j GROUP BY ym
+"""

@@ -226,3 +226,23 @@ def test_churned_customers_except_distinct(spark):
     ).withColumn("o_orderdate", em.F.col("d").cast("timestamp"))
     got = [r.custkey for r in warehouse.churned_customers(orders).collect()]
     assert got == [1]
+
+
+def test_promo_revenue_share_fixture(spark):
+    li = spark.createDataFrame(
+        [(1, 100.0, 0.0, "1996-01-05"), (2, 300.0, 0.0, "1996-01-20"),
+         (1, 50.0, 0.0, "1996-02-01")],
+        "l_partkey long, l_extendedprice double, l_discount double, d string",
+    ).withColumn("l_shipdate", em.F.col("d").cast("timestamp"))
+    part = spark.createDataFrame(
+        [(1, "PROMO"), (2, "ECONOMY")], "p_partkey long, p_type string"
+    )
+    out = {
+        r.ym: r
+        for r in warehouse.promo_revenue_share(li, part).collect()
+    }
+    jan = 1996 * 12 + 0
+    assert out[jan].promo_cents == 10000
+    assert out[jan].total_cents == 40000
+    assert out[jan].promo_share_pct == 25.0
+    assert out[jan + 1].promo_share_pct == 100.0
