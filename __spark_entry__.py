@@ -1453,156 +1453,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       with an exact-recall baseline test in tests/.
     """
     return {
-        # --- 1-50: oracled, driver-checked window ---
-        "curve_stats": q_curve_stats,
-        "abbe_value": q_abbe_value,
-        "abbe_filter": q_abbe_filter,
-        "systematic_search": q_systematic_search,
-        # hll_registers / hll_distinct take the window slots of
-        # custom_decider / plan_anti_join (driver-green r02+r03, pinned
-        # locally, now in the 51+ section) — first driver rows for the
-        # deterministic-HLL sketch family
-        "hll_registers": q_hll_registers,
-        "hll_distinct": q_hll_distinct,
-        "cone_search": q_cone_search,
-        # sky_zorder takes the window slot of crossmatch (driver-green
-        # r02+r03, pinned locally, now in the 51+ section beside
-        # crossmatch_full; cone_search keeps the sky-join family's
-        # recovery check in the window)
-        "sky_zorder": q_sky_zorder,
-        # event_sessions / obs_downsample take the window slots of
-        # cone_nearest / crossmatch_full (driver-green r02+r03, pinned
-        # locally, now in the 51+ section)
-        "event_sessions": q_event_sessions,
-        "obs_downsample": q_obs_downsample,
-        "comp_curves_noslide": q_comp_curves_noslide,
-        "comp_hist_shape": q_comp_hist_shape,
-        "comp_variogram_shape": q_comp_variogram_shape,
-        "stars_filter_pipeline": q_stars_filter_pipeline,
-        # bloom_bits / bloom_probe take the window slots of roc_sweep /
-        # embedding_topk (driver-green r02+r03, pinned locally, now in
-        # the 51+ section) — first driver rows for the Bloom family
-        "bloom_bits": q_bloom_bits,
-        "bloom_probe": q_bloom_probe,
-        # first driver rows for the r4 additions; ensemble_combine /
-        # best_coords / confusion_stats (driver-green r02+r03, pinned by
-        # test_oracle_parity) rotated to the 51+ section to make room
-        "doc_chunks": q_doc_chunks,
-        "unigram_logprob": q_unigram_logprob,
-        "repeated_spans": q_repeated_spans,
-        "curve_descr": q_curve_descr,
-        "curve_descr_height": q_curve_descr_height,
-        # bigram_counts takes the window slot of table_profile
-        # (driver-green r02+r03, pinned locally, now in the 51+ section)
-        "bigram_counts": q_bigram_counts,
-        "asof_calibration": q_asof_calibration,
-        "periodogram": q_periodogram,
-        "period_search": q_period_search,
-        "phase_fold": q_phase_fold,
-        "ekvi_paa": q_ekvi_paa,
-        "ekvi_paa_exact": q_ekvi_paa_exact,
-        "variogram_slope": q_variogram_slope,
-        # score_quantiles takes the window slot of multimodal_features
-        # (driver-green r03, pinned locally, now in the 51+ section)
-        "score_quantiles": q_score_quantiles,
-        "mag_histogram": q_mag_histogram,
-        # first driver value-checks for the newly-oracled deterministic
-        # MinHash/SimHash (r4); lang_id and text_features (driver-green
-        # r03, pinned locally) rotated to the 51+ section to make room
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        # first driver value-check for the newly-oracled sliding SAX
-        # (r4); doc_fingerprint (driver-green r03, pinned locally)
-        # rotated to the 51+ section to make room
-        "comp_curves_shape": q_comp_curves_shape,
-        # token_budget_sample takes the window slot of text_bpe_tokens
-        # (driver-green r03, pinned locally, now in the 51+ section)
-        "token_budget_sample": q_token_budget_sample,
-        # quality_buckets takes the window slot of doc_rolling_fingerprint
-        # (driver-green r03, pinned locally, now in the 51+ section)
-        "quality_buckets": q_quality_buckets,
-        # first driver value-checks for the four r4-session-2 operators
-        # (normalize/shuffle/temperature/quantize); dedup_exact,
-        # dedup_ngram, decontamination, and pii_redact (driver-green
-        # r03, pinned locally) rotated to the 51+ section to make room
-        "normalize_text": q_normalize_text,
-        "shuffle_shards": q_shuffle_shards,
-        "temperature_sample": q_temperature_sample,
-        "quantize_embeddings": q_quantize_embeddings,
-        # weighted_sample takes the window slot of dedup_clusters
-        # (driver-green r02+r03, pinned locally, now in the 51+
-        # section; embedding_dedup_clusters keeps the CC family
-        # represented in the window)
-        "weighted_sample": q_weighted_sample,
-        # corpus_diff takes the window slot of embedding_neardup
-        # (driver-green r03+r04-local, pinned; the cell-blocked GEMM
-        # family stays represented via embedding_dedup_clusters)
-        "corpus_diff": q_corpus_diff,
-        # dedup_canonical takes the window slot of repetition_features
-        # (driver-green r03, pinned locally, now in the 51+ section)
-        "dedup_canonical": q_dedup_canonical,
-        "detrend": q_detrend,
-        # cms_counters / cms_point_est take the window slots of
-        # mixture_sample / stratified_sample (driver-green r03, pinned
-        # locally, now in the 51+ section; token_budget_sample keeps the
-        # md5-threshold sampling family represented in the window)
-        "cms_counters": q_cms_counters,
-        "cms_point_est": q_cms_point_est,
-        # embedding_ivf_flat_topk takes the window slot of
-        # tfidf_top_terms (driver-green r03, pinned locally, now in the
-        # 51+ section) — first driver row for the oracled IVF path
-        "embedding_ivf_flat_topk": q_embedding_ivf_flat_topk,
-        "sequence_packing": q_sequence_packing,
-        "embedding_dedup_clusters": q_embedding_dedup_clusters,
-        # first driver row for the newly-oracled PCA path (r4); query_dsl
-        # (driver-green r02+r03, pinned locally) rotated out to make room
-        "curve_descr_pca": q_curve_descr_pca,
-        # --- 51+: oracled, driver-green in earlier rounds, local parity ---
-        "custom_decider": q_custom_decider,
-        "plan_anti_join": q_plan_anti_join,
-        "mixture_sample": q_mixture_sample,
-        "stratified_sample": q_stratified_sample,
-        "roc_sweep": q_roc_sweep,
-        "embedding_topk": q_embedding_topk,
+        # --- 1-50: oracled, driver-checked window.  r5 rotation: all 32
+        # never-driver-checked queries (the r4-continuation additions:
+        # warehouse/profile/astro/pipeline tails) plus the 18 stalest
+        # previously-checked entries (last driver-green r1/r2, or r3 with
+        # a single check).  Everything rotated out stays value-exact
+        # locally via tests/test_oracle_parity.py (atol=0). ---
         "bloom_probe_fast": q_bloom_probe_fast,
-        "multimodal_features": q_multimodal_features,
-        "dedup_clusters": q_dedup_clusters,
-        "embedding_neardup": q_embedding_neardup,
         "lang_quantiles": q_lang_quantiles,
         "fuzzy_match": q_fuzzy_match,
         "string_profile": q_string_profile,
-        "cone_nearest": q_cone_nearest,
-        "crossmatch": q_crossmatch,
-        "crossmatch_full": q_crossmatch_full,
-        "table_profile": q_table_profile,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "ensemble_combine": q_ensemble_combine,
-        "best_coords": q_best_coords,
-        "confusion_stats": q_confusion_stats,
-        "query_dsl": q_query_dsl,
-        "curve_stats_band": q_curve_stats_band,
-        "skew_kurtosis": q_skew_kurtosis,
-        "color_index": q_color_index,
-        "property_descr": q_property_descr,
-        "position_descr": q_position_descr,
-        "obs_meta_json": q_obs_meta_json,
-        "sample_head": q_sample_head,
-        "sample_fraction": q_sample_fraction,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frames": q_multimodal_frames,
-        "lang_id": q_lang_id,
-        "text_features": q_text_features,
-        "embedding_lsh_topk": q_embedding_lsh_topk,
         "length_buckets": q_length_buckets,
         "domain_stats": q_domain_stats,
-        "doc_fingerprint": q_doc_fingerprint,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram": q_dedup_ngram,
-        "decontamination": q_decontamination,
-        "pii_redact": q_pii_redact,
-        "repetition_features": q_repetition_features,
-        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
-        "text_bpe_tokens": q_text_bpe_tokens,
         "period_pdm": q_period_pdm,
         "stetson_variability": q_stetson_variability,
         "embedding_profile": q_embedding_profile,
@@ -1629,6 +1491,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "period_significance": q_period_significance,
         "lda_holdout": q_lda_holdout,
         "promo_revenue": q_promo_revenue,
+        "embedding_lsh_topk": q_embedding_lsh_topk,
+        "curve_stats_band": q_curve_stats_band,
+        "skew_kurtosis": q_skew_kurtosis,
+        "color_index": q_color_index,
+        "property_descr": q_property_descr,
+        "position_descr": q_position_descr,
+        "obs_meta_json": q_obs_meta_json,
+        "sample_head": q_sample_head,
+        "sample_fraction": q_sample_fraction,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
+        "mixture_sample": q_mixture_sample,
+        "stratified_sample": q_stratified_sample,
+        "dedup_clusters": q_dedup_clusters,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "decontamination": q_decontamination,
+        "pii_redact": q_pii_redact,
+        "repetition_features": q_repetition_features,
+        # --- 51+: oracled, driver-green in earlier rounds, local parity ---
+        "curve_stats": q_curve_stats,
+        "abbe_value": q_abbe_value,
+        "abbe_filter": q_abbe_filter,
+        "systematic_search": q_systematic_search,
+        "hll_registers": q_hll_registers,
+        "hll_distinct": q_hll_distinct,
+        "cone_search": q_cone_search,
+        "sky_zorder": q_sky_zorder,
+        "event_sessions": q_event_sessions,
+        "obs_downsample": q_obs_downsample,
+        "comp_curves_noslide": q_comp_curves_noslide,
+        "comp_hist_shape": q_comp_hist_shape,
+        "comp_variogram_shape": q_comp_variogram_shape,
+        "stars_filter_pipeline": q_stars_filter_pipeline,
+        "bloom_bits": q_bloom_bits,
+        "bloom_probe": q_bloom_probe,
+        "doc_chunks": q_doc_chunks,
+        "unigram_logprob": q_unigram_logprob,
+        "repeated_spans": q_repeated_spans,
+        "curve_descr": q_curve_descr,
+        "curve_descr_height": q_curve_descr_height,
+        "bigram_counts": q_bigram_counts,
+        "asof_calibration": q_asof_calibration,
+        "periodogram": q_periodogram,
+        "period_search": q_period_search,
+        "phase_fold": q_phase_fold,
+        "ekvi_paa": q_ekvi_paa,
+        "ekvi_paa_exact": q_ekvi_paa_exact,
+        "variogram_slope": q_variogram_slope,
+        "score_quantiles": q_score_quantiles,
+        "mag_histogram": q_mag_histogram,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "comp_curves_shape": q_comp_curves_shape,
+        "token_budget_sample": q_token_budget_sample,
+        "quality_buckets": q_quality_buckets,
+        "normalize_text": q_normalize_text,
+        "shuffle_shards": q_shuffle_shards,
+        "temperature_sample": q_temperature_sample,
+        "quantize_embeddings": q_quantize_embeddings,
+        "weighted_sample": q_weighted_sample,
+        "corpus_diff": q_corpus_diff,
+        "dedup_canonical": q_dedup_canonical,
+        "detrend": q_detrend,
+        "cms_counters": q_cms_counters,
+        "cms_point_est": q_cms_point_est,
+        "embedding_ivf_flat_topk": q_embedding_ivf_flat_topk,
+        "sequence_packing": q_sequence_packing,
+        "embedding_dedup_clusters": q_embedding_dedup_clusters,
+        "curve_descr_pca": q_curve_descr_pca,
+        "custom_decider": q_custom_decider,
+        "plan_anti_join": q_plan_anti_join,
+        "roc_sweep": q_roc_sweep,
+        "embedding_topk": q_embedding_topk,
+        "multimodal_features": q_multimodal_features,
+        "embedding_neardup": q_embedding_neardup,
+        "cone_nearest": q_cone_nearest,
+        "crossmatch": q_crossmatch,
+        "crossmatch_full": q_crossmatch_full,
+        "table_profile": q_table_profile,
+        "ensemble_combine": q_ensemble_combine,
+        "best_coords": q_best_coords,
+        "confusion_stats": q_confusion_stats,
+        "query_dsl": q_query_dsl,
+        "lang_id": q_lang_id,
+        "text_features": q_text_features,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram": q_dedup_ngram,
+        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
+        "text_bpe_tokens": q_text_bpe_tokens,
         # --- tail: no_oracle by design (Lloyd-trained IVF cells) ---
         "embedding_ivf_topk": q_embedding_ivf_topk,
     }
