@@ -1188,11 +1188,13 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: sample-trained coarse cells (seeded kmeans++ + Lloyd
-    on a bounded driver sample, the faiss training pattern) + probed
-    exact re-rank — the billion-scale inverted-file layout. Cell seeds →
-    rows-only; recall vs exact pinned in tests. n_probe=10/16 because
-    the synthetic embeddings are near-uniform, where a *balanced*
+    """IVF ANN: Lloyd-trained coarse cells (md5-ordered bounded sample,
+    fixed engine-exact iterations — the faiss training pattern) + probed
+    exact re-rank — the billion-scale inverted-file layout. FULLY
+    oracled since r5: the training itself is mirrored, unrolled, in
+    DuckDB (`ivf_topk_sql`), closing the last rows-only entry. Recall
+    vs exact additionally pinned in tests. n_probe=10/16 because the
+    synthetic embeddings are near-uniform, where a *balanced*
     quantizer's recall honestly tracks probed coverage (real embedding
     corpora cluster, shifting the tradeoff toward fewer probes)."""
     emb = testdata.load_table(spark, sf_dir, "embeddings")
@@ -1448,9 +1450,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     * 51+: full-oracle queries that were driver-green in earlier rounds
       and are covered every session by tests/test_oracle_parity.py
       (rotated out to make window room; still fully oracled locally).
-    * tail: the single inherently model-dependent `no_oracle` entry
-      (embedding_ivf_topk — Lloyd-trained cells) — rows-only by design,
-      with an exact-recall baseline test in tests/.
+    Since r5 every entry (all 122) carries a full DuckDB oracle —
+    including the Lloyd-trained embedding_ivf_topk, whose training is
+    mirrored in SQL (engine-exact int-scaled means).
     """
     return {
         # --- 1-50: oracled, driver-checked window.  r5 rotation: all 32
@@ -1581,7 +1583,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram": q_dedup_ngram,
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
         "text_bpe_tokens": q_text_bpe_tokens,
-        # --- tail: no_oracle by design (Lloyd-trained IVF cells) ---
+        # Lloyd-trained IVF — fully oracled since r5 (the training is
+        # mirrored, unrolled, in ivf_topk_sql); was the last rows-only
+        # entry
         "embedding_ivf_topk": q_embedding_ivf_topk,
     }
 
@@ -2123,6 +2127,9 @@ FROM corpus GROUP BY md5(text)
         "obs_downsample": rollup_ops.downsample_sql(width_days=10.0),
         "embedding_ivf_flat_topk": sim_ops.ivf_flat_topk_sql(
             k=10, n_probe=10, query_pred="vec_id < 5"
+        ),
+        "embedding_ivf_topk": sim_ops.ivf_topk_sql(
+            k=10, n_probe=10, dim=64, query_pred="vec_id < 5"
         ),
         "stratified_sample": corpus_ops.stratified_sample_sql(
             "SELECT doc_id, lang FROM documents",

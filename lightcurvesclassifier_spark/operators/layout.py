@@ -56,8 +56,9 @@ def write_ivf_layout(
     n_lists: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    seed: int = 42,
-) -> "np.ndarray":
+    n_iter: int | None = None,
+    train_size: int | None = None,
+) -> list[tuple[int, list[float]]]:
     """Persist an embedding corpus partitioned by IVF cell — the
     at-rest form of the inverted-file index: ``path/_cell=<c>/...``
     parquet, one directory per coarse-quantizer cell. A probed ANN
@@ -65,45 +66,43 @@ def write_ivf_layout(
     pruning, visible as PartitionFilters in the scan node) instead of
     filtering after a full scan — the difference between touching 100 TB
     and touching 6 TB per query batch at scale. Returns the centroid
-    matrix (persist it next to the data; it IS the index metadata)."""
-    from .similarity import _train_quantizer
+    rows ``[(cell_idx, [floats])]`` (JSON-serializable — persist them
+    next to the data; they ARE the index metadata).
 
-    centroids = _train_quantizer(corpus, vec_col, n_lists, seed, id_col=id_col)
-    b_cent = corpus.sparkSession.sparkContext.broadcast(centroids)
+    The write is map-only: cell assignment is an argmax over n_lists
+    centroid LITERALS (same rule as ``similarity.ivf_topk``), so the
+    corpus is scanned once with no shuffle before the partitioned
+    write. Zero-norm vectors are dropped (no direction → no cell)."""
+    from . import similarity as sim
 
-    def assign(batches):
-        import numpy as np
-        import pandas as pd
-
-        cent = b_cent.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            d2 = (
-                (mat * mat).sum(axis=1)[:, None]
-                - 2.0 * (mat @ cent.T)
-                + (cent * cent).sum(axis=1)[None, :]
-            )
-            pdf = pdf.copy()
-            pdf["_cell"] = d2.argmin(axis=1).astype("int32")
-            yield pdf
-
-    from pyspark.sql import types as T
-
-    schema = T.StructType(
-        list(corpus.schema.fields) + [T.StructField("_cell", T.IntegerType())]
+    kw = {}
+    if n_iter is not None:
+        kw["n_iter"] = n_iter
+    if train_size is not None:
+        kw["train_size"] = train_size
+    v = sim._vec_rows(corpus, id_col, vec_col)
+    cell_rows = sim.lloyd_cell_rows(v, n_cells=n_lists, id_col=id_col, **kw)
+    arr = F.col(vec_col).cast("array<double>")
+    encs = [
+        F.round(sim.cosine(arr, F.array(*[F.lit(x) for x in vec])), 6)
+        - F.lit(j * 1e-9)
+        for j, vec in cell_rows
+    ]
+    enc_arr = F.array(*encs)
+    assigned = corpus.filter(
+        F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x) > 0.0
+    ).withColumn(
+        "_cell",
+        (F.array_position(enc_arr, F.array_max(enc_arr)) - 1).cast("int"),
     )
-    assigned = corpus.mapInPandas(assign, schema=schema)
     assigned.write.mode("overwrite").partitionBy("_cell").parquet(path)
-    return centroids
+    return cell_rows
 
 
 def ivf_layout_topk(
     spark: SparkSession,
     path: str,
-    centroids: "np.ndarray",
+    centroids: list[tuple[int, list[float]]],
     queries: DataFrame,
     k: int = 10,
     n_probe: int = 4,
@@ -112,28 +111,36 @@ def ivf_layout_topk(
 ) -> DataFrame:
     """ANN top-k against an IVF-partitioned corpus: the probe-cell
     filter is a PARTITION filter, so unprobed cells' files are never
-    opened. Same probe/re-rank semantics as ``similarity.ivf_topk``."""
-    import numpy as np
+    opened. Probe ranking and re-rank use the same engine-side rounded
+    -cosine expressions as ``similarity.ivf_topk`` (never numpy — its
+    half-to-even rounding could flip a probe at the 1e-6 boundary), so
+    the result is bit-identical to the in-memory operator for the same
+    centroids."""
+    from .similarity import _topk_rank, _vec_rows, cosine
 
-    from .similarity import cosine
-
+    cells_df = spark.createDataFrame(
+        [(int(j), [float(x) for x in vec]) for j, vec in centroids],
+        "cell_idx int, _cell_v array<double>",
+    )
     from pyspark.sql import Window
 
-    q_pdf = queries.select(id_col, vec_col).toPandas()
-    q_ids = q_pdf[id_col].to_numpy()
-    q_mat = np.vstack(q_pdf[vec_col].to_numpy()).astype(np.float64)
-    q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
-    d2 = ((q_unit[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-    probe = np.argsort(d2, axis=1)[:, :n_probe]
-    probes = spark.createDataFrame(
-        [
-            (int(q_ids[i]), q_mat[i].tolist(), int(c))
-            for i in range(len(q_ids))
-            for c in probe[i]
-        ],
-        "query_id long, q_vec array<double>, _cell int",
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("_pcos").desc(), F.col("cell_idx")
     )
-    probed_cells = sorted({int(c) for row in probe for c in row})
+    probes = (
+        _vec_rows(queries, id_col, vec_col)
+        .select(F.col(id_col).alias("query_id"), F.col("_v").alias("_q"))
+        .crossJoin(F.broadcast(cells_df))
+        .withColumn("_pcos", F.round(cosine(F.col("_q"), F.col("_cell_v")), 6))
+        .withColumn("_pr", F.row_number().over(w_probe))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "_q", F.col("cell_idx").alias("_cell"))
+    )
+    # bounded driver collect: |queries|·n_probe cell ids, to drive the
+    # partition-pruning filter on the scan
+    probed_cells = sorted(
+        {int(r["_cell"]) for r in probes.select("_cell").distinct().collect()}
+    )
     corpus = spark.read.parquet(path).filter(F.col("_cell").isin(probed_cells))
     cand = corpus.join(F.broadcast(probes), "_cell").filter(
         F.col("query_id") != F.col(id_col)
@@ -142,14 +149,9 @@ def ivf_layout_topk(
     scored = cand.select(
         "query_id",
         id_col,
-        F.round(cosine(F.col("q_vec"), arr), 6).alias("cos"),
+        F.round(cosine(F.col("_q"), arr), 6).alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
-    return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
-        .select("query_id", id_col, "cos", F.col("_rk").alias("rank"))
-    )
+    return _topk_rank(scored, k, id_col)
 
 
 def salted_join(

@@ -461,64 +461,192 @@ def _neardup_salted_assignments(
     )
 
 
-def _train_quantizer(
-    corpus: DataFrame, vec_col: str, n_lists: int, seed: int,
-    train_size: int = 16384, max_iter: int = 8, id_col: str = "vec_id",
-) -> np.ndarray:
-    """faiss-style coarse-quantizer fit: Lloyd iterations on a bounded
-    corpus SAMPLE collected to the driver (IVF quantizers are trained on
-    samples at every scale — centroid quality only affects recall, and a
-    few thousand training points place n_lists centroids as well as a
-    full pass), then the centroids broadcast. Replaces a distributed
-    MLlib fit whose many tiny jobs dominated wall time at small k.
+IVF_TRAIN_SIZE = 16384
+IVF_LLOYD_ITERS = 2
 
-    The sample is the ``train_size`` smallest values of
-    ``xxhash64(id, seed)`` — a deterministic uniform pseudo-random
-    draw that Spark executes as TakeOrderedAndProject (map-side partial
-    top-k, no full sort), so the trained centroids are identical across
-    runs, partition layouts, and cluster sizes.  A bare ``limit()``
-    depended on scheduling order."""
-    sample = (
-        corpus.select(vec_col, F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"))
-        .orderBy("_h")
-        .limit(int(train_size))
-        .toPandas()[vec_col]
+
+def _vec_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, ``_v`` array<double>) with zero-norm rows dropped — the
+    shared IVF input prep (a zero vector has no direction; cosine
+    against it is 0/0, NaN in Spark but NULL in DuckDB)."""
+    v = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    x = np.vstack(sample.to_numpy()).astype(np.float64)
-    x = x / np.linalg.norm(x, axis=1, keepdims=True)
-    rng = np.random.default_rng(seed)
-    # kmeans++ seeding (random init costs several recall points).
-    # Incremental d2min: each draw updates the running min distance
-    # against ONLY the newest centroid — O(k·n·d) total and O(n·d)
-    # memory, vs the naive n×k×d broadcast temp (GBs at train_size=16k,
-    # d=768) rebuilt per draw.
-    k = min(n_lists, len(x))
-    cent_list = [x[rng.integers(len(x))]]
-    d2min = ((x - cent_list[0]) ** 2).sum(axis=1)
-    for _ in range(k - 1):
-        s = d2min.sum()
-        if s == 0.0:
-            # every sampled point coincides with a centroid (e.g. an
-            # all-identical corpus): further kmeans++ draws would divide
-            # by zero; any placement is equally good, so replicate.
-            cent_list.extend([cent_list[0]] * (k - len(cent_list)))
-            break
-        new = x[rng.choice(len(x), p=d2min / s)]
-        cent_list.append(new)
-        d2min = np.minimum(d2min, ((x - new) ** 2).sum(axis=1))
-    cent = np.asarray(cent_list)
-    for _ in range(max_iter):
-        assign = _assign_d2(x, cent).argmin(axis=1)
-        new = np.vstack(
-            [
-                x[assign == j].mean(axis=0) if (assign == j).any() else cent[j]
-                for j in range(len(cent))
-            ]
+    return v.filter(F.aggregate("_v", F.lit(0.0), lambda a, x: a + x * x) > 0.0)
+
+
+def lloyd_cell_rows(
+    v: DataFrame,
+    n_cells: int = 16,
+    n_iter: int = IVF_LLOYD_ITERS,
+    train_size: int = IVF_TRAIN_SIZE,
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """faiss-style coarse-quantizer fit, *engine-exact*: a fixed number
+    of Lloyd iterations over a bounded deterministic corpus sample,
+    every arithmetic step chosen so ANSI SQL reproduces the centroids
+    bit-for-bit (mirrored, unrolled, in :func:`ivf_topk_sql`):
+
+    - **sample** = the ``train_size`` rows with the smallest
+      ``(md5(id), id)`` — a uniform pseudo-random draw Spark executes
+      as TakeOrderedAndProject (map-side partial top-k, no full sort,
+      identical across partition layouts and engines). IVF quantizers
+      are trained on samples at every scale; centroid quality only
+      affects recall.
+    - **init** = the first ``n_cells`` sample rows in the same md5
+      order (the ivf_flat seed rule), L2-normalized.
+    - **unit vectors as scaled ints**: each sample vector's unit
+      components are rounded once to 1e-6 via ``floor(x/‖x‖·1e6+0.5)``
+      (row-local, engine-exact) and summed as BIGINTs — associative, so
+      the centroid mean is independent of aggregation order, the one
+      place cross-engine float parity normally breaks.
+    - **assignment** = argmax of ``round(cos, 6) − cell_idx·1e-9``
+      (row-local fold; the 1e-9 tie-break is far below the 1e-6
+      rounding quantum, so ties break toward the smaller cell exactly).
+    - **update** = ``round(sum_int/n/1e6, 6)`` computed IN the engine
+      (never in Python — Python's round is half-to-even, the engines'
+      is half-up); empty cells keep their previous centroid.
+
+    Runs ``n_iter`` iterations unconditionally (no convergence break:
+    once assignments are stable the update is an exact fixed point, so
+    extra iterations are no-ops — and a tolerance-based break would be
+    inexpressible in the SQL mirror). The per-iteration driver collect
+    is the n_cells×d centroid table — bounded index metadata, not data.
+    Replaces the round-2..4 numpy kmeans++ trainer (rng-seeded, driver
+    -side, unmirrorable); recall is pinned in tests either way.
+    """
+    spark = v.sparkSession
+    nrm = F.sqrt(F.aggregate("_v", F.lit(0.0), lambda a, x: a + x * x))
+    samp = (
+        v.withColumn("_h", F.md5(F.col(id_col).cast("string").cast("binary")))
+        .orderBy("_h", id_col)
+        .limit(int(train_size))
+        .withColumn("_nrm", nrm)
+        .withColumn(
+            "_iu",
+            F.transform(
+                "_v",
+                lambda x: F.floor(
+                    x / F.col("_nrm") * F.lit(1000000.0) + F.lit(0.5)
+                ),
+            ),
         )
-        if np.allclose(new, cent):
-            break
-        cent = new
-    return cent
+        .withColumn("_u", F.transform("_iu", lambda i: i / F.lit(1000000.0)))
+        .select(F.col(id_col).alias("_sid"), "_h", "_iu", "_u")
+        # bounded (≤ train_size rows): cache so the n_iter+1 jobs don't
+        # re-run the corpus-wide TakeOrdered draw each time
+        .persist()
+    )
+    try:
+        seed_rows = (
+            samp.orderBy("_h", "_sid").limit(int(n_cells)).collect()
+        )
+        seed_rows.sort(key=lambda r: (r["_h"], r["_sid"]))
+        cell_rows = [
+            (j, [float(x) for x in r["_u"]]) for j, r in enumerate(seed_rows)
+        ]
+        if not cell_rows:
+            return []
+        d = len(cell_rows[0][1])
+        for _ in range(int(n_iter)):
+            cells_df = spark.createDataFrame(
+                list(cell_rows), "cell_idx int, _cell_v array<double>"
+            )
+            enc = F.round(
+                cosine(F.col("_u"), F.col("_cell_v")), 6
+            ) - F.col("cell_idx") * F.lit(1e-9)
+            assigned = (
+                samp.crossJoin(F.broadcast(cells_df))
+                .groupBy("_sid")
+                .agg(
+                    F.max_by("cell_idx", enc).alias("cell_idx"),
+                    F.first("_iu").alias("_iu"),
+                )
+            )
+            upd = (
+                assigned.groupBy("cell_idx")
+                .agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    *[
+                        F.sum(F.element_at("_iu", i + 1)).alias(f"_s{i}")
+                        for i in range(d)
+                    ],
+                )
+                .select(
+                    "cell_idx",
+                    F.array(
+                        *[
+                            F.round(
+                                F.col(f"_s{i}").cast("double")
+                                / F.col("_n")
+                                / F.lit(1000000.0),
+                                6,
+                            )
+                            for i in range(d)
+                        ]
+                    ).alias("_cv"),
+                )
+                .collect()
+            )
+            got = {
+                int(r["cell_idx"]): [float(x) for x in r["_cv"]] for r in upd
+            }
+            cell_rows = [(j, got.get(j, old)) for j, old in cell_rows]
+        return cell_rows
+    finally:
+        samp.unpersist()
+
+
+def _ivf_probe_rerank(
+    v: DataFrame,
+    q: DataFrame,
+    cell_rows: list[tuple[int, list[float]]],
+    k: int,
+    n_probe: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared IVF tail given trained cells: map-only corpus assignment
+    (argmax over n_cells centroid LITERALS — the corpus never shuffles
+    before the broadcast probe join; the only exchange in the whole
+    query is the per-query top-k window), Spark-side probe ranking with
+    the same rounded-cos/idx tie rule, exact cosine re-rank."""
+    spark = v.sparkSession
+    lits = [
+        F.array(*[F.lit(x) for x in vec]) for _, vec in cell_rows
+    ]
+    encs = [
+        F.round(cosine(F.col("_v"), a), 6) - F.lit(j * 1e-9)
+        for (j, _), a in zip(cell_rows, lits)
+    ]
+    enc_arr = F.array(*encs)
+    assigned = v.withColumn(
+        "cell_idx",
+        (F.array_position(enc_arr, F.array_max(enc_arr)) - 1).cast("int"),
+    )
+    cells_df = spark.createDataFrame(
+        list(cell_rows), "cell_idx int, _cell_v array<double>"
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("_pcos").desc(), F.col("cell_idx")
+    )
+    probes = (
+        q.select(F.col(id_col).alias("query_id"), F.col("_v").alias("_q"))
+        .crossJoin(F.broadcast(cells_df))
+        .withColumn("_pcos", F.round(cosine(F.col("_q"), F.col("_cell_v")), 6))
+        .withColumn("_pr", F.row_number().over(w_probe))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "_q", "cell_idx")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell_idx")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("_q"), F.col("_v")), 6).alias("cos"),
+        )
+    )
+    return _topk_rank(scored, k, id_col)
 
 
 def ivf_topk(
@@ -529,72 +657,31 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    seed: int = 42,
+    n_iter: int = IVF_LLOYD_ITERS,
+    train_size: int = IVF_TRAIN_SIZE,
 ) -> DataFrame:
-    """IVF approximate top-k: sample-trained coarse quantizer → probe
-    the ``n_probe`` nearest centroids per query → exact cosine re-rank
-    inside the probed cells.
+    """IVF approximate top-k: Lloyd-trained coarse quantizer
+    (:func:`lloyd_cell_rows` — engine-exact, fully mirrored in
+    :func:`ivf_topk_sql`) → probe the ``n_probe`` best centroids per
+    query → exact cosine re-rank inside the probed cells.
 
     The inverted-file layout is the classic billion-scale ANN shape:
     the corpus scan per query batch shrinks to n_probe/n_lists of the
     data, and the cell assignment is a one-off (in production, written
-    as a partition column so probes prune files). Deterministic given
-    the seed; recall vs exact top-k is pinned in tests.
+    as a partition column so probes prune files — see
+    ``operators/layout.write_ivf_layout``). Cell assignment here is a
+    map-only literal-centroid argmax: unlike the flat variant's
+    crossJoin + max_by, the corpus side never shuffles. Deterministic
+    (md5-ordered sample, fixed iterations, no RNG anywhere); recall vs
+    exact top-k is pinned in tests.
     """
-    centroids = _train_quantizer(corpus, vec_col, n_lists, seed, id_col=id_col)
-    b_cent = corpus.sparkSession.sparkContext.broadcast(centroids)
-
-    # L2-normalize so euclidean cells order like cosine (zero-norm
-    # vectors dropped — undefined direction); assignment is a
-    # broadcast-centroid argmin, fully distributed
-    c_norm = _unit_rows(corpus, id_col, vec_col, out_id=id_col)
-
-    def assign_cells(batches):
-        import pandas as pd
-
-        cent = b_cent.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            mat = np.vstack(pdf["_unit"].to_numpy())
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "_arr": pdf["_arr"],
-                    "_cell": _assign_d2(mat, cent).argmin(axis=1).astype("int32"),
-                }
-            )
-
-    assigned = c_norm.mapInPandas(
-        assign_cells,
-        schema=f"{id_col} long, _arr array<double>, _cell int",
+    v = _vec_rows(corpus, id_col, vec_col)
+    cell_rows = lloyd_cell_rows(
+        v, n_cells=n_lists, n_iter=n_iter, train_size=train_size,
+        id_col=id_col,
     )
-    q_pdf = queries.select(id_col, vec_col).toPandas()
-    q_ids = q_pdf[id_col].to_numpy()
-    q_mat = np.vstack(q_pdf[vec_col].to_numpy()).astype(np.float64)
-    q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
-    # probe lists per query: nearest centroids by euclidean on the sphere
-    d2 = ((q_unit[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-    probe = np.argsort(d2, axis=1)[:, :n_probe]
-
-    spark = corpus.sparkSession
-    probe_rows = [
-        (int(q_ids[i]), q_mat[i].tolist(), int(cell))
-        for i in range(len(q_ids))
-        for cell in probe[i]
-    ]
-    probes = spark.createDataFrame(
-        probe_rows, "query_id long, q_vec array<double>, _cell int"
-    )
-    cand = assigned.join(F.broadcast(probes), "_cell").filter(
-        F.col("query_id") != F.col(id_col)
-    )
-    scored = cand.select(
-        "query_id",
-        id_col,
-        F.round(cosine(F.col("q_vec"), F.col("_arr")), 6).alias("cos"),
-    )
-    return _topk_rank(scored, k, id_col)
+    q = _vec_rows(queries, id_col, vec_col)
+    return _ivf_probe_rerank(v, q, cell_rows, k, n_probe, id_col)
 
 
 # 12 tables × 3 bits: recall 0.96 at top-10 on the synthetic near-uniform
@@ -1045,6 +1132,115 @@ probes AS (
              PARTITION BY qs.vec_id
              ORDER BY {cos("qs.v", "l.cell_v")} DESC, l.cell_idx) AS pr
     FROM (SELECT * FROM vecs WHERE {query_pred}) qs, cells l
+  ) WHERE pr <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id, {cos("p.q", "a.v")} AS cos
+  FROM assigned a JOIN probes p USING (cell_idx)
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def ivf_topk_sql(
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_iter: int = IVF_LLOYD_ITERS,
+    train_size: int = IVF_TRAIN_SIZE,
+    dim: int = 64,
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """DuckDB mirror of :func:`ivf_topk` — the ENTIRE path including the
+    Lloyd training (:func:`lloyd_cell_rows`) unrolled as ``n_iter``
+    CTE pairs (assign → int-mean update), then the same probe/re-rank
+    tail as :func:`ivf_flat_topk_sql`. Exact parity rests on three
+    rules shared with the Spark side: row-local array folds (identical
+    index-order evaluation in both engines), BIGINT sums of 1e-6-scaled
+    unit components (associative, aggregation-order-free), and
+    engine-side ``round(x, 6)`` at every comparison point."""
+
+    def dot(a: str, b: str) -> str:
+        return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+
+    def norm(a: str) -> str:
+        return f"sqrt(list_sum(list_transform({a}, x -> x * x)))"
+
+    def cos(a: str, b: str) -> str:
+        return f"round({dot(a, b)} / ({norm(a)} * {norm(b)}), 6)"
+
+    mean_items = ", ".join(
+        f"round(CAST(sum(iu[{i + 1}]) AS DOUBLE) / count(*) / 1000000.0, 6)"
+        for i in range(dim)
+    )
+    iters = []
+    for t in range(1, int(n_iter) + 1):
+        iters.append(f"""
+asg{t} AS (
+  SELECT s.sid,
+         arg_max(l.cell_idx, {cos("s.u", "l.cell_v")} - l.cell_idx * 1e-9)
+           AS cell_idx,
+         any_value(s.iu) AS iu
+  FROM samp s, cells{t - 1} l GROUP BY s.sid
+),
+upd{t} AS (
+  SELECT cell_idx, list_value({mean_items}) AS cv
+  FROM asg{t} GROUP BY cell_idx
+),
+cells{t} AS (
+  SELECT p.cell_idx, coalesce(n.cv, p.cell_v) AS cell_v
+  FROM cells{t - 1} p LEFT JOIN upd{t} n USING (cell_idx)
+)""")
+    last = f"cells{int(n_iter)}"
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, v FROM (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+  ) WHERE list_sum(list_transform(v, x -> x * x)) > 0.0
+),
+samp AS (
+  SELECT vec_id AS sid, h, iu,
+         list_transform(iu, i -> i / 1000000.0) AS u
+  FROM (
+    SELECT vec_id, h,
+           list_transform(
+             v, x -> CAST(floor(x / nrm * 1000000.0 + 0.5) AS BIGINT)) AS iu
+    FROM (
+      SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM vecs
+    )
+    ORDER BY h, vec_id LIMIT {train_size}
+  )
+),
+cells0 AS (
+  SELECT CAST(rn - 1 AS INT) AS cell_idx, u AS cell_v FROM (
+    SELECT u, row_number() OVER (ORDER BY h, sid) AS rn FROM samp
+  ) WHERE rn <= {n_cells}
+),{",".join(iters)},
+assigned AS (
+  SELECT c.vec_id,
+         arg_max(l.cell_idx, {cos("c.v", "l.cell_v")} - l.cell_idx * 1e-9)
+           AS cell_idx,
+         any_value(c.v) AS v
+  FROM vecs c, {last} l GROUP BY c.vec_id
+),
+probes AS (
+  SELECT query_id, q, cell_idx FROM (
+    SELECT qs.vec_id AS query_id, qs.v AS q, l.cell_idx,
+           row_number() OVER (
+             PARTITION BY qs.vec_id
+             ORDER BY {cos("qs.v", "l.cell_v")} DESC, l.cell_idx) AS pr
+    FROM (SELECT * FROM vecs WHERE {query_pred}) qs, {last} l
   ) WHERE pr <= {n_probe}
 ),
 scored AS (

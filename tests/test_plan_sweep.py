@@ -33,7 +33,6 @@ ARROW_OK = {
     "variogram_slope",
     "embedding_topk",
     "embedding_neardup",
-    "embedding_ivf_topk",
     "multimodal_features",
     "multimodal_resize",
     "multimodal_frames",
