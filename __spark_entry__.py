@@ -571,36 +571,14 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (anti-join-free: distinct-parent left join + null flag), unioned;
     the two referential checks are broadcast-joinable here and plain
     shuffle joins at 100 TB."""
-    cust = testdata.load_table(spark, sf_dir, "customer")
-    orders = testdata.load_table(spark, sf_dir, "orders")
-    li = testdata.load_table(spark, sf_dir, "lineitem")
-    events = testdata.load_table(spark, sf_dir, "events")
-    checks = [
-        profile_ops.referential_violations(
-            orders, "o_custkey", cust, "c_custkey", "orders_orphan_custkey"
-        ),
-        profile_ops.referential_violations(
-            li, "l_orderkey", orders, "o_orderkey", "lineitem_orphan_orderkey"
-        ),
-        profile_ops.predicate_violations(
-            cust, F.col("c_acctbal") < 0, "customer_negative_acctbal"
-        ),
-        profile_ops.predicate_violations(
-            li, F.col("l_discount") > 0.06, "lineitem_discount_gt_6pct"
-        ),
-        profile_ops.predicate_violations(
-            li,
-            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
-            "lineitem_qty_range",
-        ),
-        profile_ops.predicate_violations(
-            events, F.col("value").isNull(), "events_null_value"
-        ),
-    ]
-    out = checks[0]
-    for c in checks[1:]:
-        out = out.unionByName(c)
-    return out
+    tables = {
+        t: testdata.load_table(spark, sf_dir, t)
+        for t in ("customer", "orders", "lineitem", "events")
+    }
+    # both this plan and the oracle are generated from
+    # profile.DQ_*_CHECKS — one inventory, so thresholds/predicates
+    # cannot silently drift between the two engines
+    return profile_ops.dq_audit(tables)
 
 
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1902,53 +1880,7 @@ FROM obs o ASOF LEFT JOIN calib c
         "period_significance": periodogram.period_significance_sql(_OBS),
         "lda_holdout": lda_holdout_sql(_CURVE_FEATURES_SQL),
         "promo_revenue": wh_ops.promo_revenue_share_sql(),
-        "dq_audit": f"""
-WITH ref1 AS (
-  SELECT 'orders_orphan_custkey' AS check_name,
-         count(*) AS n_rows,
-         CAST(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_bad
-  FROM orders c LEFT JOIN
-       (SELECT DISTINCT c_custkey AS __pk FROM customer) p
-    ON c.o_custkey = p.__pk
-),
-ref2 AS (
-  SELECT 'lineitem_orphan_orderkey' AS check_name,
-         count(*) AS n_rows,
-         CAST(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_bad
-  FROM lineitem c LEFT JOIN
-       (SELECT DISTINCT o_orderkey AS __pk FROM orders) p
-    ON c.l_orderkey = p.__pk
-),
-preds AS (
-  SELECT 'customer_negative_acctbal' AS check_name, count(*) AS n_rows,
-         CAST(sum(CASE WHEN coalesce(c_acctbal < 0, TRUE)
-                  THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
-  FROM customer
-  UNION ALL
-  SELECT 'lineitem_discount_gt_6pct', count(*),
-         CAST(sum(CASE WHEN coalesce(l_discount > 0.06, TRUE)
-                  THEN 1 ELSE 0 END) AS BIGINT)
-  FROM lineitem
-  UNION ALL
-  SELECT 'lineitem_qty_range', count(*),
-         CAST(sum(CASE WHEN coalesce(l_quantity < 1 OR l_quantity > 50, TRUE)
-                  THEN 1 ELSE 0 END) AS BIGINT)
-  FROM lineitem
-  UNION ALL
-  SELECT 'events_null_value', count(*),
-         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-  FROM events
-),
-allc AS (
-  SELECT * FROM ref1 UNION ALL SELECT * FROM ref2
-  UNION ALL SELECT * FROM preds
-)
-SELECT check_name, n_rows, n_bad,
-       round(CAST(n_bad AS DOUBLE) / n_rows, 6) AS bad_rate
-FROM allc
-""",
+        "dq_audit": profile_ops.dq_audit_sql(),
         "phase_fold": f"""
 SELECT o.star_id, round(o.t, 6) AS t,
        round(fmod(o.t, p.period) / p.period, 6) AS phase

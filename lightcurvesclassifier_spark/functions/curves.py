@@ -263,7 +263,14 @@ def stetson_jk(obs: DataFrame, keys: list[str] | None = None) -> DataFrame:
     s2 = F.sum(m * m).over(wp)
     mean = s1 / n
     std = F.sqrt((s2 - s1 * s1 / n) / n)
-    delta = F.sqrt(n / (n - 1.0)) * (m - mean) / std
+    # degenerate stars (single observation, or zero variance) would put
+    # n/(n-1) = Inf or /0 = NaN into every downstream row; emit NULL δ
+    # instead so J/K come out NULL, the same CASE-guard discipline as
+    # finalize_lc_stats and lag_correlation (mirrored in stetson_jk_sql)
+    delta = F.when(
+        (n > 1) & (std > F.lit(0.0)),
+        F.sqrt(n / (n - 1.0)) * (m - mean) / std,
+    )
     rows = obs.select(
         *keys,
         F.col("t"),
@@ -335,8 +342,10 @@ st AS (
 ),
 deltas AS (
   SELECT star_id, t, mag, n,
-         sqrt(n / (n - 1.0)) * (mag - s1 / n)
-           / sqrt((s2 - s1 * s1 / n) / n) AS d
+         CASE WHEN n > 1 AND sqrt((s2 - s1 * s1 / n) / n) > 0.0
+              THEN sqrt(n / (n - 1.0)) * (mag - s1 / n)
+                     / sqrt((s2 - s1 * s1 / n) / n)
+         END AS d
   FROM st
 ),
 lagged AS (

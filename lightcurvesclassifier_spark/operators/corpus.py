@@ -389,7 +389,7 @@ WHERE ({digits}) / {16 ** 6}.0 < r.rate
 
 def quality_buckets(
     df: DataFrame, score_col: str = "score", id_col: str = "doc_id",
-    n_buckets: int = 10,
+    n_buckets: int = 10, exact: bool | None = None,
 ) -> DataFrame:
     """Quality-curriculum binning: assign each document its corpus-wide
     score quantile bucket (decile by default) — the selection key for
@@ -402,13 +402,27 @@ def quality_buckets(
     scanned twice but never shuffled or globally sorted, and the second
     scan fuses into whatever runs next. Scores and boundaries are
     rounded to 6 decimals before comparison so the rule is
-    engine-portable. bucket = 1 + #(boundaries below score) ∈ [1, n]."""
+    engine-portable. bucket = 1 + #(boundaries below score) ∈ [1, n].
+
+    ``exact``: True = sort-based boundary percentiles (bit-matches the
+    DuckDB oracle), False = t-digest sketch boundaries (mergeable,
+    bounded memory — the boundary reduce never funnels raw scores
+    through one partition), None = auto by input row count
+    (``profile.EXACT_PERCENTILE_MAX_ROWS``) so the 100 TB path is the
+    default without breaking small-SF oracle parity. The sketch path's
+    boundaries are rank-based (no interpolation) within the sketch
+    error bound of the exact ones — bucket agreement vs exact is
+    pinned in tests at oracle scale."""
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    from .profile import _auto_exact
+
+    exact = _auto_exact(df, exact)
     qs = [i / n_buckets for i in range(1, n_buckets)]
     score = F.round(F.col(score_col), 6)
+    perc = F.percentile if exact else F.percentile_approx
     bounds = df.select(score.alias("_s")).agg(
-        F.percentile(F.col("_s"), F.lit(qs)).alias("_b")
+        perc(F.col("_s"), F.lit(qs)).alias("_b")
     )
     bucket = F.lit(1) + F.size(
         F.filter(F.col("_b"), lambda v: score > F.round(v, 6))

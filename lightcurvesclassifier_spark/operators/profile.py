@@ -16,9 +16,33 @@ from pyspark.sql import DataFrame, functions as F
 
 QUARTILES = [0.25, 0.5, 0.75]
 
+# Above this input size the exact sort-based percentile (whose aggregate
+# buffer holds every value of the group behind a single-partition
+# exchange) stops being a sensible trade; auto-resolving callers switch
+# to the mergeable t-digest sketch. Small inputs stay exact so the
+# DuckDB oracles match bit-for-bit.
+EXACT_PERCENTILE_MAX_ROWS = 10_000_000
 
-def numeric_profile(df: DataFrame, cols: list[str], exact: bool = True) -> DataFrame:
-    """Long-format profile: one row per column in ``cols``."""
+
+def _auto_exact(df: DataFrame, exact: bool | None) -> bool:
+    """``None`` → auto: exact below EXACT_PERCENTILE_MAX_ROWS input
+    rows (the oracle-matched path), t-digest above (the 100 TB
+    default). The deciding ``count()`` is metadata-only on parquet
+    sources — row-group stats, no data scan."""
+    if exact is not None:
+        return bool(exact)
+    return df.count() <= EXACT_PERCENTILE_MAX_ROWS
+
+
+def numeric_profile(
+    df: DataFrame, cols: list[str], exact: bool | None = None
+) -> DataFrame:
+    """Long-format profile: one row per column in ``cols``. ``exact``:
+    True = sort-based percentiles (bit-matches the DuckDB oracle),
+    False = t-digest sketch (mergeable, bounded memory), None = auto
+    by input row count (:func:`_auto_exact`) so the 100 TB path is the
+    default without breaking small-SF oracle parity."""
+    exact = _auto_exact(df, exact)
     aggs = []
     for c in cols:
         col = F.col(c)
@@ -176,6 +200,86 @@ def predicate_violations(
         "n_bad",
         F.round(F.col("n_bad") / F.col("n_rows"), 6).alias("bad_rate"),
     )
+
+
+# The dq_audit check inventory — ONE list drives both the Spark plan
+# (predicates parsed with F.expr) and the DuckDB oracle (the same
+# strings spliced into generated SQL), so the two sides cannot drift.
+# referential: (check_name, child_table, child_key, parent_table,
+# parent_key); predicate: (check_name, table, SQL-syntax bad-predicate).
+DQ_REFERENTIAL_CHECKS: list[tuple[str, str, str, str, str]] = [
+    ("orders_orphan_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_orphan_orderkey", "lineitem", "l_orderkey", "orders",
+     "o_orderkey"),
+]
+DQ_PREDICATE_CHECKS: list[tuple[str, str, str]] = [
+    ("customer_negative_acctbal", "customer", "c_acctbal < 0"),
+    ("lineitem_discount_gt_6pct", "lineitem", "l_discount > 0.06"),
+    ("lineitem_qty_range", "lineitem", "l_quantity < 1 OR l_quantity > 50"),
+    ("events_null_value", "events", "value IS NULL"),
+]
+
+
+def dq_audit(
+    tables: dict[str, DataFrame],
+    referential: list[tuple[str, str, str, str, str]] | None = None,
+    predicate: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """Data-quality audit from the shared check inventory: each check is
+    a single one-row aggregate, unioned. ``tables`` maps the table names
+    the check lists mention to DataFrames."""
+    referential = DQ_REFERENTIAL_CHECKS if referential is None else referential
+    predicate = DQ_PREDICATE_CHECKS if predicate is None else predicate
+    checks = [
+        referential_violations(
+            tables[child], ck, tables[parent], pk, name
+        )
+        for name, child, ck, parent, pk in referential
+    ] + [
+        predicate_violations(tables[tab], F.expr(pred), name)
+        for name, tab, pred in predicate
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def dq_audit_sql(
+    referential: list[tuple[str, str, str, str, str]] | None = None,
+    predicate: list[tuple[str, str, str]] | None = None,
+) -> str:
+    """DuckDB mirror of :func:`dq_audit`, generated from the SAME check
+    lists (same names, same predicate strings, same NULL-counts-as-bad
+    coalesce rule)."""
+    referential = DQ_REFERENTIAL_CHECKS if referential is None else referential
+    predicate = DQ_PREDICATE_CHECKS if predicate is None else predicate
+    parts = [
+        f"""
+  SELECT '{name}' AS check_name,
+         count(*) AS n_rows,
+         CAST(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bad
+  FROM {child} c LEFT JOIN
+       (SELECT DISTINCT {pk} AS __pk FROM {parent}) p
+    ON c.{ck} = p.__pk"""
+        for name, child, ck, parent, pk in referential
+    ] + [
+        f"""
+  SELECT '{name}', count(*),
+         CAST(sum(CASE WHEN coalesce({pred}, TRUE)
+                  THEN 1 ELSE 0 END) AS BIGINT)
+  FROM {tab}"""
+        for name, tab, pred in predicate
+    ]
+    union = "\n  UNION ALL".join(parts)
+    return f"""
+WITH allc AS ({union}
+)
+SELECT check_name, n_rows, n_bad,
+       round(CAST(n_bad AS DOUBLE) / n_rows, 6) AS bad_rate
+FROM allc
+"""
 
 
 def string_profile(df: DataFrame, cols: list[str]) -> DataFrame:

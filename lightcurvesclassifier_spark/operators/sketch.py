@@ -313,6 +313,10 @@ GROUP BY p.term
 # contamination probe stops growing with the benchmark suite.
 BLOOM_M = 16384
 BLOOM_K = 5
+# bloom_probe_fast embeds an m-char bitmap literal in the plan; beyond
+# ~1 MiB the codegen constant (and the py4j command string carrying it)
+# stops being a sensible trade — the join-based bloom_probe takes over
+BLOOM_FAST_MAX_M = 1 << 23
 
 
 def _bloom_bit(term: Column, i: int) -> Column:
@@ -495,7 +499,21 @@ def bloom_probe_fast(
     Precondition: ``id_col`` must be unique (one row per document, the
     contract of every corpus here).  Duplicate ids would give one
     output row per input row, while the join form's groupBy would merge
-    them over the union of their shingles."""
+    them over the union of their shingles.
+
+    Bound: the collect and the literal are both ≤ BLOOM_M bits BY
+    CONSTRUCTION (bloom_bits emits distinct set bits) — independent of
+    eval-suite size.  The budget check below guards the one way the
+    bound can grow: raising BLOOM_M past what a codegen plan constant
+    tolerates.  Past the budget, use :func:`bloom_probe` — the
+    broadcast-join formulation with no plan literal."""
+    if BLOOM_M > BLOOM_FAST_MAX_M:
+        raise ValueError(
+            f"bloom_probe_fast embeds an m-char bitmap literal in the plan: "
+            f"BLOOM_M={BLOOM_M} exceeds the {BLOOM_FAST_MAX_M}-bit budget "
+            "(~1 MiB of codegen constant). Use bloom_probe (broadcast-join "
+            "formulation, no plan literal) for larger filters."
+        )
     bit_rows = bloom_bits(evals, text_col, n, id_col).collect()
     bitset = set(r.bit for r in bit_rows)
     # ONE string literal shipped over py4j, split server-side into a

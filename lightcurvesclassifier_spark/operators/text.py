@@ -762,7 +762,13 @@ def line_scrub(
     BROADCAST back) → anti-filter + ordered re-assembly under one
     doc_id aggregation. The corpus shuffles once on the line hash and
     once on doc_id; no pairwise comparison anywhere (this is what
-    makes line dedup tractable where doc-level near-dup needs LSH)."""
+    makes line dedup tractable where doc-level near-dup needs LSH).
+
+    Output covers EVERY input document: a doc whose every line is
+    boilerplate comes back as (n_kept=0, md5('')) via the final left
+    join from the input id set, so callers can tell 'fully scrubbed'
+    from 'absent' (r4 advice item — previously such docs silently
+    vanished from the result)."""
     lines = df.select(
         id_col,
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
@@ -777,7 +783,7 @@ def line_scrub(
     parts = F.array_sort(
         F.collect_list(F.struct(F.col("pos"), F.col("line")))
     )
-    return (
+    scrubbed = (
         kept.groupBy(id_col)
         .agg(
             F.count("line").alias("n_kept"),
@@ -790,6 +796,11 @@ def line_scrub(
                 F.array_join(F.col("_parts.line"), "\n")
             ).alias("clean_md5"),
         )
+    )
+    return df.select(id_col).join(scrubbed, id_col, "left").select(
+        id_col,
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
     )
 
 
@@ -813,8 +824,14 @@ boiler AS (
 kept AS (
   SELECT l.* FROM lines_t l
   WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.line = l.line)
+),
+scrubbed AS (
+  SELECT doc_id, count(line) AS n_kept,
+         md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+  FROM kept GROUP BY doc_id
 )
-SELECT doc_id, count(line) AS n_kept,
-       md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
-FROM kept GROUP BY doc_id
+SELECT c.doc_id,
+       coalesce(s.n_kept, 0) AS n_kept,
+       coalesce(s.clean_md5, md5('')) AS clean_md5
+FROM (SELECT doc_id FROM corpus) c LEFT JOIN scrubbed s USING (doc_id)
 """

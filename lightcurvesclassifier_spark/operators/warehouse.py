@@ -47,7 +47,11 @@ def pricing_summary(li: DataFrame, cutoff: str = Q1_CUTOFF) -> DataFrame:
     ).select(
         "l_returnflag",
         "l_linestatus",
-        F.col("l_quantity").cast("long").alias("_qty"),
+        # floor(x + 0.5), not a bare double→long cast: Spark's cast
+        # truncates while DuckDB's rounds half-to-even — identical today
+        # only because testdata quantities are integral; this keeps the
+        # atol=0 discipline honest for any fractional quantity
+        F.floor(F.col("l_quantity") + F.lit(0.5)).alias("_qty"),
         _cents(base).alias("_base_c"),
         _cents(disc).alias("_disc_c"),
         _cents(charge).alias("_charge_c"),
@@ -84,7 +88,7 @@ def pricing_summary_sql(cutoff: str = Q1_CUTOFF) -> str:
     return f"""
 WITH rows_f AS (
   SELECT l_returnflag, l_linestatus,
-         CAST(l_quantity AS BIGINT) AS _qty,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS _qty,
          CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS _base_c,
          CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
               AS BIGINT) AS _disc_c,
@@ -340,9 +344,11 @@ def small_qty_revenue(li: DataFrame, frac: float = 0.5) -> DataFrame:
     (sum/count of integral quantities) on both engines — identical
     division inputs, identical comparison."""
     q = F.col("l_quantity")
+    # floor(x + 0.5) rather than a bare double→long cast (truncation vs
+    # DuckDB's round-half-even) — see pricing_summary
     per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
         (
-            F.sum(q.cast("long")) / F.count(q)
+            F.sum(F.floor(q + F.lit(0.5))) / F.count(q)
         ).alias("_avg_qty")
     )
     j = li.join(per_part, F.col("l_partkey") == F.col("_pk"))
@@ -358,7 +364,7 @@ def small_qty_revenue_sql(frac: float = 0.5) -> str:
     return f"""
 WITH per_part AS (
   SELECT l_partkey AS pk,
-         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) * 1.0
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) * 1.0
            / count(l_quantity) AS avg_qty
   FROM lineitem GROUP BY l_partkey
 )

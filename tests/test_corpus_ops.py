@@ -503,6 +503,48 @@ def test_dq_predicate_null_counts_as_violation(spark):
     assert out.n_bad == 2
 
 
+def test_percentile_auto_switch_exact_below_sketch_above(spark, monkeypatch):
+    """The exact→t-digest auto-switch (r4 directive): below the row
+    threshold the plan uses the sort-based exact percentile (oracle
+    path); above it (forced here by zeroing the threshold) both
+    quality_buckets and numeric_profile flip to approx_percentile —
+    the mergeable 100 TB default — with boundaries inside the sketch
+    error bound (≥95% bucket agreement on a smooth score column)."""
+    from lightcurvesclassifier_spark.operators import profile as profile_ops
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37 % 97) / 7.0).alias("score"),
+    )
+    exact = corpus.quality_buckets(df, exact=True).toPandas()
+    auto_small = corpus.quality_buckets(df)  # auto: 500 < threshold
+    assert "percentile_approx" not in (
+        auto_small._jdf.queryExecution().executedPlan().toString()
+    )
+    assert auto_small.toPandas().sort_values("doc_id").reset_index(
+        drop=True
+    ).equals(exact.sort_values("doc_id").reset_index(drop=True))
+
+    monkeypatch.setattr(profile_ops, "EXACT_PERCENTILE_MAX_ROWS", 0)
+    sketch_df = corpus.quality_buckets(df)  # auto: now above threshold
+    assert "percentile_approx" in (
+        sketch_df._jdf.queryExecution().executedPlan().toString()
+    )
+    s = sketch_df.toPandas().sort_values("doc_id").reset_index(drop=True)
+    e = exact.sort_values("doc_id").reset_index(drop=True)
+    agree = (s.bucket == e.bucket).mean()
+    assert agree >= 0.95, f"bucket agreement {agree}"
+
+    prof = profile_ops.numeric_profile(df, ["score"])
+    assert "percentile_approx" in (
+        prof._jdf.queryExecution().executedPlan().toString()
+    )
+    row = prof.collect()[0]
+    erow = profile_ops.numeric_profile(df, ["score"], exact=True).collect()[0]
+    for c in ("p25", "p50", "p75"):
+        assert abs(row[c] - erow[c]) <= 0.5, (c, row[c], erow[c])
+
+
 def test_line_scrub_drops_cross_doc_boilerplate_preserves_order(spark):
     import hashlib
 
@@ -520,3 +562,19 @@ def test_line_scrub_drops_cross_doc_boilerplate_preserves_order(spark):
     assert out[99].clean_md5 == hashlib.md5(
         b"solo head\nsolo mid\nsolo tail"
     ).hexdigest()
+
+
+def test_line_scrub_keeps_fully_scrubbed_docs(spark):
+    """A document whose EVERY line is boilerplate must still appear in
+    the output as (n_kept=0, md5('')) — 'fully scrubbed' must be
+    distinguishable from 'absent' (r4 advice regression)."""
+    import hashlib
+
+    docs = [(i, f"unique {i}\nBOILER") for i in range(12)]
+    docs.append((99, "BOILER"))  # nothing but boilerplate
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.line_scrub(df, min_docs=10).collect()}
+    assert len(out) == 13  # output covers every input document
+    assert out[99].n_kept == 0
+    assert out[99].clean_md5 == hashlib.md5(b"").hexdigest()
+    assert out[0].n_kept == 1

@@ -209,6 +209,18 @@ def test_bloom_probe_fast_equals_join_form_and_is_map_only(spark):
     assert "Python" not in plan
 
 
+def test_bloom_probe_fast_rejects_over_budget_bitmap(spark, monkeypatch):
+    """Raising BLOOM_M past the documented codegen-literal budget must
+    fail loudly and point at the join-based bloom_probe fallback — the
+    one way the otherwise-bounded plan literal could grow unbounded."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    monkeypatch.setattr(sketch, "BLOOM_M", sketch.BLOOM_FAST_MAX_M + 1)
+    with _pytest.raises(ValueError, match="bloom_probe"):
+        sketch.bloom_probe_fast(docs, docs, n=5)
+
+
 def test_histogram_quantiles_within_bin_width_of_exact(spark):
     docs = testdata.load_table(spark, SF_ORACLE, "documents")
     from lightcurvesclassifier_spark.operators import text

@@ -44,6 +44,22 @@ def test_stetson_matches_numpy(spark):
         assert abs(got.stetson_k[sid] - k) < 2e-6
 
 
+def test_stetson_degenerate_stars_emit_null(spark):
+    """n=1 (undefined n/(n-1)) and zero-variance (0/0 δ) stars emit
+    NULL J/K rather than NaN/Inf — the CASE-guard regression for the
+    r4 advice item; a healthy star in the same frame stays finite."""
+    rows = (
+        [(1, 3.0, 12.5)]                                # single obs
+        + [(2, float(t), 11.0) for t in range(6)]       # zero variance
+        + _rows(3, np.arange(8.0), 12 + np.sin(np.arange(8.0)))
+    )
+    obs = spark.createDataFrame(rows, "star_id long, t double, mag double")
+    got = stetson_jk(obs).toPandas().set_index("star_id")
+    assert got.stetson_j.isna()[1] and got.stetson_k.isna()[1]
+    assert got.stetson_j.isna()[2] and got.stetson_k.isna()[2]
+    assert np.isfinite(got.stetson_j[3]) and np.isfinite(got.stetson_k[3])
+
+
 def test_stetson_separates_signal_from_noise(spark):
     """Smooth periodic variation → J well above 0 (adjacent residuals
     correlate); white noise → J near 0; Gaussian K ≈ 0.798."""
