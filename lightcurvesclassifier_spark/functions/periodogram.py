@@ -172,66 +172,71 @@ def pdm_theta(
     Spark-first shape, same skeleton as :func:`lomb_scargle`:
 
         observations × broadcast(frequency grid)      (narrow, no shuffle)
-          → per-(star, freq) power sums, one (count, Σ, Σ²) triple PER
-            PHASE BIN as 3·n_bins conditional aggregates (single wide
-            shuffle keyed (star, freq) — measured >3× faster at sf0.1
-            than the naive (star, freq, pbin) key, whose n_bins× group
-            count dominates the partial hash aggregate)
-          → pooled variance folded bin-by-bin in a projection
-          → ⋈ per-star total variance                 (|stars| rows — AQE
-            broadcasts it)
+          → ONE (2·n_bins + 1)-buffer aggregate keyed (star, freq):
+            per-bin (count, Σ) pairs plus a single global Σm² —
+            per-bin Σm² buffers are unnecessary because pooled
+            ss_within = Σm² − Σ_b s1_b²/n_b, and the per-star TOTALS
+            are recoverable from the same buffers (n = Σn_b,
+            Σm = Σs1_b), so the former totals aggregate + join is gone
+            entirely (r5: 30 buffers + join → 21 buffers, no join —
+            measured 3.98 → 3.45 s at sf0.1; the naive
+            (star, freq, pbin) key whose n_bins× group count dominates
+            the partial hash aggregate measured 4.2 s)
+          → Θ folded bin-by-bin in a projection
 
     Phase = t·f − floor(t·f) is pure double arithmetic on values both
     engines hold bit-identically (t from integer micros, f from repr'd
     literals), so bin assignment is deterministic across engines; the
-    fixed bin-0..bin-9 fold order makes the pooled sum deterministic
-    too (verified bit-equal to the per-bin-row oracle at sf0.1).
+    fixed bin-0..bin-(n-1) fold order (mirrored with the same CASE
+    chain in :func:`pdm_theta_sql`) makes every pooled sum
+    deterministic too.
     """
     freqs = freqs if freqs is not None else frequency_grid()
     grid = spark.createDataFrame([(f,) for f in freqs], "freq double")
+    rows = _pdm_binned_rows(
+        obs.crossJoin(F.broadcast(grid)), n_bins, t_col, mag_col, id_col
+    )
+    return _pdm_theta_from_rows(rows, n_bins, id_col)
+
+
+def _pdm_binned_rows(
+    expanded: DataFrame, n_bins: int, t_col: str, mag_col: str, id_col: str
+) -> DataFrame:
+    """(id, freq, pbin, m) from an already (obs × freq)-expanded frame."""
     t, m = F.col(t_col), F.col(mag_col)
     tf = t * F.col("freq")
     phase = tf - F.floor(tf)
     bin_ = F.least(F.floor(phase * n_bins), F.lit(n_bins - 1)).cast("int")
-    rows = (
-        obs.select(id_col, t_col, mag_col)
-        .crossJoin(F.broadcast(grid))
-        .select(id_col, "freq", bin_.alias("pbin"), m.alias("m"))
-    )
-    aggs = []
+    return expanded.select(id_col, "freq", bin_.alias("pbin"), m.alias("m"))
+
+
+def _pdm_theta_from_rows(
+    rows: DataFrame, n_bins: int, id_col: str
+) -> DataFrame:
+    """The shared PDM aggregate + Θ fold (see :func:`pdm_theta`)."""
+    aggs = [F.sum(F.col("m") * F.col("m")).alias("_s2t")]
     for b in range(n_bins):
         mb = F.when(F.col("pbin") == b, F.col("m"))
-        aggs += [
-            F.count(mb).alias(f"_n{b}"),
-            F.sum(mb).alias(f"_s1_{b}"),
-            F.sum(mb * mb).alias(f"_s2_{b}"),
-        ]
+        aggs += [F.count(mb).alias(f"_n{b}"), F.sum(mb).alias(f"_s1_{b}")]
     per_freq = rows.groupBy(id_col, "freq").agg(*aggs)
-    ss_within = None
+    neg_within = None
     dof = None
+    s1t = None
+    nt = None
     for b in range(n_bins):
         nb_ = F.col(f"_n{b}")
         s1b = F.col(f"_s1_{b}")
-        s2b = F.col(f"_s2_{b}")
-        term = F.when(nb_ > 0, s2b - s1b * s1b / nb_).otherwise(F.lit(0.0))
+        term = F.when(nb_ > 0, -(s1b * s1b / nb_)).otherwise(F.lit(0.0))
         d = F.when(nb_ > 0, nb_ - 1).otherwise(F.lit(0))
-        ss_within = term if ss_within is None else ss_within + term
+        s1c = F.coalesce(s1b, F.lit(0.0))  # empty bin sums are NULL
+        neg_within = term if neg_within is None else neg_within + term
         dof = d if dof is None else dof + d
-    pooled = per_freq.select(
-        id_col, "freq", ss_within.alias("ss_within"), dof.alias("dof")
-    )
-    totals = obs.groupBy(id_col).agg(
-        F.count(m).alias("n"),
-        F.sum(m).alias("s1"),
-        F.sum(m * m).alias("s2"),
-    )
-    joined = pooled.join(totals, id_col)
-    n = F.col("n")
-    ss_tot = F.col("s2") - F.col("s1") * F.col("s1") / n
-    theta = (F.col("ss_within") / F.col("dof")) / (ss_tot / (n - 1))
-    return joined.select(
-        id_col, "freq", F.round(theta, 6).alias("theta")
-    )
+        s1t = s1c if s1t is None else s1t + s1c
+        nt = nb_ if nt is None else nt + nb_
+    ss_within = F.col("_s2t") + neg_within
+    ss_tot = F.col("_s2t") - s1t * s1t / nt
+    theta = (ss_within / dof) / (ss_tot / (nt - 1))
+    return per_freq.select(id_col, "freq", F.round(theta, 6).alias("theta"))
 
 
 def pdm_best_period(
@@ -251,6 +256,84 @@ def pdm_best_period(
     )
     return (
         th.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            id_col,
+            F.col("freq").alias("best_freq"),
+            F.round(1.0 / F.col("freq"), 6).alias("best_period"),
+            "theta",
+        )
+    )
+
+
+def pdm_best_period_two_stage(
+    spark: SparkSession,
+    obs: DataFrame,
+    freqs: list[float] | None = None,
+    n_bins: int = PDM_BINS,
+    coarse_step: int = 4,
+    top_m: int = 3,
+    half_width: int = 4,
+    t_col: str = "t",
+    mag_col: str = "mag",
+    id_col: str = "star_id",
+) -> DataFrame:
+    """Coarse→refine PDM argmin: Θ on every ``coarse_step``-th grid
+    frequency, keep each star's ``top_m`` candidates, re-evaluate the
+    FULL grid only within ``half_width`` fine steps of a candidate —
+    the obs×grid expansion shrinks from |grid| to
+    |grid|/coarse_step + ~top_m·(2·half_width+1) rows per observation.
+
+    VALIDITY CONDITION (enforce before trusting the argmin): a PDM Θ
+    dip has frequency width ≈ 1/timespan, so the coarse grid only sees
+    it if ``coarse_step · grid_spacing ≲ 1/timespan``. On dense grids
+    (n ≳ a few·timespan·bandwidth) this holds and the refine recovers
+    the full-grid argmin for real signals (pinned in tests on planted
+    periods); on a grid that BARELY resolves the dips the coarse stage
+    can miss them — use :func:`pdm_best_period` there. For pure-noise
+    stars the two argmins differ freely (both are noise); this operator
+    targets the search-survey shape where grids are dense and the
+    expansion, not the argmin of noise, is the cost.
+
+    Deterministic and fully SQL-mirrorable
+    (:func:`pdm_best_period_two_stage_sql`): candidate selection uses
+    the same (rounded Θ, lower freq) tie-break as everything else, and
+    the refine's per-star frequency set comes from an integer-index
+    window, so both engines derive identical candidate sets.
+    """
+    freqs = freqs if freqs is not None else frequency_grid()
+    indexed = list(enumerate(freqs))
+    th_c = pdm_theta(
+        spark, obs, [f for _, f in indexed[::coarse_step]], n_bins,
+        t_col, mag_col, id_col,
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("theta").asc(), F.col("freq").asc()
+    )
+    coarse_df = spark.createDataFrame(
+        indexed[::coarse_step], "cidx int, freq double"
+    )
+    cand = (
+        th_c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_m)
+        .join(F.broadcast(coarse_df), "freq")
+        .select(id_col, "cidx")
+    )
+    fine_df = spark.createDataFrame(indexed, "fidx int, freq double")
+    cand_freqs = (
+        cand.join(
+            F.broadcast(fine_df),
+            F.abs(F.col("fidx") - F.col("cidx")) <= half_width,
+        )
+        .select(id_col, "freq")
+        .distinct()
+    )
+    rows = _pdm_binned_rows(
+        obs.join(cand_freqs, id_col), n_bins, t_col, mag_col, id_col
+    )
+    th_f = _pdm_theta_from_rows(rows, n_bins, id_col)
+    return (
+        th_f.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select(
             id_col,
@@ -378,13 +461,60 @@ FROM bp
 """
 
 
+def _pdm_theta_tail_sql(n_bins: int, suffix: str = "", src: str = "binned") -> str:
+    """The shared per_freq-aggregate + Θ-fold SQL (everything after the
+    ``binned`` CTE), mirroring :func:`_pdm_theta_from_rows` with the
+    SAME bin-0..bin-(n-1) CASE-chain fold order so every float sum is
+    evaluated in the identical sequence. ``suffix`` disambiguates the
+    CTE names when the tail appears twice (two-stage); ``src`` is the
+    (star_id, freq, m, pbin) source CTE."""
+    bin_aggs = ",\n         ".join(
+        f"count(CASE WHEN pbin = {b} THEN m END) AS n{b}, "
+        f"sum(CASE WHEN pbin = {b} THEN m END) AS s1_{b}"
+        for b in range(n_bins)
+    )
+    neg_within = " + ".join(
+        f"(CASE WHEN n{b} > 0 THEN -(s1_{b} * s1_{b} / n{b}) "
+        f"ELSE 0.0 END)"
+        for b in range(n_bins)
+    )
+    dof = " + ".join(
+        f"(CASE WHEN n{b} > 0 THEN n{b} - 1 ELSE 0 END)"
+        for b in range(n_bins)
+    )
+    s1t = " + ".join(f"coalesce(s1_{b}, 0.0)" for b in range(n_bins))
+    nt = " + ".join(f"n{b}" for b in range(n_bins))
+    return f"""
+per_freq{suffix} AS (
+  SELECT star_id, freq,
+         sum(m * m) AS s2t,
+         {bin_aggs}
+  FROM {src} GROUP BY star_id, freq
+),
+folded{suffix} AS (
+  SELECT star_id, freq, s2t,
+         s2t + ({neg_within}) AS ss_within,
+         {dof} AS dof,
+         {s1t} AS s1t,
+         {nt} AS nt
+  FROM per_freq{suffix}
+),
+theta_t{suffix} AS (
+  SELECT star_id, freq,
+         round((ss_within / dof)
+               / ((s2t - s1t * s1t / nt) / (nt - 1)), 6) AS theta
+  FROM folded{suffix}
+)"""
+
+
 def pdm_theta_sql(
     obs_sql: str,
     freqs: list[float] | None = None,
     n_bins: int = PDM_BINS,
 ) -> str:
     """DuckDB mirror of :func:`pdm_theta` — identical phase/bin
-    arithmetic and identical pooled-variance derivation order."""
+    arithmetic, identical (2·n_bins + 1)-buffer aggregate, identical
+    fold order (no totals join on either engine since r5)."""
     freqs = freqs if freqs is not None else frequency_grid()
     return f"""
 WITH obs AS ({obs_sql}),
@@ -394,26 +524,76 @@ binned AS (
          CAST(least(floor((t * freq - floor(t * freq)) * {n_bins}),
                     {n_bins - 1}) AS INTEGER) AS pbin
   FROM obs CROSS JOIN grid
+),{_pdm_theta_tail_sql(n_bins)}
+SELECT star_id, freq, theta FROM theta_t
+"""
+
+
+def _indexed_grid_sql(pairs: list[tuple[int, float]], idx_name: str) -> str:
+    rows = ", ".join(
+        f"({i}, CAST('{f!r}' AS DOUBLE))" for i, f in pairs
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS t({idx_name}, freq)"
+
+
+def pdm_best_period_two_stage_sql(
+    obs_sql: str,
+    freqs: list[float] | None = None,
+    n_bins: int = PDM_BINS,
+    coarse_step: int = 4,
+    top_m: int = 3,
+    half_width: int = 4,
+) -> str:
+    """DuckDB mirror of :func:`pdm_best_period_two_stage` — both Θ
+    stages use the shared tail (identical fold order), candidate
+    selection uses the same (rounded Θ, freq) tie-break, and the refine
+    frequency set comes from the same integer-index window."""
+    freqs = freqs if freqs is not None else frequency_grid()
+    indexed = list(enumerate(freqs))
+
+    def pbin(t_e: str, f_e: str) -> str:
+        return (
+            f"CAST(least(floor(({t_e} * {f_e} - floor({t_e} * {f_e}))"
+            f" * {n_bins}), {n_bins - 1}) AS INTEGER)"
+        )
+
+    return f"""
+WITH obs AS ({obs_sql}),
+finegrid AS ({_indexed_grid_sql(indexed, "fidx")}),
+coarsegrid AS ({_indexed_grid_sql(indexed[::coarse_step], "cidx")}),
+binned_c AS (
+  SELECT star_id, freq, mag AS m, {pbin("t", "freq")} AS pbin
+  FROM obs CROSS JOIN (SELECT freq FROM coarsegrid) g
+),{_pdm_theta_tail_sql(n_bins, "_c", "binned_c")},
+ranked_c AS (
+  SELECT star_id, freq, theta,
+         row_number() OVER (PARTITION BY star_id
+                            ORDER BY theta ASC, freq ASC) AS rk
+  FROM theta_t_c
 ),
-per_bin AS (
-  SELECT star_id, freq, pbin,
-         count(m) AS nj, sum(m) AS s1j, sum(m * m) AS s2j
-  FROM binned GROUP BY star_id, freq, pbin
+cand AS (
+  SELECT r.star_id, g.cidx
+  FROM ranked_c r JOIN coarsegrid g USING (freq)
+  WHERE r.rk <= {top_m}
 ),
-pooled AS (
-  SELECT star_id, freq,
-         sum(s2j - s1j * s1j / nj) AS ss_within,
-         sum(nj - 1) AS dof
-  FROM per_bin GROUP BY star_id, freq
+cand_freqs AS (
+  SELECT DISTINCT c.star_id, f.freq
+  FROM cand c JOIN finegrid f ON abs(f.fidx - c.cidx) <= {half_width}
 ),
-totals AS (
-  SELECT star_id, count(mag) AS n, sum(mag) AS s1, sum(mag * mag) AS s2
-  FROM obs GROUP BY star_id
+binned_f AS (
+  SELECT o.star_id, cf.freq, o.mag AS m,
+         {pbin("o.t", "cf.freq")} AS pbin
+  FROM obs o JOIN cand_freqs cf ON o.star_id = cf.star_id
+),{_pdm_theta_tail_sql(n_bins, "_f", "binned_f")},
+ranked_f AS (
+  SELECT star_id, freq, theta,
+         row_number() OVER (PARTITION BY star_id
+                            ORDER BY theta ASC, freq ASC) AS rk
+  FROM theta_t_f
 )
-SELECT p.star_id, p.freq,
-       round((p.ss_within / p.dof)
-             / ((t.s2 - t.s1 * t.s1 / t.n) / (t.n - 1)), 6) AS theta
-FROM pooled p JOIN totals t ON p.star_id = t.star_id
+SELECT star_id, freq AS best_freq,
+       round(1.0 / freq, 6) AS best_period, theta
+FROM ranked_f WHERE rk = 1
 """
 
 

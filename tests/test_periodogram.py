@@ -98,6 +98,65 @@ def test_pdm_planted_periods_recovered(spark):
     assert got.theta[1] < 0.3
 
 
+def test_pdm_two_stage_matches_full_grid_on_dense_grid(spark):
+    """Where the validity condition holds (coarse spacing ≲ 1/timespan:
+    1024-point grid over 3.15 Hz bandwidth, 40-day span → coarse
+    spacing 4·0.0031 = 0.012 < dip width 0.025), the coarse→refine
+    argmin equals the full-grid argmin for real signals — at a fraction
+    of the obs×grid expansion (256 + ~27 rows/obs vs 1024)."""
+    rng = np.random.default_rng(19)
+    rows = _planted(1, 2.5, rng) + _planted(2, 0.7, rng)
+    # eclipse shape — PDM's home turf, sharpest theta dip
+    t = np.sort(rng.uniform(0.0, 40.0, 400))
+    phase = (t / 1.6) % 1.0
+    y = 12.0 + np.where(np.abs(phase - 0.5) < 0.08, 1.2, 0.0)
+    y = y + rng.normal(0, 0.03, t.size)
+    rows += [(3, float(ti), float(yi)) for ti, yi in zip(t, y)]
+    obs = spark.createDataFrame(rows, "star_id long, t double, mag double")
+    freqs = periodogram.frequency_grid(0.05, 3.2, 1024)
+    full = (
+        periodogram.pdm_best_period(spark, obs, freqs)
+        .toPandas().set_index("star_id")
+    )
+    two = (
+        periodogram.pdm_best_period_two_stage(spark, obs, freqs)
+        .toPandas().set_index("star_id")
+    )
+    for star, true_p in [(1, 2.5), (2, 0.7), (3, 1.6)]:
+        assert two.best_freq[star] == full.best_freq[star], star
+        grid_step = freqs[1] - freqs[0]
+        assert abs(1.0 / two.best_period[star] - 1.0 / true_p) <= grid_step
+
+
+def test_pdm_two_stage_matches_duckdb_mirror(spark, duck):
+    """Bit-exact Spark↔DuckDB parity of BOTH stages (candidate
+    selection included) on planted data."""
+    rng = np.random.default_rng(21)
+    rows = _planted(1, 2.5, rng, n=120) + _planted(2, 0.9, rng, n=120)
+    obs = spark.createDataFrame(rows, "star_id long, t double, mag double")
+    obs.createOrReplaceTempView("_pdm2_obs")
+    duck.execute("DROP TABLE IF EXISTS _pdm2_obs")
+    duck.register(
+        "_pdm2_obs_reg", obs.toPandas()
+    )
+    freqs = periodogram.frequency_grid(0.05, 3.2, 96)
+    got = (
+        periodogram.pdm_best_period_two_stage(spark, obs, freqs)
+        .toPandas().sort_values("star_id").reset_index(drop=True)
+    )
+    want = (
+        duck.execute(
+            periodogram.pdm_best_period_two_stage_sql(
+                "SELECT * FROM _pdm2_obs_reg", freqs
+            )
+        )
+        .df().sort_values("star_id").reset_index(drop=True)
+    )
+    assert got.columns.tolist() == ["star_id", "best_freq", "best_period", "theta"]
+    for c in ["star_id", "best_freq", "best_period", "theta"]:
+        assert np.allclose(got[c], want[c], rtol=0, atol=0), c
+
+
 def test_pdm_matches_numpy_pooled_variance(spark):
     """The declarative Θ equals a direct numpy fold-bin-pool evaluation."""
     rng = np.random.default_rng(17)
