@@ -865,15 +865,18 @@ def q_ekvi_paa_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media pipeline: opaque payload → typed features via
-    mapInPandas (decode stubbed deterministically — no codec libs here;
-    the Spark plumbing (schema, Arrow batches, binary transfer) is real)."""
+    """REAL image features since r5: a planted BMP corpus (built in the
+    executors from a deterministic pixel rule) is ENCODED and DECODED
+    with the pure-numpy 24-bit BMP codec, and per-channel pixel
+    statistics are value-checked against a DuckDB oracle that
+    recomputes the rule in SQL — the decode step is no longer a stub
+    (r4 directive #4). Same mapInPandas/Arrow batch shape as any
+    binary-media scan at 100 TB."""
     docs = testdata.load_table(spark, sf_dir, "documents")
-    media = mm_ops.documents_as_media(docs)
-    out = mm_ops.decode_features(media)
-    return out.select(
-        "media_id", "media_type", "n_bytes", "checksum", "width", "height"
+    media = mm_ops.planted_bmp_media(
+        docs.select(F.col("doc_id").alias("media_id"))
     )
+    return mm_ops.bmp_features(media)
 
 
 def q_sample_head(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -919,10 +922,16 @@ def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize stage plumbing (stub codec — first w*h bytes; md5-checked
-    against a byte-arithmetic oracle)."""
+    """REAL nearest-neighbour image resize since r5: planted BMPs are
+    decoded, resampled with the integer-floor source map, re-encoded,
+    and the resized channel means + re-encoded byte size are
+    value-checked against the SQL rule mirror (was a take-first-bytes
+    stub)."""
     docs = testdata.load_table(spark, sf_dir, "documents")
-    return mm_ops.resize_stub(mm_ops.documents_as_media(docs), 32, 24)
+    media = mm_ops.planted_bmp_media(
+        docs.select(F.col("doc_id").alias("media_id"))
+    )
+    return mm_ops.bmp_resize(media, 5, 4)
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1893,14 +1902,9 @@ SELECT user_id AS star_id, event_type AS band,
        round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS k_mean
 FROM events GROUP BY user_id, event_type
 """,
-        "multimodal_features": """
-SELECT doc_id AS media_id, 'blob' AS media_type,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       md5(text) AS checksum,
-       CAST(1 + octet_length(encode(text)) % 64 AS INT) AS width,
-       CAST(1 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height
-FROM documents
-""",
+        "multimodal_features": mm_ops.planted_features_sql(
+            "SELECT doc_id AS media_id FROM documents"
+        ),
         "mag_histogram": descr.mag_histogram_sql(_OBS, bins=12),
         "sample_head": f"""
 SELECT star_id, name FROM ({testdata.STARS_SQL})
@@ -1915,14 +1919,9 @@ WHERE substring(md5(CAST(star_id AS VARCHAR)), 1, 8) < '{format(int(0.25 * 16**8
         "doc_fingerprint": text_ops.FINGERPRINT_SQL,
         "text_bpe_tokens": text_ops.BPE_TOKEN_COUNT_SQL,
         "doc_rolling_fingerprint": text_ops.rolling_fingerprint_sql(window=8),
-        # documents text is pure ASCII at every SF (verified), so VARCHAR
-        # substring/md5 equal the Spark side's byte slicing exactly
-        "multimodal_resize": """
-SELECT doc_id AS media_id, CAST(32 AS INT) AS width, CAST(24 AS INT) AS height,
-       CAST(least(length(text), 768) AS BIGINT) AS n_bytes_out,
-       md5(substring(text, 1, 768)) AS checksum
-FROM documents
-""",
+        "multimodal_resize": mm_ops.planted_resize_sql(
+            "SELECT doc_id AS media_id FROM documents", 5, 4
+        ),
         "multimodal_frames": """
 WITH b AS (
   SELECT doc_id, text, length(text) // 4 AS flen

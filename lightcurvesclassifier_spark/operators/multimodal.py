@@ -2,16 +2,21 @@
 
 The Spark-side plumbing is real — schema, partition-friendly batch
 processing via ``mapInPandas``, Arrow transfer of binary columns, typed
-feature output. The actual codec work is stubbed: this container has no
-image/audio libraries, so ``decode`` uses a deterministic fake "decoder"
-that derives metadata from the bytes themselves — clearly marked; the
-swap-in point for a real decoder (PIL/libvips) is the ``_fake_decode``
-call in :func:`decode_features`, and behavior never depends on which
-libraries happen to be importable.
+feature output. Since r5 the IMAGE path is real too: a pure-numpy
+24-bit BMP codec (:func:`encode_bmp` / :func:`decode_bmp` — the format
+is uncompressed, so no image library is needed) drives
+:func:`bmp_features` (real per-channel pixel statistics) and
+:func:`bmp_resize` (real nearest-neighbour resampling), both
+value-checked against a DuckDB oracle over a planted deterministic
+pixel rule (:func:`planted_bmp_media` / the ``planted_*_sql``
+mirrors). Video/audio remain stubbed (``_fake_decode`` /
+:func:`frame_sample_stub`) — no codecs in this container; the swap-in
+points are clearly marked and the batch shape doesn't change.
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -159,6 +164,290 @@ def frame_sample_stub(media: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_bytes", "frame_md5"])
 
     return media.mapInPandas(process, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real image path: pure-numpy 24-bit uncompressed BMP (BITMAPINFOHEADER,
+# bottom-up rows, BGR byte order, rows padded to 4 bytes) — decodable
+# without any image library because nothing is compressed.
+# ---------------------------------------------------------------------------
+
+
+def _bmp_row_size(width: int) -> int:
+    return ((3 * width + 3) // 4) * 4
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """RGB uint8 array (H, W, 3) → 24-bit uncompressed BMP bytes."""
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {img.shape}")
+    h, w = img.shape[:2]
+    row_size = _bmp_row_size(w)
+    file_size = 54 + row_size * h
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_size * h, 2835, 2835, 0, 0
+    )
+    body = bytearray()
+    pad = b"\x00" * (row_size - 3 * w)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += img[y, :, ::-1].tobytes()  # RGB → BGR
+        body += pad
+    return header + info + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """24-bit uncompressed BMP bytes → (width, height, RGB uint8
+    (H, W, 3)). Raises ValueError on anything that isn't exactly that
+    profile, so callers can fall back to the stub for other formats."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if hdr_size < 40 or bpp != 24 or compression != 0 or h <= 0 or w <= 0:
+        raise ValueError("unsupported BMP profile (need 24bpp, BI_RGB)")
+    row_size = _bmp_row_size(w)
+    if len(payload) < offset + row_size * h:
+        raise ValueError("truncated BMP payload")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * h, offset=offset
+    ).reshape(h, row_size)
+    img = rows[:, : 3 * w].reshape(h, w, 3)[::-1, :, ::-1]  # flip + BGR→RGB
+    return w, h, np.ascontiguousarray(img)
+
+
+# The planted deterministic pixel rule (SQL-mirrorable, pure integer
+# arithmetic): image k is (8 + k%8) × (8 + 3k%8), channel c∈{0=R,1=G,2=B},
+# pixel value (7k + 5x + 11y + 13c) mod 256.
+def _plant_dims(k: int) -> tuple[int, int]:
+    return 8 + k % 8, 8 + (k * 3) % 8
+
+
+def _plant_image(k: int) -> np.ndarray:
+    w, h = _plant_dims(k)
+    x = np.arange(w)[None, :, None]
+    y = np.arange(h)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    return ((7 * k + 5 * x + 11 * y + 13 * c) % 256).astype(np.uint8)
+
+
+def planted_bmp_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(media_id) → MEDIA_SCHEMA rows whose payloads are real BMP
+    encodings of the planted pixel rule — generated IN the executors
+    (mapInPandas), so the corpus-build is distributed like any other
+    media scan and the decode path is exercised end-to-end against a
+    DuckDB oracle that recomputes the rule in SQL."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                {
+                    "media_id": int(k),
+                    "payload": encode_bmp(_plant_image(int(k))),
+                    "media_type": "image/bmp",
+                    "meta": {"codec": "bmp24"},
+                }
+                for k in pdf[id_col]
+            ]
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "media_type", "meta"]
+            )
+
+    return ids.select(F.col(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+BMP_FEATURE_SCHEMA = (
+    "media_id long, width int, height int, n_bytes long, "
+    "mean_r double, mean_g double, mean_b double, px_std double"
+)
+
+
+def bmp_features(media: DataFrame) -> DataFrame:
+    """REAL image features from decoded pixels: per-channel means and
+    the all-channel population std. Exact-parity discipline: sums are
+    taken over integers (uint8 pixels, error-free), the float
+    divisions/sqrt happen in the SAME expression order as the SQL
+    mirror, and rounding is applied engine-side (F.round in the
+    projection, not Python's half-to-even round)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = (
+                    bytes(row["payload"]) if row["payload"] is not None else b""
+                )
+                w, h, img = decode_bmp(payload)
+                n = w * h
+                flat = img.astype(np.int64)
+                s_c = flat.sum(axis=(0, 1))  # exact int per channel
+                s1 = int(flat.sum())
+                s2 = int((flat * flat).sum())
+                n3 = 3 * n
+                var = s2 / n3 - (s1 / n3) * (s1 / n3)
+                rows.append(
+                    {
+                        "media_id": row["media_id"],
+                        "width": w,
+                        "height": h,
+                        "n_bytes": len(payload),
+                        "mean_r": int(s_c[0]) / n,
+                        "mean_g": int(s_c[1]) / n,
+                        "mean_b": int(s_c[2]) / n,
+                        "px_std": float(np.sqrt(var)),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_bytes",
+                    "mean_r", "mean_g", "mean_b", "px_std",
+                ],
+            )
+
+    out = media.mapInPandas(process, schema=BMP_FEATURE_SCHEMA)
+    return out.select(
+        "media_id", "width", "height", "n_bytes",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("px_std", 6).alias("px_std"),
+    )
+
+
+BMP_RESIZE_SCHEMA = (
+    "media_id long, width int, height int, n_bytes_out long, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def bmp_resize(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL nearest-neighbour resize of decoded BMPs, re-encoded to BMP:
+    target pixel (x', y') samples source (x'·w // W, y'·h // H) — the
+    integer-floor mapping a SQL oracle reproduces exactly. Reports the
+    re-encoded size and the resized image's channel means."""
+    W, H = int(width), int(height)
+    if W < 1 or H < 1:
+        raise ValueError(f"target size must be >= 1x1, got {width}x{height}")
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = (
+                    bytes(row["payload"]) if row["payload"] is not None else b""
+                )
+                w, h, img = decode_bmp(payload)
+                sx = (np.arange(W) * w) // W
+                sy = (np.arange(H) * h) // H
+                out = img[sy][:, sx]
+                enc = encode_bmp(out)
+                s_c = out.astype(np.int64).sum(axis=(0, 1))
+                n = W * H
+                rows.append(
+                    {
+                        "media_id": row["media_id"],
+                        "width": W,
+                        "height": H,
+                        "n_bytes_out": len(enc),
+                        "mean_r": int(s_c[0]) / n,
+                        "mean_g": int(s_c[1]) / n,
+                        "mean_b": int(s_c[2]) / n,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_bytes_out",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    out = media.mapInPandas(process, schema=BMP_RESIZE_SCHEMA)
+    return out.select(
+        "media_id", "width", "height", "n_bytes_out",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+_PLANT_SERIES = "SELECT unnest(range(0, 15)) AS i"
+
+
+def planted_features_sql(ids_sql: str) -> str:
+    """DuckDB mirror of planted_bmp_media → bmp_features: recompute the
+    planted pixel rule in SQL (pure integer arithmetic), aggregate the
+    same integer sums, apply the same float derivation order."""
+    return f"""
+WITH ids AS ({ids_sql}),
+dims AS (
+  SELECT media_id,
+         CAST(8 + media_id % 8 AS INT) AS width,
+         CAST(8 + (media_id * 3) % 8 AS INT) AS height
+  FROM ids
+),
+series AS ({_PLANT_SERIES}),
+px AS (
+  SELECT d.media_id, d.width, d.height, sc.i AS c,
+         (7 * d.media_id + 5 * sx.i + 11 * sy.i + 13 * sc.i) % 256 AS v
+  FROM dims d
+  JOIN series sx ON sx.i < d.width
+  JOIN series sy ON sy.i < d.height
+  JOIN series sc ON sc.i < 3
+)
+SELECT media_id, width, height,
+       CAST(54 + height * (((3 * width + 3) // 4) * 4) AS BIGINT) AS n_bytes,
+       round(CAST(sum(CASE WHEN c = 0 THEN v END) AS DOUBLE)
+             / (width * height), 6) AS mean_r,
+       round(CAST(sum(CASE WHEN c = 1 THEN v END) AS DOUBLE)
+             / (width * height), 6) AS mean_g,
+       round(CAST(sum(CASE WHEN c = 2 THEN v END) AS DOUBLE)
+             / (width * height), 6) AS mean_b,
+       round(sqrt(CAST(sum(v * v) AS DOUBLE) / (3 * width * height)
+                  - (CAST(sum(v) AS DOUBLE) / (3 * width * height))
+                    * (CAST(sum(v) AS DOUBLE) / (3 * width * height))), 6)
+         AS px_std
+FROM px GROUP BY media_id, width, height
+"""
+
+
+def planted_resize_sql(ids_sql: str, width: int, height: int) -> str:
+    """DuckDB mirror of planted_bmp_media → bmp_resize: the
+    nearest-neighbour source index is the same integer-floor map, so
+    the resized pixel values are the rule evaluated at those indices."""
+    W, H = int(width), int(height)
+    return f"""
+WITH ids AS ({ids_sql}),
+dims AS (
+  SELECT media_id,
+         CAST(8 + media_id % 8 AS INT) AS width,
+         CAST(8 + (media_id * 3) % 8 AS INT) AS height
+  FROM ids
+),
+series AS ({_PLANT_SERIES}),
+px AS (
+  SELECT d.media_id, sc.i AS c,
+         (7 * d.media_id + 5 * ((sx.i * d.width) // {W})
+          + 11 * ((sy.i * d.height) // {H}) + 13 * sc.i) % 256 AS v
+  FROM dims d
+  JOIN series sx ON sx.i < {W}
+  JOIN series sy ON sy.i < {H}
+  JOIN series sc ON sc.i < 3
+)
+SELECT media_id,
+       CAST({W} AS INT) AS width,
+       CAST({H} AS INT) AS height,
+       CAST(54 + {H} * (((3 * {W} + 3) // 4) * 4) AS BIGINT) AS n_bytes_out,
+       round(CAST(sum(CASE WHEN c = 0 THEN v END) AS DOUBLE)
+             / ({W} * {H}), 6) AS mean_r,
+       round(CAST(sum(CASE WHEN c = 1 THEN v END) AS DOUBLE)
+             / ({W} * {H}), 6) AS mean_g,
+       round(CAST(sum(CASE WHEN c = 2 THEN v END) AS DOUBLE)
+             / ({W} * {H}), 6) AS mean_b
+FROM px GROUP BY media_id
+"""
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:
