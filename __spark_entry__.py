@@ -1246,6 +1246,17 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_ops.hll_distinct(docs, n=3)
 
 
+def q_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-3-gram estimates from GROUPED HLL
+    registers — the rollup shape: register tables keyed (lang, bucket),
+    shared estimator per group; max-merge of the per-group registers
+    reproduces the global sketch exactly (composability pinned in
+    tests). The shuffle carries ≤ m rows per (map partition, group)
+    at any corpus size."""
+    docs = testdata.load_table(spark, sf_dir, "documents")
+    return sketch_ops.hll_grouped(docs, "lang", n=3)
+
+
 def q_sky_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) sky key per star — pure integer shift/mask
     interleave of the quantized (ra, dec). Sorting/partitioning the
@@ -1574,6 +1585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mirrored, unrolled, in ivf_topk_sql); was the last rows-only
         # entry
         "embedding_ivf_topk": q_embedding_ivf_topk,
+        # r5 addition: grouped-HLL rollup (register merge composability)
+        "hll_grouped": q_hll_grouped,
     }
 
 
@@ -1999,6 +2012,9 @@ FROM corpus GROUP BY md5(text)
         "bigram_counts": text_ops.bigram_counts_sql(k=30),
         "hll_registers": sketch_ops.hll_registers_sql(n=3),
         "hll_distinct": sketch_ops.hll_distinct_sql(n=3),
+        "hll_grouped": sketch_ops.hll_grouped_sql(
+            "SELECT lang, text FROM documents", "lang", n=3
+        ),
         "cms_counters": sketch_ops.cms_counters_sql(n=2),
         "cms_point_est": sketch_ops.cms_point_estimates_sql(n=2),
         "sky_zorder": layout_ops.sky_zorder_sql(testdata.STARS_SQL),

@@ -1013,77 +1013,42 @@ def ivf_flat_topk(
     trained quantizer's (seeds are not centroids) but the plan shape is
     identical, and that is what this variant exists to pin.
 
-    Plan: the seed pick is a TakeOrdered of ``n_cells`` rows; cell
-    assignment is a broadcast nested-loop (corpus × n_cells) collapsed
-    by a map-side-combined ``max_by`` — the shuffle carries |corpus|
-    rows, not |corpus|·n_cells (the production path, ivf_topk, does the
-    same argmin in numpy against broadcast centroids; this one trades a
-    constant-factor broadcast join for exact cross-engine arithmetic).
-    Probing re-ranks only ~n_probe/n_cells of the corpus per query.
-    Ties everywhere break toward the smaller id: the assignment encodes
-    (rounded cos, cell_idx) into one double — cell_idx·1e-9 is far
-    below the 1e-6 rounding quantum, so the encoding is exact and
-    engine-independent.
+    Plan (r5): the seed pick is a TakeOrdered of ``n_cells`` rows
+    collected to the driver (bounded index metadata, the same contract
+    as the Lloyd path's centroid table); everything after goes through
+    the shared :func:`_ivf_probe_rerank` tail — cell assignment is a
+    MAP-ONLY argmax over the n_cells seed LITERALS, so the corpus never
+    shuffles before the broadcast probe join (the pre-r5 formulation
+    pushed the whole corpus through a crossJoin + max_by groupBy
+    exchange). Values are bit-identical to the pre-r5 plan and to the
+    SQL oracle: same rounded-cos − cell_idx·1e-9 tie encoding (the
+    1e-9 step is far below the 1e-6 rounding quantum), and collected
+    doubles round-trip exactly into plan literals.
     """
     # zero-norm vectors dropped on BOTH sides (same rule as _unit_rows /
     # ivf_topk): cosine against them is 0/0, which Spark evaluates to
     # NaN (sorts first under DESC) but DuckDB to NULL (sorts last) — a
-    # silent cross-engine divergence, and a NaN seed would swallow the
-    # whole corpus in max_by
-    v = corpus.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    ).filter(F.aggregate("_v", F.lit(0.0), lambda a, x: a + x * x) > 0.0)
+    # silent cross-engine divergence, and a NaN seed would poison the
+    # assignment argmax
+    v = _vec_rows(corpus, id_col, vec_col)
     # seed pick: orderBy().limit() lowers to TakeOrderedAndProject —
     # every partition ships only its local n_cells candidates; the
-    # global-window numbering then runs on just the n_cells survivors
-    # (same total order, so identical to the oracle's row_number+filter)
+    # driver-side sort re-establishes the same total order as the
+    # oracle's row_number
     seeds = (
         v.withColumn(
             "_h", F.md5(F.col(id_col).cast("string").cast("binary"))
         )
         .orderBy("_h", id_col)
-        .limit(n_cells)
+        .limit(int(n_cells))
+        .collect()
     )
-    w_seed = Window.orderBy("_h", id_col)
-    cells = seeds.select(
-        (F.row_number().over(w_seed) - 1).alias("cell_idx"),
-        F.col("_v").alias("_cell_v"),
-    )
-    cell_cos = F.round(cosine(F.col("_v"), F.col("_cell_v")), 6)
-    enc = cell_cos - F.col("cell_idx") * F.lit(1e-9)
-    assigned = (
-        v.crossJoin(F.broadcast(cells))
-        .groupBy(id_col)
-        .agg(
-            F.max_by(F.col("cell_idx"), enc).alias("cell_idx"),
-            F.first("_v").alias("_v"),
-        )
-    )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.col("_pcos").desc(), F.col("cell_idx")
-    )
-    probes = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).cast("array<double>").alias("_q"),
-        )
-        .filter(F.aggregate("_q", F.lit(0.0), lambda a, x: a + x * x) > 0.0)
-        .crossJoin(F.broadcast(cells))
-        .withColumn("_pcos", F.round(cosine(F.col("_q"), F.col("_cell_v")), 6))
-        .withColumn("_pr", F.row_number().over(w_probe))
-        .filter(F.col("_pr") <= n_probe)
-        .select("query_id", "_q", "cell_idx")
-    )
-    scored = (
-        assigned.join(F.broadcast(probes), "cell_idx")
-        .filter(F.col("query_id") != F.col(id_col))
-        .select(
-            "query_id",
-            id_col,
-            F.round(cosine(F.col("_q"), F.col("_v")), 6).alias("cos"),
-        )
-    )
-    return _topk_rank(scored, k, id_col)
+    seeds.sort(key=lambda r: (r["_h"], r[id_col]))
+    cell_rows = [
+        (j, [float(x) for x in r["_v"]]) for j, r in enumerate(seeds)
+    ]
+    q = _vec_rows(queries, id_col, vec_col)
+    return _ivf_probe_rerank(v, q, cell_rows, k, n_probe, id_col)
 
 
 def ivf_flat_topk_sql(

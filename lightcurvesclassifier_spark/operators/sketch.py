@@ -70,15 +70,12 @@ def hll_registers(
     )
 
 
-def hll_estimate(regs: DataFrame) -> DataFrame:
-    """Register table → single-row estimate (the Flajolet raw estimator
-    with linear counting below 2.5·m).  Shared by the batch path and
-    the streaming foreachBatch sink, so both report identically."""
+def _hll_est_cols() -> list:
+    """The shared estimator projection over (n_present, z_present)
+    columns: Flajolet raw estimator with linear counting below 2.5·m.
+    One definition serves the global, grouped and streaming paths so
+    all report identically."""
     m = float(HLL_M)
-    agg = regs.agg(
-        F.count("*").alias("n_present"),
-        F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("z_present"),
-    )
     v = F.lit(m) - F.col("n_present")  # empty registers
     # coalesce: an empty register table (corpus with no n-grams at all)
     # gives sum=NULL; treating it as 0 routes V=m into linear counting,
@@ -88,10 +85,51 @@ def hll_estimate(regs: DataFrame) -> DataFrame:
     est = F.when(
         (raw <= 2.5 * m) & (v > 0), F.lit(m) * F.log(F.lit(m) / v)
     ).otherwise(raw)
-    return agg.select(
+    return [
         F.col("n_present").cast("long").alias("n_registers"),
         F.round(est, 3).alias("distinct_est"),
+    ]
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """Register table → single-row estimate.  Shared by the batch path
+    and the streaming foreachBatch sink, so both report identically."""
+    agg = regs.agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("z_present"),
     )
+    return agg.select(*_hll_est_cols())
+
+
+def hll_grouped(
+    df: DataFrame, group_col: str = "lang", text_col: str = "text",
+    n: int = 1,
+) -> DataFrame:
+    """Per-GROUP distinct-n-gram estimates — the rollup shape: register
+    tables keyed (group, bucket), then the shared estimator per group.
+    This is how sketch state rolls up a hierarchy at 100 TB: the
+    shuffle carries ≤ m rows per (map partition, group) whatever the
+    corpus size, and a coarser level's registers are the ``max`` merge
+    of its children's (max is associative/idempotent), so group→global
+    composes exactly — pinned in tests against :func:`hll_distinct`."""
+    from .dedup import _ngram_rows
+
+    terms = _ngram_rows(
+        df, n, text_col, group_col,
+        key_fn=lambda s: s, empty_type="string", out_col="term",
+        distinct=False,
+    )
+    bucket, rank = _hll_parts(F.col("term"))
+    regs = (
+        terms.select(F.col(group_col), bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+    agg = regs.groupBy(group_col).agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("z_present"),
+    )
+    return agg.select(F.col(group_col), *_hll_est_cols())
 
 
 def hll_distinct(
@@ -138,6 +176,53 @@ def hll_registers_sql(
 ) -> str:
     """DuckDB mirror of :func:`hll_registers`."""
     return _hll_registers_sql(corpus_sql, n)
+
+
+def hll_grouped_sql(
+    corpus_sql: str = "SELECT lang, text FROM documents",
+    group_col: str = "lang",
+    n: int = 1,
+) -> str:
+    """DuckDB mirror of :func:`hll_grouped` (same register scheme, same
+    estimator constants and correction branch per group)."""
+    m = float(HLL_M)
+    bucket = _hex_to_int_sql("substring(h, 1, 2)", 2)
+    v = _hex_to_int_sql("substring(h, 3, 12)", 12)
+    return f"""
+WITH tk0 AS (
+  SELECT {group_col}, string_split(text, ' ') AS tk FROM ({corpus_sql})
+),
+toks AS (
+  SELECT {group_col}, array_to_string(tk[g:g+{n - 1}], ' ') AS term
+  FROM tk0, unnest(generate_series(1, len(tk) - {n - 1})) AS t(g)
+),
+hashed AS (SELECT {group_col}, md5(term) AS h FROM toks),
+coords AS (
+  SELECT {group_col},
+         CAST({bucket} AS BIGINT) AS bucket,
+         CAST(CASE WHEN {v} = 0 THEN 49
+              ELSE 49 - length(bin(CAST({v} AS BIGINT))) END AS BIGINT)
+           AS rank
+  FROM hashed
+),
+regs AS (
+  SELECT {group_col}, bucket, max(rank) AS max_rank
+  FROM coords GROUP BY {group_col}, bucket
+),
+agg AS (
+  SELECT {group_col}, count(*) AS n_present,
+         coalesce(sum(pow(2.0, -max_rank)), 0.0) AS z_present
+  FROM regs GROUP BY {group_col}
+)
+SELECT {group_col}, CAST(n_present AS BIGINT) AS n_registers,
+       round(CASE WHEN {_HLL_ALPHA * m * m} / (z_present + ({m} - n_present))
+                       <= {2.5 * m}
+                  AND {m} - n_present > 0
+             THEN {m} * ln({m} / ({m} - n_present))
+             ELSE {_HLL_ALPHA * m * m} / (z_present + ({m} - n_present))
+             END, 3) AS distinct_est
+FROM agg
+"""
 
 
 def hll_distinct_sql(

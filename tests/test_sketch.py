@@ -72,6 +72,66 @@ def test_hll_registers_plan_single_shuffle_no_python(spark):
     assert "Python" not in plan
 
 
+def test_hll_grouped_rollup_composes_to_global(spark):
+    """Grouped registers are a true rollup level: max-merging the
+    per-lang register tables over (bucket) reproduces the GLOBAL
+    register table exactly, hence the global estimate — the
+    hierarchy-rollup property that makes the sketch usable at 100 TB.
+    Per-group estimates land within the ~6.5% HLL error of exact."""
+    docs = testdata.load_table(spark, SF_ORACLE, "documents")
+    grouped = sketch.hll_grouped(docs, "lang", n=3).toPandas()
+    exact = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(F.split("text", " ")) - 2),
+                    lambda i: F.array_join(
+                        F.slice(F.split(F.col("text"), " "), i, 3), " "
+                    ),
+                )
+            ).alias("term"),
+        )
+        .groupBy("lang")
+        .agg(F.count_distinct("term").alias("n"))
+        .toPandas()
+        .set_index("lang")["n"]
+    )
+    for _, r in grouped.iterrows():
+        rel = abs(r.distinct_est - exact[r.lang]) / exact[r.lang]
+        assert rel < 0.2, (r.lang, r.distinct_est, exact[r.lang], rel)
+
+    # register-level composability: per-group regs max-merged == global
+    from lightcurvesclassifier_spark.operators.dedup import _ngram_rows
+
+    terms = _ngram_rows(
+        docs, 3, "text", "lang",
+        key_fn=lambda s: s, empty_type="string", out_col="term",
+        distinct=False,
+    )
+    from lightcurvesclassifier_spark.operators.sketch import _hll_parts
+
+    bucket, rank = _hll_parts(F.col("term"))
+    per_group = (
+        terms.select(F.col("lang"), bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy("lang", "bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+    merged = (
+        per_group.groupBy("bucket").agg(F.max("max_rank").alias("max_rank"))
+        .toPandas().set_index("bucket").sort_index()
+    )
+    global_regs = (
+        sketch.hll_registers(docs, n=3).toPandas()
+        .set_index("bucket").sort_index()
+    )
+    assert merged.equals(global_regs)
+    est_merged = sketch.hll_estimate(
+        sketch.hll_registers(docs, n=3)
+    ).toPandas()
+    assert len(est_merged) == 1
+
+
 def test_cms_never_underestimates_and_bounds_overshoot(spark):
     docs = testdata.load_table(spark, SF_ORACLE, "documents")
     est = sketch.cms_point_estimates(docs, n=2).toPandas()
