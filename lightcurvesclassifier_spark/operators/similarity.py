@@ -549,6 +549,13 @@ def lloyd_cell_rows(
             return []
         d = len(cell_rows[0][1])
         for _ in range(int(n_iter)):
+            # broadcast-crossJoin + max_by assignment (same rule as
+            # :func:`_ivf_assign`, on the unit vectors), then the
+            # per-dim int sums via posexplode: (cell, dim)-keyed BIGINT
+            # sums are a plain narrow aggregate instead of a
+            # 2d+1-buffer-wide one (the wide form cost ~1.2 s of py4j
+            # plan build + a multi-second first-run codegen compile
+            # PER iteration); ONE job per iteration
             cells_df = spark.createDataFrame(
                 list(cell_rows), "cell_idx int, _cell_v array<double>"
             )
@@ -564,37 +571,64 @@ def lloyd_cell_rows(
                 )
             )
             upd = (
-                assigned.groupBy("cell_idx")
-                .agg(
-                    F.count(F.lit(1)).alias("_n"),
-                    *[
-                        F.sum(F.element_at("_iu", i + 1)).alias(f"_s{i}")
-                        for i in range(d)
-                    ],
+                assigned.select(
+                    "cell_idx", F.posexplode("_iu").alias("_d", "_val")
                 )
+                .groupBy("cell_idx", "_d")
+                .agg(F.count(F.lit(1)).alias("_n"), F.sum("_val").alias("_s"))
                 .select(
                     "cell_idx",
-                    F.array(
-                        *[
-                            F.round(
-                                F.col(f"_s{i}").cast("double")
-                                / F.col("_n")
-                                / F.lit(1000000.0),
-                                6,
-                            )
-                            for i in range(d)
-                        ]
-                    ).alias("_cv"),
+                    "_d",
+                    F.round(
+                        F.col("_s").cast("double")
+                        / F.col("_n")
+                        / F.lit(1000000.0),
+                        6,
+                    ).alias("_c"),
                 )
                 .collect()
             )
-            got = {
-                int(r["cell_idx"]): [float(x) for x in r["_cv"]] for r in upd
-            }
-            cell_rows = [(j, got.get(j, old)) for j, old in cell_rows]
+            got: dict[int, dict[int, float]] = {}
+            for r in upd:
+                got.setdefault(int(r["cell_idx"]), {})[int(r["_d"])] = float(
+                    r["_c"]
+                )
+            cell_rows = [
+                (
+                    j,
+                    [got[j][i] for i in range(d)] if j in got else old,
+                )
+                for j, old in cell_rows
+            ]
         return cell_rows
     finally:
         samp.unpersist()
+
+
+def _ivf_assign(
+    v: DataFrame, cells_df: DataFrame, id_col: str
+) -> DataFrame:
+    """Cell assignment shared by both IVF variants and the layout
+    writer: broadcast the (bounded, n_cells-row) cell table, collapse
+    the nested-loop expansion with a map-side-combined ``max_by`` over
+    the rounded-cos − cell_idx·1e-9 tie encoding. ONE corpus-keyed
+    exchange whose payload is (id, vec, cell) — measured faster at
+    every tested scale than the two r5 map-only formulations (a
+    literal-argmax HOF array and an unrolled multiply-add chain; the
+    first pays ~1 ms/row interpreted eval + py4j plan build, the
+    second a multi-second codegen compile of 16×64-term expressions
+    that blows past JIT method limits)."""
+    enc = F.round(
+        cosine(F.col("_v"), F.col("_cell_v")), 6
+    ) - F.col("cell_idx") * F.lit(1e-9)
+    return (
+        v.crossJoin(F.broadcast(cells_df))
+        .groupBy(id_col)
+        .agg(
+            F.max_by("cell_idx", enc).alias("cell_idx"),
+            F.first("_v").alias("_v"),
+        )
+    )
 
 
 def _ivf_probe_rerank(
@@ -605,27 +639,20 @@ def _ivf_probe_rerank(
     n_probe: int,
     id_col: str,
 ) -> DataFrame:
-    """Shared IVF tail given trained cells: map-only corpus assignment
-    (argmax over n_cells centroid LITERALS — the corpus never shuffles
-    before the broadcast probe join; the only exchange in the whole
-    query is the per-query top-k window), Spark-side probe ranking with
-    the same rounded-cos/idx tie rule, exact cosine re-rank."""
+    """Shared IVF tail given trained cells: broadcast-crossJoin + max_by
+    assignment (:func:`_ivf_assign` — one id-keyed exchange), Spark-side
+    probe ranking with the same rounded-cos/idx tie rule, exact cosine
+    re-rank under the per-query top-k window."""
     spark = v.sparkSession
-    lits = [
-        F.array(*[F.lit(x) for x in vec]) for _, vec in cell_rows
-    ]
-    encs = [
-        F.round(cosine(F.col("_v"), a), 6) - F.lit(j * 1e-9)
-        for (j, _), a in zip(cell_rows, lits)
-    ]
-    enc_arr = F.array(*encs)
-    assigned = v.withColumn(
-        "cell_idx",
-        (F.array_position(enc_arr, F.array_max(enc_arr)) - 1).cast("int"),
-    )
+    if not cell_rows:
+        # empty corpus (or all zero-norm): no cells → no candidates
+        return spark.createDataFrame(
+            [], f"query_id long, {id_col} long, cos double, rank int"
+        )
     cells_df = spark.createDataFrame(
         list(cell_rows), "cell_idx int, _cell_v array<double>"
     )
+    assigned = _ivf_assign(v, cells_df, id_col)
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("_pcos").desc(), F.col("cell_idx")
     )
@@ -669,11 +696,11 @@ def ivf_topk(
     the corpus scan per query batch shrinks to n_probe/n_lists of the
     data, and the cell assignment is a one-off (in production, written
     as a partition column so probes prune files — see
-    ``operators/layout.write_ivf_layout``). Cell assignment here is a
-    map-only literal-centroid argmax: unlike the flat variant's
-    crossJoin + max_by, the corpus side never shuffles. Deterministic
-    (md5-ordered sample, fixed iterations, no RNG anywhere); recall vs
-    exact top-k is pinned in tests.
+    ``operators/layout.write_ivf_layout``). Cell assignment goes
+    through the shared :func:`_ivf_assign` (broadcast cells + max_by,
+    one id-keyed exchange). Deterministic (md5-ordered sample, fixed
+    iterations, no RNG anywhere); recall vs exact top-k is pinned in
+    tests.
     """
     v = _vec_rows(corpus, id_col, vec_col)
     cell_rows = lloyd_cell_rows(
@@ -1016,14 +1043,12 @@ def ivf_flat_topk(
     Plan (r5): the seed pick is a TakeOrdered of ``n_cells`` rows
     collected to the driver (bounded index metadata, the same contract
     as the Lloyd path's centroid table); everything after goes through
-    the shared :func:`_ivf_probe_rerank` tail — cell assignment is a
-    MAP-ONLY argmax over the n_cells seed LITERALS, so the corpus never
-    shuffles before the broadcast probe join (the pre-r5 formulation
-    pushed the whole corpus through a crossJoin + max_by groupBy
-    exchange). Values are bit-identical to the pre-r5 plan and to the
-    SQL oracle: same rounded-cos − cell_idx·1e-9 tie encoding (the
-    1e-9 step is far below the 1e-6 rounding quantum), and collected
-    doubles round-trip exactly into plan literals.
+    the shared :func:`_ivf_probe_rerank` tail — broadcast-crossJoin +
+    max_by assignment (one id-keyed exchange), broadcast probe join,
+    per-query top-k window. Values are bit-identical to the pre-r5
+    plan and to the SQL oracle: same rounded-cos − cell_idx·1e-9 tie
+    encoding (the 1e-9 step is far below the 1e-6 rounding quantum),
+    and collected doubles round-trip exactly into plan literals.
     """
     # zero-norm vectors dropped on BOTH sides (same rule as _unit_rows /
     # ivf_topk): cosine against them is 0/0, which Spark evaluates to

@@ -4,6 +4,8 @@ Python in the JVM path") checked against the actual executed plans, so
 a regression that silently adds a shuffle or unpushes a filter fails a
 test rather than a plan audit."""
 
+from pyspark.sql import functions as F
+
 import __spark_entry__ as em
 from tests.conftest import SF_SMOKE
 
@@ -154,6 +156,32 @@ def test_lsh_topk_corpus_never_shuffles_before_candidates(spark):
     assert "Python" not in plan
 
 
+def test_ivf_assignment_one_exchange_cells_broadcast(spark):
+    """BOTH IVF variants share the _ivf_assign shape: the bounded cell
+    table and the probe rows arrive via BroadcastExchange, the corpus
+    crosses exactly ONE corpus-keyed hash exchange (the max_by
+    assignment groupBy), and everything else partitions by query_id
+    (probe windows / top-k). No Python anywhere."""
+    from lightcurvesclassifier_spark.operators import similarity
+    from lightcurvesclassifier_spark.sources import testdata
+    from tests.conftest import SF_ORACLE
+
+    emb = testdata.load_table(spark, SF_ORACLE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    for df in (
+        similarity.ivf_flat_topk(emb, q, k=5, n_cells=8, n_probe=3),
+        similarity.ivf_topk(emb, q, k=5, n_lists=8, n_probe=3),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan
+        assert "Python" not in plan
+        corpus_keyed = [
+            ln for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln and "query_id" not in ln
+        ]
+        assert len(corpus_keyed) == 1, plan
+
+
 def test_stetson_single_shuffle(spark):
     # moment window + lag window + final agg share star_id: 1 Exchange
     plan = _plan(spark, "stetson_variability")
@@ -170,9 +198,10 @@ def test_embedding_profile_single_shuffle(spark):
 
 def test_pdm_grid_broadcast_wide_shuffle_only_once(spark):
     # one |obs|×|grid| wide shuffle keyed (star, freq) — the phase bins
-    # live as 3·n_bins conditional aggregate buffers, NOT in the key
-    # (the (star,freq,pbin) key was measured >3× slower at sf0.1).
-    # Grid + totals arrive via broadcast.
+    # live as 2·n_bins+1 conditional aggregate buffers, NOT in the key
+    # (the (star,freq,pbin) key was measured slower at sf0.1), and
+    # since r5 the per-star totals are recovered from the same buffers
+    # (no totals aggregate/join). Grid arrives via broadcast.
     plan = _plan(spark, "period_pdm")
     assert "BroadcastExchange" in plan
     assert not any(
