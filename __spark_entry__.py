@@ -503,7 +503,9 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce; exact quantiles for the oracle (approx_percentile is the
     documented 100 TB switch)."""
     li = testdata.load_table(spark, sf_dir, "lineitem")
-    return profile_ops.numeric_profile(li, PROFILE_COLS)
+    # exact=True explicitly: this is the oracle query, and the explicit
+    # flag keeps the auto-switch's deciding count() out of the timed path
+    return profile_ops.numeric_profile(li, PROFILE_COLS, exact=True)
 
 
 def q_asof_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1043,7 +1045,11 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = text_ops.quality_features(docs).select(
         "doc_id", F.col("stopword_ratio").alias("score")
     )
-    return corpus_ops.quality_buckets(scored, "score", "doc_id", n_buckets=10)
+    # exact=True explicitly: oracle query; avoids the auto-switch's
+    # deciding count() re-executing the scoring plan in the timed path
+    return corpus_ops.quality_buckets(
+        scored, "score", "doc_id", n_buckets=10, exact=True
+    )
 
 
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

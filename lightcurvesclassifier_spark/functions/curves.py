@@ -262,13 +262,20 @@ def stetson_jk(obs: DataFrame, keys: list[str] | None = None) -> DataFrame:
     s1 = F.sum(m).over(wp)
     s2 = F.sum(m * m).over(wp)
     mean = s1 / n
-    std = F.sqrt((s2 - s1 * s1 / n) / n)
+    var = (s2 - s1 * s1 / n) / n
+    std = F.sqrt(var)
     # degenerate stars (single observation, or zero variance) would put
     # n/(n-1) = Inf or /0 = NaN into every downstream row; emit NULL δ
     # instead so J/K come out NULL, the same CASE-guard discipline as
-    # finalize_lc_stats and lag_correlation (mirrored in stetson_jk_sql)
+    # finalize_lc_stats and lag_correlation (mirrored in stetson_jk_sql).
+    # The guard tests the VARIANCE, not sqrt(variance): a constant-mag
+    # star whose power sums cancel to a tiny NEGATIVE variance (float
+    # cancellation, e.g. mag 12.3 × 14 obs → −3e−14) would otherwise
+    # make Spark's sqrt a NaN that passes `NaN > 0` (Spark treats NaN
+    # as the largest double) and make DuckDB's sqrt RAISE — a hard
+    # oracle error, not a mismatch.
     delta = F.when(
-        (n > 1) & (std > F.lit(0.0)),
+        (n > 1) & (var > F.lit(0.0)),
         F.sqrt(n / (n - 1.0)) * (m - mean) / std,
     )
     rows = obs.select(
@@ -341,8 +348,11 @@ st AS (
   WINDOW w AS (PARTITION BY star_id)
 ),
 deltas AS (
+  -- variance (not sqrt) in the guard: sqrt of a cancellation-negative
+  -- variance would RAISE in DuckDB; the THEN branch only evaluates
+  -- when the variance is strictly positive
   SELECT star_id, t, mag, n,
-         CASE WHEN n > 1 AND sqrt((s2 - s1 * s1 / n) / n) > 0.0
+         CASE WHEN n > 1 AND (s2 - s1 * s1 / n) / n > 0.0
               THEN sqrt(n / (n - 1.0)) * (mag - s1 / n)
                      / sqrt((s2 - s1 * s1 / n) / n)
          END AS d

@@ -252,7 +252,10 @@ def pdm_best_period(
     engine-portable tie-break discipline as :func:`best_period`)."""
     th = pdm_theta(spark, obs, freqs, n_bins, t_col, mag_col, id_col)
     w = Window.partitionBy(id_col).orderBy(
-        F.col("theta").asc(), F.col("freq").asc()
+        # NULLS LAST to match DuckDB's ASC default: a dof=0 star has
+        # theta NULL in BOTH engines, and Spark's NULLS-FIRST default
+        # would crown that NULL row rk=1 while DuckDB ranks it last
+        F.col("theta").asc_nulls_last(), F.col("freq").asc()
     )
     return (
         th.withColumn("rk", F.row_number().over(w))
@@ -308,7 +311,10 @@ def pdm_best_period_two_stage(
         t_col, mag_col, id_col,
     )
     w = Window.partitionBy(id_col).orderBy(
-        F.col("theta").asc(), F.col("freq").asc()
+        # NULLS LAST to match DuckDB's ASC default: a dof=0 star has
+        # theta NULL in BOTH engines, and Spark's NULLS-FIRST default
+        # would crown that NULL row rk=1 while DuckDB ranks it last
+        F.col("theta").asc_nulls_last(), F.col("freq").asc()
     )
     coarse_df = spark.createDataFrame(
         indexed[::coarse_step], "cidx int, freq double"
@@ -568,7 +574,7 @@ binned_c AS (
 ranked_c AS (
   SELECT star_id, freq, theta,
          row_number() OVER (PARTITION BY star_id
-                            ORDER BY theta ASC, freq ASC) AS rk
+                            ORDER BY theta ASC NULLS LAST, freq ASC) AS rk
   FROM theta_t_c
 ),
 cand AS (
@@ -588,7 +594,7 @@ binned_f AS (
 ranked_f AS (
   SELECT star_id, freq, theta,
          row_number() OVER (PARTITION BY star_id
-                            ORDER BY theta ASC, freq ASC) AS rk
+                            ORDER BY theta ASC NULLS LAST, freq ASC) AS rk
   FROM theta_t_f
 )
 SELECT star_id, freq AS best_freq,
@@ -607,7 +613,7 @@ WITH th AS ({pdm_theta_sql(obs_sql, freqs, n_bins)}),
 ranked AS (
   SELECT star_id, freq, theta,
          row_number() OVER (PARTITION BY star_id
-                            ORDER BY theta ASC, freq ASC) AS rk
+                            ORDER BY theta ASC NULLS LAST, freq ASC) AS rk
   FROM th
 )
 SELECT star_id, freq AS best_freq,

@@ -92,40 +92,7 @@ def decode_features(media: DataFrame, batch_hint: int | None = None) -> DataFram
     return media.mapInPandas(process, schema=FEATURE_SCHEMA)
 
 
-RESIZE_SCHEMA = (
-    "media_id long, width int, height int, n_bytes_out long, checksum string"
-)
 FRAME_SCHEMA = "media_id long, frame_idx int, frame_bytes long, frame_md5 string"
-
-
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image-resize stage: real Spark plumbing (mapInPandas over binary
-    payloads, Arrow transfer, typed output), STUB codec — no image libs
-    in this container, so the "resized" payload is the first
-    ``width*height`` bytes (swap the body for PIL/libvips thumbnailing
-    on a real cluster; the schema and batch shape don't change)."""
-    target = int(width) * int(height)
-
-    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
-        for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"]) if row["payload"] is not None else b""
-                out = payload[:target]
-                rows.append(
-                    {
-                        "media_id": row["media_id"],
-                        "width": width,
-                        "height": height,
-                        "n_bytes_out": len(out),
-                        "checksum": hashlib.md5(out).hexdigest(),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "n_bytes_out", "checksum"])
-
-    return media.mapInPandas(process, schema=RESIZE_SCHEMA)
 
 
 def frame_sample_stub(media: DataFrame, n_frames: int = 4) -> DataFrame:
@@ -373,7 +340,13 @@ def bmp_resize(media: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
-_PLANT_SERIES = "SELECT unnest(range(0, 15)) AS i"
+# ceiling of the planted rule's dimensions: _plant_dims maxes at
+# 8 + 7 = 15 on both axes — keep in sync with the rule
+_PLANT_MAX_DIM = 15
+
+
+def _plant_series_sql(bound: int) -> str:
+    return f"SELECT unnest(range(0, {int(bound)})) AS i"
 
 
 def planted_features_sql(ids_sql: str) -> str:
@@ -388,7 +361,7 @@ dims AS (
          CAST(8 + (media_id * 3) % 8 AS INT) AS height
   FROM ids
 ),
-series AS ({_PLANT_SERIES}),
+series AS ({_plant_series_sql(_PLANT_MAX_DIM)}),
 px AS (
   SELECT d.media_id, d.width, d.height, sc.i AS c,
          (7 * d.media_id + 5 * sx.i + 11 * sy.i + 13 * sc.i) % 256 AS v
@@ -416,7 +389,10 @@ FROM px GROUP BY media_id, width, height
 def planted_resize_sql(ids_sql: str, width: int, height: int) -> str:
     """DuckDB mirror of planted_bmp_media → bmp_resize: the
     nearest-neighbour source index is the same integer-floor map, so
-    the resized pixel values are the rule evaluated at those indices."""
+    the resized pixel values are the rule evaluated at those indices.
+    The index series bound is derived from the TARGET size too — a
+    fixed 15-row series silently truncated any target wider than the
+    planted rule's own max dimension (r5 review finding)."""
     W, H = int(width), int(height)
     return f"""
 WITH ids AS ({ids_sql}),
@@ -426,7 +402,7 @@ dims AS (
          CAST(8 + (media_id * 3) % 8 AS INT) AS height
   FROM ids
 ),
-series AS ({_PLANT_SERIES}),
+series AS ({_plant_series_sql(max(_PLANT_MAX_DIM, W, H))}),
 px AS (
   SELECT d.media_id, sc.i AS c,
          (7 * d.media_id + 5 * ((sx.i * d.width) // {W})

@@ -27,8 +27,11 @@ EXACT_PERCENTILE_MAX_ROWS = 10_000_000
 def _auto_exact(df: DataFrame, exact: bool | None) -> bool:
     """``None`` → auto: exact below EXACT_PERCENTILE_MAX_ROWS input
     rows (the oracle-matched path), t-digest above (the 100 TB
-    default). The deciding ``count()`` is metadata-only on parquet
-    sources — row-group stats, no data scan."""
+    default). The deciding ``count()`` runs a real Spark job: cheap on
+    a bare parquet scan (empty projection, row counts from the
+    vectorized reader's batch metadata) but it EXECUTES the upstream
+    plan when ``df`` is derived — in a hot/timed path, pass ``exact``
+    explicitly instead of relying on auto."""
     if exact is not None:
         return bool(exact)
     return df.count() <= EXACT_PERCENTILE_MAX_ROWS

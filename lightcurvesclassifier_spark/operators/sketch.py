@@ -150,24 +150,59 @@ def _hex_to_int_sql(expr: str, n_digits: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _hll_registers_sql(corpus_sql: str, n: int) -> str:
+def _hll_registers_sql(
+    corpus_sql: str, n: int, group_col: str | None = None
+) -> str:
+    """ONE definition of the register scheme serves the global AND the
+    grouped mirrors (r5 review: a drifting copy of the hash-slice /
+    rank rule would silently break grouped↔global composability, the
+    dq_audit lesson). ``group_col`` threads a grouping column through
+    every CTE and into the register key."""
+    g = f"{group_col}, " if group_col else ""
     bucket = _hex_to_int_sql("substring(h, 1, 2)", 2)
     v = _hex_to_int_sql("substring(h, 3, 12)", 12)
     return f"""
-WITH tk0 AS (SELECT string_split(text, ' ') AS tk FROM ({corpus_sql})),
+WITH tk0 AS (
+  SELECT {g}string_split(text, ' ') AS tk FROM ({corpus_sql})
+),
 toks AS (
-  SELECT array_to_string(tk[g:g+{n - 1}], ' ') AS term
+  SELECT {g}array_to_string(tk[g:g+{n - 1}], ' ') AS term
   FROM tk0, unnest(generate_series(1, len(tk) - {n - 1})) AS t(g)
 ),
-hashed AS (SELECT md5(term) AS h FROM toks),
+hashed AS (SELECT {g}md5(term) AS h FROM toks),
 coords AS (
-  SELECT CAST({bucket} AS BIGINT) AS bucket,
+  SELECT {g}CAST({bucket} AS BIGINT) AS bucket,
          CAST(CASE WHEN {v} = 0 THEN 49
               ELSE 49 - length(bin(CAST({v} AS BIGINT))) END AS BIGINT)
            AS rank
   FROM hashed
 )
-SELECT bucket, max(rank) AS max_rank FROM coords GROUP BY bucket
+SELECT {g}bucket, max(rank) AS max_rank
+FROM coords GROUP BY {g}bucket
+"""
+
+
+def _hll_estimate_sql(regs_sql: str, group_col: str | None = None) -> str:
+    """ONE definition of the estimator (constants, linear-counting
+    branch, 3-decimal rounding) for the global and grouped mirrors."""
+    m = float(HLL_M)
+    g = f"{group_col}, " if group_col else ""
+    gb = f" GROUP BY {group_col}" if group_col else ""
+    return f"""
+WITH regs AS ({regs_sql}),
+agg AS (
+  SELECT {g}count(*) AS n_present,
+         coalesce(sum(pow(2.0, -max_rank)), 0.0) AS z_present
+  FROM regs{gb}
+)
+SELECT {g}CAST(n_present AS BIGINT) AS n_registers,
+       round(CASE WHEN {_HLL_ALPHA * m * m} / (z_present + ({m} - n_present))
+                       <= {2.5 * m}
+                  AND {m} - n_present > 0
+             THEN {m} * ln({m} / ({m} - n_present))
+             ELSE {_HLL_ALPHA * m * m} / (z_present + ({m} - n_present))
+             END, 3) AS distinct_est
+FROM agg
 """
 
 
@@ -183,46 +218,11 @@ def hll_grouped_sql(
     group_col: str = "lang",
     n: int = 1,
 ) -> str:
-    """DuckDB mirror of :func:`hll_grouped` (same register scheme, same
-    estimator constants and correction branch per group)."""
-    m = float(HLL_M)
-    bucket = _hex_to_int_sql("substring(h, 1, 2)", 2)
-    v = _hex_to_int_sql("substring(h, 3, 12)", 12)
-    return f"""
-WITH tk0 AS (
-  SELECT {group_col}, string_split(text, ' ') AS tk FROM ({corpus_sql})
-),
-toks AS (
-  SELECT {group_col}, array_to_string(tk[g:g+{n - 1}], ' ') AS term
-  FROM tk0, unnest(generate_series(1, len(tk) - {n - 1})) AS t(g)
-),
-hashed AS (SELECT {group_col}, md5(term) AS h FROM toks),
-coords AS (
-  SELECT {group_col},
-         CAST({bucket} AS BIGINT) AS bucket,
-         CAST(CASE WHEN {v} = 0 THEN 49
-              ELSE 49 - length(bin(CAST({v} AS BIGINT))) END AS BIGINT)
-           AS rank
-  FROM hashed
-),
-regs AS (
-  SELECT {group_col}, bucket, max(rank) AS max_rank
-  FROM coords GROUP BY {group_col}, bucket
-),
-agg AS (
-  SELECT {group_col}, count(*) AS n_present,
-         coalesce(sum(pow(2.0, -max_rank)), 0.0) AS z_present
-  FROM regs GROUP BY {group_col}
-)
-SELECT {group_col}, CAST(n_present AS BIGINT) AS n_registers,
-       round(CASE WHEN {_HLL_ALPHA * m * m} / (z_present + ({m} - n_present))
-                       <= {2.5 * m}
-                  AND {m} - n_present > 0
-             THEN {m} * ln({m} / ({m} - n_present))
-             ELSE {_HLL_ALPHA * m * m} / (z_present + ({m} - n_present))
-             END, 3) AS distinct_est
-FROM agg
-"""
+    """DuckDB mirror of :func:`hll_grouped` — generated from the SAME
+    register-scheme and estimator builders as the global mirror."""
+    return _hll_estimate_sql(
+        _hll_registers_sql(corpus_sql, n, group_col), group_col
+    )
 
 
 def hll_distinct_sql(
@@ -230,23 +230,7 @@ def hll_distinct_sql(
 ) -> str:
     """DuckDB mirror of :func:`hll_distinct` (same estimator constants,
     same correction branch, rounded to 3 decimals)."""
-    m = float(HLL_M)
-    return f"""
-WITH regs AS ({_hll_registers_sql(corpus_sql, n)}),
-agg AS (
-  SELECT count(*) AS n_present,
-         coalesce(sum(pow(2.0, -max_rank)), 0.0) AS z_present
-  FROM regs
-)
-SELECT CAST(n_present AS BIGINT) AS n_registers,
-       round(CASE WHEN {_HLL_ALPHA * m * m} / (z_present + ({m} - n_present))
-                       <= {2.5 * m}
-                  AND {m} - n_present > 0
-             THEN {m} * ln({m} / ({m} - n_present))
-             ELSE {_HLL_ALPHA * m * m} / (z_present + ({m} - n_present))
-             END, 3) AS distinct_est
-FROM agg
-"""
+    return _hll_estimate_sql(_hll_registers_sql(corpus_sql, n))
 
 
 # Count-min geometry: d=4 independent md5-salted hash rows × w=512

@@ -52,12 +52,42 @@ def test_stetson_degenerate_stars_emit_null(spark):
         [(1, 3.0, 12.5)]                                # single obs
         + [(2, float(t), 11.0) for t in range(6)]       # zero variance
         + _rows(3, np.arange(8.0), 12 + np.sin(np.arange(8.0)))
+        # constant star whose power sums cancel to a NEGATIVE variance
+        # (12.3 × 14 → (s2 − s1²/n)/n ≈ −3e−14): the guard must test
+        # the variance, not sqrt of it — sqrt(neg) passes Spark's
+        # `NaN > 0` and RAISES in DuckDB
+        + [(4, float(t), 12.3) for t in range(14)]
     )
     obs = spark.createDataFrame(rows, "star_id long, t double, mag double")
     got = stetson_jk(obs).toPandas().set_index("star_id")
     assert got.stetson_j.isna()[1] and got.stetson_k.isna()[1]
     assert got.stetson_j.isna()[2] and got.stetson_k.isna()[2]
+    assert got.stetson_j.isna()[4] and got.stetson_k.isna()[4]
     assert np.isfinite(got.stetson_j[3]) and np.isfinite(got.stetson_k[3])
+
+
+def test_stetson_sql_mirror_survives_negative_variance(spark, duck):
+    """The DuckDB mirror must not RAISE on a cancellation-negative
+    variance (sqrt of a negative) — it emits NULL like the Spark side."""
+    import pandas as pd
+
+    from lightcurvesclassifier_spark.functions.curves import stetson_jk_sql
+
+    pdf = pd.DataFrame(
+        {
+            "star_id": [4] * 14 + [3] * 8,
+            "t": list(range(14)) + list(range(8)),
+            "mag": [12.3] * 14
+            + list(12 + np.sin(np.arange(8.0))),
+        }
+    )
+    duck.register("_stetson_neg", pdf)
+    out = (
+        duck.execute(stetson_jk_sql("SELECT * FROM _stetson_neg"))
+        .df().set_index("star_id")
+    )
+    assert pd.isna(out.stetson_j[4]) and pd.isna(out.stetson_k[4])
+    assert np.isfinite(out.stetson_j[3])
 
 
 def test_stetson_separates_signal_from_noise(spark):

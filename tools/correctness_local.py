@@ -6,7 +6,12 @@ first 50 (it needs 3 rounds of rotation for full coverage).
 
 Comparison semantics match the driver: row count, column set, and
 order-insensitive value equality with columns sorted by name — here at
-atol=0 (exact), the repo's stricter discipline.
+atol=0 (exact), the repo's stricter discipline. On top of the pandas
+value compare (where Spark NULL and NaN both arrive as NaN in float
+columns and would mask each other), a per-column engine-side NULL
+COUNT is compared between Spark and DuckDB, so a NULL-vs-NaN
+divergence that changes either side's null population fails the check
+instead of slipping through.
 
 Run from the repo root: python tools/correctness_local.py
 """
@@ -44,7 +49,8 @@ def main() -> None:
             "spark_rows": None, "oracle_rows": None, "err": None,
         }
         try:
-            s = fn(spark, SF).toPandas()
+            sdf = fn(spark, SF)
+            s = sdf.toPandas()
             rec["spark_rows"] = int(len(s))
             sql = oracles.get(name)
             if sql is None:
@@ -52,6 +58,28 @@ def main() -> None:
                 out[name] = rec
                 continue
             o = con.execute(sql).df()
+            # engine-side NULL counts per column: pandas can't tell a
+            # Spark NULL from a NaN in a float column, so this is the
+            # only check that catches the NULL-vs-NaN divergence class
+            from pyspark.sql import functions as SF_
+
+            s_nulls = sdf.select(
+                *[
+                    SF_.count(SF_.when(SF_.col(c).isNull(), 1)).alias(c)
+                    for c in sdf.columns
+                ]
+            ).collect()[0].asDict()
+            o_nulls = con.execute(
+                "SELECT "
+                + ", ".join(
+                    f'count(*) FILTER (WHERE "{c}" IS NULL) AS "{c}"'
+                    for c in sdf.columns
+                )
+                + f" FROM ({sql})"
+            ).df().iloc[0].to_dict()
+            null_ok = all(
+                int(s_nulls[c]) == int(o_nulls[c]) for c in sdf.columns
+            )
             rec["oracle_rows"] = int(len(o))
             rec["rows_match"] = len(s) == len(o)
             rec["schema_match"] = sorted(s.columns) == sorted(o.columns)
@@ -72,7 +100,9 @@ def main() -> None:
                         ok &= bool(
                             (s2[c].to_numpy() == o2[c].to_numpy()).all()
                         )
-                rec["hash_match"] = ok
+                rec["hash_match"] = ok and null_ok
+                if ok and not null_ok:
+                    rec["err"] = "null_count_mismatch"
             else:
                 rec["hash_match"] = False
         except Exception as e:  # record, don't abort the sweep
