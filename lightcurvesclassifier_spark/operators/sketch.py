@@ -101,6 +101,29 @@ def hll_estimate(regs: DataFrame) -> DataFrame:
     return agg.select(*_hll_est_cols())
 
 
+def hll_grouped_registers(
+    df: DataFrame, group_col: str = "lang", text_col: str = "text",
+    n: int = 1,
+) -> DataFrame:
+    """Register tables keyed (group, bucket) — the grouped sketch
+    STATE, shared by the batch estimate (:func:`hll_grouped`) and the
+    streaming form (``streaming/sketch_stream.hll_grouped_register_
+    stream``): ≤ m rows per group forever, mergeable with ``max``."""
+    from .dedup import _ngram_rows
+
+    terms = _ngram_rows(
+        df, n, text_col, group_col,
+        key_fn=lambda s: s, empty_type="string", out_col="term",
+        distinct=False,
+    )
+    bucket, rank = _hll_parts(F.col("term"))
+    return (
+        terms.select(F.col(group_col), bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
 def hll_grouped(
     df: DataFrame, group_col: str = "lang", text_col: str = "text",
     n: int = 1,
@@ -112,19 +135,7 @@ def hll_grouped(
     corpus size, and a coarser level's registers are the ``max`` merge
     of its children's (max is associative/idempotent), so group→global
     composes exactly — pinned in tests against :func:`hll_distinct`."""
-    from .dedup import _ngram_rows
-
-    terms = _ngram_rows(
-        df, n, text_col, group_col,
-        key_fn=lambda s: s, empty_type="string", out_col="term",
-        distinct=False,
-    )
-    bucket, rank = _hll_parts(F.col("term"))
-    regs = (
-        terms.select(F.col(group_col), bucket.alias("bucket"), rank.alias("rank"))
-        .groupBy(group_col, "bucket")
-        .agg(F.max("rank").alias("max_rank"))
-    )
+    regs = hll_grouped_registers(df, group_col, text_col, n)
     agg = regs.groupBy(group_col).agg(
         F.count("*").alias("n_present"),
         F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("z_present"),

@@ -35,6 +35,19 @@ def hll_register_stream(docs: DataFrame, n: int = 3) -> DataFrame:
     return sketch.hll_registers(docs, text_col="text", n=n, id_col="doc_id")
 
 
+def hll_grouped_register_stream(
+    docs: DataFrame, group_col: str = "lang", n: int = 3
+) -> DataFrame:
+    """Unbounded doc stream → continuously-updated PER-GROUP HLL
+    register tables (state ≤ m rows per group, forever) — the streaming
+    form of the batch rollup (``sketch.hll_grouped``): the same
+    (group, bucket)-keyed ``max`` aggregation, so registers — and hence
+    every per-group estimate AND their max-merge up the hierarchy —
+    are bit-identical to batch over the concatenated input (pinned in
+    tests/test_sketch_stream.py)."""
+    return sketch.hll_grouped_registers(docs, group_col, "text", n)
+
+
 def cms_counter_stream(docs: DataFrame, n: int = 2) -> DataFrame:
     """Unbounded doc stream → continuously-updated count-min counter
     table over token ``n``-grams.

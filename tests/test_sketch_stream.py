@@ -76,6 +76,61 @@ def test_streaming_hll_matches_batch_registers(spark, tmp_path):
     assert est_stream == est_batch
 
 
+def test_streaming_grouped_hll_matches_batch(spark, tmp_path):
+    """Grouped streaming registers: (group, bucket)-keyed max state,
+    bit-equal to the batch grouped sketch over the concatenated input;
+    per-group state stays within m registers."""
+    from lightcurvesclassifier_spark.streaming.sketch_stream import (
+        hll_grouped_register_stream,
+    )
+
+    docs_dir = tmp_path / "docs_in_g"
+    docs_dir.mkdir()
+    b1 = [(1, "alpha beta gamma delta epsilon zeta", 0),
+          (2, "one two three four five six seven", 1)]
+    b2 = [(3, "alpha beta gamma delta epsilon zeta", 2),
+          (4, "eight nine ten eleven twelve thirteen", 3)]
+    _write_batch(docs_dir, "b1.json", b1)
+    _write_batch(docs_dir, "b2.json", b2)
+
+    group = F.when(F.col("doc_id") % 2 == 0, "even").otherwise("odd")
+    out_dir = tmp_path / "gregs_out"
+    regs = hll_grouped_register_stream(
+        doc_stream(spark, str(docs_dir)).withColumn("grp", group),
+        group_col="grp", n=3,
+    )
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("batch", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(str(out_dir))
+
+    q = (
+        regs.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "gckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish in time"
+
+    got = spark.read.parquet(str(out_dir))
+    latest = got.groupBy("grp", "bucket").agg(
+        F.max_by("max_rank", "batch").alias("max_rank")
+    )
+    batch_docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in b1 + b2], "doc_id long, text string"
+    ).withColumn("grp", group)
+    want = sketch.hll_grouped_registers(batch_docs, "grp", n=3)
+    got_set = {(r.grp, r.bucket, r.max_rank) for r in latest.collect()}
+    want_set = {(r.grp, r.bucket, r.max_rank) for r in want.collect()}
+    assert got_set == want_set
+    per_group = {}
+    for g, _, _ in got_set:
+        per_group[g] = per_group.get(g, 0) + 1
+    assert all(v <= sketch.HLL_M for v in per_group.values())
+
+
 def test_streaming_cms_matches_batch_counters(spark, tmp_path):
     from lightcurvesclassifier_spark.streaming.sketch_stream import (
         cms_counter_stream,
