@@ -62,6 +62,7 @@ from lightcurvesclassifier_spark.operators import decontamination as decon_ops
 from lightcurvesclassifier_spark.operators import fuzzy as fuzzy_ops
 from lightcurvesclassifier_spark.operators import layout as layout_ops
 from lightcurvesclassifier_spark.operators import profile as profile_ops
+from lightcurvesclassifier_spark.operators import rangejoin as rangejoin_ops
 from lightcurvesclassifier_spark.operators import rollup as rollup_ops
 from lightcurvesclassifier_spark.operators import sketch as sketch_ops
 from lightcurvesclassifier_spark.operators import dedup as dedup_ops
@@ -1233,6 +1234,28 @@ def q_obs_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_ops.downsample(obs, width_days=10.0)
 
 
+def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-stab) join, the no-equi-key join at scale: per
+    observing night, how many per-star sessions were active at that
+    instant and how many observations they hold.  Bin-bucketed
+    formulation — the interval side explodes into ≤ len/bin+1 time
+    bins map-only, the bounded night grid broadcasts, the exact
+    lo <= t < hi refine runs after a hash join; no nested loop
+    (plan-pinned in tests/test_rangejoin.py)."""
+    obs = testdata.observations(spark, sf_dir)
+    return rangejoin_ops.session_concurrency(obs)
+
+
+def q_session_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sweep-line rewrite of session_concurrency for the
+    aggregate-only question: ±1 session-boundary deltas, one tiny
+    per-day aggregate, a cumulative sum over the bounded day axis —
+    no join against the interval set at all.  Value-identical to the
+    binned range join (same oracle, same hash)."""
+    obs = testdata.observations(spark, sf_dir)
+    return rangejoin_ops.session_concurrency_sweep(obs)
+
+
 def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-engine-deterministic HyperLogLog register table over the
     corpus's 3-gram shingles — the mergeable-sketch dataflow (explode →
@@ -1593,6 +1616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": q_embedding_ivf_topk,
         # r5 addition: grouped-HLL rollup (register merge composability)
         "hll_grouped": q_hll_grouped,
+        "session_concurrency": q_session_concurrency,
+        "session_concurrency_sweep": q_session_concurrency_sweep,
     }
 
 
@@ -2021,6 +2046,9 @@ FROM corpus GROUP BY md5(text)
         "hll_grouped": sketch_ops.hll_grouped_sql(
             "SELECT lang, text FROM documents", "lang", n=3
         ),
+        # one oracle, two Spark formulations (binned join / sweep-line)
+        "session_concurrency": rangejoin_ops.session_concurrency_sql(),
+        "session_concurrency_sweep": rangejoin_ops.session_concurrency_sql(),
         "cms_counters": sketch_ops.cms_counters_sql(n=2),
         "cms_point_est": sketch_ops.cms_point_estimates_sql(n=2),
         "sky_zorder": layout_ops.sky_zorder_sql(testdata.STARS_SQL),

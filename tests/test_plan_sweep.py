@@ -53,6 +53,7 @@ SINGLE_OK = {
     "confusion_stats",    # single-row stats
     "dq_audit",           # union of one-row check aggregates
     "small_qty_revenue",  # single-row final
+    "session_concurrency_sweep",  # bounded day-axis cumulative window
 }
 
 QUERIES = sorted(em.queries().keys())
