@@ -1644,10 +1644,13 @@ agg AS (
 SELECT star_id,
        n AS n_obs,
        round(s1 / n, 6) AS mean_mag,
-       round(sqrt((s2 - s1 * s1 / n) / n), 6) AS std_mag,
+       round(sqrt(greatest(s2 - s1 * s1 / n, 0.0e0) / n), 6) AS std_mag,
        round(tmax - tmin, 6) AS timespan,
-       round(n / (tmax - tmin), 6) AS curve_density,
-       round(n / (2.0 * (n - 1.0)) * sum_sq_diff / (s2 - s1 * s1 / n), 6) AS abbe
+       round(CASE WHEN tmax - tmin <> 0 THEN n / (tmax - tmin) END, 6)
+         AS curve_density,
+       round(CASE WHEN n > 1 AND s2 - s1 * s1 / n <> 0.0e0
+                  THEN n / (2.0 * (n - 1.0)) * sum_sq_diff
+                       / (s2 - s1 * s1 / n) END, 6) AS abbe
 FROM agg
 """
 
@@ -1663,9 +1666,10 @@ agg AS (
 )
 SELECT star_id, n AS n_obs,
        round(s1 / n, 6) AS mean_mag,
-       round(sqrt((s2 - s1 * s1 / n) / n), 6) AS std_mag,
+       round(sqrt(greatest(s2 - s1 * s1 / n, 0.0e0) / n), 6) AS std_mag,
        round(tmax - tmin, 6) AS timespan,
-       round(n / (tmax - tmin), 6) AS curve_density
+       round(CASE WHEN tmax - tmin <> 0 THEN n / (tmax - tmin) END, 6)
+         AS curve_density
 FROM agg
 """,
         "curve_stats_band": f"""
@@ -1677,9 +1681,10 @@ agg AS (
 )
 SELECT star_id, band, n AS n_obs,
        round(s1 / n, 6) AS mean_mag,
-       round(sqrt((s2 - s1 * s1 / n) / n), 6) AS std_mag,
+       round(sqrt(greatest(s2 - s1 * s1 / n, 0.0e0) / n), 6) AS std_mag,
        round(tmax - tmin, 6) AS timespan,
-       round(n / (tmax - tmin), 6) AS curve_density
+       round(CASE WHEN tmax - tmin <> 0 THEN n / (tmax - tmin) END, 6)
+         AS curve_density
 FROM agg
 """,
         "abbe_value": f"""
@@ -1690,8 +1695,11 @@ d AS (
   FROM obs
 )
 SELECT star_id, count(mag) AS n_obs,
-       round(count(mag) / (2.0 * (count(mag) - 1.0)) * sum(dmag * dmag)
-             / (sum(mag * mag) - sum(mag) * sum(mag) / count(mag)), 6) AS abbe
+       round(CASE WHEN count(mag) > 1
+                  AND sum(mag * mag) - sum(mag) * sum(mag) / count(mag) <> 0.0e0
+             THEN count(mag) / (2.0 * (count(mag) - 1.0)) * sum(dmag * dmag)
+                  / (sum(mag * mag) - sum(mag) * sum(mag) / count(mag))
+             END, 6) AS abbe
 FROM d GROUP BY star_id
 """,
         "skew_kurtosis": f"""
@@ -1711,8 +1719,8 @@ m AS (
   FROM agg
 )
 SELECT star_id, n AS n_obs,
-       round(m3 / pow(m2, 1.5), 6) AS skewness,
-       round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
+       round(CASE WHEN m2 > 0.0e0 THEN m3 / pow(m2, 1.5) END, 6) AS skewness,
+       round(CASE WHEN m2 > 0.0e0 THEN m4 / (m2 * m2) - 3.0 END, 6) AS kurtosis
 FROM m
 """,
         "abbe_filter": f"""

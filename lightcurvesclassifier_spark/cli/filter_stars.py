@@ -122,7 +122,10 @@ def main(project_settings, argv: list[str] | None = None) -> int:
 
         config = remote.get_provider(opts.db)  # raises on unknown name
         stars = remote.fetch_stars(
-            spark, config, q_rows, stars_io._http_transport
+            spark,
+            config,
+            stars_io.coerce_query_values(q_rows),
+            stars_io._http_transport,
         )
         obs = remote.fetch_light_curves(
             stars, config, stars_io._http_transport, carry_cols=["query_id"]
@@ -149,10 +152,15 @@ def main(project_settings, argv: list[str] | None = None) -> int:
         for c in cols
     }
     descr_names = sorted({col_to_descr[c] for c in needed if c in col_to_descr})
-    if not descr_names and filters:
+    # EVERY needed feature must resolve — a partial match would pass
+    # here and die later inside the Spark plan with an opaque
+    # unresolved-column error on the missing ones
+    unresolved = sorted(needed - col_to_descr.keys())
+    if unresolved and filters:
         raise ValueError(
-            f"Filters need features {sorted(needed)} which no CLI "
-            "descriptor provides"
+            f"Filters need features {unresolved} which no CLI "
+            f"descriptor provides (available: "
+            f"{sorted(descr_registry.REGISTRY)})"
         )
 
     if descr_names:

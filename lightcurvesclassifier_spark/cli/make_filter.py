@@ -100,7 +100,12 @@ def main(project_settings, argv: list[str] | None = None) -> int:
     for combo in combos:
         feats_s, cols = descr_registry.featurize(searched, opts.descriptors, combo)
         feats_o, _ = descr_registry.featurize(others, opts.descriptors, combo)
-        filt = StarsFilter([make_decider(d) for d in opts.deciders], cols)
+        # decider params from the combo file reach the constructor too
+        # ('NeuronDecider:alpha' rows were silently discarded before —
+        # every combo trained an identical filter)
+        filt = StarsFilter(
+            [make_decider(d, **combo.get(d, {})) for d in opts.deciders], cols
+        )
         filt.learn(
             feats_s.join(s_train_ids, "star_id"),
             feats_o.join(o_train_ids, "star_id"),
@@ -110,11 +115,15 @@ def main(project_settings, argv: list[str] | None = None) -> int:
         stats = dict(filt.statistics(s_test, o_test))
         stats["params"] = combo
         results.append(stats)
-        if best is None or stats["precision"] > best[0]:
+        # a zero-denominator fold yields precision None — rank it below
+        # every real score instead of raising on `None > float`
+        prec = stats["precision"]
+        prec = float("-inf") if prec is None else prec
+        if best is None or prec > best[0]:
             if best is not None:
                 best[3].unpersist()
                 best[4].unpersist()
-            best = (stats["precision"], filt, combo, s_test, o_test, feats_s, feats_o)
+            best = (prec, filt, combo, s_test, o_test, feats_s, feats_o)
         else:
             # losing combo: its cached test frames are no longer needed
             s_test.unpersist()

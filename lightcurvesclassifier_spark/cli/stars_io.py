@@ -25,9 +25,38 @@ from pyspark.sql import DataFrame, SparkSession
 from ..sources import files
 
 
+def _parse_text_obs(text: str) -> list[dict]:
+    """Plain-text light-curve response → obs dicts: whitespace-separated
+    numeric rows read as (t, mag[, err]); comment/HTML/label lines are
+    skipped. Covers the ASCII tables the Asas CGI / Macho Vgraph LC
+    endpoints return (the TAP JSON shape never applies to those)."""
+    out: list[dict] = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith(("#", "<", ";", "\\")):
+            continue
+        parts = line.split()
+        try:
+            t, mag = float(parts[0]), float(parts[1])
+        except (IndexError, ValueError):
+            continue
+        err = None
+        if len(parts) > 2:
+            try:
+                err = float(parts[2])
+            except ValueError:
+                pass
+        out.append({"t": t, "mag": mag, "err": err})
+    return out
+
+
 def _http_transport(base_url: str, query: str) -> list[dict]:
-    """Minimal urllib TAP/GET transport for the CLI's remote path
-    (tests inject fakes; see sources/remote.py Transport contract)."""
+    """Minimal urllib transport for the CLI's remote path (tests inject
+    fakes; see sources/remote.py Transport contract). Two response
+    shapes: TAP JSON for catalog queries, plain-text tables for the
+    per-star light-curve endpoints (Asas CGI, Macho Vgraph) — a
+    JSON-only decode crashed every real LC fetch inside the
+    mapInPandas executor."""
     import json as _json
     import urllib.parse
     import urllib.request
@@ -39,9 +68,34 @@ def _http_transport(base_url: str, query: str) -> list[dict]:
         )
     )
     with urllib.request.urlopen(url, timeout=60) as resp:
-        payload = _json.loads(resp.read().decode("utf-8", "replace"))
+        body = resp.read().decode("utf-8", "replace")
+    try:
+        payload = _json.loads(body)
+    except ValueError:
+        return _parse_text_obs(body)
+    if isinstance(payload, list):
+        return payload
     cols = [c["name"] for c in payload.get("metadata", [])]
     return [dict(zip(cols, row)) for row in payload.get("data", [])]
+
+
+def coerce_query_values(rows: list[dict]) -> list[dict]:
+    """Query files load as all-string columns (files.load_query_file
+    leaves casting to the caller) but the remote predicate builders
+    need numerics: ``'10' / 3600.0`` raises in cone_box_conditions and
+    ``"Vmag" = '9.0'`` compiles to a string-equality ADQL predicate.
+    int, then float, else the string stays (ids, paths, names)."""
+    def _c(v):
+        if not isinstance(v, str):
+            return v
+        for cast in (int, float):
+            try:
+                return cast(v)
+            except ValueError:
+                pass
+        return v
+
+    return [{k: _c(v) for k, v in r.items()} for r in rows]
 
 
 def load_spec(
@@ -51,12 +105,14 @@ def load_spec(
         _, conn_name, qfile = spec.split(":", 2)
         from ..sources import remote
 
-        queries = [
-            {k: r[k] for k in r.asDict()}
-            for r in files.load_query_file(
-                spark, os.path.join(query_path or ".", qfile)
-            ).collect()
-        ]
+        queries = coerce_query_values(
+            [
+                {k: r[k] for k in r.asDict()}
+                for r in files.load_query_file(
+                    spark, os.path.join(query_path or ".", qfile)
+                ).collect()
+            ]
+        )
         config = remote.get_provider(conn_name)
         stars = remote.fetch_stars(spark, config, queries, _http_transport)
         return remote.fetch_light_curves(stars, config, _http_transport)

@@ -58,9 +58,12 @@ def lc_stats(obs: DataFrame, keys: list[str] | None = None) -> DataFrame:
         *keys,
         "n_obs",
         mean.alias("mean_mag"),
-        F.sqrt(ss / n).alias("std_mag"),
+        F.sqrt(F.greatest(ss, F.lit(0.0)) / n).alias("std_mag"),
         (F.col("t_max") - F.col("t_min")).alias("timespan"),
-        (n / (F.col("t_max") - F.col("t_min"))).alias("curve_density"),
+        F.when(
+            F.col("t_max") != F.col("t_min"),
+            n / (F.col("t_max") - F.col("t_min")),
+        ).alias("curve_density"),
     )
 
 
@@ -91,7 +94,10 @@ def abbe_value(obs: DataFrame, keys: list[str] | None = None) -> DataFrame:
     return agg.select(
         *keys,
         n.alias("n_obs"),
-        (n / (2.0 * (n - 1.0)) * F.col("_sum_sq_diff") / ss).alias("abbe"),
+        F.when(
+            (n > 1) & (ss != 0.0),
+            n / (2.0 * (n - 1.0)) * F.col("_sum_sq_diff") / ss,
+        ).alias("abbe"),
     )
 
 
@@ -127,10 +133,13 @@ def curve_features(obs: DataFrame, keys: list[str] | None = None) -> DataFrame:
         *keys,
         n.alias("n_obs"),
         mean.alias("mean_mag"),
-        F.sqrt(ss / n).alias("std_mag"),
+        F.sqrt(F.greatest(ss, F.lit(0.0)) / n).alias("std_mag"),
         span.alias("timespan"),
-        (n / span).alias("curve_density"),
-        (n / (2.0 * (n - 1.0)) * F.col("_sum_sq_diff") / ss).alias("abbe"),
+        F.when(span != 0.0, n / span).alias("curve_density"),
+        F.when(
+            (n > 1) & (ss != 0.0),
+            n / (2.0 * (n - 1.0)) * F.col("_sum_sq_diff") / ss,
+        ).alias("abbe"),
     )
 
 
@@ -157,8 +166,8 @@ def skewness_kurtosis(obs: DataFrame, keys: list[str] | None = None) -> DataFram
     return agg.select(
         *keys,
         n.alias("n_obs"),
-        (m3 / F.pow(m2, 1.5)).alias("skewness"),
-        (m4 / (m2 * m2) - 3.0).alias("kurtosis"),
+        F.when(m2 > 0.0, m3 / F.pow(m2, 1.5)).alias("skewness"),
+        F.when(m2 > 0.0, m4 / (m2 * m2) - 3.0).alias("kurtosis"),
     )
 
 

@@ -721,7 +721,7 @@ agg AS (
 )
 SELECT star_id, pbin, n_obs,
        round(s1 / n_obs, 6) AS mean_mag,
-       round(sqrt((s2 - s1 * s1 / n_obs) / n_obs), 6) AS std_mag
+       round(sqrt(greatest(s2 - s1 * s1 / n_obs, 0.0e0) / n_obs), 6) AS std_mag
 FROM agg
 """
 

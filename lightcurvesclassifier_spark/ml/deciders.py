@@ -264,8 +264,23 @@ class KMeansDecider(BaseDecider):
         return self
 
     def evaluate(self, df, feature_cols, out_col="prob"):
-        scored = self.model.transform(_assemble(df, feature_cols))
-        return scored.select(*df.columns, F.col("prediction").cast("double").alias(out_col))
+        # rows with a missing feature keep their row but score NULL —
+        # the assembler's handleInvalid='skip' would silently DROP them
+        # (the MLlibDecider pitfall), and the supervised NaN→0 rule
+        # cannot apply here because 0 is a real cluster id
+        valid_pred = F.lit(True)
+        for c in feature_cols:
+            valid_pred = valid_pred & F.col(c).isNotNull() & ~F.isnan(c)
+        valid = df.filter(valid_pred)
+        invalid = df.filter(~F.coalesce(valid_pred, F.lit(False)))
+        scored = self.model.transform(_assemble(valid, feature_cols))
+        return scored.select(
+            *df.columns, F.col("prediction").cast("double").alias(out_col)
+        ).unionByName(
+            invalid.select(
+                *df.columns, F.lit(None).cast("double").alias(out_col)
+            )
+        )
 
 
 def _boosting():

@@ -47,17 +47,27 @@ class ParamsEstimator:
         o_train, o_test = self.others.randomSplit(
             [self.train_ratio, 1 - self.train_ratio], seed=self.seed
         )
-        s_train.cache(), o_train.cache(), s_test.cache(), o_test.cache()
+        cached = (s_train, o_train, s_test, o_test)
+        for df in cached:
+            df.cache()
 
-        results = []
-        best = None
-        for combo in self.combos:
-            filt = self.build(combo)
-            filt.learn(s_train, o_train)
-            stats = dict(filt.statistics(s_test, o_test))
-            stats["params"] = dict(combo)
-            results.append(stats)
-            score = stats[self.score_key]
-            if best is None or score > best[0]:
-                best = (score, filt, combo)
-        return best[1], best[2], results
+        try:
+            results = []
+            best = None
+            for combo in self.combos:
+                filt = self.build(combo)
+                filt.learn(s_train, o_train)
+                stats = dict(filt.statistics(s_test, o_test))
+                stats["params"] = dict(combo)
+                results.append(stats)
+                # statistics() returns None for zero-denominator rates
+                # (e.g. an empty test fold): rank those below every real
+                # score instead of raising on `None > None`
+                score = stats[self.score_key]
+                score = float("-inf") if score is None else score
+                if best is None or score > best[0]:
+                    best = (score, filt, combo)
+            return best[1], best[2], results
+        finally:
+            for df in cached:
+                df.unpersist()

@@ -20,7 +20,13 @@ import numpy as np
 from pyspark.sql import SparkSession
 
 from .boosting import AdaBoostDecider, ExtraTreesDecider
-from .deciders import CustomDecider, GaussianDecider, MLlibDecider, BaseDecider
+from .deciders import (
+    BaseDecider,
+    CustomDecider,
+    GaussianDecider,
+    KMeansDecider,
+    MLlibDecider,
+)
 from .neural import NeuronDecider
 from .stars_filter import StarsFilter
 from .svc import SVCDecider
@@ -75,6 +81,14 @@ def save_filter(filt: StarsFilter, path: str) -> None:
             entry["kind"] = "svc"
             os.makedirs(os.path.join(path, sub), exist_ok=True)
             np.savez(os.path.join(path, sub, "params.npz"), **dec.params)
+        elif isinstance(dec, KMeansDecider):
+            # registry-supported decider, previously unpersistable: the
+            # wrapped KMeansModel has a native MLlib writer like the
+            # classifier models below
+            entry["kind"] = "kmeans"
+            entry["k"] = dec.k
+            entry["seed"] = dec.seed
+            dec.model.write().overwrite().save(os.path.join(path, sub))
         elif isinstance(dec, MLlibDecider):
             entry["kind"] = "mllib"
             entry["model_class"] = (
@@ -133,6 +147,11 @@ def load_filter(spark: SparkSession, path: str) -> StarsFilter:
             dec = SVCDecider(threshold=entry["threshold"])
             with np.load(os.path.join(path, entry["dir"], "params.npz")) as z:
                 dec.params = {k: z[k] for k in z.files}
+        elif entry["kind"] == "kmeans":
+            from pyspark.ml.clustering import KMeansModel
+
+            dec = KMeansDecider(k=entry["k"], seed=entry["seed"])
+            dec.model = KMeansModel.load(os.path.join(path, entry["dir"]))
         else:
             mod, _, cls = entry["model_class"].rpartition(".")
             model_cls = getattr(importlib.import_module(mod), cls)

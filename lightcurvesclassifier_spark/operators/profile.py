@@ -132,7 +132,7 @@ def embedding_profile(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         "dim",
         "n",
         F.round(mean, 6).alias("mean_v"),
-        F.round(F.sqrt(var), 6).alias("std_v"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std_v"),
         F.round("_min", 6).alias("min_v"),
         F.round("_max", 6).alias("max_v"),
     )
@@ -150,7 +150,7 @@ WITH long_v AS (
 SELECT CAST(dim AS INTEGER) AS dim,
        count(v) AS n,
        round(sum(v) / count(v), 6) AS mean_v,
-       round(sqrt((sum(v * v) - sum(v) * sum(v) / count(v)) / count(v)), 6)
+       round(sqrt(greatest((sum(v * v) - sum(v) * sum(v) / count(v)) / count(v), 0.0e0)), 6)
          AS std_v,
        round(min(v), 6) AS min_v,
        round(max(v), 6) AS max_v

@@ -287,7 +287,7 @@ def finalize_lc_stats(state: DataFrame) -> DataFrame:
         "star_id",
         n.alias("n_obs"),
         F.round(mean, 6).alias("mean_mag"),
-        F.round(F.sqrt(ss / n), 6).alias("std_mag"),
+        F.round(F.sqrt(F.greatest(ss, F.lit(0.0)) / n), 6).alias("std_mag"),
         F.round(span, 6).alias("timespan"),
         F.round(density, 6).alias("curve_density"),
     )
@@ -312,7 +312,7 @@ merged AS (
 )
 SELECT star_id, n AS n_obs,
        round(s1 / n, 6) AS mean_mag,
-       round(sqrt((s2 - s1 * s1 / n) / n), 6) AS std_mag,
+       round(sqrt(greatest(s2 - s1 * s1 / n, 0.0e0) / n), 6) AS std_mag,
        round(tmax - tmin, 6) AS timespan,
        round(CASE WHEN tmax - tmin <> 0 THEN n / (tmax - tmin) END, 6)
          AS curve_density

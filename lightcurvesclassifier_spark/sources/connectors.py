@@ -410,7 +410,7 @@ def ogle3_form_params(query: Mapping[str, Any]) -> dict:
         "disp_id_asas": "on",
         "val_id_asas": query.get("asas_id"),
         "disp_id_gcvs": "on",
-        "val_id_gcvs": query.get("gvcs_id"),
+        "val_id_gcvs": query.get("gcvs_id"),
         "disp_id_other": "on",
         "disp_remarsk": "on",
         "val_remarks": query.get("remarks"),
@@ -564,7 +564,10 @@ def kepler_parse_star(data: Mapping[str, Any]) -> dict:
             except (TypeError, ValueError):
                 pass
         elif key in KEPLER_IDENTIFIER and value is not None:
-            ident[KEPLER_IDENTIFIER[key]] = f"kic_{value}"
+            target = KEPLER_IDENTIFIER[key]
+            # kic_ prefixes KIC numbers only; a 2MASS designation must
+            # stay verbatim or ident-based crossmatch can never match
+            ident[target] = f"kic_{value}" if target == "kepler" else str(value)
     name = "KIC_" + str(data.get("_name", ""))
     return {
         "name": name,
@@ -610,7 +613,9 @@ CATALINA_ID_BASE = {
 }
 _CATALINA_RENAME = [("ra", "RA"), ("dec", "Dec"), ("delta", "Rad"), ("id", "ID")]
 _CATALINA_QUOTE = ["label", "color", "data"]
-_DATASET_RE = re.compile(r"var dataSet0 = {(?P<json_data>.*)}")
+_DATASET_RE = re.compile(
+    r"var dataSet0 = {(?P<json_data>.*?)}", re.DOTALL
+)
 _STARID_RE = re.compile(r"ID=(?P<name>.*)&PLOT=plot")
 
 

@@ -124,8 +124,22 @@ def load_query_file(spark: SparkSession, path: str) -> DataFrame:
     """``#a;b;c`` + ``;``-rows → queries DataFrame
     (StatusResolver.getQueries, status_resolver.py:101-110). The ``#``
     marks the header line; all columns come back as strings (the
-    reference evals types downstream — we leave casting to the caller)."""
-    df = spark.read.csv(path, sep=";", header=True)
+    reference evals types downstream — we leave casting to the caller).
+
+    The delimiter is sniffed from the header line (``;`` default):
+    prepare_query honors a custom ``-d``, so a fixed ``sep=';'`` read
+    would collapse a ``,``-written file into one unusable column."""
+    sep = ";"
+    try:
+        with open(path) as f:
+            header = f.readline()
+        counts = {c: header.count(c) for c in (";", ",", "\t", "|")}
+        best = max(counts, key=counts.get)
+        if counts[best] > 0:
+            sep = best
+    except OSError:
+        pass  # non-local path: fall through to the default separator
+    df = spark.read.csv(path, sep=sep, header=True)
     first = df.columns[0]
     if first.startswith("#"):
         df = df.withColumnRenamed(first, first.lstrip("#").strip())

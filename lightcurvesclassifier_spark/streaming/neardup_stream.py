@@ -32,6 +32,16 @@ pipelines layer the two). A duplicate document yields up to 4×owners
 candidate rows; ``neardup_verdicts`` reduces them per micro-batch to
 one verdict row per document.
 
+POLICY — greedy leader clustering, deliberately weaker than the batch
+transitive pass: a matched (suppressed) arrival does NOT claim an
+owner slot, so arrivals are only ever compared against RETAINED
+documents. A later doc that is hamming-close to a *suppressed* doc but
+far from every leader is kept (it is genuinely not a near-dup of
+anything retained) — the batch pass, clustering transitively, would
+also fold it into the suppressed doc's cluster. This is the standard
+streaming trade (owner slots hold distinct surviving content, not
+duplicates); the batch backstop closes the transitive chains.
+
 NOTE: the state layout changed from a single flat owner struct to the
 array-per-field multi-owner form — a checkpoint written by the earlier
 layout is not resumable (Spark rejects the state schema change); start
@@ -44,7 +54,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 _CAND_SCHEMA = (
@@ -58,8 +68,9 @@ _STATE_SCHEMA = (
 _MAX_OWNERS = 8
 
 
-def simhash_bands(text_col: str = "text") -> list[Column]:
-    """Per-row 60-bit token SimHash as 4×15-bit band columns.
+def with_simhash_bands(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``df`` + 4×15-bit band columns of the per-row 60-bit token
+    SimHash.
 
     Same hash and bit rule as the batch aggregate (dedup.simhash: 60-bit
     md5-derived token hash, bit b set iff 2·ones(b) > n_tokens — the
@@ -67,7 +78,13 @@ def simhash_bands(text_col: str = "text") -> list[Column]:
     stream must stay bit-for-bit identical to it) but computed with
     higher-order functions over the split array: one ``aggregate`` pass
     folds every token's hash into a 60-slot vote array. No groupBy →
-    usable on a stream."""
+    usable on a stream.
+
+    The vote array is STAGED as its own projection before the 60 bit
+    tests reference it: the four band expressions hold 60 references to
+    ``_votes``, which blocks CollapseProject from inlining the (non-
+    cheap) aggregate — inlined, the fold ran ~3× slower per document
+    (measured at 3.8s vs 1.3s on a 4000-doc batch, local[1])."""
     # tokens are hashed ONCE in the inner transform(); hashing inside
     # the per-bit zip_with lambda would re-run md5 60× per token (no
     # CSE inside lambdas — same pitfall as dedup.shingles)
@@ -79,16 +96,18 @@ def simhash_bands(text_col: str = "text") -> list[Column]:
         "  (a, b) -> a + (shiftright(h, b) & 1L)))"
     )
     n_tok = F.size(F.split(F.col(text_col), " "))
-    out = []
+    staged = df.withColumn("_votes", votes).withColumn("_ntok", n_tok)
+    bands = []
     for band in range(4):
         expr = F.lit(0).cast("long")
         for i in range(15):
             b = band * 15 + i
             expr = expr + F.when(
-                F.element_at(votes, b + 1) * 2 > n_tok, F.lit(1 << i)
+                F.element_at(F.col("_votes"), b + 1) * 2 > F.col("_ntok"),
+                F.lit(1 << i),
             ).otherwise(0)
-        out.append(expr.alias(f"band{band}"))
-    return out
+        bands.append(expr.alias(f"band{band}"))
+    return staged.select(*df.columns, *bands)
 
 
 def _make_band_state(max_hamming: int):
@@ -154,7 +173,9 @@ def neardup_candidates_stream(
 
     Apply the hamming filter + per-doc reduction downstream (the
     foreachBatch sink or :func:`neardup_verdicts`)."""
-    fp = docs.select(F.col("doc_id"), *simhash_bands(text_col))
+    fp = with_simhash_bands(docs.select("doc_id", text_col), text_col).drop(
+        text_col
+    )
     long = fp.select(
         "doc_id",
         "band0",

@@ -75,7 +75,15 @@ def packing_stream(
     ``doc_id % n_shards``, same chunk arithmetic)."""
     from pyspark.sql import functions as F
 
-    sharded = stream_df.withColumn(
+    # Poison-pill guard: a single malformed ingest line (PERMISSIVE-mode
+    # all-null row) would otherwise reach the stateful function as
+    # key=(None,) / text=None, raise inside _update, and kill the query
+    # PERMANENTLY — the checkpoint replays the same file on every
+    # restart. Null rows carry no packable tokens; drop them up front.
+    clean = stream_df.filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    sharded = clean.withColumn(
         "shard", (F.col("doc_id") % n_shards).cast("long")
     )
     return sharded.groupBy("shard").applyInPandasWithState(

@@ -18,7 +18,7 @@ from typing import Callable, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.searcher import QUERY_SCHEMA, run_search, write_results
+from ..operators.searcher import QUERY_SCHEMA, run_search
 
 
 def query_stream(spark: SparkSession, queries_dir: str) -> DataFrame:

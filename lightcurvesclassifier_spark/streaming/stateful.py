@@ -54,6 +54,13 @@ def _update(
     for pdf in pdfs:
         mags = pdf["mag"].to_numpy(dtype=float)
         ts = pdf["t"].to_numpy(dtype=float)
+        # a null/NaN mag must not reach the fold: s1 += NaN would
+        # poison the CHECKPOINTED state permanently (every later
+        # micro-batch reports NaN mean/std) — batch aggregates skip
+        # nulls, so the running state must too
+        keep = ~pd.isna(mags)
+        if not keep.all():
+            mags, ts = mags[keep], ts[keep]
         if snap_std:
             outliers += int((abs(mags - snap_mean) > k_sigma * snap_std).sum())
         n += len(mags)
@@ -83,7 +90,16 @@ def _update(
 def running_curve_stats(obs_stream: DataFrame) -> DataFrame:
     """obs stream (star_id, t, mag, …) → per-star running stats, one
     updated row per star per micro-batch it appears in."""
-    return obs_stream.groupBy("star_id").applyInPandasWithState(
+    from pyspark.sql import functions as F
+
+    # JVM-side null guard (same poison-pill class as packing_stream):
+    # a null star_id would make key=(None,), a null t would NaN t_max
+    clean = obs_stream.filter(
+        F.col("star_id").isNotNull()
+        & F.col("t").isNotNull()
+        & F.col("mag").isNotNull()
+    )
+    return clean.groupBy("star_id").applyInPandasWithState(
         _update,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,

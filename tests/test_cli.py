@@ -207,3 +207,112 @@ def test_filter_stars_overlapping_queries(project):
         .splitlines()
     )
     assert len(out_lines) == len(src_lines)
+
+
+def test_query_file_custom_delimiter_round_trip(project, spark):
+    """prepare_query honors -d; load_query_file must sniff the
+    delimiter instead of collapsing a ','-written file into one
+    column."""
+    rc = cli.main(
+        [
+            "prepare_query",
+            "-o", "qcomma.txt",
+            "-p", "a", "-r", "1:3",
+            "-p", "b", "-r", "x,y",
+            "-f", "q",
+            "-d", ",",
+        ],
+        path=project,
+    )
+    assert rc == 0
+    df = files.load_query_file(
+        spark, os.path.join(project, "queries", "qcomma.txt")
+    )
+    assert df.columns == ["a", "b"]
+    assert df.count() == 4
+
+
+def test_query_value_coercion():
+    """Query-file strings must reach the remote predicate builders as
+    numbers ('10' / 3600.0 raised; '9.0' compiled to string ADQL)."""
+    from lightcurvesclassifier_spark.cli.stars_io import coerce_query_values
+
+    out = coerce_query_values(
+        [{"ra": "297.8", "dec": "46.5", "delta": "10", "target": "lmc"}]
+    )[0]
+    assert out == {"ra": 297.8, "dec": 46.5, "delta": 10, "target": "lmc"}
+    assert isinstance(out["delta"], int)
+
+
+def test_text_lc_response_parses_to_obs():
+    """LC endpoints (Asas CGI / Macho Vgraph) answer plain text, not
+    TAP JSON — the transport's fallback parser must yield obs dicts."""
+    from lightcurvesclassifier_spark.cli.stars_io import _parse_text_obs
+
+    body = (
+        "# HJD mag err\n"
+        "<!-- html noise -->\n"
+        "2450001.5 14.23 0.05\n"
+        "2450002.5 14.31 0.04\n"
+        "bad line\n"
+        "2450003.5 14.19\n"
+    )
+    obs = _parse_text_obs(body)
+    assert [o["t"] for o in obs] == [2450001.5, 2450002.5, 2450003.5]
+    assert obs[0]["err"] == 0.05 and obs[2]["err"] is None
+
+
+def test_featurize_single_band_and_shared_pass(spark):
+    """Multi-band curves must not interleave into one pseudo-curve
+    (abbe's successive diffs would measure B−R color), and shared-
+    family descriptors must come from ONE aggregation."""
+    from lightcurvesclassifier_spark.cli import descriptors as dr
+
+    b = [(1, "B", float(t), 10.0 + 0.001 * t) for t in range(40)]
+    r = [(1, "R", float(t) + 0.01, 15.0 + (t % 2)) for t in range(40)]
+    obs = spark.createDataFrame(
+        b + r, "star_id long, band string, t double, mag double"
+    )
+    feats, cols = dr.featurize(
+        obs, ["AbbeValueDescr", "CurveDensityDescr"], {}
+    )
+    row = feats.collect()[0]
+    assert cols == ["abbe", "curve_density"]
+    # B-band only: a smooth trend → tiny abbe; interleaved B+R would
+    # alternate ±5 mag and drive abbe toward ~2
+    assert row.abbe < 0.2, row
+    only_b = dr.featurize(
+        obs.filter(F.col("band") == "B").drop("band"),
+        ["AbbeValueDescr"],
+        {},
+    )[0].collect()[0]
+    assert abs(row.abbe - only_b.abbe) < 1e-12
+
+
+def test_filter_stars_unresolved_feature_guard(project, spark, tmp_path):
+    """A filter needing a mix of resolvable and unresolvable features
+    must fail with the clear message, not an AnalysisException later."""
+    from lightcurvesclassifier_spark.cli import filter_stars as fs
+    from lightcurvesclassifier_spark.ml.deciders import make_decider
+    from lightcurvesclassifier_spark.ml.persistence import save_filter
+    from lightcurvesclassifier_spark.ml.stars_filter import StarsFilter
+
+    class Settings:
+        QUERIES = os.path.join(project, "queries")
+        FILTERS = str(tmp_path)
+        RESULTS = os.path.join(project, "query_results")
+        INP_LCS = os.path.join(project, "inp_lcs")
+
+    dec = make_decider("CustomDecider", ranges={"abbe": (None, 0.95)})
+    filt = StarsFilter([dec], ["abbe", "cmp_distance"])
+    filt.learned = True
+    os.makedirs(os.path.join(tmp_path, "Mixed"), exist_ok=True)
+    save_filter(filt, os.path.join(tmp_path, "Mixed", "Mixed.filter"))
+    with open(os.path.join(Settings.QUERIES, "one.txt"), "w") as f:
+        f.write("#path\nsearched\n")
+    with pytest.raises(ValueError, match="cmp_distance"):
+        fs.main(
+            Settings,
+            ["-r", "runx", "-q", "one.txt", "-d", "FileManager",
+             "-f", "Mixed"],
+        )

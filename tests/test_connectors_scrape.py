@@ -192,8 +192,10 @@ def test_kepler_query_params_range_tokens():
 def test_kepler_star_and_lc_golden():
     s = connectors.kepler_parse_star(KEPLER_STAR_JSON)
     assert s["name"] == "KIC_9787239"
+    # the 2MASS designation stays verbatim (kic_ prefixes KIC ids only —
+    # a prefixed designation could never ident-match a real 2MASS entry)
     assert s["ident"] == {
-        "2mass": "kic_19512136+4634274", "kepler": "kic_9787239",
+        "2mass": "19512136+4634274", "kepler": "kic_9787239",
     }
     assert s["more"]["teff"] == 5135.0
     lc = connectors.kepler_parse_lc(_kepler_fits())
@@ -336,3 +338,28 @@ def test_ogle3_spark_fetch(spark):
     # .dat loader rounds to (4, 3, 3) as the reference does
     first = obs.orderBy("t").first()
     assert first["t"] == round(first["t"], 4)
+
+
+def test_catalina_multiline_blob_and_second_dataset():
+    """Live CRTS responses are not guaranteed single-line; the dataSet
+    regex must span lines (DOTALL) and stop at the FIRST closing brace
+    (non-greedy) so a second dataSet cannot corrupt the capture."""
+    html = (
+        "<html><script>\n"
+        "var dataSet0 = {label: 'CSS_J9',\n"
+        " color: '#ff0000',\n"
+        " data: [[53464.163, 14.28, 0.06]]}\n"
+        "; var dataSet1 = {label: 'other', data: []}\n"
+        "</script></html>"
+    )
+    (s,) = connectors.catalina_parse_star(html)
+    assert s["name"] == "CSS_J9"
+    assert s["_lc"] == [[53464.163, 14.28, 0.06]]
+
+
+def test_ogle3_gcvs_id_param_spelled_consistently():
+    """The GCVS constraint key is 'gcvs_id' everywhere else in the
+    module; the form builder read 'gvcs_id' and silently dropped the
+    filter (full-catalog result for a one-star query)."""
+    params = connectors.ogle3_form_params({"gcvs_id": "RW Dor"})
+    assert params.get("val_id_gcvs") == "RW Dor"

@@ -333,3 +333,42 @@ def test_lda_holdout_deterministic_and_consistent(spark):
     assert a.tp + a.fp + a.tn + a.fn == a.n_test
     assert 0.0 <= a.accuracy <= 1.0
     assert a.n_test > 0
+
+
+def test_kmeans_decider_persists_and_keeps_invalid_rows(
+    spark, populations, tmp_path
+):
+    """KMeansDecider was the one registry decider save_filter rejected;
+    its evaluate also silently DROPPED rows with missing features
+    (handleInvalid='skip'). Round-trip the model and pin the NULL-not-
+    dropped contract (0 is a real cluster id, so the supervised NaN→0
+    rule cannot apply)."""
+    from lightcurvesclassifier_spark.ml.persistence import load_filter, save_filter
+
+    searched, others = populations
+    dec = make_decider("KMeansDecider", k=2)
+    dec.learn(searched, others, FEATURES)
+
+    filt = StarsFilter([dec], FEATURES)
+    filt.learned = True
+    path = str(tmp_path / "kmeans.filter")
+    save_filter(filt, path)
+    loaded = load_filter(spark, path)
+    a = dec.evaluate(searched, FEATURES).toPandas().sort_values("f0")
+    b = (
+        loaded.deciders[0]
+        .evaluate(searched, FEATURES)
+        .toPandas()
+        .sort_values("f0")
+    )
+    assert (a["prob"].to_numpy() == b["prob"].to_numpy()).all()
+
+    holey = searched.withColumn(
+        "f0", F.when(F.col("f1") > 1.5, F.col("f0"))  # some rows → null
+    )
+    n_in = holey.count()
+    scored = dec.evaluate(holey, FEATURES)
+    assert scored.count() == n_in  # no silent row drop
+    n_null = scored.filter(F.col("prob").isNull()).count()
+    n_holes = holey.filter(F.col("f0").isNull()).count()
+    assert n_null == n_holes > 0

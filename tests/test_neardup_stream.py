@@ -12,7 +12,7 @@ from lightcurvesclassifier_spark.streaming.dedup_stream import doc_stream
 from lightcurvesclassifier_spark.streaming.neardup_stream import (
     neardup_candidates_stream,
     neardup_verdicts,
-    simhash_bands,
+    with_simhash_bands,
 )
 
 BASE = (
@@ -27,7 +27,7 @@ def test_simhash_expr_matches_batch_aggregate(spark):
         [(1, BASE), (2, BASE + " zz"), (3, "completely different words here")],
         "doc_id long, text string",
     )
-    expr = docs.select("doc_id", *simhash_bands("text")).toPandas()
+    expr = with_simhash_bands(docs, "text").drop("text").toPandas()
     agg = dedup.simhash(docs).toPandas()
     e = expr.sort_values("doc_id").reset_index(drop=True)
     a = agg.sort_values("doc_id").reset_index(drop=True)

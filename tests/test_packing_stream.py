@@ -82,3 +82,24 @@ def test_streaming_packing_contiguous_out_of_order(spark, doc_dir, tmp_path):
     for start, n in rows:
         assert start == expect_start
         expect_start += n
+
+
+def test_poison_pill_null_row_does_not_kill_stream(spark, doc_dir, tmp_path):
+    """A malformed ingest line (all-null row from PERMISSIVE json
+    parsing) must be dropped, not crash the stateful function — a
+    crash is unrecoverable because the checkpoint replays the file."""
+    (doc_dir / "b1.json").write_text(
+        "\n".join(
+            [
+                json.dumps({"doc_id": 0, "text": "a b c"}),
+                "{not valid json at all",
+                json.dumps({"doc_id": 4, "text": None}),
+                json.dumps({"doc_id": 8, "text": "d e"}),
+            ]
+        )
+    )
+    out_dir = tmp_path / "out"
+    got = _run_stream(spark, doc_dir, tmp_path / "ck", out_dir).collect()
+    assert {r.doc_id for r in got} == {0, 8}
+    by_id = {r.doc_id: r for r in got}
+    assert by_id[0].n_tokens == 3 and by_id[8].n_tokens == 2

@@ -81,3 +81,19 @@ def test_multiple_stars_sharded_state(spark, obs_dir, tmp_path):
         assert r["n_obs"] == 20
         assert r["mean_mag"] == pytest.approx(10.0 + sid)
         assert r["std_mag"] == pytest.approx(0.0)
+
+
+def test_null_mag_rows_do_not_poison_state(spark, obs_dir, tmp_path):
+    """A null mag (malformed CSV field) must be skipped like batch
+    aggregates skip nulls — s1 += NaN would corrupt the CHECKPOINTED
+    state and every later emission for that star."""
+    (obs_dir / "b1.csv").write_text(
+        "1,0.0,10.0\n1,1.0,\n1,2.0,12.0\n,3.0,9.0"
+    )
+    got = _run_stream(spark, obs_dir, tmp_path / "ck", tmp_path / "out")
+    rows = got.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.star_id == 1 and r.n_obs == 2
+    assert r.mean_mag == 11.0
+    assert not np.isnan(r.std_mag)

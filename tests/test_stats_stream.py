@@ -102,3 +102,36 @@ def test_finalize_matches_lc_stats_to_micromag_precision(spark):
     assert np.allclose(a.mean_mag, b.mean_mag, atol=2e-6)
     assert np.allclose(a.std_mag, b.std_mag, atol=2e-6)
     assert np.allclose(a.timespan, b.timespan, atol=0)
+
+
+def test_degenerate_constant_star_yields_zero_std_not_nan(spark):
+    """Float cancellation can make ss = s2 - s1²/n a tiny NEGATIVE
+    number for a constant-magnitude star; the unguarded sqrt was a NaN
+    on Spark and a raise on DuckDB. All three stats surfaces must emit
+    std 0.0 (and the single-point star NULL density, not a crash)."""
+    import math
+
+    from lightcurvesclassifier_spark.functions.curves import lc_stats
+    from lightcurvesclassifier_spark.operators.rollup import (
+        finalize_lc_stats, lc_stats_state,
+    )
+
+    rows = (
+        [(1, "V", float(t), 17.000001) for t in range(5)]  # constant mag
+        + [(2, "V", 0.0, 9.5)]                             # single point
+    )
+    obs = spark.createDataFrame(
+        rows, "star_id long, band string, t double, mag double"
+    )
+    for name, out in [
+        ("lc_stats", lc_stats(obs)),
+        ("rollup", finalize_lc_stats(lc_stats_state(obs))),
+        ("stream_state", finalize_um_state(um_stats_state(obs))),
+    ]:
+        got = {r.star_id: r for r in out.collect()}
+        # cancellation residue may leave a tiny positive ss; the
+        # contract is no NaN and no engine raise, not exact zero
+        assert not math.isnan(got[1].std_mag), (name, got[1])
+        assert 0.0 <= got[1].std_mag < 1e-5, (name, got[1])
+        assert not math.isnan(got[2].std_mag), (name, got[2])
+        assert got[2].std_mag == 0.0, (name, got[2])
