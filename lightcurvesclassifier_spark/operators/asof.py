@@ -47,16 +47,31 @@ def asof_join(
             "corrupt the fill"
         )
     l = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
-    r = right.select(
-        on,
-        F.col(right_ts).alias("_ts"),
-        F.struct(*value_cols).alias("_dim"),
-    ).withColumn("_side", F.lit(0))
+    # ASOF equality never matches NULL: a NULL-key or NULL-timestamp
+    # dimension row must match NOTHING — but Window.partitionBy groups
+    # NULL keys together and ascending order sorts NULL _ts FIRST, so
+    # unfiltered they would be carried into (and before) every fact row
+    # of their partition, where the DuckDB oracle returns NULL
+    r = (
+        right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
+        .select(
+            on,
+            F.col(right_ts).alias("_ts"),
+            F.struct(*value_cols).alias("_dim"),
+        )
+        .withColumn("_side", F.lit(0))
+    )
     # allowMissingColumns: left rows get a typed NULL _dim
     unioned = l.unionByName(r, allowMissingColumns=True)
+    # duplicate (key, ts) epochs: the struct itself is the final sort
+    # key, so the carried row is the column-wise greatest duplicate —
+    # deterministic across runs and partitionings (an under-specified
+    # order would hand back whichever duplicate sorted last that run;
+    # DuckDB's ASOF makes an arbitrary pick, so exact-parity inputs
+    # must be epoch-unique — documented here, determinism is ours)
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_dim").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn("_dim", F.last("_dim", ignorenulls=True).over(w))

@@ -51,10 +51,26 @@ def _word_udf(kind: str, bins: int, alphabet_size: int):
     def to_word(time: pd.Series, mag: pd.Series) -> pd.DataFrame:
         words, scales = [], []
         for i in range(len(time)):
-            series = series_fn(
-                np.asarray(time[i], dtype=float), np.asarray(mag[i], dtype=float), bins
-            )
-            w, s = sax_mod.sax_word(series, bins, alphabet_size)
+            # degenerate curves — fewer than 2 DISTINCT timestamps —
+            # carry no measurable shape: the hist kernel crashes on the
+            # zero-span empty value set (vals.min() of nothing), and a
+            # pairless variogram word is log10(0) garbage that DuckDB
+            # cannot even evaluate ('cannot take logarithm of zero').
+            # NULL word → comparative_scores drops the star, and both
+            # SQL mirrors drop the same stars via their `spanned` CTE.
+            t_arr = np.asarray(time[i], dtype=float)
+            m_arr = np.asarray(mag[i], dtype=float)
+            if np.unique(t_arr[~np.isnan(t_arr)]).size < 2:
+                words.append(None)
+                scales.append(None)
+                continue
+            try:
+                series = series_fn(t_arr, m_arr, bins)
+                w, s = sax_mod.sax_word(series, bins, alphabet_size)
+            except ValueError:
+                w, s = None, None
+            if not w:
+                w, s = None, None
             words.append(w)
             scales.append(s)
         return pd.DataFrame({"word": words, "scale": scales})
@@ -109,16 +125,24 @@ def comparative_scores(
                     scales.append(s)
                 return pd.DataFrame({"word": words, "scale": scales})
 
-        i_words = inspected.select(
-            "star_id", word(F.col("time"), F.col("mag")).alias("_w")
-        ).select("star_id", F.col("_w.word").alias("word"))
-        t_words = templates.select(
-            F.col("star_id").alias("template_id"),
-            word(F.col("time"), F.col("mag")).alias("_w"),
-        ).select(
-            "template_id",
-            F.col("_w.word").alias("t_word"),
-            F.col("_w.scale").alias("t_scale"),
+        i_words = (
+            inspected.select(
+                "star_id", word(F.col("time"), F.col("mag")).alias("_w")
+            )
+            .select("star_id", F.col("_w.word").alias("word"))
+            .filter(F.col("word").isNotNull())
+        )
+        t_words = (
+            templates.select(
+                F.col("star_id").alias("template_id"),
+                word(F.col("time"), F.col("mag")).alias("_w"),
+            )
+            .select(
+                "template_id",
+                F.col("_w.word").alias("t_word"),
+                F.col("_w.scale").alias("t_scale"),
+            )
+            .filter(F.col("t_word").isNotNull())
         )
 
         @F.pandas_udf(T.DoubleType())
@@ -189,8 +213,7 @@ def comparative_noslide_sql(
     normalize (:164), quirky-frame PAA (:45-50), Gaussian-breakpoint
     letters (sax.py:59-105), prefix MINDIST with the template-side
     scaling factor (symbolic_representation.py:65-94)."""
-    beta = sax_mod.BREAKPOINTS[int(alphabet_size)]
-    beta_sql = "[" + ", ".join(repr(float(b)) for b in beta) + "]"
+    beta_sql = _beta_sql(alphabet_size)
     tpl = ", ".join(str(int(t)) for t in template_ids)
     return f"""
 WITH obs AS ({obs_sql}),
@@ -258,12 +281,7 @@ pairs AS (
 ),
 scores AS (
   SELECT star_id, template_id,
-         t_scale * sqrt(list_sum(list_transform(
-           generate_series(1, L),
-           k -> CASE WHEN abs(wa[k] - wb[k]) <= 1 THEN 0.0e0
-                ELSE power({beta_sql}[GREATEST(wa[k], wb[k])]
-                           - {beta_sql}[LEAST(wa[k], wb[k]) + 1], 2) END
-         ))) AS score
+         t_scale * sqrt({_d2_sum_sql("wa", "wb", "L", alphabet_size)}) AS score
   FROM pairs
 )
 SELECT star_id, round(avg(score), 6) AS feature
@@ -318,6 +336,21 @@ def _round_half_even_sql(x: str) -> str:
 def _beta_sql(alphabet_size: int) -> str:
     beta = sax_mod.BREAKPOINTS[int(alphabet_size)]
     return "[" + ", ".join(repr(float(b)) for b in beta) + "]"
+
+
+def _d2_sum_sql(wa: str, wb: str, length: str, alphabet_size: int) -> str:
+    """The MINDIST squared-letter-distance sum — THE parity-critical
+    fragment (adjacent letters are distance 0, else the breakpoint gap
+    squared, symbolic_representation.py:65-94). Single-sourced so a
+    future change to the letter-distance rule cannot drift between the
+    noslide, sliding, and hist/variogram oracles."""
+    beta = _beta_sql(alphabet_size)
+    return (
+        f"list_sum(list_transform(generate_series(1, {length}), "
+        f"k -> CASE WHEN abs({wa}[k] - {wb}[k]) <= 1 THEN 0.0e0 "
+        f"ELSE power({beta}[GREATEST({wa}[k], {wb}[k])] "
+        f"- {beta}[LEAST({wa}[k], {wb}[k]) + 1], 2) END))"
+    )
 
 
 def _sax_word_ctes(
@@ -376,12 +409,7 @@ pr AS (
 ),
 scored AS (
   SELECT star_id, template_id,
-         t_scale * sqrt(list_sum(list_transform(
-           generate_series(1, L),
-           k -> CASE WHEN abs(wa[k] - wb[k]) <= 1 THEN 0.0e0
-                ELSE power({beta}[GREATEST(wa[k], wb[k])]
-                           - {beta}[LEAST(wa[k], wb[k]) + 1], 2) END
-         ))) AS score
+         t_scale * sqrt({_d2_sum_sql("wa", "wb", "L", alphabet_size)}) AS score
   FROM pr
 )"""
     if meth == "closest":
@@ -429,8 +457,16 @@ def comparative_hist_sql(
 
     nb = int(bins) - 1  # edges → buckets
     return f"""{ekvi_fill_ctes_sql(obs_sql, "cnt")},
+-- zero-timespan stars carry no measurable histogram shape: the engine
+-- emits a NULL word for them (comparative_scores drops the star), so
+-- the oracle drops them too
+spanned AS (
+  SELECT star_id FROM ({obs_sql}) GROUP BY star_id HAVING max(t) > min(t)
+),
 series AS (
-  SELECT star_id, list(y ORDER BY bin) AS ys FROM filled GROUP BY star_id
+  SELECT star_id, list(y ORDER BY bin) AS ys FROM filled
+  WHERE star_id IN (SELECT star_id FROM spanned)
+  GROUP BY star_id
 ),
 centered AS (
   SELECT star_id, list_transform(ys, v -> v - list_avg(ys)) AS vals FROM series
@@ -515,11 +551,15 @@ def comparative_variogram_sql(
 
     return f"""
 WITH obs AS ({obs_sql}),
+-- degenerate stars (<2 distinct timestamps → no positive lag) emit a
+-- NULL word on the engine side; dropped here too — and DuckDB could
+-- not even score them (log10 of a zero lag raises)
 curves AS (
   SELECT star_id, list(t ORDER BY t, mag) AS ts,
          list(mag ORDER BY t, mag) AS mags,
          CAST(count(*) AS INT) AS n
   FROM obs GROUP BY star_id
+  HAVING max(t) > min(t)
 ),
 px_src AS (SELECT star_id, ts AS vals, n AS m FROM curves),
 {_paa_list_sql("px", "px_src", bins)},
@@ -632,12 +672,7 @@ def comparative_slide_sql(
     max_iter = sax_mod.MAX_ITER
 
     def d2_sum(wa: str, wb: str, length: str) -> str:
-        return (
-            f"list_sum(list_transform(generate_series(1, {length}), "
-            f"k -> CASE WHEN abs({wa}[k] - {wb}[k]) <= 1 THEN 0.0e0 "
-            f"ELSE power({beta_sql}[GREATEST({wa}[k], {wb}[k])] "
-            f"- {beta_sql}[LEAST({wa}[k], {wb}[k]) + 1], 2) END))"
-        )
+        return _d2_sum_sql(wa, wb, length, alphabet_size)
 
     return f"""
 WITH obs AS ({obs_sql}),

@@ -10,8 +10,10 @@ Spark-first strategy (zone join, the classic sky-join decomposition):
 
 1. bucket both sides into declination *zones* of height ``zone_deg``
    (≥ eps);
-2. explode the smaller side into its zone ±1 so any pair within eps
-   shares a zone key;
+2. explode the RIGHT side into its zone ±1 so any pair within eps
+   shares a zone key — callers pass the SMALLER catalog as ``right``
+   (the reference catalog in a detections-vs-reference match), since
+   the exploded side pays a 3× row fan-out through the shuffle;
 3. shuffle equi-join on the zone key — Catalyst picks broadcast when one
    side is small, sort-merge otherwise; zones are dense and uniformly
    loaded for realistic catalogs, so no skew salt is needed;
@@ -39,6 +41,9 @@ def crossmatch(
     right_cols: list[str] | None = None,
 ) -> DataFrame:
     """Pairs (left × right) with angular separation < ``eps_deg``.
+
+    Pass the SMALLER catalog as ``right``: it is the side exploded into
+    zone ±1 (3× row fan-out through the shuffle — see module docstring).
 
     Returns left_cols + right_cols + ``sep_deg``. Columns must be
     disambiguated by the caller (e.g. pre-aliased ``a_star_id`` /

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .decontamination import contamination_pairs
+from .dedup import SHINGLE_N
 from .text import token_count
 
 MIN_TOKENS = 5
@@ -64,7 +65,7 @@ def pretraining_corpus_sql(
     evals_sql: str,
     min_tokens: int = MIN_TOKENS,
     threshold: float = CONTAM_THRESHOLD,
-    n: int = 4,  # dedup.SHINGLE_N — must match contamination_pairs
+    n: int = SHINGLE_N,  # single-sourced: must match contamination_pairs
 ) -> str:
     """DuckDB mirror of :func:`pretraining_corpus` (same stages, same
     fragments as the per-stage oracles)."""

@@ -73,9 +73,21 @@ def run_search(
     )
     # queries that matched NO star still get one found=false ledger row
     # (uploadStatus logs every query) — without it the resume anti-join
-    # re-executes empty-result queries forever
+    # re-executes empty-result queries forever.
+    #
+    # The matched query ids are materialized EAGERLY (bounded by
+    # |queries|, which is broadcast-small by the operator contract): an
+    # anti-join against the lazy `matched` would re-execute the entire
+    # feature scan + theta join a second time every time the ledger is
+    # materialized — at 100 TB, two full passes where one suffices.
+    matched_qids = [
+        r[0] for r in matched.select("query_id").distinct().collect()
+    ]
+    no_match = (
+        ~F.col("query_id").isin(matched_qids) if matched_qids else F.lit(True)
+    )
     unmatched = (
-        queries.join(matched.select("query_id").distinct(), "query_id", "left_anti")
+        queries.filter(no_match)
         .select(
             "query_id",
             *[

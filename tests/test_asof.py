@@ -69,3 +69,37 @@ def test_asof_rejects_colliding_columns(spark):
 
     with _pytest.raises(ValueError, match="already has columns"):
         asof_join(left, right, "k", "t", "ct", ["g"])
+
+
+def test_asof_null_keys_and_timestamps_match_nothing(spark):
+    """ASOF equality never matches NULL: a NULL-key fact row gets a NULL
+    dim even when a NULL-key dimension row exists (Window.partitionBy
+    groups NULLs together), and a NULL-timestamp dimension row must not
+    be carried into every fact row (asc ordering sorts NULL first)."""
+    left = spark.createDataFrame(
+        [(None, 5.0), (1, 5.0)], "k long, t double"
+    )
+    right = spark.createDataFrame(
+        [(None, 1.0, 9.9), (1, None, 8.8), (1, 2.0, 1.5)],
+        "k long, ct double, g double",
+    )
+    out = {
+        (r.k, r.t): r.g
+        for r in asof_join(left, right, "k", "t", "ct", ["g"]).collect()
+    }
+    assert out[(None, 5.0)] is None  # NULL key never matches
+    assert out[(1, 5.0)] == 1.5      # real epoch wins; NULL-ts row ignored
+
+
+def test_asof_duplicate_epochs_deterministic(spark):
+    """Two dimension rows on the same (key, ts): the carried row is the
+    column-wise greatest — stable across runs and partitionings."""
+    left = spark.createDataFrame([(1, 5.0)], "k long, t double")
+    right = spark.createDataFrame(
+        [(1, 3.0, 1.1), (1, 3.0, 2.2)], "k long, ct double, g double"
+    )
+    for _ in range(3):
+        rows = asof_join(
+            left.repartition(7), right.repartition(3), "k", "t", "ct", ["g"]
+        ).collect()
+        assert [r.g for r in rows] == [2.2]

@@ -106,3 +106,91 @@ def F_col_in(df, values):
     from pyspark.sql import functions as F
 
     return F.col("star_id").isin(values)
+
+
+def test_degenerate_curves_dropped_not_crashed(spark):
+    """A zero-timespan star crashed the hist kernel (empty value set →
+    vals.min() ValueError killing the whole job) and a 1-obs star's
+    empty variogram word scored 0.0 = 'perfect match' vs every
+    template. Both now emit NULL words and drop out of the scores —
+    matching the SQL mirrors, which emit no row for them."""
+    from pyspark.sql import functions as F
+
+    from lightcurvesclassifier_spark.operators.comparative import (
+        comparative_scores,
+    )
+
+    rows = [
+        (1, [float(t) for t in range(40)],
+         [float(np.sin(t / 3.0)) for t in range(40)]),
+        (2, [5.0, 5.0, 5.0], [1.0, 2.0, 3.0]),   # zero timespan
+        (3, [7.0], [1.0]),                        # single point
+    ]
+    curves = spark.createDataFrame(
+        rows, "star_id long, time array<double>, mag array<double>"
+    )
+    templates = curves.filter(F.col("star_id") == 1)
+    for kind in ("hist_shape", "variogram_shape"):
+        got = comparative_scores(
+            curves, templates, kind, bins=10, alphabet_size=10
+        ).collect()
+        ids = {r.star_id for r in got}
+        assert 1 in ids, kind
+        assert 3 not in ids, kind          # no word → no score
+        if kind == "variogram_shape":
+            assert 2 not in ids            # no pairs with positive lag?
+        else:
+            assert 2 not in ids            # zero span → dropped
+        assert all(r.score is not None for r in got), kind
+
+
+def test_degenerate_corpus_engine_oracle_exact(spark):
+    """Engine and DuckDB mirror agree EXACTLY on a corpus containing a
+    zero-span star and a single-point star: both drop the degenerate
+    stars and score the healthy ones identically."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from lightcurvesclassifier_spark.operators import comparative as C
+
+    rows = []
+    for t in range(40):
+        rows.append((1, float(t), float(np.sin(t / 3.0))))
+    rows += [(2, 5.0, 1.0), (2, 5.0, 2.0), (2, 5.0, 3.0), (3, 7.0, 1.0)]
+    for t in range(40):
+        rows.append((4, float(t), float(np.cos(t / 5.0))))
+    obs = spark.createDataFrame(rows, "star_id long, t double, mag double")
+    curves = (
+        obs.groupBy("star_id")
+        .agg(F.array_sort(F.collect_list(F.struct("t", "mag"))).alias("p"))
+        .select(
+            "star_id", F.col("p.t").alias("time"), F.col("p.mag").alias("mag")
+        )
+    )
+    templates = curves.filter(F.col("star_id") == 1)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE planted(star_id BIGINT, t DOUBLE, mag DOUBLE)")
+    con.executemany("INSERT INTO planted VALUES (?,?,?)", rows)
+    obs_sql = "SELECT star_id, t, mag FROM planted"
+
+    for kind, sqlf, meth in [
+        ("hist_shape", C.comparative_hist_sql, "closest"),
+        ("variogram_shape", C.comparative_variogram_sql, "best2"),
+    ]:
+        sc = C.comparative_scores(
+            curves, templates, kind, bins=10, alphabet_size=10
+        )
+        eng = sorted(
+            (r.star_id, round(r.feature, 6))
+            for r in C.reduce_scores(sc, meth).collect()
+        )
+        ora = sorted(
+            (int(s), round(float(f), 6))
+            for s, f in con.execute(
+                sqlf(obs_sql, [1], bins=10, alphabet_size=10, meth=meth)
+            ).fetchall()
+        )
+        assert eng == ora, kind
+        assert [s for s, _ in eng] == [1, 4], kind  # 2 & 3 dropped
