@@ -49,7 +49,11 @@ def variogram_slope(curves: DataFrame, bins: int = 20, absolute: bool = False) -
                 )
             except Exception:
                 out[i] = np.nan
-        return pd.Series(np.abs(out) if absolute else out)
+        vals = np.abs(out) if absolute else out
+        # degenerate stars (constant mag, zero lags) must surface as
+        # Spark NULL, not NaN: the SQL oracle's no-null gate emits NULL
+        # for them, and NULL-count parity is part of the value check
+        return pd.Series(vals).where(np.isfinite(vals), None)
 
     return curves.select(
         "star_id", slope(F.col("time"), F.col("mag")).alias("variogram_slope")

@@ -133,7 +133,10 @@ def paa_curve_sql(obs_sql: str, bins: float) -> str:
     """DuckDB mirror of :func:`paa_curve` (same fold order; same
     fractional-bins rule via a lateral range)."""
     if 0 < bins <= 1:
-        nbins = f"GREATEST(1, CAST(floor(CAST(n AS DOUBLE) * {float(bins)!r}) AS INT))"
+        nbins = (
+            "GREATEST(1, CAST(floor(CAST(n AS DOUBLE) * "
+            f"CAST('{float(bins)!r}' AS DOUBLE)) AS INT))"
+        )
     else:
         nbins = str(int(bins))
     return f"""
@@ -639,7 +642,10 @@ def phase_curve(
         "pbin",
         "n_obs",
         F.round(mean, 6).alias("mean_mag"),
-        F.round(F.sqrt(var), 6).alias("std_mag"),
+        # clamp like the SQL mirror's greatest(..., 0): float
+        # cancellation on a constant phase bin makes var ~ -1e-14 and
+        # an unguarded sqrt a NaN the oracle's 0.0 can never match
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std_mag"),
     )
 
 
@@ -745,16 +751,11 @@ def sample_fraction(df: DataFrame, key: str, fraction: float) -> DataFrame:
     """``folder%frac`` Bernoulli sample, deterministic across engines:
     keep rows whose md5(key) falls below the fraction of the hex space.
     Embarrassingly parallel — no shuffle, no driver involvement."""
-    if not 0.0 <= fraction <= 1.0:
-        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    if fraction >= 1.0:
-        # int(16**8) formats to NINE hex chars, which the 8-char
-        # lexicographic compare reads as '1…' < almost everything —
-        # a "100% sample" silently kept ~1/16 of the rows. 'g' sorts
-        # after every hex digit, keeping all rows exactly (same rule
-        # as corpus._hex_bound).
-        bound = "g"
-    else:
-        bound = format(int(fraction * 16**8), "08x")
+    # one definition of the subtle 8-hex-char threshold (incl. the
+    # w>=1 'g' full-keep sentinel) — a private copy here once risked
+    # drifting from the corpus sampling semantics
+    from ..operators.corpus import _hex_bound
+
+    bound = _hex_bound(fraction)
     h = F.substring(F.md5(F.col(key).cast("string").cast("binary")), 1, 8)
     return df.filter(h < F.lit(bound))

@@ -131,7 +131,10 @@ class StarsFilter:
         f1_den = 2 * true_pos + false_pos + false_neg
         return OrderedDict(
             [
-                ("precision", _rate(true_pos, true_pos + false_pos) or 0),
+                # None like every other undefined rate — `or 0` both
+                # masked the undefined case as a real all-wrong score
+                # AND rewrote a legitimate 0.0 precision to int 0
+                ("precision", _rate(true_pos, true_pos + false_pos)),
                 ("accuracy", _rate(true_pos + true_neg, right_num + wrong_num)),
                 ("f1_score", 2 * true_pos / f1_den if f1_den else 0),
                 ("true_positive_rate", _rate(true_pos, right_num)),
@@ -183,26 +186,14 @@ class StarsFilter:
         ]
 
 
-def lda_pipeline_sql(feats_sql: str, split_pred: str = "abbe < 0.9",
-                     reg: float = 1e-6, threshold: float = 0.5) -> str:
-    """DuckDB oracle for the trained-LDA filter pipeline
-    (GaussianDecider 'lda' + filter_stars, ml/deciders.py:138-184): the
-    closed-form fit is plain SQL for d=3 features (mean_mag, std_mag,
-    abbe) — per-class means, two-pass pooled scatter with the reg·I
-    ridge, Cramer's-rule 3×3 inverse and log-determinant, Mahalanobis
-    quadratic forms, softmax probability — then the stars_filter combine
-    rule (round to 2 decimals BEFORE the threshold compare). Float
-    summation-order differences vs numpy are ~1e-13 and the output
-    rounds to 2 decimals, so the hash is stable."""
-    return f"""
-WITH feats AS ({feats_sql}),
-cls AS (
-  SELECT star_id, mean_mag AS f1, std_mag AS f2, abbe AS f3,
-         CASE WHEN {split_pred} THEN 1 ELSE 0 END AS lbl
-  FROM feats
-  WHERE mean_mag IS NOT NULL AND std_mag IS NOT NULL AND abbe IS NOT NULL
-),
-mstats AS (
+def _lda_fit_ctes_sql(reg: float) -> str:
+    """The closed-form d=3 LDA fit as a CTE chain over a ``cls(star_id,
+    f1, f2, f3, lbl)`` source: per-class means, pooled ridge scatter,
+    Cramer 3x3 inverse + log-determinant, class-mean cross row.
+    SINGLE-SOURCED for the pipeline and the held-out evaluation — a fix
+    applied to one copy and not the other would make the filter and its
+    own evaluation silently disagree."""
+    return f"""mstats AS (
   SELECT lbl, count(*) AS n, avg(f1) AS m1, avg(f2) AS m2, avg(f3) AS m3
   FROM cls GROUP BY lbl
 ),
@@ -248,10 +239,12 @@ cm AS (
   SELECT m0.m1 AS a1, m0.m2 AS a2, m0.m3 AS a3, m0.n AS n0,
          m1.m1 AS b1, m1.m2 AS b2, m1.m3 AS b3, m1.n AS n1
   FROM mstats m0, mstats m1 WHERE m0.lbl = 0 AND m1.lbl = 1
-),
-scored AS (
-  SELECT c.star_id,
-         -0.5 * (((f1 - a1) * (f1 - a1) * i11 + (f2 - a2) * (f2 - a2) * i22
+)"""
+
+
+# Mahalanobis log-likelihood pair over a scored source aliased ``c``
+# joined to (inv, cm) — shared verbatim by both SQL builders.
+_LDA_LL_SQL = """         -0.5 * (((f1 - a1) * (f1 - a1) * i11 + (f2 - a2) * (f2 - a2) * i22
                   + (f3 - a3) * (f3 - a3) * i33
                   + 2 * ((f1 - a1) * (f2 - a2) * i12
                          + (f1 - a1) * (f3 - a3) * i13
@@ -262,7 +255,32 @@ scored AS (
                   + 2 * ((f1 - b1) * (f2 - b2) * i12
                          + (f1 - b1) * (f3 - b3) * i13
                          + (f2 - b2) * (f3 - b3) * i23)) + logdet)
-         + ln(CAST(n1 AS DOUBLE) / ntot) AS ll1
+         + ln(CAST(n1 AS DOUBLE) / ntot) AS ll1"""
+
+
+def lda_pipeline_sql(feats_sql: str, split_pred: str = "abbe < 0.9",
+                     reg: float = 1e-6, threshold: float = 0.5) -> str:
+    """DuckDB oracle for the trained-LDA filter pipeline
+    (GaussianDecider 'lda' + filter_stars, ml/deciders.py:138-184): the
+    closed-form fit is plain SQL for d=3 features (mean_mag, std_mag,
+    abbe) — per-class means, two-pass pooled scatter with the reg·I
+    ridge, Cramer's-rule 3×3 inverse and log-determinant, Mahalanobis
+    quadratic forms, softmax probability — then the stars_filter combine
+    rule (round to 2 decimals BEFORE the threshold compare). Float
+    summation-order differences vs numpy are ~1e-13 and the output
+    rounds to 2 decimals, so the hash is stable."""
+    return f"""
+WITH feats AS ({feats_sql}),
+cls AS (
+  SELECT star_id, mean_mag AS f1, std_mag AS f2, abbe AS f3,
+         CASE WHEN {split_pred} THEN 1 ELSE 0 END AS lbl
+  FROM feats
+  WHERE mean_mag IS NOT NULL AND std_mag IS NOT NULL AND abbe IS NOT NULL
+),
+{_lda_fit_ctes_sql(reg)},
+scored AS (
+  SELECT c.star_id,
+{_LDA_LL_SQL}
   FROM cls c, inv, cm
 ),
 prob AS (
@@ -292,67 +310,10 @@ labeled AS (
 ),
 cls AS (SELECT * FROM labeled WHERE NOT is_test),
 tst AS (SELECT * FROM labeled WHERE is_test),
-mstats AS (
-  SELECT lbl, count(*) AS n, avg(f1) AS m1, avg(f2) AS m2, avg(f3) AS m3
-  FROM cls GROUP BY lbl
-),
-scat AS (
-  SELECT c.lbl,
-         sum((f1 - m1) * (f1 - m1)) AS s11,
-         sum((f1 - m1) * (f2 - m2)) AS s12,
-         sum((f1 - m1) * (f3 - m3)) AS s13,
-         sum((f2 - m2) * (f2 - m2)) AS s22,
-         sum((f2 - m2) * (f3 - m3)) AS s23,
-         sum((f3 - m3) * (f3 - m3)) AS s33
-  FROM cls c JOIN mstats m USING (lbl) GROUP BY c.lbl
-),
-tot AS (SELECT sum(n) AS ntot FROM mstats),
-pooled AS (
-  SELECT sum(s11) / (ntot - 2) + {reg!r} AS p11,
-         sum(s12) / (ntot - 2) AS p12,
-         sum(s13) / (ntot - 2) AS p13,
-         sum(s22) / (ntot - 2) + {reg!r} AS p22,
-         sum(s23) / (ntot - 2) AS p23,
-         sum(s33) / (ntot - 2) + {reg!r} AS p33,
-         ntot
-  FROM scat, tot GROUP BY ntot
-),
-det AS (
-  SELECT *,
-         p11 * (p22 * p33 - p23 * p23)
-         - p12 * (p12 * p33 - p23 * p13)
-         + p13 * (p12 * p23 - p22 * p13) AS dt
-  FROM pooled
-),
-inv AS (
-  SELECT ntot, ln(dt) AS logdet,
-         (p22 * p33 - p23 * p23) / dt AS i11,
-         (p13 * p23 - p12 * p33) / dt AS i12,
-         (p12 * p23 - p13 * p22) / dt AS i13,
-         (p11 * p33 - p13 * p13) / dt AS i22,
-         (p12 * p13 - p11 * p23) / dt AS i23,
-         (p11 * p22 - p12 * p12) / dt AS i33
-  FROM det
-),
-cm AS (
-  SELECT m0.m1 AS a1, m0.m2 AS a2, m0.m3 AS a3, m0.n AS n0,
-         m1.m1 AS b1, m1.m2 AS b2, m1.m3 AS b3, m1.n AS n1
-  FROM mstats m0, mstats m1 WHERE m0.lbl = 0 AND m1.lbl = 1
-),
+{_lda_fit_ctes_sql(reg)},
 scored AS (
   SELECT c.star_id, c.lbl,
-         -0.5 * (((f1 - a1) * (f1 - a1) * i11 + (f2 - a2) * (f2 - a2) * i22
-                  + (f3 - a3) * (f3 - a3) * i33
-                  + 2 * ((f1 - a1) * (f2 - a2) * i12
-                         + (f1 - a1) * (f3 - a3) * i13
-                         + (f2 - a2) * (f3 - a3) * i23)) + logdet)
-         + ln(CAST(n0 AS DOUBLE) / ntot) AS ll0,
-         -0.5 * (((f1 - b1) * (f1 - b1) * i11 + (f2 - b2) * (f2 - b2) * i22
-                  + (f3 - b3) * (f3 - b3) * i33
-                  + 2 * ((f1 - b1) * (f2 - b2) * i12
-                         + (f1 - b1) * (f3 - b3) * i13
-                         + (f2 - b2) * (f3 - b3) * i23)) + logdet)
-         + ln(CAST(n1 AS DOUBLE) / ntot) AS ll1
+{_LDA_LL_SQL}
   FROM tst c, inv, cm
 ),
 preds AS (

@@ -370,7 +370,8 @@ cnt AS (
 ),
 b AS (
   SELECT stratum,
-         pow(_c / CAST(sum(_c) OVER () AS BIGINT), {exp}) AS _boost
+         pow(_c / CAST(sum(_c) OVER () AS BIGINT),
+             CAST('{exp}' AS DOUBLE)) AS _boost
   FROM cnt
 ),
 r AS (

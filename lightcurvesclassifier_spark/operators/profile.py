@@ -324,22 +324,17 @@ def string_profile(df: DataFrame, cols: list[str]) -> DataFrame:
         .groupBy("col_name", "bucket")
         .agg(F.max("rank").alias("max_rank"))
     )
-    # per-column estimate: the per-group form of sketch.hll_estimate
-    # (same constants, same correction branches)
-    from .sketch import HLL_M, _HLL_ALPHA
+    # per-column estimate via the sketch family's ONE estimator
+    # definition (constants, linear-counting branch, rounding)
+    from .sketch import _hll_est_cols
 
-    m = float(HLL_M)
     agg = regs.groupBy("col_name").agg(
         F.count("*").alias("n_present"),
         F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("z_present"),
     )
-    v = F.lit(m) - F.col("n_present")
-    z = F.coalesce(F.col("z_present"), F.lit(0.0)) + v
-    raw = F.lit(_HLL_ALPHA * m * m) / z
-    est = F.when(
-        (raw <= 2.5 * m) & (v > 0), F.lit(m) * F.log(F.lit(m) / v)
-    ).otherwise(raw)
-    ests = agg.select("col_name", F.round(est, 3).alias("distinct_est"))
+    ests = agg.select("col_name", *_hll_est_cols()).select(
+        "col_name", "distinct_est"
+    )
     return stats.join(ests, "col_name", "left").select(
         "col_name", "n", "n_null", "min_len", "max_len",
         F.coalesce("distinct_est", F.lit(0.0)).alias("distinct_est"),
@@ -347,15 +342,21 @@ def string_profile(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def string_profile_sql(table_sql: str, cols: list[str]) -> str:
-    """DuckDB mirror of :func:`string_profile` (same HLL constants)."""
-    from .sketch import HLL_M, _HLL_ALPHA, _hex_to_int_sql
+    """DuckDB mirror of :func:`string_profile` — register scheme and
+    estimator come from the sketch family's single-sourced fragments
+    (``_hll_coords_sql`` / ``_hll_estimate_sql``), so this consumer
+    cannot drift from the hll_* operators."""
+    from .sketch import _hll_coords_sql, _hll_estimate_sql
 
-    m = float(HLL_M)
-    bucket = _hex_to_int_sql("substring(h, 1, 2)", 2)
-    vex = _hex_to_int_sql("substring(h, 3, 12)", 12)
     unions = " UNION ALL ".join(
         f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS val FROM t"
         for c in cols
+    )
+    hashed_sql = (
+        "SELECT col_name, md5(val) AS h FROM long_t WHERE val IS NOT NULL"
+    )
+    est_sql = _hll_estimate_sql(
+        _hll_coords_sql(hashed_sql, "col_name"), "col_name"
     )
     return f"""
 WITH t AS ({table_sql}),
@@ -367,34 +368,8 @@ stats AS (
          max(length(val)) AS max_len
   FROM long_t GROUP BY col_name
 ),
-hashed AS (
-  SELECT col_name, md5(val) AS h FROM long_t WHERE val IS NOT NULL
-),
-coords AS (
-  SELECT col_name, CAST({bucket} AS BIGINT) AS bucket,
-         CAST(CASE WHEN {vex} = 0 THEN 49
-              ELSE 49 - length(bin(CAST({vex} AS BIGINT))) END AS BIGINT)
-           AS rank
-  FROM hashed
-),
-regs AS (
-  SELECT col_name, bucket, max(rank) AS max_rank
-  FROM coords GROUP BY col_name, bucket
-),
-agg AS (
-  SELECT col_name, count(*) AS n_present,
-         coalesce(sum(pow(2.0, -max_rank)), 0.0) AS z_present
-  FROM regs GROUP BY col_name
-),
 ests AS (
-  SELECT col_name,
-         round(CASE WHEN {_HLL_ALPHA * m * m}
-                         / (z_present + ({m} - n_present)) <= {2.5 * m}
-                    AND {m} - n_present > 0
-               THEN {m} * ln({m} / ({m} - n_present))
-               ELSE {_HLL_ALPHA * m * m} / (z_present + ({m} - n_present))
-               END, 3) AS distinct_est
-  FROM agg
+  SELECT col_name, distinct_est FROM ({est_sql})
 )
 SELECT s.col_name, s.n, s.n_null, s.min_len, s.max_len,
        coalesce(e.distinct_est, 0.0) AS distinct_est

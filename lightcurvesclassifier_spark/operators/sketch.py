@@ -170,8 +170,6 @@ def _hll_registers_sql(
     dq_audit lesson). ``group_col`` threads a grouping column through
     every CTE and into the register key."""
     g = f"{group_col}, " if group_col else ""
-    bucket = _hex_to_int_sql("substring(h, 1, 2)", 2)
-    v = _hex_to_int_sql("substring(h, 3, 12)", 12)
     return f"""
 WITH tk0 AS (
   SELECT {g}string_split(text, ' ') AS tk FROM ({corpus_sql})
@@ -180,17 +178,27 @@ toks AS (
   SELECT {g}array_to_string(tk[g:g+{n - 1}], ' ') AS term
   FROM tk0, unnest(generate_series(1, len(tk) - {n - 1})) AS t(g)
 ),
-hashed AS (SELECT {g}md5(term) AS h FROM toks),
-coords AS (
+hashed AS (SELECT {g}md5(term) AS h FROM toks)
+{_hll_coords_sql("SELECT * FROM hashed", group_col)}
+"""
+
+
+def _hll_coords_sql(hashed_sql: str, group_col: str | None = None) -> str:
+    """Register table from a ``hashed(h[, group])`` source — THE
+    hash-slice + rank rule (2-hex-char bucket, 12-hex-char 48-bit value,
+    rank 49 − bitlength, 49 at zero).  Single-sourced so the sketch
+    family and every other HLL consumer (string_profile) cannot drift —
+    a stale copy of this rule breaks grouped↔global composability."""
+    g = f"{group_col}, " if group_col else ""
+    bucket = _hex_to_int_sql("substring(h, 1, 2)", 2)
+    v = _hex_to_int_sql("substring(h, 3, 12)", 12)
+    return f"""SELECT {g}bucket, max(rank) AS max_rank FROM (
   SELECT {g}CAST({bucket} AS BIGINT) AS bucket,
          CAST(CASE WHEN {v} = 0 THEN 49
               ELSE 49 - length(bin(CAST({v} AS BIGINT))) END AS BIGINT)
            AS rank
-  FROM hashed
-)
-SELECT {g}bucket, max(rank) AS max_rank
-FROM coords GROUP BY {g}bucket
-"""
+  FROM ({hashed_sql})
+) GROUP BY {g}bucket"""
 
 
 def _hll_estimate_sql(regs_sql: str, group_col: str | None = None) -> str:

@@ -372,7 +372,7 @@ SELECT count(*) AS n_lines,
        CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
             AS BIGINT) AS revenue_cents
 FROM lineitem l JOIN per_part p ON l.l_partkey = p.pk
-WHERE l.l_quantity < {frac!r} * p.avg_qty
+WHERE l.l_quantity < CAST('{frac!r}' AS DOUBLE) * p.avg_qty
 """
 
 

@@ -106,3 +106,24 @@ def test_curve_descr_height_matches_reference_semantics(spark, curve_rows):
         )
         assert len(got) == len(want), sid
         np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_variogram_slope_degenerate_star_is_null_not_nan(spark):
+    """Constant-mag/zero-lag stars must surface as Spark NULL (the SQL
+    oracle's no-null gate emits NULL), not NaN — NULL counts are part
+    of the value check."""
+    from lightcurvesclassifier_spark.functions.curve_udfs import (
+        variogram_slope,
+    )
+
+    curves = spark.createDataFrame(
+        [
+            (1, [float(t) for t in range(30)],
+             [float(np.sin(t / 2.0)) for t in range(30)]),
+            (2, [1.0], [5.0]),  # degenerate
+        ],
+        "star_id long, time array<double>, mag array<double>",
+    )
+    got = {r.star_id: r.variogram_slope for r in variogram_slope(curves).collect()}
+    assert got[2] is None
+    assert got[1] is not None and not np.isnan(got[1])
