@@ -240,6 +240,13 @@ def minhash_pairs(
     SparseVector materialization or hash-seed nondeterminism; the whole
     pipeline is codegen'd joins/aggregates.
     """
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}: a silent "
+            "num_hashes//bands truncation would compute (and pay for) "
+            "hash functions the banding never reads, with a collision "
+            "probability different from the requested configuration"
+        )
     rows = num_hashes // bands
     coeffs = _minhash_coeffs(num_hashes)
     sh = shingles_md5(df, SHINGLE_N, text_col, id_col).localCheckpoint(eager=False)
@@ -312,6 +319,13 @@ def minhash_pairs_sql(
 ) -> str:
     """DuckDB mirror of :func:`minhash_pairs` — same md5 keys, same
     affine constants, same banding, same exact verify."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}: a silent "
+            "num_hashes//bands truncation would compute (and pay for) "
+            "hash functions the banding never reads, with a collision "
+            "probability different from the requested configuration"
+        )
     rows = num_hashes // bands
     coeffs = _minhash_coeffs(num_hashes)
     mins = ",\n         ".join(
@@ -401,6 +415,10 @@ def connected_components(
     # twice per hop and re-evaluates it exponentially).
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    if hops_per_round < 1:
+        # same contract as max_iter — a silent clamp would make the
+        # convergence-budget error report a budget that was never used
+        raise ValueError(f"hops_per_round must be >= 1, got {hops_per_round}")
     edges = (
         pairs.select(
             F.explode(
@@ -431,7 +449,7 @@ def connected_components(
     )
     for _ in range(max_iter):
         stepped = labels
-        for _hop in range(max(1, hops_per_round)):
+        for _hop in range(hops_per_round):
             stepped = (
                 edges.join(stepped, edges.src == stepped.node)
                 .groupBy(F.col("dst").alias("node"))

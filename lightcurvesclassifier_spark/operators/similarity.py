@@ -94,6 +94,33 @@ def _assign_d2(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
     )
 
 
+def _round6_half_away(a: np.ndarray) -> np.ndarray:
+    """Round to 6 decimals HALF-AWAY-FROM-ZERO — DuckDB's round() rule.
+    np.round is half-to-even: a cosine landing exactly on a 5e-7
+    boundary would round differently across engines and flip a top-k
+    member or threshold inclusion at atol=0.  (The residual hazard —
+    BLAS-blocked vs left-fold accumulation order shifting a sum ACROSS
+    a boundary — is documented on the callers; boundary-free data, like
+    the testdata embeddings, is exact either way.)"""
+    with np.errstate(invalid="ignore"):
+        return np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+
+
+def _cos_sql(dot: str, norm_a: str, norm_b: str) -> str:
+    """THE parity expression every ANN mirror shares: left-fold dot over
+    zipped lists divided by the norm product, rounded 6 — single-sourced
+    so a fold/rounding change cannot drift between mirrors."""
+    return f"round({dot} / ({norm_a} * {norm_b}), 6)"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt(list_sum(list_transform({a}, x -> x * x)))"
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -116,11 +143,17 @@ def cosine_topk(
     """
     import pandas as pd
 
+    spark = corpus.sparkSession
     q_pdf = queries.select(id_col, vec_col).toPandas()
+    if len(q_pdf) == 0:
+        # np.vstack on an empty frame raises; no queries → empty top-k
+        empty = spark.createDataFrame(
+            [], f"query_id long, {id_col} long, cos double"
+        )
+        return _topk_rank(empty, k, id_col)
     q_ids = q_pdf[id_col].to_numpy()
     q_mat = np.vstack(q_pdf[vec_col].to_numpy()).astype(np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
-    spark = corpus.sparkSession
     b_qids = spark.sparkContext.broadcast(q_ids)
     b_qmat = spark.sparkContext.broadcast(q_mat)
     b_qnorm = spark.sparkContext.broadcast(q_norm)
@@ -131,10 +164,9 @@ def cosine_topk(
             c_ids = pdf_b[id_col].to_numpy()
             c_norm = np.linalg.norm(c_mat, axis=1)
             with np.errstate(divide="ignore", invalid="ignore"):
-                sims = np.round(
+                sims = _round6_half_away(
                     (c_mat @ b_qmat.value.T)
-                    / (c_norm[:, None] * b_qnorm.value[None, :]),
-                    6,
+                    / (c_norm[:, None] * b_qnorm.value[None, :])
                 )  # (corpus_batch, queries)
             # zero-norm rows (either side) have undefined cosine — mark
             # them -inf so they can never enter a top-k (NaN would sort
@@ -169,20 +201,22 @@ def cosine_topk(
 def cosine_topk_sql(k: int = 10, query_pred: str = "vec_id < 5") -> str:
     """DuckDB mirror: the same fold (list_zip → sum of products), same
     rounding, same tie-break."""
-    dot = (
-        "list_sum(list_transform(list_zip(c.v, q.v), p -> p[1] * p[2]))"
-    )
-    norm_c = "sqrt(list_sum(list_transform(c.v, x -> x * x)))"
-    norm_q = "sqrt(list_sum(list_transform(q.v, x -> x * x)))"
+    cos = _cos_sql(_dot_sql("c.v", "q.v"), _norm_sql("c.v"), _norm_sql("q.v"))
     return f"""
-WITH vecs AS (
+WITH vecs0 AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
+),
+-- zero-norm rows have undefined cosine: the Spark path masks them to
+-- -inf and drops them, so the mirror must exclude them too (a NULL
+-- 0/0 cos would otherwise rank NULLS LAST and pad short top-ks)
+vecs AS (
+  SELECT * FROM vecs0 WHERE list_sum(list_transform(v, x -> x * x)) > 0
 ),
 q AS (SELECT vec_id AS query_id, v FROM vecs WHERE {query_pred}),
 scored AS (
   SELECT q.query_id, c.vec_id,
-         round({dot} / ({norm_c} * {norm_q}), 6) AS cos
+         {cos} AS cos
   FROM vecs c, q
   WHERE q.query_id <> c.vec_id
 ),
@@ -279,7 +313,7 @@ def embedding_neardup_pairs(
         out = []
         chunk = 4096  # bound the GEMM temp: chunk × |rhs| doubles
         for s in range(0, len(h_ids), chunk):
-            sims = np.round(h_mat[s : s + chunk] @ mat.T, 6)
+            sims = _round6_half_away(h_mat[s : s + chunk] @ mat.T)
             ri, rj = np.where(sims >= thr)
             ia, ib = h_ids[s + ri], ids[rj]
             keep = ia < ib
@@ -809,21 +843,23 @@ def lsh_topk(
     # lands in bucket 0 of every table, and the candidate join quietly
     # degenerates to the full corpus × queries cross product — the exact
     # scan LSH exists to avoid.
-    first = queries.select(F.size(F.col(vec_col)).alias("d")).first()
-    if first is not None and first["d"] != dim:
-        raise ValueError(
-            f"lsh_topk: embedding length {first['d']} != dim={dim}; pass "
-            "dim explicitly so the hyperplanes match the vectors"
-        )
+    # BOTH sides checked: a corpus/dim mismatch is as silent as a query
+    # one (null-padded zip_with → every corpus row in bucket 0 of every
+    # table → empty top-ks for most queries). first() reads one row.
+    for side, df_side in (("queries", queries), ("corpus", corpus)):
+        first = df_side.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is not None and first["d"] != dim:
+            raise ValueError(
+                f"lsh_topk: {side} embedding length {first['d']} != "
+                f"dim={dim}; pass dim explicitly so the hyperplanes "
+                "match the vectors"
+            )
     signs = _lsh_signs(num_tables, bits, dim, seed)
 
     def prep(df, name):
-        return df.select(
-            F.col(id_col).alias(name),
-            F.col(vec_col).cast("array<double>").alias(f"{name}_arr"),
-        ).filter(
-            F.aggregate(f"{name}_arr", F.lit(0.0), lambda a, v: a + v * v)
-            > 0.0
+        # the shared zero-norm-drop/cast prep, renamed for this join
+        return _vec_rows(df, id_col, vec_col).select(
+            F.col(id_col).alias(name), F.col("_v").alias(f"{name}_arr")
         )
 
     c = prep(corpus, "vec_id_c")
@@ -888,9 +924,9 @@ def lsh_topk_sql(
         f"SELECT vec_id, {t} AS t, {bucket_expr(table)} AS bucket FROM nz"
         for t, table in enumerate(signs)
     )
-    dot = "list_sum(list_transform(list_zip(c.v, q.v), p -> p[1] * p[2]))"
-    norm_c = "sqrt(list_sum(list_transform(c.v, x -> x * x)))"
-    norm_q = "sqrt(list_sum(list_transform(q.v, x -> x * x)))"
+    dot = _dot_sql("c.v", "q.v")
+    norm_c = _norm_sql("c.v")
+    norm_q = _norm_sql("q.v")
     return f"""
 WITH vecs AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -911,7 +947,7 @@ cands AS (
 ),
 scored AS (
   SELECT x.query_id, x.vec_id,
-         round({dot} / ({norm_c} * {norm_q}), 6) AS cos
+         {_cos_sql(dot, norm_c, norm_q)} AS cos
   FROM cands x
   JOIN nz c ON c.vec_id = x.vec_id
   JOIN nz q ON q.vec_id = x.query_id
@@ -1085,14 +1121,8 @@ def ivf_flat_topk_sql(
     """DuckDB mirror of :func:`ivf_flat_topk`: same md5 seed pick, same
     fold arithmetic, same (rounded cos, idx) tie encoding."""
 
-    def dot(a: str, b: str) -> str:
-        return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
-
-    def norm(a: str) -> str:
-        return f"sqrt(list_sum(list_transform({a}, x -> x * x)))"
-
     def cos(a: str, b: str) -> str:
-        return f"round({dot(a, b)} / ({norm(a)} * {norm(b)}), 6)"
+        return _cos_sql(_dot_sql(a, b), _norm_sql(a), _norm_sql(b))
 
     return f"""
 WITH vecs AS (
@@ -1158,14 +1188,8 @@ def ivf_topk_sql(
     unit components (associative, aggregation-order-free), and
     engine-side ``round(x, 6)`` at every comparison point."""
 
-    def dot(a: str, b: str) -> str:
-        return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
-
-    def norm(a: str) -> str:
-        return f"sqrt(list_sum(list_transform({a}, x -> x * x)))"
-
     def cos(a: str, b: str) -> str:
-        return f"round({dot(a, b)} / ({norm(a)} * {norm(b)}), 6)"
+        return _cos_sql(_dot_sql(a, b), _norm_sql(a), _norm_sql(b))
 
     mean_items = ", ".join(
         f"round(CAST(sum(iu[{i + 1}]) AS DOUBLE) / count(*) / 1000000.0, 6)"

@@ -677,3 +677,33 @@ def test_neardup_degree_dist_planted_graph(spark):
         for r in neardup_degree_dist(df, threshold=0.9).collect()
     }
     assert out == {2: 3, 1: 2, 0: 1}
+
+
+def test_minhash_bands_must_divide_and_cc_validates_hops(spark):
+    """bands must divide num_hashes (a silent //-truncation paid for
+    hash functions the banding never read); hops_per_round validates
+    like max_iter instead of silently clamping."""
+    import pytest as _pytest
+
+    from lightcurvesclassifier_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="must divide"):
+        dd.minhash_pairs(docs, num_hashes=20, bands=8)
+    with _pytest.raises(ValueError, match="must divide"):
+        dd.minhash_pairs_sql("SELECT 1", num_hashes=20, bands=8)
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with _pytest.raises(ValueError, match="hops_per_round"):
+        dd.connected_components(pairs, hops_per_round=0)
+
+
+def test_cosine_topk_empty_queries_returns_empty(spark):
+    """No queries → empty result, not a driver-side np.vstack crash."""
+    from lightcurvesclassifier_spark.operators.similarity import cosine_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    out = cosine_topk(corpus, corpus.filter("vec_id < 0"), k=3)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "vec_id", "cos", "rank"}
