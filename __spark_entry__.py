@@ -773,7 +773,10 @@ def q_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuous-aggregate pattern that makes a day's ingest cost one
     pass over the delta instead of a recompute over the history."""
     obs = testdata.observations(spark, sf_dir)
-    day_par = F.floor("t").cast("long") % 2
+    # coalesce: a NULL t fails BOTH `% 2 = 0` and `% 2 <> 0`, so without
+    # it such rows vanish from the "incremental" stats the pattern
+    # claims equal a full recompute — the split must be a PARTITION
+    day_par = F.coalesce(F.floor("t").cast("long"), F.lit(0)) % 2
     even = rollup_ops.lc_stats_state(obs.filter(day_par == 0))
     odd = rollup_ops.lc_stats_state(obs.filter(day_par != 0))
     return rollup_ops.finalize_lc_stats(

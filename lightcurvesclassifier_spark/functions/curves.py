@@ -58,7 +58,7 @@ def lc_stats(obs: DataFrame, keys: list[str] | None = None) -> DataFrame:
         *keys,
         "n_obs",
         mean.alias("mean_mag"),
-        F.sqrt(F.greatest(ss, F.lit(0.0)) / n).alias("std_mag"),
+        F.when(n > 0, F.sqrt(F.greatest(ss, F.lit(0.0)) / n)).alias("std_mag"),
         (F.col("t_max") - F.col("t_min")).alias("timespan"),
         F.when(
             F.col("t_max") != F.col("t_min"),
@@ -133,7 +133,7 @@ def curve_features(obs: DataFrame, keys: list[str] | None = None) -> DataFrame:
         *keys,
         n.alias("n_obs"),
         mean.alias("mean_mag"),
-        F.sqrt(F.greatest(ss, F.lit(0.0)) / n).alias("std_mag"),
+        F.when(n > 0, F.sqrt(F.greatest(ss, F.lit(0.0)) / n)).alias("std_mag"),
         span.alias("timespan"),
         F.when(span != 0.0, n / span).alias("curve_density"),
         F.when(

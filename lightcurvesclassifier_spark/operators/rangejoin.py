@@ -60,6 +60,14 @@ def stab_join_binned(
     w = float(bin_width)
     if w <= 0:
         raise ValueError(f"bin_width must be positive, got {bin_width}")
+    clash = {"_bin"} & (set(points.columns) | set(intervals.columns))
+    if clash:
+        # same contract as asof_join's reserved-name guard: silently
+        # overwriting (and then dropping) a caller's _bin corrupts data
+        raise ValueError(
+            "stab_join_binned reserves the column name '_bin'; rename it "
+            "on the input"
+        )
     pb = points.withColumn(
         "_bin", F.floor(F.col(t_col) / F.lit(w)).cast("long")
     )
@@ -160,9 +168,10 @@ def session_concurrency_sweep(
     )
     # fold the observed-day grid into the axis with zero deltas so the
     # running sum is defined exactly at every night we must report
+    days = _day_grid(obs).select("day")
     axis = (
         deltas.unionByName(
-            _day_grid(obs).select(
+            days.select(
                 "day",
                 F.lit(0).cast("long").alias("dn"),
                 F.lit(0).cast("long").alias("dobs"),
@@ -181,10 +190,15 @@ def session_concurrency_sweep(
         F.sum("dn").over(run).alias("n_active"),
         F.sum("dobs").over(run).alias("obs_in_flight"),
     )
-    return _day_grid(obs).select("day").join(F.broadcast(cum), "day").select(
+    # LEFT join + coalesce: a NULL-t observation puts a NULL day in the
+    # grid, which both the binned variant and the oracle report as
+    # (NULL, 0, 0) — an inner join's NULL key would silently drop it
+    return days.join(F.broadcast(cum), "day", "left").select(
         "day",
-        F.col("n_active").cast("long").alias("n_active"),
-        F.col("obs_in_flight").cast("long").alias("obs_in_flight"),
+        F.coalesce(F.col("n_active"), F.lit(0)).cast("long").alias("n_active"),
+        F.coalesce(F.col("obs_in_flight"), F.lit(0))
+        .cast("long")
+        .alias("obs_in_flight"),
     )
 
 

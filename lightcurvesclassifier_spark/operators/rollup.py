@@ -258,9 +258,14 @@ def lc_stats_state(obs: DataFrame) -> DataFrame:
 
 def merge_lc_states(*states: DataFrame) -> DataFrame:
     """Fold any number of state tables into one (sum/sum/sum/min/max).
-    Merging k states per key adds k numbers — IEEE addition is
-    commutative, so a two-way merge is bit-deterministic regardless of
-    which side arrives first."""
+
+    Bit-determinism contract: a TWO-way merge is exact (adding two
+    doubles is order-insensitive by commutativity). With k >= 3 states
+    the partial-aggregate summation order is shuffle-dependent and IEEE
+    addition is not associative — callers needing bit-for-bit
+    reproducibility (the oracle-parity discipline) must chain two-way
+    merges; k-way merges are still correct to float accumulation
+    noise."""
     out = states[0]
     for s in states[1:]:
         out = out.unionByName(s)
@@ -287,7 +292,13 @@ def finalize_lc_stats(state: DataFrame) -> DataFrame:
         "star_id",
         n.alias("n_obs"),
         F.round(mean, 6).alias("mean_mag"),
-        F.round(F.sqrt(F.greatest(ss, F.lit(0.0)) / n), 6).alias("std_mag"),
+        # n > 0 guard: an all-NULL-mag star has n = count(mag) = 0 and a
+        # NULL ss; greatest(NULL, 0) is 0.0, so the unguarded form was
+        # 0.0/0 — an ANSI DIVIDE_BY_ZERO job-killer (DuckDB's double
+        # 0/0 is NULL, which the guard's NULL now matches exactly)
+        F.round(
+            F.when(n > 0, F.sqrt(F.greatest(ss, F.lit(0.0)) / n)), 6
+        ).alias("std_mag"),
         F.round(span, 6).alias("timespan"),
         F.round(density, 6).alias("curve_density"),
     )
@@ -296,10 +307,14 @@ def finalize_lc_stats(state: DataFrame) -> DataFrame:
 def incremental_stats_sql(obs_sql: str) -> str:
     """DuckDB mirror of the split → state → merge → finalize pipeline
     (same even/odd-day split, same two-term merge, same finalize)."""
+    # coalesce mirrors the Spark side: the even/odd split must PARTITION
+    # obs — a NULL t fails both `% 2 = 0` and `% 2 <> 0` predicates and
+    # would silently vanish from the "incremental" stats
     state = (
         "SELECT star_id, count(mag) AS n, sum(mag) AS s1, "
         "sum(mag * mag) AS s2, min(t) AS tmin, max(t) AS tmax "
-        "FROM obs WHERE CAST(floor(t) AS BIGINT) % 2 {op} 0 GROUP BY star_id"
+        "FROM obs WHERE coalesce(CAST(floor(t) AS BIGINT), 0) % 2 {op} 0 "
+        "GROUP BY star_id"
     )
     return f"""
 WITH obs AS ({obs_sql}),

@@ -72,7 +72,9 @@ def finalize_um_state(state: DataFrame) -> DataFrame:
         "star_id",
         n.alias("n_obs"),
         F.round(mean, 6).alias("mean_mag"),
-        F.round(F.sqrt(F.greatest(ss, F.lit(0.0)) / n), 6).alias("std_mag"),
+        F.round(
+            F.when(n > 0, F.sqrt(F.greatest(ss, F.lit(0.0)) / n)), 6
+        ).alias("std_mag"),
         F.round(span, 6).alias("timespan"),
         F.round(density, 6).alias("curve_density"),
     )

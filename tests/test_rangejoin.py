@@ -125,3 +125,32 @@ def test_plan_shapes(spark, obs):
         assert "Cartesian" not in p
         assert "BroadcastHashJoin" in p
     assert "Exchange SinglePartition" not in p1
+
+
+def test_null_timestamp_day_reported_by_both_variants(spark):
+    """A NULL-t observation yields a NULL day-grid row: both variants
+    (and the oracle's LEFT JOIN) must report it as (NULL, 0, 0) — the
+    sweep's former inner join silently dropped the NULL key."""
+    rows = [(1, "V", 0.5, 10.0), (1, "V", 0.9, 10.1), (2, "V", None, 9.0)]
+    obs = spark.createDataFrame(
+        rows, "star_id long, band string, t double, mag double"
+    )
+    a = sorted(
+        ((r.day, r.n_active, r.obs_in_flight)
+         for r in rj.session_concurrency(obs).collect()),
+        key=lambda x: (x[0] is None, x),
+    )
+    b = sorted(
+        ((r.day, r.n_active, r.obs_in_flight)
+         for r in rj.session_concurrency_sweep(obs).collect()),
+        key=lambda x: (x[0] is None, x),
+    )
+    assert a == b
+    assert (None, 0, 0) in a
+
+
+def test_stab_join_rejects_bin_column_clash(spark):
+    pts = spark.createDataFrame([(1.0, 9)], "t double, _bin long")
+    iv = spark.createDataFrame([(0.0, 2.0)], "lo double, hi double")
+    with pytest.raises(ValueError, match="_bin"):
+        rj.stab_join_binned(pts, iv, "t", "lo", "hi", 1.0)

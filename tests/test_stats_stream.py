@@ -135,3 +135,25 @@ def test_degenerate_constant_star_yields_zero_std_not_nan(spark):
         assert 0.0 <= got[1].std_mag < 1e-5, (name, got[1])
         assert not math.isnan(got[2].std_mag), (name, got[2])
         assert got[2].std_mag == 0.0, (name, got[2])
+
+
+def test_all_null_mag_star_yields_null_stats_not_crash(spark):
+    """n = count(mag) = 0: greatest(NULL_ss, 0) is 0.0, so the
+    unguarded std was 0.0/0 — an ANSI DIVIDE_BY_ZERO that aborted the
+    whole job (while DuckDB's double 0/0 is NULL)."""
+    from lightcurvesclassifier_spark.functions.curves import lc_stats
+    from lightcurvesclassifier_spark.operators.rollup import (
+        finalize_lc_stats, lc_stats_state,
+    )
+
+    rows = [(1, "V", 0.0, 10.0), (1, "V", 1.0, 12.0), (2, "V", 2.5, None)]
+    obs = spark.createDataFrame(
+        rows, "star_id long, band string, t double, mag double"
+    )
+    for name, out in [
+        ("lc_stats", lc_stats(obs)),
+        ("rollup", finalize_lc_stats(lc_stats_state(obs))),
+    ]:
+        got = {r.star_id: r for r in out.collect()}
+        assert got[2].n_obs == 0 and got[2].std_mag is None, (name, got[2])
+        assert got[1].std_mag is not None, name
