@@ -426,6 +426,197 @@ FROM px GROUP BY media_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Real audio path: pure-numpy PCM WAV (RIFF/WAVE, fmt chunk + 16-bit LE
+# samples) — decodable without any audio library because PCM is
+# uncompressed, mirroring what the BMP codec did for images.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """int16 array (n_samples, n_channels) → PCM WAV bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.ndim != 2 or samples.dtype != np.int16:
+        raise ValueError(
+            f"expected int16 (n, ch) array, got {samples.dtype} {samples.shape}"
+        )
+    n, ch = samples.shape
+    byte_rate = sample_rate * ch * 2
+    data = samples.astype("<i2").tobytes()  # interleaved LE frames
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    out = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return out
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """PCM WAV bytes → (sample_rate, int16 (n_samples, n_channels)).
+    Raises ValueError on anything that isn't 16-bit PCM, so callers can
+    fall back to the stub for other codecs."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_fmt != 1 or bits != 16 or ch < 1:
+        raise ValueError("unsupported WAV profile (need 16-bit PCM)")
+    n = len(data) // (ch * 2)
+    samples = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
+    return rate, samples
+
+
+# Planted deterministic sample rule (SQL-mirrorable, pure integer
+# arithmetic): clip k has n = 64 + 32·(k mod 8) frames, 1 + k mod 2
+# channels, 8000 Hz, sample (k, i, c) = ((37k + 17i + 29c) mod 4096) − 2048.
+_WAV_RATE = 8000
+
+
+def _plant_wav_shape(k: int) -> tuple[int, int]:
+    return 64 + 32 * (k % 8), 1 + k % 2
+
+
+def _plant_wav(k: int) -> np.ndarray:
+    n, ch = _plant_wav_shape(k)
+    i = np.arange(n)[:, None]
+    c = np.arange(ch)[None, :]
+    return (((37 * k + 17 * i + 29 * c) % 4096) - 2048).astype(np.int16)
+
+
+def planted_wav_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(media_id) → MEDIA_SCHEMA rows whose payloads are real PCM-WAV
+    encodings of the planted sample rule — generated IN the executors
+    (mapInPandas), same distributed corpus-build shape as
+    :func:`planted_bmp_media`."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                {
+                    "media_id": int(k),
+                    "payload": encode_wav(_plant_wav(int(k)), _WAV_RATE),
+                    "media_type": "audio/wav",
+                    "meta": {"codec": "pcm16"},
+                }
+                for k in pdf[id_col]
+            ]
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "media_type", "meta"]
+            )
+
+    return ids.select(F.col(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+WAV_FEATURE_SCHEMA = (
+    "media_id long, channel int, sample_rate int, n_samples long, "
+    "duration double, mean_amp double, rms double"
+)
+
+
+def wav_features(media: DataFrame) -> DataFrame:
+    """REAL per-channel waveform statistics from decoded PCM samples:
+    one row per (clip, channel) with duration, mean amplitude and RMS.
+    Exact-parity discipline (same as :func:`bmp_features`): sums are
+    taken over integers (int16 samples, error-free in int64), the float
+    divisions/sqrt happen in the SAME expression order as the SQL
+    mirror, and rounding is engine-side."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = (
+                    bytes(row["payload"]) if row["payload"] is not None else b""
+                )
+                rate, samples = decode_wav(payload)
+                n = samples.shape[0]
+                s64 = samples.astype(np.int64)
+                s1 = s64.sum(axis=0)  # exact int per channel
+                s2 = (s64 * s64).sum(axis=0)
+                for c in range(samples.shape[1]):
+                    rows.append(
+                        {
+                            "media_id": row["media_id"],
+                            "channel": c,
+                            "sample_rate": rate,
+                            "n_samples": n,
+                            "duration": n / rate,
+                            "mean_amp": int(s1[c]) / n if n else None,
+                            "rms": float(np.sqrt(int(s2[c]) / n)) if n else None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "channel", "sample_rate", "n_samples",
+                    "duration", "mean_amp", "rms",
+                ],
+            )
+
+    out = media.mapInPandas(process, schema=WAV_FEATURE_SCHEMA)
+    return out.select(
+        "media_id", "channel", "sample_rate", "n_samples",
+        F.round("duration", 6).alias("duration"),
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+# ceiling of the planted rule's frame count: 64 + 32·7 — keep in sync
+_WAV_MAX_FRAMES = 64 + 32 * 7
+
+
+def planted_wav_features_sql(ids_sql: str) -> str:
+    """DuckDB mirror of planted_wav_media → wav_features: recompute the
+    planted sample rule in SQL (pure integer arithmetic), aggregate the
+    same integer sums, apply the same float derivation order."""
+    return f"""
+WITH ids AS ({ids_sql}),
+shape AS (
+  SELECT media_id,
+         64 + 32 * (media_id % 8) AS n,
+         CAST(1 + media_id % 2 AS INT) AS ch
+  FROM ids
+),
+series AS ({_plant_series_sql(_WAV_MAX_FRAMES)}),
+chans AS ({_plant_series_sql(2)}),
+samp AS (
+  SELECT s.media_id, s.n, sc.i AS c,
+         ((37 * s.media_id + 17 * si.i + 29 * sc.i) % 4096) - 2048 AS v
+  FROM shape s
+  JOIN series si ON si.i < s.n
+  JOIN chans sc ON sc.i < s.ch
+)
+SELECT media_id,
+       CAST(c AS INT) AS channel,
+       CAST({_WAV_RATE} AS INT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       round(CAST(n AS DOUBLE) / {_WAV_RATE}, 6) AS duration,
+       round(CAST(sum(v) AS DOUBLE) / n, 6) AS mean_amp,
+       round(sqrt(CAST(sum(v * v) AS DOUBLE) / n), 6) AS rms
+FROM samp GROUP BY media_id, c, n
+"""
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as opaque media payloads so the
     binary pipeline is exercisable with the driver's testdata."""

@@ -157,6 +157,62 @@ def test_pdm_two_stage_matches_duckdb_mirror(spark, duck):
         assert np.allclose(got[c], want[c], rtol=0, atol=0), c
 
 
+def test_pdm_auto_guard_picks_single_stage_on_barely_resolving_grid(spark):
+    """Directive-pinned property: the auto-guard must fall back to the
+    full-grid scan when coarse_step · grid_spacing · timespan > κ — on
+    a grid that barely resolves the dips the coarse stage can step
+    clean over a narrow Θ minimum and the refine never visits it."""
+    # default 64-point grid, 30-day baseline: 4 · 0.05 · 30 = 6 ≫ 1
+    coarse = periodogram.frequency_grid(0.05, 3.2, 64)
+    assert not periodogram.two_stage_is_valid(coarse, 4, 30.0)
+    # dense 1024-point grid over the same band: 4 · 0.00308 · 30 = 0.37
+    dense = periodogram.frequency_grid(0.05, 3.2, 1024)
+    assert periodogram.two_stage_is_valid(dense, 4, 30.0)
+    # degenerate inputs never qualify
+    assert not periodogram.two_stage_is_valid([0.5], 4, 30.0)
+    assert not periodogram.two_stage_is_valid(dense, 4, 0.0)
+    assert not periodogram.two_stage_is_valid(dense, 0, 30.0)
+
+    # the engine dispatch follows the guard: same result as the branch
+    # it claims to take, on planted data where the two branches DIFFER
+    # (an eclipse dip the coarse stage misses on the sparse grid)
+    rng = np.random.default_rng(23)
+    t = np.sort(rng.uniform(0.0, 30.0, 300))
+    phase = (t / 1.6) % 1.0
+    y = 12.0 + np.where(np.abs(phase - 0.5) < 0.08, 1.2, 0.0)
+    y = y + rng.normal(0, 0.03, t.size)
+    obs = spark.createDataFrame(
+        [(1, float(ti), float(yi)) for ti, yi in zip(t, y)],
+        "star_id long, t double, mag double",
+    )
+    got_sparse = periodogram.pdm_best_period_auto(
+        spark, obs, coarse, timespan_hint=30.0
+    ).toPandas()
+    want_sparse = periodogram.pdm_best_period(spark, obs, coarse).toPandas()
+    assert got_sparse.equals(want_sparse)
+    got_dense = periodogram.pdm_best_period_auto(
+        spark, obs, dense, timespan_hint=30.0
+    ).toPandas()
+    want_dense = periodogram.pdm_best_period_two_stage(
+        spark, obs, dense
+    ).toPandas()
+    assert got_dense.equals(want_dense)
+
+
+def test_pdm_auto_sql_mirror_takes_the_same_branch():
+    """The SQL mirror's branch decision is the same static function, so
+    the oracle always runs the mirror of whatever plan Spark ran."""
+    coarse = periodogram.frequency_grid(0.05, 3.2, 64)
+    dense = periodogram.frequency_grid(0.05, 3.2, 1024)
+    src = "SELECT * FROM obs_src"
+    assert periodogram.pdm_best_period_auto_sql(
+        src, coarse, timespan_hint=30.0
+    ) == periodogram.pdm_best_period_sql(src, coarse)
+    assert periodogram.pdm_best_period_auto_sql(
+        src, dense, timespan_hint=30.0
+    ) == periodogram.pdm_best_period_two_stage_sql(src, dense)
+
+
 def test_pdm_matches_numpy_pooled_variance(spark):
     """The declarative Θ equals a direct numpy fold-bin-pool evaluation."""
     rng = np.random.default_rng(17)

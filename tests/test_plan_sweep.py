@@ -36,6 +36,7 @@ ARROW_OK = {
     "multimodal_features",
     "multimodal_resize",
     "multimodal_frames",
+    "multimodal_audio",  # WAV codec decode in executors (mapInPandas)
 }
 
 # Bounded-input single-partition finals: one-row results, broadcast

@@ -197,21 +197,20 @@ def test_embedding_profile_single_shuffle(spark):
 
 
 def test_pdm_grid_broadcast_wide_shuffle_only_once(spark):
-    # one |obs|×|grid| wide shuffle keyed (star, freq) — the phase bins
-    # live as 2·n_bins+1 conditional aggregate buffers, NOT in the key
+    # ONE exchange total since r6: the expansion-aware spread
+    # repartitions the (locally single-partition) scan by star_id, and
+    # HashPartitioning(star_id) SATISFIES both the (star, freq)
+    # aggregate's clustered distribution and the per-star window — so
+    # the aggregate runs complete (no second exchange, no partial
+    # merge) and the argmin window sorts in place. The phase bins live
+    # as 2·n_bins+1 conditional aggregate buffers, NOT in the key
     # (the (star,freq,pbin) key was measured slower at sf0.1), and
     # since r5 the per-star totals are recovered from the same buffers
     # (no totals aggregate/join). Grid arrives via broadcast.
     plan = _plan(spark, "period_pdm")
     assert "BroadcastExchange" in plan
-    assert not any(
-        "pbin" in ln
-        for ln in plan.splitlines()
-        if "Exchange hashpartitioning" in ln
-    )
-    wide = [
-        ln
-        for ln in plan.splitlines()
-        if "Exchange hashpartitioning" in ln and "freq" in ln
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]
-    assert len(wide) == 1, plan
+    assert len(exchanges) == 1, plan
+    assert "star_id" in exchanges[0] and "pbin" not in exchanges[0]
