@@ -175,10 +175,17 @@ def test_ivf_assignment_one_exchange_cells_broadcast(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastExchange" in plan
         assert "Python" not in plan
-        corpus_keyed = [
-            ln for ln in plan.splitlines()
-            if "Exchange hashpartitioning" in ln and "query_id" not in ln
-        ]
+        # every non-probe exchange must be either THE one corpus-keyed
+        # assignment groupBy (vec_id) or part of the bounded in-plan
+        # training chain (sample-keyed _sid / n_cells-keyed cell_idx —
+        # ≤ train_size rows by contract, r6's zero-collect Lloyd graph)
+        corpus_keyed = []
+        for ln in plan.splitlines():
+            if "Exchange hashpartitioning" not in ln or "query_id" in ln:
+                continue
+            if "_sid" in ln or "cell_idx" in ln:
+                continue  # bounded training exchange
+            corpus_keyed.append(ln)
         assert len(corpus_keyed) == 1, plan
 
 
