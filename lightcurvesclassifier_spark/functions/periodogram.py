@@ -648,8 +648,14 @@ def two_stage_is_valid(
     uneven grid is judged by its worst-resolved stretch."""
     if len(freqs) < 2 or timespan_hint <= 0 or coarse_step < 1:
         return False
-    spacing = max(b - a for a, b in zip(freqs, freqs[1:]))
-    return coarse_step * spacing * timespan_hint <= TWO_STAGE_DENSITY_MAX
+    diffs = [b - a for a, b in zip(freqs, freqs[1:])]
+    if any(d <= 0 for d in diffs):
+        # unsorted / descending / duplicate grid: the integer-index
+        # refine window no longer maps to a frequency neighbourhood, so
+        # the two-stage guarantee is void — a descending grid would
+        # otherwise "pass" with a negative max spacing
+        return False
+    return coarse_step * max(diffs) * timespan_hint <= TWO_STAGE_DENSITY_MAX
 
 
 def pdm_best_period_auto(

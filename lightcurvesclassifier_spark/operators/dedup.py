@@ -52,7 +52,22 @@ def _ngram_rows(
       common-subexpression-eliminate inside lambdas, so an inline
       ``split()`` would re-split the document once per position
       (~2× measured cost on the sf0.1 corpus).
+
+    Expansion-aware spread (r6, same rationale as the periodogram
+    family's): documents.parquet is a single-row-group file that scans
+    as ONE partition locally, so the n-gram explode + per-gram hashing
+    — every caller's dominant map-side cost — ran single-threaded.
+    Repartition UP by the doc key when the scan has fewer partitions
+    than the cluster's parallelism (a no-op at real scale, and skipped
+    for streaming inputs where the micro-batch source sizes
+    partitions). Keyed, so downstream doc-keyed aggregates keep their
+    map-side partials complete; every value here is md5/integer
+    domain, so no float-sum ordering can shift.
     """
+    if not df.isStreaming:
+        sc = df.sparkSession.sparkContext
+        if df.rdd.getNumPartitions() < sc.defaultParallelism:
+            df = df.repartition(sc.defaultParallelism, F.col(id_col))
     tk = F.col("_toks")
     grams = F.when(
         F.size(tk) >= n,
@@ -649,6 +664,13 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     counts are safe to 2³¹ (the signed-long cap on the high lane).
     """
     half = SIMHASH_BITS // 2
+    # same expansion-aware spread as _ngram_rows: the per-token md5 is
+    # the dominant map-side cost and the local documents scan is ONE
+    # partition; votes are integer sums, so no ordering can shift
+    if not df.isStreaming:
+        sc = df.sparkSession.sparkContext
+        if df.rdd.getNumPartitions() < sc.defaultParallelism:
+            df = df.repartition(sc.defaultParallelism, F.col(id_col))
     tok = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).withColumn("h", _md5_int60(F.col("tok")))

@@ -469,6 +469,11 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if pos + 8 + size > len(payload):
+            # a declared chunk running past the payload is corruption —
+            # silently decoding the short slice would report a clip
+            # with fewer samples instead of failing loudly
+            raise ValueError("truncated WAV chunk")
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = body
@@ -478,7 +483,7 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     if fmt is None or data is None or len(fmt) < 16:
         raise ValueError("missing fmt/data chunk")
     audio_fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
-    if audio_fmt != 1 or bits != 16 or ch < 1:
+    if audio_fmt != 1 or bits != 16 or ch < 1 or rate < 1:
         raise ValueError("unsupported WAV profile (need 16-bit PCM)")
     n = len(data) // (ch * 2)
     samples = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)

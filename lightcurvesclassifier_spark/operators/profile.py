@@ -46,6 +46,12 @@ def numeric_profile(
     by input row count (:func:`_auto_exact`) so the 100 TB path is the
     default without breaking small-SF oracle parity."""
     exact = _auto_exact(df, exact)
+    # Order-SENSITIVE float sums (the means) stay on the scan-ordered
+    # input: a repartition reorders the summation and a 600k-value
+    # double sum moves by ~1e-11 relative — enough to flip round(·, 6)
+    # across the half boundary against the oracle's sequential order
+    # (observed on l_discount). Everything else in this aggregate is
+    # order-independent.
     aggs = []
     for c in cols:
         col = F.col(c)
@@ -55,13 +61,30 @@ def numeric_profile(
             F.round(F.min(col), 6).alias(f"{c}__min"),
             F.round(F.max(col), 6).alias(f"{c}__max"),
             F.round(F.sum(col) / F.count(col), 6).alias(f"{c}__mean"),
-            (
-                F.percentile(col, F.lit(QUARTILES))
-                if exact
-                else F.percentile_approx(col, F.lit(QUARTILES))
-            ).alias(f"{c}__q"),
         ]
+        if not exact:
+            aggs.append(
+                F.percentile_approx(col, F.lit(QUARTILES)).alias(f"{c}__q")
+            )
     wide = df.agg(*aggs)
+    if exact:
+        # Exact percentiles are order-INDEPENDENT (a sort), and their
+        # per-row buffer inserts were 80% of the profile's cost on a
+        # single-row-group parquet that scans as ONE partition — spread
+        # that aggregate across cores (measured 11→4 s on the 600k-row
+        # lineitem profile; a global aggregate has one group, so
+        # round-robin partials duplicate nothing). No-op when the scan
+        # already has ≥ parallelism partitions; the 100 TB path is the
+        # t-digest branch above, which never takes this hop.
+        sc = df.sparkSession.sparkContext
+        spread = df.select(*cols)
+        if spread.rdd.getNumPartitions() < sc.defaultParallelism:
+            spread = spread.repartition(sc.defaultParallelism)
+        q_aggs = [
+            F.percentile(F.col(c), F.lit(QUARTILES)).alias(f"{c}__q")
+            for c in cols
+        ]
+        wide = wide.crossJoin(spread.agg(*q_aggs))
     rows = F.array(
         *[
             F.struct(

@@ -322,6 +322,12 @@ def test_wav_codec_round_trips_and_rejects_garbage():
         multimodal.decode_wav(b"short")
     with pytest.raises(ValueError):  # float array refused at encode
         multimodal.encode_wav(rng.normal(size=(8, 1)))
+    # truncated data chunk fails loudly instead of decoding fewer samples
+    whole = multimodal.encode_wav(
+        rng.integers(-100, 100, size=(64, 2), dtype=np.int16)
+    )
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(whole[:-10])
 
 
 def test_wav_features_real_waveform_stats(spark):

@@ -172,6 +172,12 @@ def test_pdm_auto_guard_picks_single_stage_on_barely_resolving_grid(spark):
     assert not periodogram.two_stage_is_valid([0.5], 4, 30.0)
     assert not periodogram.two_stage_is_valid(dense, 4, 0.0)
     assert not periodogram.two_stage_is_valid(dense, 0, 30.0)
+    # unsorted / descending / duplicated grids void the refine
+    # guarantee (the integer-index window is no longer a frequency
+    # neighbourhood) — a descending grid must NOT pass via a negative
+    # max spacing
+    assert not periodogram.two_stage_is_valid(list(reversed(dense)), 4, 30.0)
+    assert not periodogram.two_stage_is_valid([0.1, 0.1, 0.2], 4, 30.0)
 
     # the engine dispatch follows the guard: same result as the branch
     # it claims to take, on planted data where the two branches DIFFER

@@ -68,7 +68,15 @@ def test_hll_registers_plan_single_shuffle_no_python(spark):
         .executedPlan()
         .toString()
     )
-    assert plan.count("Exchange") == 1, plan  # the 256-key aggregate
+    # one aggregate exchange (the 256-key register groupBy); the only
+    # other allowed exchange is the r6 expansion-aware spread of the
+    # single-partition local scan (REPARTITION_BY_NUM, a no-op at scale)
+    agg_ex = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "REPARTITION_BY_NUM" not in ln
+    ]
+    assert len(agg_ex) == 1, plan
     assert "Python" not in plan
 
 
