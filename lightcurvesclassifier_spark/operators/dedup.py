@@ -279,7 +279,12 @@ def minhash_pairs(
             ).alias(f"s{h}")
             for h, (a, b) in enumerate(coeffs)
         ],
-    )
+    # the signature table feeds FOUR subplans (both banding join sides
+    # and both size lookups) and Spark does not dedupe common subtrees —
+    # without the lazy checkpoint the H-min aggregate over every shingle
+    # row ran four times (same idiom as sh above; released by the
+    # ContextCleaner when unreferenced)
+    ).localCheckpoint(eager=False)
     band_structs = F.array(
         *[
             F.struct(
