@@ -1004,6 +1004,22 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_ops.wav_features(media)
 
 
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video features since r6: a planted uncompressed-AVI corpus
+    (raw 24-bit DIB frames — executor-built from a deterministic pixel
+    rule) is ENCODED and DECODED with the pure-numpy RIFF/AVI codec,
+    frames are sampled with the engine-exact integer-floor index map,
+    and per-frame channel means are value-checked against a DuckDB
+    oracle that recomputes the rule in SQL. Completes the multimodal
+    trio (BMP images r5, PCM-WAV audio r6) — no stub decoders remain
+    for any planted media type."""
+    docs = testdata.load_table(spark, sf_dir, "documents")
+    media = mm_ops.planted_avi_media(
+        docs.select(F.col("doc_id").alias("media_id"))
+    )
+    return mm_ops.avi_frame_stats(media, n_sample=3)
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over the planted-PII corpus — map-only JVM regexp
     counts + redacted-text checksum."""
@@ -1553,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round
         "period_pdm_dense": q_period_pdm_dense,
         "multimodal_audio": q_multimodal_audio,
+        "multimodal_video": q_multimodal_video,
         # plan changed this round: PDM auto-guard + expansion-aware
         # spread (periodogram family), IVF training trim
         "period_pdm": q_period_pdm,
@@ -2047,6 +2064,9 @@ WHERE substring(md5(CAST(star_id AS VARCHAR)), 1, 8) < '{format(int(0.25 * 16**8
         ),
         "multimodal_audio": mm_ops.planted_wav_features_sql(
             "SELECT doc_id AS media_id FROM documents"
+        ),
+        "multimodal_video": mm_ops.planted_avi_frame_stats_sql(
+            "SELECT doc_id AS media_id FROM documents", n_sample=3
         ),
         "multimodal_frames": """
 WITH b AS (

@@ -622,6 +622,282 @@ FROM samp GROUP BY media_id, c, n
 """
 
 
+# ---------------------------------------------------------------------------
+# Real video path: pure-numpy uncompressed RIFF/AVI ('DIB ' stream, raw
+# 24-bit bottom-up BGR frames in '00db' chunks) — decodable without any
+# codec library because nothing is compressed, completing the
+# image (BMP, r5) / audio (WAV, r6) / video trio.
+# ---------------------------------------------------------------------------
+
+
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return cid + struct.pack("<I", len(body)) + body + pad
+
+
+def _list(kind: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", kind + body)
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """RGB uint8 array (n_frames, H, W, 3) → uncompressed AVI bytes."""
+    if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
+        raise ValueError(
+            f"expected uint8 (n, H, W, 3) array, got {frames.dtype} "
+            f"{frames.shape}"
+        )
+    n, h, w = frames.shape[:3]
+    row_size = _bmp_row_size(w)
+    frame_bytes = row_size * h
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // max(fps, 1),  # microseconds per frame
+        frame_bytes * max(fps, 1),  # max bytes per sec
+        0, 0x10, n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, max(fps, 1), 0, n,
+        frame_bytes, 0, 0, 0, 0, int(w), int(h),
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    pad = b"\x00" * (row_size - 3 * w)
+    movi_body = b"movi"
+    for f in range(n):
+        body = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up, RGB → BGR
+            body += frames[f, y, :, ::-1].tobytes()
+            body += pad
+        movi_body += _chunk(b"00db", bytes(body))
+    riff_body = b"AVI " + hdrl + _chunk(b"LIST", movi_body)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(payload: bytes) -> tuple[int, np.ndarray]:
+    """Uncompressed AVI bytes → (fps, RGB uint8 (n, H, W, 3)). Raises
+    ValueError on anything that isn't the 24-bit BI_RGB 'vids' profile,
+    so callers can fall back to the stub for other codecs."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    def walk(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            size = struct.unpack_from("<I", buf, pos + 4)[0]
+            if pos + 8 + size > end:
+                raise ValueError("truncated AVI chunk")
+            yield cid, pos + 8, size
+            pos += 8 + size + (size & 1)
+
+    us_per_frame = None
+    w = h = None
+    frames_raw: list[bytes] = []
+    for cid, body_at, size in walk(payload, 12, len(payload)):
+        if cid != b"LIST":
+            continue
+        kind = payload[body_at : body_at + 4]
+        if kind == b"hdrl":
+            for c2, b2, s2 in walk(payload, body_at + 4, body_at + size):
+                if c2 == b"avih" and s2 >= 4:
+                    us_per_frame = struct.unpack_from("<I", payload, b2)[0]
+                elif c2 == b"LIST" and payload[b2 : b2 + 4] == b"strl":
+                    for c3, b3, s3 in walk(payload, b2 + 4, b2 + s2):
+                        if c3 == b"strf" and s3 >= 40:
+                            (_, w, h, _, bpp, comp) = struct.unpack_from(
+                                "<IiiHHI", payload, b3
+                            )
+                            if bpp != 24 or comp != 0 or w <= 0 or h <= 0:
+                                raise ValueError(
+                                    "unsupported AVI profile (need 24bpp "
+                                    "BI_RGB)"
+                                )
+        elif kind == b"movi":
+            for c2, b2, s2 in walk(payload, body_at + 4, body_at + size):
+                if c2 in (b"00db", b"00dc"):
+                    frames_raw.append(payload[b2 : b2 + s2])
+    if us_per_frame is None or w is None or not frames_raw:
+        raise ValueError("missing hdrl/strf/movi structure")
+    row_size = _bmp_row_size(w)
+    out = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
+    for i, raw in enumerate(frames_raw):
+        if len(raw) < row_size * h:
+            raise ValueError("truncated AVI frame")
+        rows = np.frombuffer(raw, dtype=np.uint8, count=row_size * h).reshape(
+            h, row_size
+        )
+        out[i] = rows[:, : 3 * w].reshape(h, w, 3)[::-1, :, ::-1]
+    fps = 1_000_000 // us_per_frame if us_per_frame else 0
+    return fps, out
+
+
+# Planted deterministic pixel rule for video (SQL-mirrorable, pure
+# integer arithmetic): clip k has (8 + k%5) × (8 + 3k%5) frames of
+# 4 + k%4 frames at 10 fps; pixel (f, x, y, c) value
+# (11k + 7f + 5x + 3y + 13c) mod 256.
+_AVI_FPS = 10
+
+
+def _plant_avi_shape(k: int) -> tuple[int, int, int]:
+    return 4 + k % 4, 8 + k % 5, 8 + (3 * k) % 5  # n_frames, width, height
+
+
+def _plant_avi(k: int) -> np.ndarray:
+    n, w, h = _plant_avi_shape(k)
+    f = np.arange(n)[:, None, None, None]
+    y = np.arange(h)[None, :, None, None]
+    x = np.arange(w)[None, None, :, None]
+    c = np.arange(3)[None, None, None, :]
+    return ((11 * k + 7 * f + 5 * x + 3 * y + 13 * c) % 256).astype(np.uint8)
+
+
+def planted_avi_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(media_id) → MEDIA_SCHEMA rows whose payloads are real AVI
+    encodings of the planted pixel rule — executor-built, same
+    distributed corpus-build shape as the BMP/WAV variants."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                {
+                    "media_id": int(k),
+                    "payload": encode_avi(_plant_avi(int(k)), _AVI_FPS),
+                    "media_type": "video/avi",
+                    "meta": {"codec": "rawdib"},
+                }
+                for k in pdf[id_col]
+            ]
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "media_type", "meta"]
+            )
+
+    return ids.select(F.col(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+AVI_FRAME_SCHEMA = (
+    "media_id long, frame_idx int, n_frames int, fps int, "
+    "width int, height int, mean_r double, mean_g double, mean_b double"
+)
+
+
+def avi_frame_stats(media: DataFrame, n_sample: int = 3) -> DataFrame:
+    """REAL video frame sampling from decoded pixels: sample
+    ``n_sample`` frames per clip with the integer-floor index map
+    ``s·n_frames // n_sample`` (the same engine-exact rule as
+    bmp_resize's source map) and report each sampled frame's channel
+    means. Exact-parity discipline: integer pixel sums, shared float
+    derivation order, engine-side rounding."""
+    k = int(n_sample)
+    if k < 1:
+        raise ValueError(f"n_sample must be >= 1, got {n_sample}")
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = (
+                    bytes(row["payload"]) if row["payload"] is not None else b""
+                )
+                fps, frames = decode_avi(payload)
+                n, h, w = frames.shape[:3]
+                npx = w * h
+                for s in range(k):
+                    fi = (s * n) // k
+                    s_c = frames[fi].astype(np.int64).sum(axis=(0, 1))
+                    rows.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_idx": fi,
+                            "n_frames": n,
+                            "fps": fps,
+                            "width": w,
+                            "height": h,
+                            "mean_r": int(s_c[0]) / npx,
+                            "mean_g": int(s_c[1]) / npx,
+                            "mean_b": int(s_c[2]) / npx,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "n_frames", "fps",
+                    "width", "height", "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    out = media.mapInPandas(process, schema=AVI_FRAME_SCHEMA)
+    return out.select(
+        "media_id", "frame_idx", "n_frames", "fps", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+# ceilings of the planted video rule — keep in sync with _plant_avi_shape
+_AVI_MAX_DIM = 12   # 8 + 4
+_AVI_MAX_FRAMES = 7  # 4 + 3
+
+
+def planted_avi_frame_stats_sql(ids_sql: str, n_sample: int = 3) -> str:
+    """DuckDB mirror of planted_avi_media → avi_frame_stats: recompute
+    the planted pixel rule in SQL at the SAME integer-floor sampled
+    frame indices, aggregate the same integer sums, apply the same
+    float derivation order.
+
+    Valid for ``n_sample ≤`` the planted rule's minimum n_frames (4):
+    the sampled indices are then pairwise distinct, so the mirror's
+    GROUP BY (media, frame) emits exactly one row per sample — with
+    duplicate sampled indices the Spark side would emit duplicate rows
+    this mirror collapses."""
+    k = int(n_sample)
+    if k > 4:
+        raise ValueError(
+            f"planted mirror supports n_sample <= 4, got {n_sample}"
+        )
+    return f"""
+WITH ids AS ({ids_sql}),
+shape AS (
+  SELECT media_id,
+         CAST(4 + media_id % 4 AS INT) AS n_frames,
+         CAST(8 + media_id % 5 AS INT) AS width,
+         CAST(8 + (3 * media_id) % 5 AS INT) AS height
+  FROM ids
+),
+samples AS ({_plant_series_sql(k)}),
+sampled AS (
+  SELECT s.media_id, s.n_frames, s.width, s.height,
+         CAST((sm.i * s.n_frames) // {k} AS INT) AS frame_idx
+  FROM shape s JOIN samples sm ON sm.i < {k}
+),
+series AS ({_plant_series_sql(_AVI_MAX_DIM)}),
+px AS (
+  SELECT d.media_id, d.frame_idx, d.n_frames, d.width, d.height, sc.i AS c,
+         (11 * d.media_id + 7 * d.frame_idx + 5 * sx.i + 3 * sy.i
+          + 13 * sc.i) % 256 AS v
+  FROM sampled d
+  JOIN series sx ON sx.i < d.width
+  JOIN series sy ON sy.i < d.height
+  JOIN series sc ON sc.i < 3
+)
+SELECT media_id, frame_idx, n_frames,
+       CAST({_AVI_FPS} AS INT) AS fps, width, height,
+       round(CAST(sum(CASE WHEN c = 0 THEN v END) AS DOUBLE)
+             / (width * height), 6) AS mean_r,
+       round(CAST(sum(CASE WHEN c = 1 THEN v END) AS DOUBLE)
+             / (width * height), 6) AS mean_g,
+       round(CAST(sum(CASE WHEN c = 2 THEN v END) AS DOUBLE)
+             / (width * height), 6) AS mean_b
+FROM px GROUP BY media_id, frame_idx, n_frames, width, height
+"""
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as opaque media payloads so the
     binary pipeline is exercisable with the driver's testdata."""

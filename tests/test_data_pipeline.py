@@ -374,6 +374,81 @@ def test_planted_wav_oracle_matches(spark, duck):
                            rtol=0, atol=0), c
 
 
+def test_avi_codec_round_trips_and_rejects_garbage():
+    """Pure-numpy uncompressed-AVI codec: encode→decode is the identity
+    for arbitrary RGB frame stacks (incl. widths needing row padding),
+    and decode refuses non-AVI / compressed payloads."""
+    import pytest
+
+    rng = np.random.default_rng(23)
+    for (n, h, w, fps) in [(1, 1, 1, 10), (3, 5, 7, 10), (4, 8, 8, 25),
+                           (2, 6, 3, 10)]:
+        clip = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+        payload = multimodal.encode_avi(clip, fps)
+        fps2, back = multimodal.decode_avi(payload)
+        assert fps2 == fps
+        assert np.array_equal(back, clip)
+    with pytest.raises(ValueError):
+        multimodal.decode_avi(b"RIFFxxxxWAVEnot a video.............")
+    with pytest.raises(ValueError):
+        multimodal.decode_avi(b"short")
+    whole = multimodal.encode_avi(
+        rng.integers(0, 256, size=(2, 4, 4, 3), dtype=np.uint8)
+    )
+    with pytest.raises(ValueError):  # truncated chunk fails loudly
+        multimodal.decode_avi(whole[:-6])
+    with pytest.raises(ValueError):  # float frames refused at encode
+        multimodal.encode_avi(rng.normal(size=(2, 4, 4, 3)))
+
+
+def test_avi_frame_stats_real_pixels(spark):
+    """avi_frame_stats reports the actual channel means of the decoded,
+    integer-floor-sampled frames — the video path is no longer a
+    byte-chunk stub."""
+    rng = np.random.default_rng(29)
+    clips = {i: rng.integers(0, 256, size=(3 + i, 5, 4 + i, 3),
+                             dtype=np.uint8) for i in range(3)}
+    media = spark.createDataFrame(
+        [(i, bytearray(multimodal.encode_avi(clip, 10)), "video/avi", {})
+         for i, clip in clips.items()],
+        multimodal.MEDIA_SCHEMA,
+    )
+    got = (
+        multimodal.avi_frame_stats(media, n_sample=2)
+        .toPandas().set_index(["media_id", "frame_idx"])
+    )
+    for i, clip in clips.items():
+        n = clip.shape[0]
+        for s in range(2):
+            fi = (s * n) // 2
+            frame = clip[fi]
+            for ci, c in enumerate(["mean_r", "mean_g", "mean_b"]):
+                assert abs(got[c][(i, fi)] - frame[:, :, ci].mean()) < 1e-6
+            assert got.n_frames[(i, fi)] == n
+            assert got.fps[(i, fi)] == 10
+
+
+def test_planted_avi_oracle_matches(spark, duck):
+    """End-to-end video parity: executor-built planted AVI corpus →
+    decode → sampled frame stats equals the DuckDB SQL rule mirror."""
+    ids = spark.createDataFrame([(i,) for i in range(16)], "media_id long")
+    got = (
+        multimodal.avi_frame_stats(multimodal.planted_avi_media(ids), 3)
+        .toPandas().sort_values(["media_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duck.execute(multimodal.planted_avi_frame_stats_sql(
+            "SELECT unnest(range(0, 16)) AS media_id", 3))
+        .df().sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    )
+    assert got.columns.tolist() == want.columns.tolist()
+    assert len(got) == len(want)
+    for c in got.columns:
+        assert np.allclose(got[c].astype(float), want[c].astype(float),
+                           rtol=0, atol=0), c
+
+
 def test_embedding_neardup_exact_and_distributed(spark):
     """Cell-blocked near-dup join: exact vs a numpy brute-force reference,
     identical across quantizers, and — the scale contract — no driver

@@ -37,6 +37,7 @@ ARROW_OK = {
     "multimodal_resize",
     "multimodal_frames",
     "multimodal_audio",  # WAV codec decode in executors (mapInPandas)
+    "multimodal_video",  # AVI codec decode in executors (mapInPandas)
 }
 
 # Bounded-input single-partition finals: one-row results, broadcast
