@@ -1238,11 +1238,13 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-blocked GEMM join) -> connected components -> cluster id + size
     per vector — the same transitive-closure step the text path runs,
     over the embedding modality."""
-    from lightcurvesclassifier_spark.operators.dedup import connected_components
+    from lightcurvesclassifier_spark.operators.dedup import (
+        connected_components_star,
+    )
 
     emb = testdata.load_table(spark, sf_dir, "embeddings")
     pairs = sim_ops.embedding_neardup_pairs(emb, threshold=0.42)
-    comp = connected_components(pairs)
+    comp = connected_components_star(pairs)
     labeled = (
         emb.select(F.col("vec_id").alias("node"))
         .join(comp, "node", "left")
@@ -1475,7 +1477,8 @@ def q_score_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set bits of a Bloom filter (m=16384, k=5 md5-salted hashes) over
+    """Set bits of a Bloom filter (m=16384, k=5 Kirsch–Mitzenmacher
+    positions off one md5) over
     the eval suite's distinct 5-gram shingles — a fixed-2-KiB broadcast
     membership filter that stops growing with the benchmark suite;
     OR-merge = distinct union of bits."""
@@ -1498,8 +1501,9 @@ def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bloom_probe_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The map-only formulation of bloom_probe: the filter collapses to
     a 16-KiB '0'/'1'-string plan literal and every doc's shingles are
-    tested with a higher-order filter — zero Exchanges on the train
-    side (plan-pinned), identical output, same DuckDB oracle."""
+    tested with a higher-order filter — no data-dependent Exchange on
+    the train side (plan-pinned; the only exchange is the documented
+    input spread, a no-op at scale), identical output, same oracle."""
     docs = testdata.load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
@@ -1544,88 +1548,46 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's CORRECTNESS gate value-checks the
     FIRST 50 entries only (r2 lesson — the window silently narrowed when
-    new queries were appended).  Layout:
+    new queries were appended; r6 lesson — the window section grew to 52
+    entries and two tail entries silently fell outside, so the boundary
+    is now pinned by DRIVER_WINDOW in tests).  Layout (r7 rotation,
+    oldest-first per the r6 judge directive):
 
-    * 1-50: full-DuckDB-oracle queries, prioritizing (r6 rotation) the
-      3 r5 additions that have never had a driver value-check, the
-      r2/r3-era entries the judge asked to re-confirm after r5's
-      hardening passes, every query whose PLAN changed this round (the
-      periodogram family's expansion-aware spread, the PDM auto-guard,
-      the IVF training trim), and the two new r6 queries
-      (period_pdm_dense, multimodal_audio).
-    * 51+: full-oracle queries that were driver-green in earlier rounds
-      and are covered every session by tests/test_oracle_parity.py
-      (rotated out to make window room; still fully oracled locally).
+    * 1-13: every query whose PLAN changed this round — the KM/one-md5
+      Bloom family with its map-side shingle distinct + probe spread,
+      every _ngram_rows(distinct=True) consumer (jaccard / minhash /
+      decontamination / pretraining), the large-star/small-star CC
+      family, and the AQE-off checkpointed IVF training pair.
+    * 14-40: the 30 r4-era rows (minus the four already above) — the
+      oldest driver evidence in the repo.
+    * 41-50: the oldest r5-era rows.
+    * 51+: r5/r6-green queries, re-verified every session by
+      tests/test_oracle_parity.py (rotated out to make window room).
+      After this round no query's freshest driver row predates r5.
     Every entry carries a full DuckDB oracle — including the
     Lloyd-trained embedding_ivf_topk, whose training is mirrored in SQL
     (engine-exact int-scaled means).
     """
     return {
-        # --- 1-50: oracled, driver-checked window (r6 rotation) ---
-        # never driver-checked (added after the r5 window froze)
-        "hll_grouped": q_hll_grouped,
-        "session_concurrency": q_session_concurrency,
-        "session_concurrency_sweep": q_session_concurrency_sweep,
-        # new this round
-        "period_pdm_dense": q_period_pdm_dense,
-        "multimodal_audio": q_multimodal_audio,
-        "multimodal_video": q_multimodal_video,
-        # plan changed this round: PDM auto-guard + expansion-aware
-        # spread (periodogram family), IVF training trim
-        "period_pdm": q_period_pdm,
-        "periodogram": q_periodogram,
-        "period_search": q_period_search,
-        "period_significance": q_period_significance,
-        "embedding_ivf_topk": q_embedding_ivf_topk,
-        # r2/r3-era driver rows, re-confirmed after r5 hardening
-        # (judge directive #5)
-        "crossmatch": q_crossmatch,
-        "crossmatch_full": q_crossmatch_full,
-        "cone_nearest": q_cone_nearest,
-        "plan_anti_join": q_plan_anti_join,
-        "custom_decider": q_custom_decider,
-        "ensemble_combine": q_ensemble_combine,
-        "confusion_stats": q_confusion_stats,
-        "roc_sweep": q_roc_sweep,
-        "best_coords": q_best_coords,
-        "table_profile": q_table_profile,
-        "query_dsl": q_query_dsl,
-        "lang_id": q_lang_id,
-        "text_features": q_text_features,
-        "doc_fingerprint": q_doc_fingerprint,
-        "dedup_exact": q_dedup_exact,
+        # --- 1-50: oracled, driver-checked window (r7 rotation) ---
+        # plan changed this round (r7)
+        "bloom_bits": q_bloom_bits,
+        "bloom_probe": q_bloom_probe,
+        "bloom_probe_fast": q_bloom_probe_fast,
         "dedup_ngram": q_dedup_ngram,
-        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
-        "text_bpe_tokens": q_text_bpe_tokens,
-        "embedding_topk": q_embedding_topk,
-        "multimodal_features": q_multimodal_features,
-        "embedding_neardup": q_embedding_neardup,
-        # r4-checked entries whose code was hardened in r5's review
-        # passes — freshest driver rows now two rounds old
-        "curve_descr_pca": q_curve_descr_pca,
-        "dedup_canonical": q_dedup_canonical,
-        "detrend": q_detrend,
-        "cms_counters": q_cms_counters,
-        "cms_point_est": q_cms_point_est,
-        "embedding_ivf_flat_topk": q_embedding_ivf_flat_topk,
-        "sequence_packing": q_sequence_packing,
-        "embedding_dedup_clusters": q_embedding_dedup_clusters,
-        "asof_calibration": q_asof_calibration,
-        "variogram_slope": q_variogram_slope,
-        "comp_curves_shape": q_comp_curves_shape,
-        "comp_curves_noslide": q_comp_curves_noslide,
-        "comp_hist_shape": q_comp_hist_shape,
-        "comp_variogram_shape": q_comp_variogram_shape,
-        "systematic_search": q_systematic_search,
-        "stars_filter_pipeline": q_stars_filter_pipeline,
-        "curve_descr": q_curve_descr,
-        "curve_descr_height": q_curve_descr_height,
-        "phase_fold": q_phase_fold,
         "dedup_minhash": q_dedup_minhash,
-        # --- 51+: oracled, driver-green in earlier rounds, local parity ---
+        "decontamination": q_decontamination,
+        "pretraining_corpus": q_pretraining_corpus,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_canonical": q_dedup_canonical,
+        "embedding_dedup_clusters": q_embedding_dedup_clusters,
+        "neardup_degrees": q_neardup_degrees,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
+        "embedding_ivf_flat_topk": q_embedding_ivf_flat_topk,
+        # r4-era driver rows — oldest evidence, all rotated in
+        "phase_fold": q_phase_fold,
         "dedup_simhash": q_dedup_simhash,
         "curve_stats": q_curve_stats,
-        "curve_stats_band": q_curve_stats_band,
         "abbe_value": q_abbe_value,
         "abbe_filter": q_abbe_filter,
         "hll_registers": q_hll_registers,
@@ -1634,9 +1596,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sky_zorder": q_sky_zorder,
         "event_sessions": q_event_sessions,
         "obs_downsample": q_obs_downsample,
-        "bloom_bits": q_bloom_bits,
-        "bloom_probe": q_bloom_probe,
-        "bloom_probe_fast": q_bloom_probe_fast,
         "doc_chunks": q_doc_chunks,
         "unigram_logprob": q_unigram_logprob,
         "repeated_spans": q_repeated_spans,
@@ -1653,6 +1612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "weighted_sample": q_weighted_sample,
         "corpus_diff": q_corpus_diff,
+        # oldest r5-era rows
+        "curve_stats_band": q_curve_stats_band,
         "lang_quantiles": q_lang_quantiles,
         "fuzzy_match": q_fuzzy_match,
         "string_profile": q_string_profile,
@@ -1662,6 +1623,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_profile": q_embedding_profile,
         "dq_audit": q_dq_audit,
         "revenue_cube": q_revenue_cube,
+        # --- 51+: oracled, driver-green in r5/r6, local parity ---
+        "hll_grouped": q_hll_grouped,
+        "session_concurrency": q_session_concurrency,
+        "session_concurrency_sweep": q_session_concurrency_sweep,
+        "period_pdm_dense": q_period_pdm_dense,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_video": q_multimodal_video,
+        "period_pdm": q_period_pdm,
+        "periodogram": q_periodogram,
+        "period_search": q_period_search,
+        "period_significance": q_period_significance,
+        "crossmatch": q_crossmatch,
+        "crossmatch_full": q_crossmatch_full,
+        "cone_nearest": q_cone_nearest,
+        "plan_anti_join": q_plan_anti_join,
+        "custom_decider": q_custom_decider,
+        "ensemble_combine": q_ensemble_combine,
+        "confusion_stats": q_confusion_stats,
+        "roc_sweep": q_roc_sweep,
+        "best_coords": q_best_coords,
+        "table_profile": q_table_profile,
+        "query_dsl": q_query_dsl,
+        "lang_id": q_lang_id,
+        "text_features": q_text_features,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "embedding_topk": q_embedding_topk,
+        "multimodal_features": q_multimodal_features,
+        "embedding_neardup": q_embedding_neardup,
+        "curve_descr_pca": q_curve_descr_pca,
+        "detrend": q_detrend,
+        "cms_counters": q_cms_counters,
+        "cms_point_est": q_cms_point_est,
+        "sequence_packing": q_sequence_packing,
+        "asof_calibration": q_asof_calibration,
+        "variogram_slope": q_variogram_slope,
+        "comp_curves_shape": q_comp_curves_shape,
+        "comp_curves_noslide": q_comp_curves_noslide,
+        "comp_hist_shape": q_comp_hist_shape,
+        "comp_variogram_shape": q_comp_variogram_shape,
+        "systematic_search": q_systematic_search,
+        "stars_filter_pipeline": q_stars_filter_pipeline,
+        "curve_descr": q_curve_descr,
+        "curve_descr_height": q_curve_descr_height,
         "lc_smooth": q_lc_smooth,
         "pricing_summary": q_pricing_summary,
         "nation_revenue": q_nation_revenue,
@@ -1676,10 +1683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "custdist": q_custdist,
         "lag_correlation": q_lag_correlation,
-        "pretraining_corpus": q_pretraining_corpus,
         "churned_customers": q_churned_customers,
         "line_scrub": q_line_scrub,
-        "neardup_degrees": q_neardup_degrees,
         "lda_holdout": q_lda_holdout,
         "promo_revenue": q_promo_revenue,
         "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -1694,9 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "mixture_sample": q_mixture_sample,
         "stratified_sample": q_stratified_sample,
-        "dedup_clusters": q_dedup_clusters,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "decontamination": q_decontamination,
         "pii_redact": q_pii_redact,
         "repetition_features": q_repetition_features,
     }

@@ -100,23 +100,35 @@ def main() -> None:
         total_med += med
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    # Full line first (per-query map for humans / the tail capture), then a
+    record = {
+        "metric": "total_query_wall_time",
+        # medians FIRST, bests LAST: the driver's tail capture is
+        # bounded (~2 KB), so whatever dict sits nearest the end is the
+        # only per-query data visible in the official record.  Bests
+        # are the reproducible plan cost — r6 accidentally put the
+        # contended medians there and a flat query read as a 4×
+        # regression (judge directive r6 #2: bests must be the
+        # tail-visible dict).
+        "queries_median": medians,
+        "queries": timings,
+        "value": round(total, 3),
+        "value_median": round(total_med, 3),
+        "unit": "sec",
+        "sf": sf_val,
+    }
+    # Full record to a repo-local artifact too, so per-query triage
+    # never depends on the bounded stdout tail.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+            json.dump(record, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout record still stands
+    print(json.dumps(record))
     # FINAL compact line so the total always lands inside the driver's
-    # bounded tail window and parses — r4's 122-query map pushed "value"
-    # out of the capture and the official record was "parsed": null.
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "queries": timings,
-                "queries_median": medians,
-                "value": round(total, 3),
-                "value_median": round(total_med, 3),
-                "unit": "sec",
-                "sf": sf_val,
-            }
-        )
-    )
+    # bounded tail window and parses — r4's 122-query map pushed
+    # "value" out of the capture and the official record was
+    # "parsed": null.
     print(
         json.dumps(
             {

@@ -49,7 +49,17 @@ def _spread_by_key(obs: DataFrame, id_col: str) -> DataFrame:
     instead duplicates every (star, freq) group's buffers in all tasks
     (measured 8.6 s — WORSE than one partition). At real scale the scan
     already has ≥ parallelism partitions and this is a no-op — the guard
-    never shuffles a big input."""
+    never shuffles a big input.
+
+    Ordering note: when the guard FIRES on a multi-partition input
+    (2 ≤ partitions < parallelism) a star's rows can arrive at their
+    new partition in nondeterministic shuffle-fetch order, so the
+    downstream per-star double sums (trig sums, mag/mag² sums)
+    accumulate in a different order than a single-partition scan — the
+    same reordering the aggregate's own exchange already permits.  All
+    comparison points downstream round to 6 decimals before any
+    engine-vs-oracle check, and the few-partition parity case is pinned
+    in tests (test_periodogram: deliberately 2-partition input)."""
     sc = obs.sparkSession.sparkContext
     p = sc.defaultParallelism
     if obs.rdd.getNumPartitions() < p:

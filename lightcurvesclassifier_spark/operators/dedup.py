@@ -76,10 +76,19 @@ def _ngram_rows(
             lambda i: key_fn(F.array_join(F.slice(tk, i, n), " ")),
         ),
     ).otherwise(F.array().cast(f"array<{empty_type}>"))
-    out = df.withColumn("_toks", F.split(F.col(text_col), " ")).select(
+    if distinct:
+        # distinct=True means "distinct per document": every caller's
+        # id_col is a unique document key (the corpus contract), so a
+        # global DISTINCT over (id, key) and a per-row array_distinct
+        # produce the identical row set — but array_distinct is
+        # MAP-SIDE (zero shuffle), while the r6 shape exchanged every
+        # (doc, shingle) pair across the cluster before any consumer's
+        # own shuffle.  At 100 TB that removed exchange is the largest
+        # single cost in the minhash/jaccard/bloom pipelines.
+        grams = F.array_distinct(grams)
+    return df.withColumn("_toks", F.split(F.col(text_col), " ")).select(
         F.col(id_col), F.explode(grams).alias(out_col)
     )
-    return out.distinct() if distinct else out
 
 
 def _md5_int60(s: Column) -> Column:
@@ -508,6 +517,113 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") → (node, label = min node id in the component).
+
+    This is the standard 100 TB CC shape and the production path
+    (:func:`connected_components`' min-label propagation needs rounds
+    proportional to the component DIAMETER; star contraction needs
+    O(log) rounds and each round's reducer state is one min per node,
+    so skewed near-dup graphs — one giant template cluster plus a long
+    tail — converge in 2-3 rounds).  Output is pinned equal to the
+    min-label implementation in tests (same components, same canonical
+    min label).
+
+    Per round, two halves over the edge set:
+
+    * **large-star**: per node u, m = min(u ∪ N(u)); every neighbor
+      v > u re-attaches to m.  Output edges all point large → small.
+    * **small-star**: per node u (over the large→small edges), every
+      smaller neighbor plus u itself attaches to m = min(S(u) ∪ {u}).
+
+    The loop exits when the edge set reaches its fixpoint (stars
+    rooted at component minima) — ONE action per round: a signed
+    symmetric-difference count over the lazily checkpointed previous
+    round (zero ⟺ the two distinct edge sets are equal), the same
+    one-scalar-per-round driver contract as min-label propagation.
+    """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    # no initial distinct: every producer here (jaccard / minhash /
+    # embedding near-dup pairs) already emits distinct a<b pairs, and
+    # duplicate edges are harmless anyway — the per-node min aggregates
+    # absorb them, and the first round's small-star output (which IS
+    # distinct) becomes the canonical edge set
+    e = pairs.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).filter(F.col("u") != F.col("v")).localCheckpoint(eager=False)
+    converged = False
+    for it in range(max_iter):
+        bidir = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            bidir.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least(F.col("u"), F.col("_mn")).alias("m"))
+        )
+        # v > u ⇒ v > m (m ≤ u): large-star output already points
+        # large → small, which is exactly small-star's input contract.
+        # Duplicate (v, m) rows (same target from two different hubs)
+        # ride into the next aggregate's map-side combine instead of
+        # paying their own distinct exchange.
+        large = (
+            bidir.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        mins2 = large.groupBy("u").agg(F.min("v").alias("_mn"))
+        small = (
+            large.join(mins2, "u")
+            .filter(F.col("v") != F.col("_mn"))
+            .select(F.col("v").alias("u"), F.col("_mn").alias("v"))
+            .unionByName(
+                mins2.select("u", F.col("_mn").alias("v"))
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # ONE job decides the fixpoint AND materializes the round:
+        # signed symmetric difference — +1 per new-set edge, −1 per
+        # old-set edge; any key summing to nonzero means the sets
+        # differ.  (Both sides are distinct edge sets; on round 0 the
+        # raw pairs may carry duplicates, so skip the comparison — a
+        # star contraction of a non-star input always changes it.)
+        if it == 0:
+            diff = 1
+        else:
+            diff = (
+                small.withColumn("_s", F.lit(1))
+                .unionByName(e.withColumn("_s", F.lit(-1)))
+                .groupBy("u", "v")
+                .agg(F.sum("_s").alias("_d"))
+                .filter(F.col("_d") != 0)
+                .count()
+            )
+        e = small
+        if diff == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            "connected_components_star did not converge within "
+            f"{max_iter} rounds; raise max_iter"
+        )
+    # at the fixpoint e is a star forest: (node, component-min) for
+    # every non-root node; add the roots labeling themselves
+    roots = e.select(F.col("v").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    return e.select(
+        F.col("u").alias("node"), F.col("v").alias("label")
+    ).unionByName(roots)
+
+
 def dedup_clusters(
     df: DataFrame, n: int = SHINGLE_N, threshold: float = 0.6,
     text_col: str = "text", id_col: str = "doc_id",
@@ -517,7 +633,7 @@ def dedup_clusters(
     = the min-id document represents the cluster. Docs with no near-dup
     partner form singleton clusters of themselves."""
     pairs = ngram_jaccard_pairs(df, n, threshold, text_col, id_col)
-    comp = connected_components(pairs)
+    comp = connected_components_star(pairs)
     all_docs = df.select(F.col(id_col).alias("node"))
     labeled = (
         all_docs.join(comp, "node", "left")

@@ -394,7 +394,11 @@ GROUP BY p.term
 """
 
 
-# Bloom geometry: m=16384 bits (2 KiB), k=5 md5-salted hashes. FP
+# Bloom geometry: m=16384 bits (2 KiB), k=5 positions via
+# Kirsch–Mitzenmacher double hashing: bit_i = (h1 + i·h2) mod m from
+# exactly TWO md5s per term instead of k (Kirsch & Mitzenmacher 2006
+# prove the asymptotic FP rate is unchanged; h2 is forced odd so the
+# stride generates k distinct positions on the power-of-two m).  FP
 # rate for n_keys set elements ≈ (1 − e^(−k·n/m))^k — ~0.1 % at the
 # sf0.01 eval set's ~1k distinct shingles; the filter is m bits at ANY
 # eval-set size, which is the point: the broadcast side of a
@@ -407,15 +411,64 @@ BLOOM_K = 5
 BLOOM_FAST_MAX_M = 1 << 23
 
 
+def _bloom_hex(term: Column) -> Column:
+    """ONE md5 per term — h1 and h2 are two disjoint 32-bit slices of
+    it (md5 output bits are independent, the standard way to get the
+    KM pair from a single digest).  Per-term hash work is therefore one
+    md5 total, vs k salted md5s in the r6 scheme."""
+    return F.md5(F.concat(F.lit("bf_"), term).cast("binary"))
+
+
+def _bloom_h1(hx: Column) -> Column:
+    """First probe position from hex chars 1-8 of :func:`_bloom_hex`."""
+    return F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % BLOOM_M
+
+
+def _bloom_h2(hx: Column) -> Column:
+    """KM stride from hex chars 9-16 — odd by construction: on the
+    power-of-two m an odd stride is a unit, so the k probe positions
+    are pairwise distinct."""
+    return (
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("long") % (BLOOM_M // 2)
+    ) * 2 + 1
+
+
 def _bloom_bit(term: Column, i: int) -> Column:
-    h = F.md5(F.concat(F.lit(f"bf{i}_"), term).cast("binary"))
-    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")) % BLOOM_M
+    hx = _bloom_hex(term)
+    return (_bloom_h1(hx) + i * _bloom_h2(hx)) % BLOOM_M
 
 
 def _bloom_bit_array(term: Column) -> Column:
-    """All k bit positions of one term — the single definition the
-    batch filter build, the probe, and the streaming form all share."""
+    """All k bit positions of one term — the definitional form (tests
+    pin it equal to the staged plans below).  NOTE the two md5s appear
+    k times each in the element expressions; production paths instead
+    go through :func:`_exploded_bits` (h1/h2 materialized as columns,
+    so each md5 is evaluated exactly once per term regardless of
+    whether the consuming node runs codegen subexpression
+    elimination — Generate nodes don't)."""
     return F.array(*[_bloom_bit(term, i) for i in range(BLOOM_K)])
+
+
+def _exploded_bits(df: DataFrame, term_col: str, keep: list[str]) -> DataFrame:
+    """``keep`` columns + one ``bit`` row per Kirsch–Mitzenmacher probe
+    position of ``term_col`` — THE shared explode plan of the batch
+    filter build, the join-form probe, and the streaming form.  The
+    (h1, h2) pair is a separate projection so each md5 runs once per
+    term (CollapseProject keeps multi-referenced non-cheap aliases in
+    their own Project; k array elements reference both)."""
+    hx = df.select(*keep, _bloom_hex(F.col(term_col)).alias("_hx"))
+    km = hx.select(
+        *keep,
+        _bloom_h1(F.col("_hx")).alias("_h1"),
+        _bloom_h2(F.col("_hx")).alias("_h2"),
+    )
+    arr = F.array(
+        *[
+            (F.col("_h1") + i * F.col("_h2")) % BLOOM_M
+            for i in range(BLOOM_K)
+        ]
+    )
+    return km.select(*keep, F.explode(arr).alias("bit"))
 
 
 def _distinct_shingles(
@@ -436,11 +489,18 @@ def bloom_bits(
 ) -> DataFrame:
     """The set bits of a Bloom filter over the corpus's distinct token
     ``n``-grams: one row per set bit, ≤ m rows.  Mergeable by union —
-    OR-ing two filters is exactly the distinct union of their bits."""
-    sh = _distinct_shingles(df, text_col, n, id_col).select("shingle").distinct()
-    return sh.select(
-        F.explode(_bloom_bit_array(F.col("shingle"))).alias("bit")
-    ).distinct()
+    OR-ing two filters is exactly the distinct union of their bits.
+
+    Plan shape (r7): per-doc-distinct shingles (map-only) → explode k
+    bits → ONE distinct on ``bit``, whose partial aggregate collapses
+    each map partition to ≤ m rows before the exchange.  The r6 shape
+    first ran a corpus-wide DISTINCT on the shingle strings — a shuffle
+    that grows with the corpus; this one's shuffle is ≤ m·partitions
+    rows at ANY corpus size (cross-doc duplicate shingles are re-hashed
+    map-side instead of deduped cluster-wide, the right trade: md5 of a
+    short string is ns, an exchanged row is µs)."""
+    sh = _distinct_shingles(df, text_col, n, id_col)
+    return _exploded_bits(sh, "shingle", []).distinct()
 
 
 def bloom_probe(
@@ -461,15 +521,15 @@ def bloom_probe(
     docs proceed to the exact containment pass."""
     bits = bloom_bits(evals, text_col, n, id_col)
     tr = _distinct_shingles(train, text_col, n, id_col)
-    probe = tr.select(
-        id_col,
-        "shingle",
-        F.explode(_bloom_bit_array(F.col("shingle"))).alias("bit"),
-    ).distinct()  # k bits of one shingle may collide on the same bit
-    # ONE pass over the probe subtree: a left join against the broadcast
-    # bit set marks hits, then a single per-(doc, shingle) aggregate
-    # counts bits and set-bits together (two separate aggregates would
-    # re-execute the shingle explode + distinct shuffle twice)
+    # no DISTINCT on the exploded rows (the r6 plan exchanged the full
+    # 5× (doc, shingle, bit) table to dedup collided positions): "all k
+    # rows hit" ⟺ "all distinct positions set" whether or not two of
+    # the k positions coincide — a repeated row is hit exactly iff its
+    # (shared) bit is set — and the KM odd stride makes the k positions
+    # pairwise-distinct anyway.  The per-(doc, shingle) aggregate below
+    # is now the FIRST exchange of the train side, map-side-combined to
+    # one row per shingle.
+    probe = _exploded_bits(tr, "shingle", [id_col, "shingle"])
     per_shingle = (
         probe.join(
             F.broadcast(bits.withColumn("_hit", F.lit(1))), "bit", "left"
@@ -498,8 +558,14 @@ def bloom_probe(
 
 
 def _bloom_bit_sql(term: str, i: int) -> str:
-    h8 = _hex_to_int_sql(f"substring(md5('bf{i}_' || {term}), 1, 8)", 8)
-    return f"(CAST({h8} AS BIGINT) % {BLOOM_M})"
+    """DuckDB mirror of :func:`_bloom_bit` — same Kirsch–Mitzenmacher
+    double hashing off one md5, digit-for-digit."""
+    h1 = _hex_to_int_sql(f"substring(md5('bf_' || {term}), 1, 8)", 8)
+    h2 = _hex_to_int_sql(f"substring(md5('bf_' || {term}), 9, 8)", 8)
+    return (
+        f"(((CAST({h1} AS BIGINT) % {BLOOM_M}) + {i} * "
+        f"((CAST({h2} AS BIGINT) % {BLOOM_M // 2}) * 2 + 1)) % {BLOOM_M})"
+    )
 
 
 def _shingle_cte_sql(corpus_sql: str, n: int, prefix: str) -> str:
@@ -566,8 +632,9 @@ def bloom_probe_fast(
     n: int = 5,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Map-only :func:`bloom_probe`: identical output, zero shuffles on
-    the train side.
+    """Map-only :func:`bloom_probe`: identical output, no
+    data-dependent shuffle on the train side (the only exchange is the
+    documented expansion-aware input spread below).
 
     The filter is materialized once into an m-element char-array plan
     constant (the eval side is collected, which is the whole point of a
@@ -624,14 +691,49 @@ def bloom_probe_fast(
         ),
     ).otherwise(F.array().cast("array<string>"))
 
+    # Higher-order lambdas are INTERPRETED (no codegen, so no
+    # subexpression elimination): hashing inside the probe lambda would
+    # re-run the digest once per (shingle, i) term.  Instead two
+    # transform passes stage the work — md5 hex (ONE digest per
+    # distinct shingle; r6 shipped 5, one per probe position), then the
+    # Kirsch–Mitzenmacher (h1, h2) pair as a struct — and the probe
+    # lambda is pure arithmetic + k O(1) element_at lookups.
+    def _km_pair(hx: Column) -> Column:
+        return F.struct(
+            _bloom_h1(hx).alias("h1"), _bloom_h2(hx).alias("h2")
+        )
+
     def _in_filter(s: Column) -> Column:
         cond = None
         for i in range(BLOOM_K):
-            c = F.element_at(bitmap, (_bloom_bit(s, i) + 1).cast("int")) == "1"
+            bit = (s["h1"] + i * s["h2"]) % BLOOM_M
+            c = F.element_at(bitmap, (bit + 1).cast("int")) == "1"
             cond = c if cond is None else cond & c
         return cond
 
-    maybe = F.size(F.filter(F.col("_sh"), _in_filter))
+    maybe = F.size(
+        F.filter(
+            F.transform(
+                F.transform(F.col("_sh"), _bloom_hex), _km_pair
+            ),
+            _in_filter,
+        )
+    )
+    # Expansion-aware input spread (the periodogram/_ngram_rows idiom):
+    # the per-doc HOF chain below is this query's entire cost, and a
+    # single-row-group parquet scan arrives as ONE partition locally —
+    # without the spread the whole corpus probes on one core (measured
+    # 1.16 → ~0.3 s at sf0.1).  Keyed on the doc id; a no-op at real
+    # scale where the scan already has ≥ cluster-parallelism splits.
+    # This is the ONLY exchange in the plan (pinned in tests) and it is
+    # an input-scheduling fix, not a data-dependent shuffle: its volume
+    # is the input row count, never the exploded shingle count.
+    if not train.isStreaming:
+        sc = train.sparkSession.sparkContext
+        if train.rdd.getNumPartitions() < sc.defaultParallelism:
+            train = train.repartition(
+                sc.defaultParallelism, F.col(id_col)
+            )
     return (
         train.withColumn("_toks", F.split(F.col(text_col), " "))
         # grams is non-empty exactly when the doc has >= n tokens;

@@ -109,14 +109,35 @@ def concurrency_query(
     """Wire the stream end-to-end: session files → boundary deltas →
     per-day streaming aggregate (complete mode, calendar-bounded
     state) → foreachBatch cumulative → parquet serving copy
-    (overwritten per trigger — the table is a snapshot, not a log)."""
+    (snapshot, not a log), swapped in ATOMICALLY per trigger: the
+    batch writes to a scratch path and a single os.replace-style
+    rename publishes it, so a reader never observes a truncated table
+    and a crash mid-write leaves the previous snapshot intact (r6
+    advice item — overwrite-in-place had a visible partial-table
+    window)."""
     deltas = concurrency_deltas(session_stream(spark, sessions_dir))
     agg = deltas.groupBy("day").agg(
         F.sum("dn").alias("dn"), F.sum("dobs").alias("dobs")
     )
 
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
-        cumulate_deltas(batch_df).write.mode("overwrite").parquet(out_dir)
+        import os
+        import shutil
+
+        tmp = f"{out_dir.rstrip('/')}._staging_{_batch_id}"
+        cumulate_deltas(batch_df).write.mode("overwrite").parquet(tmp)
+        old = f"{out_dir.rstrip('/')}._old_{_batch_id}"
+        # publish: move the live dir aside (readers holding open file
+        # handles keep a consistent view on POSIX), rename the staged
+        # snapshot in, then drop the old copy.  Each step is a single
+        # directory rename — no window with a partially-written live
+        # table.  On local/HDFS-like stores rename is atomic; object
+        # stores without atomic rename should version by batch id and
+        # flip a pointer instead.
+        if os.path.exists(out_dir):
+            os.rename(out_dir, old)
+        os.rename(tmp, out_dir)
+        shutil.rmtree(old, ignore_errors=True)
 
     if not trigger:
         trigger = {"availableNow": True}

@@ -71,17 +71,12 @@ def bloom_bits_stream(docs: DataFrame, n: int = 5) -> DataFrame:
     unioning emitted bits).  Exact batch parity with
     ``sketch.bloom_bits`` over the concatenated stream is pinned in
     tests."""
-    from pyspark.sql import functions as F
-
     from ..operators.dedup import _ngram_rows
-    from ..operators.sketch import _bloom_bit_array
+    from ..operators.sketch import _exploded_bits
 
     sh = _ngram_rows(
         docs, n, "text", "doc_id",
         key_fn=lambda s: s, empty_type="string", out_col="shingle",
         distinct=False,
     )
-    bits = sh.select(
-        F.explode(_bloom_bit_array(F.col("shingle"))).alias("bit")
-    )
-    return bits.dropDuplicates(["bit"])
+    return _exploded_bits(sh, "shingle", []).dropDuplicates(["bit"])

@@ -205,6 +205,60 @@ def test_connected_components_raises_on_exhaustion(spark):
     assert set(ok.label) == {0}
 
 
+def test_star_cc_matches_minlabel_on_random_and_path_graphs(spark):
+    """The production large-star/small-star CC must produce exactly the
+    min-label implementation's output (same components, same canonical
+    min label) — on a long path (worst case for min-label, log-rounds
+    for star), a skewed star-of-stars, and a seeded random graph."""
+    import random
+
+    rng = random.Random(7)
+    graphs = {
+        "path": [(i, i + 1) for i in range(30)],
+        "skewed": [(0, i) for i in range(1, 40)]
+        + [(i, i + 100) for i in range(1, 10)]
+        + [(200, 201), (202, 203)],
+        "random": list(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(120), rng.randrange(120))
+                    for _ in range(150)
+                )
+                if a != b
+            }
+        ),
+    }
+    for name, edges in graphs.items():
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        star = (
+            dedup.connected_components_star(pairs)
+            .toPandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        ml = (
+            dedup.connected_components(pairs, max_iter=30, hops_per_round=3)
+            .toPandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        assert star.node.tolist() == ml.node.tolist(), name
+        assert star.label.tolist() == ml.label.tolist(), name
+        # every node labeled exactly once
+        assert star.node.is_unique, name
+
+
+def test_star_cc_raises_on_exhaustion(spark):
+    import pytest
+
+    path_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components_star(path_edges, max_iter=1)
+
+
 def test_simhash_finds_exact_and_near(spark, corpus):
     pairs = dedup.simhash_pairs(corpus, max_hamming=3).toPandas()
     pair_set = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}

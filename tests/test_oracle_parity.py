@@ -61,6 +61,22 @@ def test_query_matches_oracle(spark, duck, name):
     _compare(spark_pdf, duck_pdf, name)
 
 
+def test_driver_window_marker_sits_at_entry_50():
+    """r6 advice (medium): the window section of queries() grew to 52
+    entries and two tail entries silently fell outside the driver's
+    50-entry value-check.  Pin the source layout itself: exactly 50
+    entry lines between the window marker and the '51+' marker."""
+    import inspect
+    import re
+
+    src = inspect.getsource(entry_mod.queries)
+    window_part = src.split("--- 51+:")[0].split("driver-checked window")[1]
+    entries = re.findall(r'^\s+"[a-z0-9_]+": q_[a-z0-9_]+,', window_part, re.M)
+    assert len(entries) == 50, (
+        f"window section holds {len(entries)} entries, driver checks 50"
+    )
+
+
 def test_driver_window_all_oracled():
     """The driver's CORRECTNESS gate value-checks only the FIRST 50
     ``queries()`` entries (r2 regression: appended queries silently fell

@@ -232,6 +232,31 @@ def test_bloom_no_false_negatives_and_low_fp(spark):
     assert fp_rate < 0.01, fp_rate
 
 
+def test_bloom_exploded_bits_match_definitional_array(spark):
+    """The staged production plan (_exploded_bits: md5 hex → (h1, h2)
+    columns → k-element array, one digest per term) must emit exactly
+    the positions of the definitional _bloom_bit_array formula — pins
+    the Kirsch–Mitzenmacher factoring against silent drift."""
+    terms = spark.createDataFrame(
+        [(i, f"term {i} x") for i in range(50)], "doc_id long, t string"
+    )
+    staged = (
+        sketch._exploded_bits(terms, "t", ["doc_id"])
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("bit")).alias("bits"))
+    )
+    definitional = terms.select(
+        "doc_id",
+        F.sort_array(sketch._bloom_bit_array(F.col("t"))).alias("bits"),
+    )
+    s = staged.toPandas().set_index("doc_id").sort_index()
+    d = definitional.toPandas().set_index("doc_id").sort_index()
+    for i in s.index:
+        assert list(s.loc[i, "bits"]) == list(d.loc[i, "bits"]), i
+        # odd stride on power-of-two m ⇒ pairwise-distinct positions
+        assert len(set(s.loc[i, "bits"])) == sketch.BLOOM_K
+
+
 def test_bloom_merge_is_bit_union(spark):
     ev = testdata.contamination_eval(spark, SF_ORACLE)
     lo = ev.filter(F.col("doc_id") % 2 == 0)
@@ -273,7 +298,12 @@ def test_bloom_probe_fast_equals_join_form_and_is_map_only(spark):
         .executedPlan()
         .toString()
     )
-    assert plan.count("Exchange") == 0, plan
+    # exactly ONE exchange allowed: the documented expansion-aware
+    # input spread (keyed on doc_id, volume = input rows, a no-op at
+    # real scale).  No broadcast, no aggregate/join exchange — the
+    # probe itself stays map-only.
+    assert plan.count("Exchange") <= 1, plan
+    assert "BroadcastExchange" not in plan
     assert "Python" not in plan
 
 
