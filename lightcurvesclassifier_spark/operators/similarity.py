@@ -30,6 +30,22 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+# expr-string twins of _dot/_norm for the IVF hot paths: a py4j-built
+# higher-order lambda costs ~5 gateway round-trips per fold and the IVF
+# plans rebuild per call (measured: ~2.2 s of embedding_ivf_topk's
+# fresh-call wall time was plan CONSTRUCTION, 0.6 s execution) — one
+# F.expr string is a single round-trip that parses to the IDENTICAL
+# expression tree (same fold order, same 0D double literals), so every
+# value and every SQL-mirror comparison is unchanged.  Same trick as
+# _srp_buckets' per-table expr strings.
+def _dot_expr(a: str, b: str) -> str:
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+
+
+def _norm_expr(a: str) -> str:
+    return f"sqrt(aggregate({a}, 0D, (acc, v) -> acc + v * v))"
+
+
 def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
@@ -521,7 +537,7 @@ def _vec_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     and the SQL mirrors (which keep the fold inline) are unchanged."""
     v = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    ).withColumn("_vnrm", _norm(F.col("_v")))
+    ).withColumn("_vnrm", F.expr(_norm_expr("_v")))
     return v.filter(F.col("_vnrm") > 0.0)
 
 
@@ -586,21 +602,18 @@ def _lloyd_graph(
         v.withColumn("_h", F.md5(F.col(id_col).cast("string").cast("binary")))
         .orderBy("_h", id_col)
         .limit(int(train_size))
+        # _vnrm is the same sqrt-fold the old inline nrm was —
+        # materialized once by _vec_rows.  All three per-element
+        # pipelines as expr strings (single py4j round-trip each,
+        # identical parsed trees — see _dot_expr).
         .withColumn(
             "_iu",
-            F.transform(
-                "_v",
-                # _vnrm is the same sqrt-fold the old inline nrm was —
-                # materialized once by _vec_rows
-                lambda x: F.floor(
-                    x / F.col("_vnrm") * F.lit(1000000.0) + F.lit(0.5)
-                ),
-            ),
+            F.expr("transform(_v, x -> floor(x / _vnrm * 1000000.0D + 0.5D))"),
         )
-        .withColumn("_u", F.transform("_iu", lambda i: i / F.lit(1000000.0)))
+        .withColumn("_u", F.expr("transform(_iu, i -> i / 1000000.0D)"))
         # ‖u‖ once per sample row: the assignment loop's cosine then
         # folds only the dot (see _vec_rows on why this matters)
-        .withColumn("_unrm", _norm(F.col("_u")))
+        .withColumn("_unrm", F.expr(_norm_expr("_u")))
         .select(F.col(id_col).alias("_sid"), "_h", "_iu", "_u", "_unrm")
         # lazy local checkpoint, not persist (r7): the sample feeds the
         # seed window AND every iteration's assignment — one bounded
@@ -621,12 +634,11 @@ def _lloyd_graph(
         )
     )
     for _ in range(int(n_iter)):
-        cells_n = cells.withColumn("_cnrm", _norm(F.col("_cell_v")))
-        enc = F.round(
-            _dot(F.col("_u"), F.col("_cell_v"))
-            / (F.col("_unrm") * F.col("_cnrm")),
-            6,
-        ) - F.col("cell_idx") * F.lit(1e-9)
+        cells_n = cells.withColumn("_cnrm", F.expr(_norm_expr("_cell_v")))
+        enc = F.expr(
+            f"round({_dot_expr('_u', '_cell_v')} / (_unrm * _cnrm), 6)"
+            " - cell_idx * 1E-9"
+        )
         assigned = (
             samp.crossJoin(F.broadcast(cells_n))
             .groupBy("_sid")
@@ -645,13 +657,10 @@ def _lloyd_graph(
         # pair of shuffles with a single one. A 2d+1-buffer-wide agg
         # was measured worse still (~1.2 s py4j plan build + multi-
         # second first-run codegen compile).
-        summed = F.aggregate(
-            F.col("_vs"),
-            F.transform(
-                F.element_at(F.col("_vs"), 1),
-                lambda _: F.lit(0).cast("long"),
-            ),
-            lambda acc, vec: F.zip_with(acc, vec, lambda a, b: a + b),
+        summed = (
+            "aggregate(_vs, transform(element_at(_vs, 1),"
+            " x -> CAST(0 AS BIGINT)),"
+            " (acc, vec) -> zip_with(acc, vec, (a, b) -> a + b))"
         )
         upd_arr = (
             assigned.groupBy("cell_idx")
@@ -661,13 +670,11 @@ def _lloyd_graph(
             )
             .select(
                 "cell_idx",
-                F.transform(
-                    summed,
-                    # the same derivation order as the SQL mirror:
-                    # CAST(sum AS DOUBLE) / n / 1e6, rounded 6
-                    lambda s: F.round(
-                        s.cast("double") / F.col("_n") / F.lit(1000000.0), 6
-                    ),
+                # the same derivation order as the SQL mirror:
+                # CAST(sum AS DOUBLE) / n / 1e6, rounded 6
+                F.expr(
+                    f"transform({summed}, s ->"
+                    " round(CAST(s AS DOUBLE) / _n / 1000000.0D, 6))"
                 ).alias("_new_v"),
             )
         )
@@ -731,7 +738,7 @@ def _cells_df(spark: SparkSession, cell_rows) -> DataFrame:
     unchanged."""
     return spark.createDataFrame(
         list(cell_rows), "cell_idx int, _cell_v array<double>"
-    ).withColumn("_cnrm", _norm(F.col("_cell_v")))
+    ).withColumn("_cnrm", F.expr(_norm_expr("_cell_v")))
 
 
 def _ivf_assign(
@@ -747,11 +754,10 @@ def _ivf_assign(
     first pays ~1 ms/row interpreted eval + py4j plan build, the
     second a multi-second codegen compile of 16×64-term expressions
     that blows past JIT method limits)."""
-    enc = F.round(
-        _dot(F.col("_v"), F.col("_cell_v"))
-        / (F.col("_vnrm") * F.col("_cnrm")),
-        6,
-    ) - F.col("cell_idx") * F.lit(1e-9)
+    enc = F.expr(
+        f"round({_dot_expr('_v', '_cell_v')} / (_vnrm * _cnrm), 6)"
+        " - cell_idx * 1E-9"
+    )
     return (
         v.crossJoin(F.broadcast(cells_df))
         .groupBy(id_col)
@@ -799,7 +805,7 @@ def _ivf_probe_rerank_df(
     literal table or the in-plan :func:`_lloyd_graph` output (an empty
     cells table yields an empty, correctly-typed result)."""
     if "_cnrm" not in cells_df.columns:
-        cells_df = cells_df.withColumn("_cnrm", _norm(F.col("_cell_v")))
+        cells_df = cells_df.withColumn("_cnrm", F.expr(_norm_expr("_cell_v")))
     assigned = _ivf_assign(v, cells_df, id_col)
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("_pcos").desc(), F.col("cell_idx")
@@ -813,10 +819,8 @@ def _ivf_probe_rerank_df(
         .crossJoin(F.broadcast(cells_df))
         .withColumn(
             "_pcos",
-            F.round(
-                _dot(F.col("_q"), F.col("_cell_v"))
-                / (F.col("_qnrm") * F.col("_cnrm")),
-                6,
+            F.expr(
+                f"round({_dot_expr('_q', '_cell_v')} / (_qnrm * _cnrm), 6)"
             ),
         )
         .withColumn("_pr", F.row_number().over(w_probe))
@@ -829,10 +833,8 @@ def _ivf_probe_rerank_df(
         .select(
             "query_id",
             id_col,
-            F.round(
-                _dot(F.col("_q"), F.col("_v"))
-                / (F.col("_qnrm") * F.col("_vnrm")),
-                6,
+            F.expr(
+                f"round({_dot_expr('_q', '_v')} / (_qnrm * _vnrm), 6)"
             ).alias("cos"),
         )
     )

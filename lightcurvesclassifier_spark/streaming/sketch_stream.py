@@ -80,3 +80,33 @@ def bloom_bits_stream(docs: DataFrame, n: int = 5) -> DataFrame:
         distinct=False,
     )
     return _exploded_bits(sh, "shingle", []).dropDuplicates(["bit"])
+
+
+def bloom_probe_stream(
+    docs: DataFrame, evals: DataFrame, n: int = 5
+) -> DataFrame:
+    """Streaming decontamination probe (r6 stretch #7 — the one sketch
+    that had no streaming analog wired to a query): an unbounded train
+    stream probed against the Bloom filter of a STATIC eval suite.
+
+    Delegates to the batch ``sketch.bloom_probe_fast`` verbatim: the
+    eval side collapses to the same ≤ m-bit plan literal (built once,
+    at wiring time, from the static eval set — the 2-KiB-broadcast
+    contract), and the probe itself is row-local higher-order column
+    ops with no aggregate, so Structured Streaming runs it UNCHANGED in
+    append mode with zero state.  This is the 100 TB ingest shape:
+    every arriving document is scored against the benchmark suite
+    before it ever lands in the corpus.  Exact batch parity over the
+    concatenated stream is pinned in tests/test_sketch_stream.py.
+
+    ``evals`` must be a static (batch) DataFrame — the filter is a plan
+    constant, so eval-suite updates mean re-wiring the stream (exactly
+    like redeploying with a new benchmark list)."""
+    if evals.isStreaming:
+        raise ValueError(
+            "bloom_probe_stream builds the filter once from a STATIC "
+            "eval set; got a streaming evals DataFrame"
+        )
+    return sketch.bloom_probe_fast(
+        docs, evals, text_col="text", n=n, id_col="doc_id"
+    )

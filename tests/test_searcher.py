@@ -145,3 +145,51 @@ def test_query_dsl_two_char_operators(spark):
     assert apply_queries(df, [{"v": "!=5"}]).count() == 9
     # empty disjunction matches nothing (was: full table)
     assert apply_queries(df, []).count() == 0
+
+
+def test_ledger_crash_replay_is_idempotent(spark, tmp_path):
+    """r6 stretch #8: exactly-once under crash-replay.  A driver that
+    crashes between write_results' append and its own bookkeeping will
+    REPLAY the same batch — append the identical ledger batch twice and
+    pin that (a) the resume filter still schedules nothing (no query
+    re-executes, so the duplication cannot compound), and (b) the
+    ledger's logical content — its distinct (query_id, star_id,
+    found, passed) grain — is unchanged by the replay."""
+    ledger_path = str(tmp_path / "ledger")
+    plan = searcher.queries_df(spark, [(0, 4), (5, 9)])
+
+    n1 = searcher.search_and_resume(
+        spark, lambda: _features(spark), plan, RANGES, ledger_path
+    )
+    assert n1 == 2
+    once = spark.read.parquet(ledger_path)
+    grain_cols = ["query_id", "star_id", "found", "passed"]
+    want = {tuple(r) for r in once.select(*grain_cols).collect()}
+
+    # crash replay: the exact same batch is appended a second time
+    batch = searcher.run_search(_features(spark), plan, RANGES)
+    searcher.write_results(batch, ledger_path)
+    replayed = spark.read.parquet(ledger_path)
+    assert replayed.count() == 2 * once.count()  # physical dupes exist
+
+    # (a) resume sees every planned query as done → zero re-runs
+    n2 = searcher.search_and_resume(
+        spark, lambda: _features(spark), plan, RANGES, ledger_path
+    )
+    assert n2 == 0
+    # ...including for a superset plan: only the genuinely-new query runs
+    plan2 = searcher.queries_df(spark, [(0, 4), (5, 9), (10, 14)])
+    n3 = searcher.search_and_resume(
+        spark, lambda: _features(spark), plan2, RANGES, ledger_path
+    )
+    assert n3 == 1
+
+    # (b) the replay added no new logical fact for the replayed queries
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(ledger_path)
+        .filter(F.col("query_id").isin(0, 1))
+        .select(*grain_cols)
+        .collect()
+    }
+    assert got == want

@@ -211,3 +211,53 @@ def test_streaming_bloom_bits_match_batch(spark, tmp_path):
     assert sorted(got_bits) == sorted(r.bit for r in want.collect())
     # each bit emitted exactly once across batches (dedup state works)
     assert len(got_bits) == len(set(got_bits))
+
+
+def test_streaming_bloom_probe_matches_batch(spark, tmp_path):
+    """r6 stretch #7: the streaming decontamination probe (map-only,
+    zero state, append mode) must emit per-document rows identical to
+    BOTH batch formulations over the concatenated stream."""
+    from lightcurvesclassifier_spark.streaming.sketch_stream import (
+        bloom_probe_stream,
+    )
+
+    docs_dir = tmp_path / "bprobe_in"
+    docs_dir.mkdir()
+    ev_rows = [(900, "alpha beta gamma delta epsilon zeta eta theta")]
+    b1 = [(1, "alpha beta gamma delta epsilon zeta eta theta iota", 0),
+          (2, "one two three four five six seven eight nine ten", 1)]
+    b2 = [(3, "alpha beta gamma delta epsilon kappa mu nu xi", 2)]
+    _write_batch(docs_dir, "b1.json", b1)
+    _write_batch(docs_dir, "b2.json", b2)
+    evals = spark.createDataFrame(ev_rows, "doc_id long, text string")
+
+    out_dir = tmp_path / "bprobe_out"
+    probe = bloom_probe_stream(doc_stream(spark, str(docs_dir)), evals, n=5)
+    q = (
+        probe.writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "bprobe_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish in time"
+
+    got = spark.read.parquet(str(out_dir)).toPandas()
+    batch_docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in b1 + b2], "doc_id long, text string"
+    )
+    for batch_fn in (sketch.bloom_probe_fast, sketch.bloom_probe):
+        want = batch_fn(batch_docs, evals, n=5).toPandas()
+        g = got.sort_values("doc_id").reset_index(drop=True)
+        w = want[got.columns].sort_values("doc_id").reset_index(drop=True)
+        assert g.equals(w), batch_fn.__name__
+
+    # static-evals contract is enforced loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="STATIC"):
+        bloom_probe_stream(
+            doc_stream(spark, str(docs_dir)),
+            doc_stream(spark, str(docs_dir)),
+        )
