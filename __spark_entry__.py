@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from lightcurvesclassifier_spark.functions.curves import (
     curve_features,
@@ -1253,9 +1253,10 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("label", "node").alias("cluster_id"),
         )
     )
-    sizes = labeled.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    return labeled.join(sizes, "cluster_id").select(
-        "vec_id", "cluster_id", "cluster_size"
+    # window count, not groupBy + self-join — see dedup.dedup_clusters
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        "vec_id", "cluster_id", F.count("*").over(w).alias("cluster_size")
     )
 
 

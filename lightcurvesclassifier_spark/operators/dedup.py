@@ -642,11 +642,15 @@ def dedup_clusters(
             F.coalesce("label", "node").alias("cluster_id"),
         )
     )
-    sizes = labeled.groupBy("cluster_id").agg(
-        F.count("*").alias("cluster_size")
-    )
-    return labeled.join(sizes, "cluster_id").select(
-        id_col, "cluster_id", "cluster_size"
+    # cluster_size as a window count, not groupBy + self-join: the
+    # join form referenced `labeled` twice, re-executing the whole
+    # docs⋈comp subtree (Spark does not dedupe common subtrees); one
+    # cluster-keyed exchange serves both the count and the output
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        id_col, "cluster_id", F.count("*").over(w).alias("cluster_size")
     )
 
 

@@ -615,6 +615,15 @@ def _lloyd_graph(
         # folds only the dot (see _vec_rows on why this matters)
         .withColumn("_unrm", F.expr(_norm_expr("_u")))
         .select(F.col(id_col).alias("_sid"), "_h", "_iu", "_u", "_unrm")
+        # spread the bounded sample across the cluster before
+        # checkpointing: the global-order limit collapses it to one
+        # partition, and the assignment crossJoin's interpreted dot
+        # folds would otherwise run single-threaded.  Keyed on _sid
+        # (deterministic content; every downstream step is keyed or
+        # totally ordered).  ≤ train_size rows by construction.
+        .repartition(
+            v.sparkSession.sparkContext.defaultParallelism, F.col("_sid")
+        )
         # lazy local checkpoint, not persist (r7): the sample feeds the
         # seed window AND every iteration's assignment — one bounded
         # (≤ train_size rows) materialization replaces re-running the
@@ -758,6 +767,17 @@ def _ivf_assign(
         f"round({_dot_expr('_v', '_cell_v')} / (_vnrm * _cnrm), 6)"
         " - cell_idx * 1E-9"
     )
+    # Expansion-aware input spread (the periodogram idiom): the
+    # crossJoin multiplies rows by n_cells and the interpreted dot
+    # folds are the whole cost — a single-row-group local scan would
+    # run them on ONE core.  Keyed on the id so the groupBy's map-side
+    # partials stay complete; parity-safe under reorder: the 1e-9
+    # cell_idx tie-break makes max_by deterministic and first(_v) is
+    # keyed to a single row per id.  No-op at real scale.
+    if not v.isStreaming:
+        sc = v.sparkSession.sparkContext
+        if v.rdd.getNumPartitions() < sc.defaultParallelism:
+            v = v.repartition(sc.defaultParallelism, F.col(id_col))
     return (
         v.crossJoin(F.broadcast(cells_df))
         .groupBy(id_col)
