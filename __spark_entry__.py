@@ -1189,11 +1189,21 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clustering: ngram-Jaccard pairs -> connected
-    components (iterative min-label propagation; one shuffle join per
-    round, rounds = component diameter) -> cluster id + size per doc.
-    The dedup decision a pipeline actually applies (keep min-id doc)."""
+    components (alternating large-star/small-star contraction, O(log)
+    rounds, per-node min reducer state - the 100 TB CC shape) ->
+    cluster id + size per doc. The dedup decision a pipeline actually
+    applies (keep min-id doc)."""
     corpus = testdata.dedup_corpus(spark, sf_dir)
     return dedup_ops.dedup_clusters(corpus, threshold=0.6)
+
+
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test assignment: hash the DEDUP CLUSTER
+    (never the document) against cumulative md5-prefix bounds, so a
+    val doc can never have a near-twin in train. Map-only on top of
+    the cluster labels; deterministic across engines and runs."""
+    corpus = testdata.dedup_corpus(spark, sf_dir)
+    return dedup_ops.cluster_safe_split(corpus, threshold=0.6)
 
 
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1703,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "pii_redact": q_pii_redact,
         "repetition_features": q_repetition_features,
+        "cluster_split": q_cluster_split,
     }
 
 
@@ -2097,6 +2108,9 @@ FROM corpus GROUP BY md5(text)
             testdata.DEDUP_CORPUS_SQL, threshold=0.6
         ),
         "dedup_clusters": dedup_ops.dedup_clusters_sql(
+            testdata.DEDUP_CORPUS_SQL, threshold=0.6
+        ),
+        "cluster_split": dedup_ops.cluster_safe_split_sql(
             testdata.DEDUP_CORPUS_SQL, threshold=0.6
         ),
         "repeated_spans": dedup_ops.repeated_spans_sql(

@@ -980,6 +980,72 @@ FROM sized
 """
 
 
+def cluster_safe_split(
+    df: DataFrame, fractions: tuple[float, float, float] = (0.9, 0.05, 0.05),
+    n: int = SHINGLE_N, threshold: float = 0.6,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-free train/val/test assignment: split by DEDUP CLUSTER,
+    never by document — (doc_id, cluster_id, split).
+
+    Splitting documents independently leaks near-duplicates across the
+    train/eval boundary (a val document whose near-twin sits in train
+    is a contaminated eval), so the unit of assignment must be the
+    transitive near-dup cluster.  Assignment = the engine-portable
+    md5-prefix rule every sampler here uses (corpus.mixture_sample):
+    hash the CLUSTER id once, compare against the cumulative-fraction
+    hex bounds — deterministic, seedless-RNG-free, map-only after
+    clustering, and every member of a cluster lands in the same split
+    by construction.  At 100 TB this adds ONE projection to the
+    dedup_clusters plan."""
+    from .corpus import _hex_bound
+
+    if len(fractions) != 3 or any(f < 0 for f in fractions):
+        raise ValueError(f"need 3 non-negative fractions, got {fractions}")
+    if abs(sum(fractions) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {sum(fractions)}")
+    cl = dedup_clusters(df, n, threshold, text_col, id_col)
+    h = F.substring(
+        F.md5(
+            F.concat(
+                F.lit("split_"), F.col("cluster_id").cast("string")
+            ).cast("binary")
+        ),
+        1,
+        8,
+    )
+    b1 = _hex_bound(fractions[0])
+    b2 = _hex_bound(fractions[0] + fractions[1])
+    split = (
+        F.when(h < b1, F.lit("train"))
+        .when(h < b2, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return cl.select(id_col, "cluster_id", split.alias("split"))
+
+
+def cluster_safe_split_sql(
+    corpus_sql: str,
+    fractions: tuple[float, float, float] = (0.9, 0.05, 0.05),
+    n: int = SHINGLE_N, threshold: float = 0.6,
+) -> str:
+    """DuckDB mirror of :func:`cluster_safe_split` (same recursive-CTE
+    cluster labels, same md5-prefix split rule digit-for-digit)."""
+    from .corpus import _hex_bound
+
+    b1 = _hex_bound(fractions[0])
+    b2 = _hex_bound(fractions[0] + fractions[1])
+    h = "substring(md5('split_' || CAST(cluster_id AS VARCHAR)), 1, 8)"
+    return f"""
+WITH cl AS ({dedup_clusters_sql(corpus_sql, n, threshold)})
+SELECT doc_id, cluster_id,
+       CASE WHEN {h} < '{b1}' THEN 'train'
+            WHEN {h} < '{b2}' THEN 'val'
+            ELSE 'test' END AS split
+FROM cl
+"""
+
+
 def neardup_degree_dist(
     df: DataFrame, n: int = SHINGLE_N, threshold: float = 0.6,
     text_col: str = "text", id_col: str = "doc_id",

@@ -912,3 +912,29 @@ def test_cosine_topk_empty_queries_returns_empty(spark):
     out = cosine_topk(corpus, corpus.filter("vec_id < 0"), k=3)
     assert out.count() == 0
     assert set(out.columns) == {"query_id", "vec_id", "cos", "rank"}
+
+
+def test_cluster_safe_split_no_leakage_and_fractions(spark, corpus):
+    """Every member of a near-dup cluster lands in the SAME split (the
+    leakage property that doc-level splitting violates), fractions are
+    honored to sampling noise, and bad fractions fail loudly."""
+    import pytest as _pytest
+
+    out = dedup.cluster_safe_split(corpus, threshold=0.6).toPandas()
+    assert set(out.columns) == {"doc_id", "cluster_id", "split"}
+    # (a) split is a function of the cluster: one split per cluster_id
+    per_cluster = out.groupby("cluster_id").split.nunique()
+    assert (per_cluster == 1).all()
+    # (b) every doc assigned exactly once
+    assert out.doc_id.is_unique and len(out) == corpus.count()
+    # (c) cluster-level fractions near (0.9, 0.05, 0.05): binomial
+    # noise over n_clusters clusters
+    n_cl = out.cluster_id.nunique()
+    frac = out.drop_duplicates("cluster_id").split.value_counts() / n_cl
+    assert frac.get("train", 0) > 0.8
+    assert 0.0 < frac.get("val", 0) < 0.15
+    assert 0.0 < frac.get("test", 0) < 0.15
+    with _pytest.raises(ValueError, match="sum to 1"):
+        dedup.cluster_safe_split(corpus, fractions=(0.5, 0.1, 0.1))
+    with _pytest.raises(ValueError, match="non-negative"):
+        dedup.cluster_safe_split(corpus, fractions=(1.5, -0.4, -0.1))
