@@ -91,6 +91,61 @@ def _ngram_rows(
     )
 
 
+def _ngram_rows_counted(
+    df: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    key_fn: Callable[[Column], Column],
+    empty_type: str,
+    out_col: str,
+) -> DataFrame:
+    """:func:`_ngram_rows` (distinct=True) plus the per-document
+    distinct-shingle COUNT carried on every exploded row (``n_sh``) —
+    computed map-side from the same array the explode consumes, so
+    consumers that need |shingles(doc)| (Jaccard's denominator,
+    containment scores) never pay a per-doc aggregate + join to
+    re-derive it."""
+    if not df.isStreaming:
+        sc = df.sparkSession.sparkContext
+        if df.rdd.getNumPartitions() < sc.defaultParallelism:
+            df = df.repartition(sc.defaultParallelism, F.col(id_col))
+    tk = F.col("_toks")
+    grams = F.array_distinct(
+        F.when(
+            F.size(tk) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+                lambda i: key_fn(F.array_join(F.slice(tk, i, n), " ")),
+            ),
+        ).otherwise(F.array().cast(f"array<{empty_type}>"))
+    )
+    # The count is packed INTO the exploded elements as a struct field.
+    # Referencing size(_sh) ABOVE the Generate instead would force the
+    # ENTIRE shingle array to be retained on every exploded row
+    # (CollapseProject inlines any once-referenced alias back into the
+    # post-Generate projection, so a separate n_sh column is no
+    # protection) — measured 10× on the shingle build, 4× on the whole
+    # jaccard pipeline.  Inside the transform lambda _sh is a
+    # materialized attribute, so size(_sh) is O(1) per element.
+    pairs = F.transform(
+        F.col("_sh"),
+        lambda g: F.struct(
+            g.alias(out_col), F.size(F.col("_sh")).cast("long").alias("n_sh")
+        ),
+    )
+    return (
+        df.withColumn("_toks", F.split(F.col(text_col), " "))
+        .withColumn("_sh", grams)
+        .select(F.col(id_col), F.explode(pairs).alias("_e"))
+        .select(
+            F.col(id_col),
+            F.col(f"_e.{out_col}").alias(out_col),
+            F.col("_e.n_sh").alias("n_sh"),
+        )
+    )
+
+
 def _md5_int60(s: Column) -> Column:
     """First 15 hex chars of md5 as a 60-bit integer — reproducible
     bit-for-bit in DuckDB (``CAST('0x'||substr(md5(s),1,15) AS BIGINT)``),
@@ -151,27 +206,41 @@ def ngram_jaccard_pairs(
     scales with real collisions; a hot shingle (stopword run) would be the
     skew risk — AQE skew-join handles it, and SHINGLE_N=4 keeps shingles
     rare.
+
+    Set sizes ride ON the exploded rows (r7): |A| is a per-document
+    quantity computable MAP-SIDE before the explode
+    (``size(array_distinct(grams))``), so each join row carries its
+    doc's count and the pair aggregate reads it with ``first`` — the r6
+    shape re-derived sizes with a separate per-doc aggregate plus TWO
+    join lookups (three extra exchanges at any scale, for what one
+    8-byte column on the join payload provides).
     """
     # lazy localCheckpoint: materialized once, released by the
     # ContextCleaner when unreferenced (cache() would pin executor
     # memory until an unpersist the caller can never issue)
-    sh = shingles_hashed(df, n, text_col, id_col).localCheckpoint(eager=False)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    sh = _ngram_rows_counted(
+        df, n, text_col, id_col, F.xxhash64, "bigint", "shingle"
+    ).localCheckpoint(eager=False)
+    a = sh.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("n_sh").alias("n_a")
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("n_sh").alias("n_b")
+    )
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+        .agg(
+            F.count("*").alias("n_inter"),
+            # constant within the group (one doc, one shingle-set size)
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", F.round(jac, 6))
+        inter.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
