@@ -41,23 +41,36 @@ def contamination_pairs(
     shingle containment of the eval doc reaches ``threshold``.
 
     Eval docs shorter than ``n`` tokens have no shingles and can never
-    be flagged (same guard as the dedup shingle paths)."""
+    be flagged (same guard as the dedup shingle paths).
+
+    |shingles(eval)| — the containment denominator — rides ON the
+    broadcast eval rows (``dedup._ngram_rows_counted``: computed
+    map-side from the same array the explode consumes), so the pair
+    aggregate reads it with ``first`` instead of re-deriving it with a
+    separate per-eval aggregate + a second broadcast join (r7, the
+    jaccard-plan trade: one 8-byte column on the broadcast payload
+    replaces two plan stages)."""
+    from .dedup import _ngram_rows_counted
+
     tr = shingles_hashed(train, n, text_col, id_col).withColumnRenamed(
         id_col, "train_id"
     )
-    ev = shingles_hashed(evals, n, text_col, id_col).withColumnRenamed(
-        id_col, "eval_id"
+    ev = _ngram_rows_counted(
+        evals, n, text_col, id_col, F.xxhash64, "bigint", "shingle"
+    ).select(
+        F.col(id_col).alias("eval_id"), "shingle", F.col("n_sh").alias("n_ev")
     )
-    ev_sizes = ev.groupBy("eval_id").agg(F.count("*").alias("n_ev"))
     inter = (
         tr.join(F.broadcast(ev), "shingle")
         .groupBy("train_id", "eval_id")
-        .agg(F.count("*").alias("n_inter"))
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.first("n_ev").alias("n_ev"),
+        )
     )
     containment = F.round(F.col("n_inter") / F.col("n_ev"), 6)
     return (
-        inter.join(F.broadcast(ev_sizes), "eval_id")
-        .withColumn("containment", containment)
+        inter.withColumn("containment", containment)
         .filter(F.col("containment") >= threshold)
         .select("train_id", "eval_id", "containment")
     )
