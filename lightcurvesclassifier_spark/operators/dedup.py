@@ -900,6 +900,11 @@ def simhash_pairs(
     (≤ 3 guarantees a shared 15-bit band — no O(n²) scan). Deterministic
     md5-keyed fingerprints → oracle-checkable (:func:`simhash_pairs_sql`)."""
     fp = simhash(df, text_col, id_col).localCheckpoint(eager=False)
+    # band rows carry the doc's FULL fingerprint (4 scalar longs — no
+    # array-retention hazard): the candidate aggregate then reads both
+    # fingerprints with first() and verifies hamming inline, replacing
+    # the r6 shape's DISTINCT + two fingerprint lookup joins (three
+    # plan stages) with one aggregate — the jaccard size-carry trade.
     long = fp.select(
         F.col(id_col),
         F.explode(
@@ -908,24 +913,30 @@ def simhash_pairs(
                 for i in range(4)
             ])
         ).alias("b"),
-    ).select(id_col, "b.band_idx", "b.band_val")
-    a = long.select(F.col(id_col).alias("id_a"), "band_idx", "band_val")
-    b = long.select(F.col(id_col).alias("id_b"), "band_idx", "band_val")
+        *[F.col(f"band{i}") for i in range(4)],
+    ).select(id_col, "b.band_idx", "b.band_val", *[f"band{i}" for i in range(4)])
+    a = long.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_val",
+        *[F.col(f"band{i}").alias(f"a{i}") for i in range(4)],
+    )
+    b = long.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_val",
+        *[F.col(f"band{i}").alias(f"b{i}") for i in range(4)],
+    )
     cands = (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(
+            *[F.first(f"a{i}").alias(f"a{i}") for i in range(4)],
+            *[F.first(f"b{i}").alias(f"b{i}") for i in range(4)],
+        )
     )
-    fa = fp.select(F.col(id_col).alias("id_a"), *[F.col(f"band{i}").alias(f"a{i}") for i in range(4)])
-    fb = fp.select(F.col(id_col).alias("id_b"), *[F.col(f"band{i}").alias(f"b{i}") for i in range(4)])
     ham = sum(
         F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}"))) for i in range(4)
     )
     return (
-        cands.join(fa, "id_a")
-        .join(fb, "id_b")
-        .withColumn("hamming", ham.cast("int"))
+        cands.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
