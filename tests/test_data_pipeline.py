@@ -938,3 +938,52 @@ def test_cluster_safe_split_no_leakage_and_fractions(spark, corpus):
         dedup.cluster_safe_split(corpus, fractions=(0.5, 0.1, 0.1))
     with _pytest.raises(ValueError, match="non-negative"):
         dedup.cluster_safe_split(corpus, fractions=(1.5, -0.4, -0.1))
+    # (d) an ulp-above-1.0 cumulative sum must not raise (r7 advice):
+    # 0.7 + 0.3 == 1.0 exactly is float-luck; force the pathological
+    # case via fractions that sum to 1 within 1e-9 but above 1.0
+    f0 = 0.9999999999
+    out2 = dedup.cluster_safe_split(
+        corpus.limit(5), fractions=(f0, 1.0 - f0 + 1e-10, 0.0)
+    )
+    assert out2.count() == 5
+
+
+def test_cluster_safe_split_stratified_leakage_and_fractions(spark):
+    """Stratified variant: one split per cluster (leakage-free), the
+    cluster stratum is the min-id member's, and per-stratum fractions
+    steer the holdout (a 0.5/0.25/0.25 stratum must hold out more than
+    a 0.9/0.05/0.05 one). Spark and DuckDB mirrors agree exactly."""
+    import duckdb
+
+    corpus_l = testdata.dedup_corpus_lang(spark, SF_ORACLE).cache()
+    fr = {"zh": (0.5, 0.25, 0.25)}
+    out = dedup.cluster_safe_split_stratified(
+        corpus_l, stratum_col="lang", fractions=fr, threshold=0.6
+    ).toPandas()
+    assert set(out.columns) == {"doc_id", "cluster_id", "stratum", "split"}
+    assert (out.groupby("cluster_id").split.nunique() == 1).all()
+    assert (out.groupby("cluster_id").stratum.nunique() == 1).all()
+    assert out.doc_id.is_unique and len(out) == corpus_l.count()
+    # per-stratum cluster-level fractions: zh holds out ~0.5, others ~0.9
+    cl = out.drop_duplicates("cluster_id")
+    zh = cl[cl.stratum == "zh"].split.value_counts(normalize=True)
+    rest = cl[cl.stratum != "zh"].split.value_counts(normalize=True)
+    assert zh.get("train", 0) < 0.75
+    assert rest.get("train", 0) > 0.8
+    # exact DuckDB mirror parity
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_ORACLE}/documents.parquet'"
+    )
+    o = con.execute(
+        dedup.cluster_safe_split_stratified_sql(
+            testdata.DEDUP_CORPUS_LANG_SQL,
+            stratum_col="lang",
+            fractions=fr,
+            threshold=0.6,
+        )
+    ).df()
+    cols = ["doc_id", "cluster_id", "stratum", "split"]
+    s2 = out[cols].sort_values(cols).reset_index(drop=True)
+    o2 = o[cols].sort_values(cols).reset_index(drop=True)
+    assert s2.equals(o2)
