@@ -1269,8 +1269,12 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out to 4 x 10 groups and skips auto-salting's second Arrow
     assignment pass (measured 3.19 -> 0.90 s for the pairs subtree at
     sf0.1; the pair SET is parameter-invariant, pinned in
-    test_similarity). hops_per_round=2 halves the CC driver round-trips
-    on this 4-contraction graph."""
+    test_similarity). hops_per_round stays 1: chaining contractions
+    re-measured SLOWER on this graph even in the fused-window
+    formulation (A/B with contention controls: h1 3.62s / h2 4.22 /
+    h3 4.13 — the chained round's doubled bidir references inflate the
+    plan faster than the saved actions repay, the same negative result
+    r7 recorded for the join formulation)."""
     from lightcurvesclassifier_spark.operators.dedup import (
         connected_components_star,
     )
@@ -1279,7 +1283,7 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = sim_ops.embedding_neardup_pairs(
         emb, threshold=0.42, n_cells=4, n_salts=4
     )
-    comp = connected_components_star(pairs, hops_per_round=2)
+    comp = connected_components_star(pairs)
     labeled = (
         emb.select(F.col("vec_id").alias("node"))
         .join(comp, "node", "left")
@@ -1586,125 +1590,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     FIRST 50 entries only (r2 lesson — the window silently narrowed when
     new queries were appended; r6 lesson — the window section grew to 52
     entries and two tail entries silently fell outside, so the boundary
-    is now pinned by DRIVER_WINDOW in tests).  Layout (r7 rotation,
+    is now pinned by DRIVER_WINDOW in tests).  Layout (r8 rotation,
     oldest-first per the r6 judge directive):
 
-    * 1-13: every query whose PLAN changed this round — the KM/one-md5
-      Bloom family with its map-side shingle distinct + probe spread,
-      every _ngram_rows(distinct=True) consumer (jaccard / minhash /
-      decontamination / pretraining), the large-star/small-star CC
-      family, and the AQE-off checkpointed IVF training pair.
-    * 14-40: the 30 r4-era rows (minus the four already above) — the
-      oldest driver evidence in the repo.
-    * 41-50: the oldest r5-era rows.
-    * 51+: r5/r6-green queries, re-verified every session by
+    * 1-5: every query whose PLAN changed this round — the cluster
+      family riding the fused star-CC rounds (window contraction +
+      observe-fused fixpoint), including the two never-driver-checked
+      splits (cluster_split landed after the r7 window froze;
+      cluster_split_stratified is new) and embedding_dedup_clusters'
+      n_cells=4/n_salts=4 pairs parameters.
+    * 6-38: ALL 33 r5-era rows — the oldest driver evidence in the
+      repo after this rotation.
+    * 39-50: the head of the r6-era rows.
+    * 51+: r6/r7-green queries, re-verified every session by
       tests/test_oracle_parity.py (rotated out to make window room).
-      After this round no query's freshest driver row predates r5.
+      After this round no query's freshest driver row predates r6.
     Every entry carries a full DuckDB oracle — including the
     Lloyd-trained embedding_ivf_topk, whose training is mirrored in SQL
     (engine-exact int-scaled means).
     """
     return {
-        # --- 1-50: oracled, driver-checked window (r7 rotation) ---
-        # plan changed this round (r7)
-        "bloom_bits": q_bloom_bits,
-        "bloom_probe": q_bloom_probe,
-        "bloom_probe_fast": q_bloom_probe_fast,
-        "dedup_ngram": q_dedup_ngram,
-        "dedup_minhash": q_dedup_minhash,
-        "decontamination": q_decontamination,
-        "pretraining_corpus": q_pretraining_corpus,
+        # --- 1-50: oracled, driver-checked window (r8 rotation) ---
+        # plan changed this round (r8): fused star-CC cluster family
+        "cluster_split": q_cluster_split,
+        "cluster_split_stratified": q_cluster_split_stratified,
         "dedup_clusters": q_dedup_clusters,
         "dedup_canonical": q_dedup_canonical,
         "embedding_dedup_clusters": q_embedding_dedup_clusters,
-        "neardup_degrees": q_neardup_degrees,
-        "embedding_ivf_topk": q_embedding_ivf_topk,
-        "embedding_ivf_flat_topk": q_embedding_ivf_flat_topk,
-        # r4-era driver rows — oldest evidence, all rotated in
-        "phase_fold": q_phase_fold,
-        "dedup_simhash": q_dedup_simhash,
-        "curve_stats": q_curve_stats,
-        "abbe_value": q_abbe_value,
-        "abbe_filter": q_abbe_filter,
-        "hll_registers": q_hll_registers,
-        "hll_distinct": q_hll_distinct,
-        "cone_search": q_cone_search,
-        "sky_zorder": q_sky_zorder,
-        "event_sessions": q_event_sessions,
-        "obs_downsample": q_obs_downsample,
-        "doc_chunks": q_doc_chunks,
-        "unigram_logprob": q_unigram_logprob,
-        "repeated_spans": q_repeated_spans,
-        "bigram_counts": q_bigram_counts,
-        "ekvi_paa": q_ekvi_paa,
-        "ekvi_paa_exact": q_ekvi_paa_exact,
-        "score_quantiles": q_score_quantiles,
-        "mag_histogram": q_mag_histogram,
-        "token_budget_sample": q_token_budget_sample,
-        "quality_buckets": q_quality_buckets,
-        "normalize_text": q_normalize_text,
-        "shuffle_shards": q_shuffle_shards,
-        "temperature_sample": q_temperature_sample,
-        "quantize_embeddings": q_quantize_embeddings,
-        "weighted_sample": q_weighted_sample,
-        "corpus_diff": q_corpus_diff,
-        # oldest r5-era rows
-        "curve_stats_band": q_curve_stats_band,
-        "lang_quantiles": q_lang_quantiles,
-        "fuzzy_match": q_fuzzy_match,
-        "string_profile": q_string_profile,
-        "length_buckets": q_length_buckets,
-        "domain_stats": q_domain_stats,
-        "stetson_variability": q_stetson_variability,
-        "embedding_profile": q_embedding_profile,
-        "dq_audit": q_dq_audit,
-        "revenue_cube": q_revenue_cube,
-        # --- 51+: oracled, driver-green in r5/r6, local parity ---
-        "hll_grouped": q_hll_grouped,
-        "session_concurrency": q_session_concurrency,
-        "session_concurrency_sweep": q_session_concurrency_sweep,
-        "period_pdm_dense": q_period_pdm_dense,
-        "multimodal_audio": q_multimodal_audio,
-        "multimodal_video": q_multimodal_video,
-        "period_pdm": q_period_pdm,
-        "periodogram": q_periodogram,
-        "period_search": q_period_search,
-        "period_significance": q_period_significance,
-        "crossmatch": q_crossmatch,
-        "crossmatch_full": q_crossmatch_full,
-        "cone_nearest": q_cone_nearest,
-        "plan_anti_join": q_plan_anti_join,
-        "custom_decider": q_custom_decider,
-        "ensemble_combine": q_ensemble_combine,
-        "confusion_stats": q_confusion_stats,
-        "roc_sweep": q_roc_sweep,
-        "best_coords": q_best_coords,
-        "table_profile": q_table_profile,
-        "query_dsl": q_query_dsl,
-        "lang_id": q_lang_id,
-        "text_features": q_text_features,
-        "doc_fingerprint": q_doc_fingerprint,
-        "dedup_exact": q_dedup_exact,
-        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
-        "text_bpe_tokens": q_text_bpe_tokens,
-        "embedding_topk": q_embedding_topk,
-        "multimodal_features": q_multimodal_features,
-        "embedding_neardup": q_embedding_neardup,
-        "curve_descr_pca": q_curve_descr_pca,
-        "detrend": q_detrend,
-        "cms_counters": q_cms_counters,
-        "cms_point_est": q_cms_point_est,
-        "sequence_packing": q_sequence_packing,
-        "asof_calibration": q_asof_calibration,
-        "variogram_slope": q_variogram_slope,
-        "comp_curves_shape": q_comp_curves_shape,
-        "comp_curves_noslide": q_comp_curves_noslide,
-        "comp_hist_shape": q_comp_hist_shape,
-        "comp_variogram_shape": q_comp_variogram_shape,
-        "systematic_search": q_systematic_search,
-        "stars_filter_pipeline": q_stars_filter_pipeline,
-        "curve_descr": q_curve_descr,
-        "curve_descr_height": q_curve_descr_height,
+        # r5-era driver rows — oldest evidence, all 33 rotated in
         "lc_smooth": q_lc_smooth,
         "pricing_summary": q_pricing_summary,
         "nation_revenue": q_nation_revenue,
@@ -1738,8 +1651,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "pii_redact": q_pii_redact,
         "repetition_features": q_repetition_features,
-        "cluster_split": q_cluster_split,
-        "cluster_split_stratified": q_cluster_split_stratified,
+        # head of the r6-era rows
+        "hll_grouped": q_hll_grouped,
+        "session_concurrency": q_session_concurrency,
+        "session_concurrency_sweep": q_session_concurrency_sweep,
+        "period_pdm_dense": q_period_pdm_dense,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_video": q_multimodal_video,
+        "period_pdm": q_period_pdm,
+        "periodogram": q_periodogram,
+        "period_search": q_period_search,
+        "period_significance": q_period_significance,
+        "crossmatch": q_crossmatch,
+        "crossmatch_full": q_crossmatch_full,
+        # --- 51+: oracled, driver-green in r6/r7, local parity ---
+        "cone_nearest": q_cone_nearest,
+        "plan_anti_join": q_plan_anti_join,
+        "custom_decider": q_custom_decider,
+        "ensemble_combine": q_ensemble_combine,
+        "confusion_stats": q_confusion_stats,
+        "roc_sweep": q_roc_sweep,
+        "best_coords": q_best_coords,
+        "table_profile": q_table_profile,
+        "query_dsl": q_query_dsl,
+        "lang_id": q_lang_id,
+        "text_features": q_text_features,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "embedding_topk": q_embedding_topk,
+        "multimodal_features": q_multimodal_features,
+        "embedding_neardup": q_embedding_neardup,
+        "curve_descr_pca": q_curve_descr_pca,
+        "detrend": q_detrend,
+        "cms_counters": q_cms_counters,
+        "cms_point_est": q_cms_point_est,
+        "sequence_packing": q_sequence_packing,
+        "asof_calibration": q_asof_calibration,
+        "variogram_slope": q_variogram_slope,
+        "comp_curves_shape": q_comp_curves_shape,
+        "comp_curves_noslide": q_comp_curves_noslide,
+        "comp_hist_shape": q_comp_hist_shape,
+        "comp_variogram_shape": q_comp_variogram_shape,
+        "systematic_search": q_systematic_search,
+        "stars_filter_pipeline": q_stars_filter_pipeline,
+        "curve_descr": q_curve_descr,
+        "curve_descr_height": q_curve_descr_height,
+        # r7-era rows (last round's full window)
+        "bloom_bits": q_bloom_bits,
+        "bloom_probe": q_bloom_probe,
+        "bloom_probe_fast": q_bloom_probe_fast,
+        "dedup_ngram": q_dedup_ngram,
+        "dedup_minhash": q_dedup_minhash,
+        "decontamination": q_decontamination,
+        "pretraining_corpus": q_pretraining_corpus,
+        "neardup_degrees": q_neardup_degrees,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
+        "embedding_ivf_flat_topk": q_embedding_ivf_flat_topk,
+        "phase_fold": q_phase_fold,
+        "dedup_simhash": q_dedup_simhash,
+        "curve_stats": q_curve_stats,
+        "abbe_value": q_abbe_value,
+        "abbe_filter": q_abbe_filter,
+        "hll_registers": q_hll_registers,
+        "hll_distinct": q_hll_distinct,
+        "cone_search": q_cone_search,
+        "sky_zorder": q_sky_zorder,
+        "event_sessions": q_event_sessions,
+        "obs_downsample": q_obs_downsample,
+        "doc_chunks": q_doc_chunks,
+        "unigram_logprob": q_unigram_logprob,
+        "repeated_spans": q_repeated_spans,
+        "bigram_counts": q_bigram_counts,
+        "ekvi_paa": q_ekvi_paa,
+        "ekvi_paa_exact": q_ekvi_paa_exact,
+        "score_quantiles": q_score_quantiles,
+        "mag_histogram": q_mag_histogram,
+        "token_budget_sample": q_token_budget_sample,
+        "quality_buckets": q_quality_buckets,
+        "normalize_text": q_normalize_text,
+        "shuffle_shards": q_shuffle_shards,
+        "temperature_sample": q_temperature_sample,
+        "quantize_embeddings": q_quantize_embeddings,
+        "weighted_sample": q_weighted_sample,
+        "corpus_diff": q_corpus_diff,
+        "curve_stats_band": q_curve_stats_band,
+        "lang_quantiles": q_lang_quantiles,
+        "fuzzy_match": q_fuzzy_match,
+        "string_profile": q_string_profile,
+        "length_buckets": q_length_buckets,
+        "domain_stats": q_domain_stats,
+        "stetson_variability": q_stetson_variability,
+        "embedding_profile": q_embedding_profile,
+        "dq_audit": q_dq_audit,
+        "revenue_cube": q_revenue_cube,
     }
 
 

@@ -748,6 +748,26 @@ def connected_components_star(
     ).unionByName(roots)
 
 
+def _cluster_labels(
+    df: DataFrame, n: int, threshold: float, text_col: str, id_col: str,
+    extra: list[Column] | None = None,
+) -> DataFrame:
+    """Shared cluster-label subtree: n-gram Jaccard pairs → star CC →
+    (id_col, cluster_id[, extra...]) with singleton docs labeling
+    themselves.  ``extra`` columns (evaluated against ``df``) ride the
+    label join so consumers never pay a second corpus join to recover
+    per-doc attributes (canonical's text length, the stratified split's
+    stratum)."""
+    pairs = ngram_jaccard_pairs(df, n, threshold, text_col, id_col)
+    comp = connected_components_star(pairs)
+    all_docs = df.select(F.col(id_col).alias("node"), *(extra or []))
+    return all_docs.join(comp, "node", "left").select(
+        F.col("node").alias(id_col),
+        F.coalesce("label", "node").alias("cluster_id"),
+        *[F.col(c) for c in all_docs.columns if c != "node"],
+    )
+
+
 def dedup_clusters(
     df: DataFrame, n: int = SHINGLE_N, threshold: float = 0.6,
     text_col: str = "text", id_col: str = "doc_id",
@@ -756,16 +776,7 @@ def dedup_clusters(
     connected components → (doc_id, cluster_id, cluster_size), keep rule
     = the min-id document represents the cluster. Docs with no near-dup
     partner form singleton clusters of themselves."""
-    pairs = ngram_jaccard_pairs(df, n, threshold, text_col, id_col)
-    comp = connected_components_star(pairs)
-    all_docs = df.select(F.col(id_col).alias("node"))
-    labeled = (
-        all_docs.join(comp, "node", "left")
-        .select(
-            F.col("node").alias(id_col),
-            F.coalesce("label", "node").alias("cluster_id"),
-        )
-    )
+    labeled = _cluster_labels(df, n, threshold, text_col, id_col)
     # cluster_size as a window count, not groupBy + self-join: the
     # join form referenced `labeled` twice, re-executing the whole
     # docs⋈comp subtree (Spark does not dedupe common subtrees); one
@@ -1065,21 +1076,26 @@ def dedup_canonical(
     Emits one row per document: (doc_id, cluster_id, cluster_size,
     canonical_id, keep). Filtering ``keep`` is the dedup delete;
     joining ``canonical_id`` is the redirect map (e.g. for provenance
-    or URL aliasing). Cost over dedup_clusters: one broadcast-able
-    length projection join + ONE window shuffle keyed by cluster_id."""
+    or URL aliasing). Cost over the cluster labels: ONE window shuffle
+    keyed by cluster_id — the text length rides the label join as an
+    ``extra`` column (r8; the previous shape re-joined the corpus just
+    to recover it), and the size count, rank and canonical windows all
+    share the cluster-keyed exchange."""
     from pyspark.sql import Window
 
-    clusters = dedup_clusters(df, n, threshold, text_col, id_col)
-    sized = clusters.join(
-        df.select(F.col(id_col), F.length(text_col).alias("_len")), id_col
+    labeled = _cluster_labels(
+        df, n, threshold, text_col, id_col,
+        extra=[F.length(text_col).alias("_len")],
     )
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("_len").desc(), F.col(id_col)
     )
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_cnt = Window.partitionBy("cluster_id")
     return (
-        sized.withColumn("_rk", F.row_number().over(w))
+        labeled.withColumn("_rk", F.row_number().over(w))
         .withColumn("canonical_id", F.first(id_col).over(w_full))
+        .withColumn("cluster_size", F.count("*").over(w_cnt))
         .select(
             id_col,
             "cluster_id",
@@ -1132,14 +1148,16 @@ def cluster_safe_split(
     hex bounds — deterministic, seedless-RNG-free, map-only after
     clustering, and every member of a cluster lands in the same split
     by construction.  At 100 TB this adds ONE projection to the
-    dedup_clusters plan."""
+    cluster labels (r8: built on ``_cluster_labels`` directly — the
+    split never reads cluster_size, so the size-count window shuffle
+    dedup_clusters pays is not in this plan at all)."""
     from .corpus import _hex_bound
 
     if len(fractions) != 3 or any(f < 0 for f in fractions):
         raise ValueError(f"need 3 non-negative fractions, got {fractions}")
     if abs(sum(fractions) - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {sum(fractions)}")
-    cl = dedup_clusters(df, n, threshold, text_col, id_col)
+    cl = _cluster_labels(df, n, threshold, text_col, id_col)
     h = F.substring(
         F.md5(
             F.concat(
@@ -1200,9 +1218,9 @@ def cluster_safe_split_stratified(
     :func:`cluster_safe_split` must still hold: every member of a
     near-dup cluster lands in the same split.  Composition: the unit of
     assignment stays the CLUSTER; the cluster's stratum is its min-id
-    (canonical) member's ``stratum_col`` — deterministic, and read with
-    one window ``first`` over the cluster-keyed exchange the size count
-    already pays, never a second join.  A cluster spanning strata is
+    (canonical) member's ``stratum_col`` — deterministic, carried onto
+    the label rows as an ``extra`` column (never a second corpus join)
+    and read with one window ``first``.  A cluster spanning strata is
     assigned whole to its canonical stratum (the alternative —
     splitting it — is exactly the leak this operator exists to
     prevent).  The split rule is the engine-portable md5-prefix
@@ -1223,8 +1241,9 @@ def cluster_safe_split_stratified(
         if abs(sum(fr) - 1.0) > 1e-9:
             raise ValueError(f"fractions for {key!r} must sum to 1, got {sum(fr)}")
 
-    cl = dedup_clusters(df, n, threshold, text_col, id_col)
-    joined = cl.join(df.select(id_col, stratum_col), id_col)
+    joined = _cluster_labels(
+        df, n, threshold, text_col, id_col, extra=[F.col(stratum_col)]
+    )
     w = (
         Window.partitionBy("cluster_id")
         .orderBy(id_col)

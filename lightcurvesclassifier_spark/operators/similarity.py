@@ -706,7 +706,16 @@ def _lloyd_graph(
     # re-planning has nothing to improve: plan it ONCE as a single
     # non-adaptive job.  The conf flip is scoped to this (driver-side,
     # sequential) materialization and restored in finally; blocks are
-    # ContextCleaner-reaped when unreferenced.
+    # ContextCleaner-reaped when unreferenced.  CONCURRENCY contract
+    # (r7 advice): runtime conf is session-global, so a query PLANNED
+    # on this same SparkSession during this bounded window would be
+    # planned with AQE off (it still executes correctly — AQE is a
+    # planning strategy, not a correctness knob). Callers that plan
+    # queries concurrently with IVF training should use a cloned
+    # session (`spark.newSession()` shares the SparkContext but
+    # isolates runtime conf); the engine's own streaming queries are
+    # unaffected — Structured Streaming disables AQE in micro-batch
+    # plans regardless of this conf.
     spark = cells.sparkSession
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -125,15 +125,27 @@ def concurrency_query(
         import shutil
 
         tmp = f"{out_dir.rstrip('/')}._staging_{_batch_id}"
+        # crash-replay safety (r7 advice): if a previous attempt of
+        # THIS batch id died mid-publish, its staging/old dirs may
+        # still exist — `mode("overwrite")` rewrites the staging dir,
+        # and the old dir must be cleared BEFORE the move-aside rename
+        # (renaming onto a non-empty dir raises ENOTEMPTY and would
+        # wedge the query until manual cleanup).
         cumulate_deltas(batch_df).write.mode("overwrite").parquet(tmp)
         old = f"{out_dir.rstrip('/')}._old_{_batch_id}"
+        shutil.rmtree(old, ignore_errors=True)
         # publish: move the live dir aside (readers holding open file
         # handles keep a consistent view on POSIX), rename the staged
         # snapshot in, then drop the old copy.  Each step is a single
-        # directory rename — no window with a partially-written live
-        # table.  On local/HDFS-like stores rename is atomic; object
-        # stores without atomic rename should version by batch id and
-        # flip a pointer instead.
+        # directory rename — a reader never observes a PARTIAL table,
+        # though between the two renames there is a brief window where
+        # the live path does not exist (a crash there leaves the
+        # previous snapshot parked at the old path; the next replay of
+        # the same batch id publishes a fresh snapshot, and the parked
+        # copy is reaped by this batch's or a later batch's rmtree).
+        # On local/HDFS-like stores rename is atomic; object stores
+        # without atomic rename should version by batch id and flip a
+        # pointer instead.
         if os.path.exists(out_dir):
             os.rename(out_dir, old)
         os.rename(tmp, out_dir)

@@ -221,3 +221,48 @@ def test_pdm_grid_broadcast_wide_shuffle_only_once(spark):
     ]
     assert len(exchanges) == 1, plan
     assert "star_id" in exchanges[0] and "pbin" not in exchanges[0]
+
+
+def test_ivf_topk_job_budget(spark):
+    """Regression guard for the r7 plan-construction fix (the 2.6->1.9s
+    win was py4j/planning overhead no value oracle can see): one
+    embedding_ivf_topk call must stay within a pinned Spark-job budget.
+    Measured 13 jobs (stable across runs) after the scoped-AQE eager
+    checkpoint + expr-string folds; a refactor that reintroduces the
+    per-call planning storm (e.g. an extra Lloyd materialization per
+    iteration, or AQE re-planning the bounded training chain) blows
+    well past the 18 allowed here."""
+    from tests.conftest import SF_ORACLE
+
+    sc = spark.sparkContext
+    q = em.queries()["embedding_ivf_topk"]
+    q(spark, SF_ORACLE).write.format("noop").mode("overwrite").save()  # warm
+    sc.setJobGroup("ivf_budget", "job-count pin")
+    try:
+        q(spark, SF_ORACLE).write.format("noop").mode("overwrite").save()
+    finally:
+        sc.setJobGroup(None, None)
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("ivf_budget"))
+    assert 0 < n_jobs <= 18, n_jobs
+
+
+def test_star_cc_job_budget(spark):
+    """Same guard for the r8 fused star-CC rounds: ngram pairs + CC on
+    the dedup corpus converges in 2 contractions, each round ONE action
+    (observe-fused fixpoint — though under AQE every exchange query
+    stage still surfaces as its own Spark job). Measured 18 jobs,
+    stable across runs, for dedup_clusters at sf0.01. Budget 22
+    catches a reintroduced separate per-round diff action or the old
+    join-formulation's broadcast-build jobs (+4 or more each)."""
+    from tests.conftest import SF_ORACLE
+
+    sc = spark.sparkContext
+    q = em.queries()["dedup_clusters"]
+    q(spark, SF_ORACLE).write.format("noop").mode("overwrite").save()  # warm
+    sc.setJobGroup("cc_budget", "job-count pin")
+    try:
+        q(spark, SF_ORACLE).write.format("noop").mode("overwrite").save()
+    finally:
+        sc.setJobGroup(None, None)
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("cc_budget"))
+    assert 0 < n_jobs <= 22, n_jobs

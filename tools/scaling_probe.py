@@ -1,0 +1,188 @@
+"""One honest scaling point for the heavy queries (r7 verdict stretch
+#7): replicate the sf0.1 documents/embeddings tables K× (default 10) so
+per-replica STRUCTURE is preserved, time the heaviest queries at 1x and
+Kx, and print measured wall-time scaling exponents
+(log(t_K / t_1) / log(K) — 1.0 = linear, <1 = sublinear).
+
+Structure preservation matters: naive replication with id offsets keeps
+TEXTS identical across replicas, so every doc near-dups its 9 copies
+and the pair graph scales ~K² with giant cross-replica clusters — a
+different workload, not a bigger one. Instead each replica is salted
+out of the others' similarity space:
+
+* documents: every TOKEN is prefixed with the replica tag, so
+  cross-replica shingle overlap is zero and the near-dup graph is K
+  independent copies of the base graph (pairs scale exactly Kx);
+* embeddings: each replica's vectors are circularly shifted by
+  8*replica dimensions — norm-preserving, and on near-uniform vectors
+  the shifted copy decorrelates, so cosine near-dup pairs stay within
+  replicas.
+
+Usage: python tools/scaling_probe.py [--k 10] [--out /tmp/sfprobe]
+Prints one JSON line per query: {"query", "t_base", "t_big", "exponent"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+QUERIES = [
+    "dedup_clusters",
+    "embedding_dedup_clusters",
+    "cluster_split",
+    "dedup_canonical",
+    "table_profile",
+]
+
+
+def _salted_documents(docs: DataFrame, k: int) -> DataFrame:
+    reps = []
+    for r in range(k):
+        tag = F.lit(f"r{r}_")
+        reps.append(
+            docs.select(
+                (F.col("doc_id") + r * 10_000_000).alias("doc_id"),
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda t: F.concat(tag, t),
+                    ),
+                    " ",
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _shifted_embeddings(emb: DataFrame, k: int) -> DataFrame:
+    reps = []
+    for r in range(k):
+        if r == 0:
+            reps.append(emb)
+            continue
+        s = 8 * r
+        arr = F.col("embedding")
+        shifted = F.concat(
+            F.slice(arr, s + 1, F.size(arr) - s), F.slice(arr, 1, s)
+        )
+        reps.append(
+            emb.select(
+                (F.col("vec_id") + r * 10_000_000).alias("vec_id"),
+                shifted.alias("embedding"),
+                *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+            )
+        )
+    out = reps[0]
+    for rdf in reps[1:]:
+        out = out.unionByName(rdf)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--out", default="/tmp/sfprobe")
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
+    base_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import __spark_entry__ as entry_mod
+    from lightcurvesclassifier_spark.session import get_spark
+    from lightcurvesclassifier_spark.sources.testdata import TABLES, load_table
+
+    spark = get_spark("lcc-scaling-probe")
+
+    big_dir = os.path.join(args.out, f"k{args.k}")
+    marker = os.path.join(big_dir, "_READY")
+    if not os.path.exists(marker):
+        os.makedirs(big_dir, exist_ok=True)
+        docs = load_table(spark, base_sf, "documents")
+        emb = load_table(spark, base_sf, "embeddings")
+        _salted_documents(docs, args.k).write.mode("overwrite").parquet(
+            os.path.join(big_dir, "documents.parquet")
+        )
+        _shifted_embeddings(emb, args.k).write.mode("overwrite").parquet(
+            os.path.join(big_dir, "embeddings.parquet")
+        )
+        # the remaining tables are read by some queries' plans
+        # (table_profile scans lineitem); replicate lineitem too, link
+        # the rest at 1x (they are not on the probed queries' hot path)
+        li = load_table(spark, base_sf, "lineitem")
+        big_li = li
+        for _r in range(1, args.k):
+            big_li = big_li.unionByName(li)
+        big_li.write.mode("overwrite").parquet(
+            os.path.join(big_dir, "lineitem.parquet")
+        )
+        import shutil
+
+        for t in TABLES:
+            dst = os.path.join(big_dir, f"{t}.parquet")
+            if not os.path.exists(dst):
+                src = os.path.join(base_sf, f"{t}.parquet")
+                if os.path.isdir(src):
+                    shutil.copytree(src, dst)
+                else:
+                    shutil.copy(src, dst)
+        open(marker, "w").write("ok")
+
+    for t in TABLES:
+        load_table(spark, base_sf, t).count()
+        load_table(spark, big_dir, t).count()
+
+    qs = entry_mod.queries()
+
+    def _reclaim():
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
+    def _best(fn, sf_dir):
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples = []
+        for _ in range(args.runs):
+            _reclaim()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        return min(samples)
+
+    import math
+
+    for name in QUERIES:
+        fn = qs[name]
+        t1 = _best(fn, base_sf)
+        tk = _best(fn, big_dir)
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "k": args.k,
+                    "t_base_sec": round(t1, 3),
+                    "t_big_sec": round(tk, 3),
+                    "exponent": round(math.log(tk / t1) / math.log(args.k), 3),
+                }
+            ),
+            flush=True,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

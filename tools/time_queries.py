@@ -1,20 +1,38 @@
 """Isolated per-query timing: best-of-N for the named queries at
 $SPARK_GRAFT_SF_DIR (default sf0.1), after the same reclaim + warm-up
-protocol bench.py uses.  Usage: python tools/time_queries.py q1 q2 ...
+protocol bench.py uses.
+
+Usage: python tools/time_queries.py [--json] q1 q2 ...
+
+With ``--json`` the output is ONE self-describing JSON line containing
+the target timings PLUS three untouched CONTROL queries
+(pricing_summary / lc_smooth / detrend — stable plans that no round
+has changed since r5) timed in the same session, and the contention
+ratio of each control against its committed quiet-box floor. A bar
+claim ("query X meets <=Ns") is only adjudicable when the controls are
+near 1.0x — this artifact makes that adjudication one read instead of
+a cross-correlation of three bench records (r7 verdict item #4).
 """
 
 from __future__ import annotations
 
 import gc
+import json
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# quiet-box floors for the control queries (best-of-3, committed with
+# BENCH_LOCAL provenance; re-baseline when their plans change)
+CONTROLS = {"pricing_summary": 0.37, "lc_smooth": 0.48, "detrend": 0.68}
+
 
 def main() -> None:
-    names = sys.argv[1:]
+    args = sys.argv[1:]
+    as_json = "--json" in args
+    names = [a for a in args if a != "--json"]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
@@ -33,7 +51,7 @@ def main() -> None:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 
-    for name in names:
+    def _time(name: str) -> dict:
         fn = qs[name]
         _reclaim()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
@@ -42,8 +60,36 @@ def main() -> None:
             _reclaim()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        print(f"{name}: best={min(samples):.3f} all={[round(s,3) for s in samples]}")
+            samples.append(round(time.perf_counter() - t0, 3))
+        return {"best": min(samples), "all": samples}
+
+    targets = {n: _time(n) for n in names}
+    if not as_json:
+        for n, r in targets.items():
+            print(f"{n}: best={r['best']:.3f} all={r['all']}")
+        spark.stop()
+        return
+
+    controls = {
+        n: _time(n) for n in CONTROLS if n in qs and n not in targets
+    }
+    ratios = [controls[n]["best"] / CONTROLS[n] for n in controls]
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "runs": runs,
+                "targets": targets,
+                "controls": {
+                    n: {**controls[n], "quiet_floor": CONTROLS[n]}
+                    for n in controls
+                },
+                "contention_ratio": round(
+                    sum(ratios) / len(ratios), 3
+                ) if ratios else None,
+            }
+        )
+    )
     spark.stop()
 
 
