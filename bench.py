@@ -117,10 +117,14 @@ def main() -> None:
         "sf": sf_val,
     }
     # Full record to a repo-local artifact too, so per-query triage
-    # never depends on the bounded stdout tail.
+    # never depends on the bounded stdout tail.  BENCH_LOCAL.json is
+    # the OFFICIAL-scale record only (sf0.1) — an sf0.001 smoke probe
+    # silently clobbered the committed r7 record in r8; off-scale runs
+    # land in BENCH_LAST.json instead.
     try:
         here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        name = "BENCH_LOCAL.json" if sf_val == 0.1 else "BENCH_LAST.json"
+        with open(os.path.join(here, name), "w") as f:
             json.dump(record, f, indent=1)
     except OSError:
         pass  # read-only checkout: stdout record still stands

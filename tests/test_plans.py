@@ -266,3 +266,17 @@ def test_star_cc_job_budget(spark):
         sc.setJobGroup(None, None)
     n_jobs = len(sc.statusTracker().getJobIdsForGroup("cc_budget"))
     assert 0 < n_jobs <= 22, n_jobs
+
+
+def test_ngram_jaccard_reuses_shingle_exchange(spark):
+    """ngram_jaccard_pairs dropped its shingle-table checkpoint in r8:
+    the two self-join sides are the identical subtree, so exchange
+    reuse must serve the second side from the first's shuffle files.
+    AQE only marks the reuse in the FINAL plan, so execute first. If
+    plan drift ever breaks the reuse, the corpus scan + shingle explode
+    would silently run twice — fail here instead."""
+    df = em.queries()["dedup_ngram"](spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    assert "ReusedExchange" in plan, plan

@@ -14,9 +14,10 @@ out of the others' similarity space:
   cross-replica shingle overlap is zero and the near-dup graph is K
   independent copies of the base graph (pairs scale exactly Kx);
 * embeddings: each replica's vectors are circularly shifted by
-  8*replica dimensions — norm-preserving, and on near-uniform vectors
-  the shifted copy decorrelates, so cosine near-dup pairs stay within
-  replicas.
+  (7*replica) mod dim dimensions — norm-preserving, nonzero and
+  pairwise-distinct for k <= 10 on 64-dim vectors, and on
+  near-uniform vectors the shifted copy decorrelates, so cosine
+  near-dup pairs stay within replicas.
 
 Usage: python tools/scaling_probe.py [--k 10] [--out /tmp/sfprobe]
 Prints one JSON line per query: {"query", "t_base", "t_big", "exponent"}.
@@ -70,15 +71,18 @@ def _salted_documents(docs: DataFrame, k: int) -> DataFrame:
 
 
 def _shifted_embeddings(emb: DataFrame, k: int) -> DataFrame:
+    dim = len(emb.select("embedding").first()[0])
     reps = []
     for r in range(k):
-        if r == 0:
-            reps.append(emb)
-            continue
-        s = 8 * r
+        s = (7 * r) % dim
+        if s == 0:
+            if r == 0:
+                reps.append(emb)
+                continue
+            raise ValueError(f"replica {r} shift collapsed to 0 (dim {dim})")
         arr = F.col("embedding")
         shifted = F.concat(
-            F.slice(arr, s + 1, F.size(arr) - s), F.slice(arr, 1, s)
+            F.slice(arr, s + 1, dim - s), F.slice(arr, 1, s)
         )
         reps.append(
             emb.select(
