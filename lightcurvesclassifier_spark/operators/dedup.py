@@ -672,27 +672,41 @@ def connected_components_star(
     ONE action per round (the r7 verdict's lead directive — the family's
     cost at local scale is per-round fixed latency, not data): each
     round chains ``hops_per_round`` :func:`_star_contract` passes (two
-    window exchanges each, no joins → no broadcast-build jobs), then a
-    single (u, v) aggregate that simultaneously
+    window exchanges each, no joins → no broadcast-build jobs), dedups
+    the candidate edges with one (u, v) aggregate, then runs the
+    STAR-FOREST FIXPOINT TEST inside the same lineage and materializes
+    the round with an eager ``localCheckpoint`` — the convergence
+    signal is read from a ``DataFrame.observe`` metric collected during
+    the checkpoint job, so it costs zero extra actions.
 
-    * **dedups** the candidate edges (``distinct`` and the fixpoint
-      comparison previously paid separate exchanges),
-    * **counts the symmetric difference** against the previous round's
-      edge set via ``DataFrame.observe`` — rows tagged new/old, a row
-      present in exactly one set has max(_n) != max(_o); the metric is
-      collected DURING the eager ``localCheckpoint`` that materializes
-      the round, so the fixpoint signal costs zero extra jobs, and
-    * **materializes** the new edge set with truncated lineage.
+    The fixpoint test (replacing r8's first-cut symmetric-difference
+    signal, which needed one extra CONFIRM round to see cand == e): a
+    contracted edge set — all edges point large → small by construction
+    — is a fixpoint of the contraction **iff**
 
-    Because the diff is computed from round 0 (set-vs-set, so raw
-    duplicate pairs are absorbed by the aggregate), an input that is
-    already a star forest rooted at component minima converges in ONE
-    round.  ``hops_per_round`` > 1 trades plan size (the intermediate
+    * every source node appears with exactly ONE target, and
+    * no node is both a source and a target.
+
+    (⇐: the components are then stars whose root, being smaller than
+    every leaf, is the component min, and a large-star + small-star
+    pass maps such a forest to itself.  ⇒: a source with two targets
+    m₁ < m₂ re-attaches m₂ to m₁ next round; a node x that is both
+    source and target sits on a chain y → x → m, and y re-attaches to
+    m(x) ≤ m < x.  Either way the edge set changes.)  Both conditions
+    are per-NODE: each deduped edge explodes into a source-role and a
+    target-role row, one window over the node key counts roles, and the
+    observed metric sums violations — the test detects convergence in
+    the SAME round that produces the final edge set, one full round
+    earlier than any output-vs-input comparison (text graph at sf0.1:
+    1 action instead of 2; embedding graph: 3 instead of 4).
+
+    ``hops_per_round`` > 1 trades plan size (the intermediate
     contraction subtree is re-evaluated by its two bidir references)
-    for fewer driver round-trips — worth it for deeper graphs such as
-    the embedding near-dup chain (3 contractions + confirm at sf0.1).
+    for fewer driver round-trips — measured SLOWER on both benchmark
+    graphs (the duplicated subplans outgrow the saved actions), kept
+    for deep-diameter graphs at real scale.
     """
-    from pyspark.sql import Observation
+    from pyspark.sql import Observation, Window
 
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
@@ -708,34 +722,53 @@ def connected_components_star(
     e = pairs.select(
         F.col(a_col).alias("u"), F.col(b_col).alias("v")
     ).filter(F.col("u") != F.col("v")).localCheckpoint(eager=False)
+    wn = Window.partitionBy("_node")
     converged = False
     for _it in range(max_iter):
         cand = e
         for _hop in range(hops_per_round):
             cand = _star_contract(cand)
-        tagged = cand.select(
-            "u", "v", F.lit(1).alias("_n"), F.lit(0).alias("_o")
-        ).unionByName(
-            e.select("u", "v", F.lit(0).alias("_n"), F.lit(1).alias("_o"))
+        roles = (
+            cand.distinct()
+            .select(
+                "u",
+                "v",
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("u").alias("_node"),
+                            F.lit(1).alias("_s"),
+                            F.lit(0).alias("_t"),
+                        ),
+                        F.struct(
+                            F.col("v").alias("_node"),
+                            F.lit(0).alias("_s"),
+                            F.lit(1).alias("_t"),
+                        ),
+                    )
+                ).alias("_r"),
+            )
+            .select("u", "v", "_r._node", "_r._s", "_r._t")
         )
+        n_src = F.sum("_s").over(wn)
+        n_tgt = F.sum("_t").over(wn)
+        viol = ((n_src > 0) & (n_tgt > 0)) | (n_src > 1)
         obs = Observation()
         new_e = (
-            tagged.groupBy("u", "v")
-            .agg(F.max("_n").alias("_n"), F.max("_o").alias("_o"))
+            roles.withColumn("_viol", viol.cast("long"))
             .observe(
                 obs,
-                F.coalesce(
-                    F.sum((F.col("_n") != F.col("_o")).cast("long")),
-                    F.lit(0),
-                ).alias("diff"),
+                F.coalesce(F.sum("_viol"), F.lit(0)).alias("violations"),
             )
-            .filter(F.col("_n") == 1)
+            # the source-role row is unique per deduped edge — dropping
+            # the target-role rows AFTER the observe keeps the metric
+            # complete while returning exactly the edge set
+            .filter(F.col("_s") == 1)
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
-        diff = obs.get["diff"]
         e = new_e
-        if diff == 0:
+        if obs.get["violations"] == 0:
             converged = True
             break
     if not converged:
@@ -753,24 +786,44 @@ def connected_components_star(
     ).unionByName(roots)
 
 
-def _cluster_labels(
+def _labels_and_comp(
     df: DataFrame, n: int, threshold: float, text_col: str, id_col: str,
     extra: list[Column] | None = None,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Shared cluster-label subtree: n-gram Jaccard pairs → star CC →
-    (id_col, cluster_id[, extra...]) with singleton docs labeling
-    themselves.  ``extra`` columns (evaluated against ``df``) ride the
-    label join so consumers never pay a second corpus join to recover
-    per-doc attributes (canonical's text length, the stratified split's
-    stratum)."""
+    (labeled, comp) where ``labeled`` = (id_col, cluster_id[, extra...])
+    with singleton docs labeling themselves and ``comp`` = the raw
+    (node, label) component table — GRAPH nodes only, one row each.
+
+    ``comp`` is the family's scale lever: it holds only documents with
+    at least one near-dup partner (every pair has u != v, so every
+    graph component has ≥ 2 members), which in a real corpus is a small
+    fraction of the documents.  Per-cluster quantities (sizes, ranks,
+    canonical picks, the stratified split's cluster stratum) aggregate
+    over ``comp``-joined rows instead of windowing the FULL corpus —
+    the r8 restructure that removed the family's widest exchange.
+    ``comp`` re-evaluates from the CC loop's checkpointed edge blocks,
+    so a second reference costs block reads, not a recompute.
+
+    ``extra`` columns (evaluated against ``df``) ride the label join so
+    consumers never pay a second corpus join for per-doc attributes."""
     pairs = ngram_jaccard_pairs(df, n, threshold, text_col, id_col)
     comp = connected_components_star(pairs)
     all_docs = df.select(F.col(id_col).alias("node"), *(extra or []))
-    return all_docs.join(comp, "node", "left").select(
+    labeled = all_docs.join(comp, "node", "left").select(
         F.col("node").alias(id_col),
         F.coalesce("label", "node").alias("cluster_id"),
         *[F.col(c) for c in all_docs.columns if c != "node"],
     )
+    return labeled, comp
+
+
+def _cluster_labels(
+    df: DataFrame, n: int, threshold: float, text_col: str, id_col: str,
+    extra: list[Column] | None = None,
+) -> DataFrame:
+    """:func:`_labels_and_comp`'s labeled side only."""
+    return _labels_and_comp(df, n, threshold, text_col, id_col, extra)[0]
 
 
 def dedup_clusters(
@@ -780,17 +833,22 @@ def dedup_clusters(
     """Transitive near-duplicate clusters: n-gram Jaccard pairs →
     connected components → (doc_id, cluster_id, cluster_size), keep rule
     = the min-id document represents the cluster. Docs with no near-dup
-    partner form singleton clusters of themselves."""
-    labeled = _cluster_labels(df, n, threshold, text_col, id_col)
-    # cluster_size as a window count, not groupBy + self-join: the
-    # join form referenced `labeled` twice, re-executing the whole
-    # docs⋈comp subtree (Spark does not dedupe common subtrees); one
-    # cluster-keyed exchange serves both the count and the output
-    from pyspark.sql import Window
+    partner form singleton clusters of themselves.
 
-    w = Window.partitionBy("cluster_id")
-    return labeled.select(
-        id_col, "cluster_id", F.count("*").over(w).alias("cluster_size")
+    cluster_size aggregates over the GRAPH side (``comp``), never the
+    corpus: sizes = one count per component over comp's (node, label)
+    rows, joined back with coalesce(size, 1) for singletons.  The r7
+    shape windowed the full corpus by cluster_id — a corpus-wide
+    exchange + sort to count members that only graph nodes contribute
+    to (singletons are always 1 by construction)."""
+    labeled, comp = _labels_and_comp(df, n, threshold, text_col, id_col)
+    sizes = comp.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count("*").alias("_sz")
+    )
+    return labeled.join(sizes, "cluster_id", "left").select(
+        id_col,
+        "cluster_id",
+        F.coalesce("_sz", F.lit(1)).alias("cluster_size"),
     )
 
 
@@ -1081,33 +1139,44 @@ def dedup_canonical(
     Emits one row per document: (doc_id, cluster_id, cluster_size,
     canonical_id, keep). Filtering ``keep`` is the dedup delete;
     joining ``canonical_id`` is the redirect map (e.g. for provenance
-    or URL aliasing). Cost over the cluster labels: ONE window shuffle
-    keyed by cluster_id — the text length rides the label join as an
-    ``extra`` column (r8; the previous shape re-joined the corpus just
-    to recover it), and the size count, rank and canonical windows all
-    share the cluster-keyed exchange."""
+    or URL aliasing). The size/rank/canonical windows run over GRAPH
+    MEMBERS only (``comp`` joined to the carried text lengths — every
+    window quantity is trivial for a singleton: size 1, canonical
+    itself, keep true), so the cluster-keyed exchange and sort carry
+    the near-dup subset, never the corpus (r8; the r7 shape windowed
+    every document)."""
     from pyspark.sql import Window
 
-    labeled = _cluster_labels(
-        df, n, threshold, text_col, id_col,
-        extra=[F.length(text_col).alias("_len")],
+    labeled, comp = _labels_and_comp(df, n, threshold, text_col, id_col)
+    # member lengths come from the raw corpus projection, NOT from
+    # `labeled` — referencing labeled twice would re-execute its
+    # docs⋈comp join (Spark does not dedupe common subtrees)
+    members = comp.join(
+        df.select(
+            F.col(id_col).alias("node"), F.length(text_col).alias("_len")
+        ),
+        "node",
     )
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("_len").desc(), F.col(id_col)
+    w = Window.partitionBy("label").orderBy(
+        F.col("_len").desc(), F.col("node")
     )
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    w_cnt = Window.partitionBy("cluster_id")
-    return (
-        labeled.withColumn("_rk", F.row_number().over(w))
-        .withColumn("canonical_id", F.first(id_col).over(w_full))
-        .withColumn("cluster_size", F.count("*").over(w_cnt))
+    w_cnt = Window.partitionBy("label")
+    mem_res = (
+        members.withColumn("_rk", F.row_number().over(w))
         .select(
-            id_col,
-            "cluster_id",
-            "cluster_size",
-            "canonical_id",
-            (F.col("_rk") == 1).alias("keep"),
+            F.col("node").alias(id_col),
+            F.first("node").over(w_full).alias("_canon"),
+            F.count("*").over(w_cnt).alias("_sz"),
+            (F.col("_rk") == 1).alias("_keep"),
         )
+    )
+    return labeled.join(mem_res, id_col, "left").select(
+        id_col,
+        "cluster_id",
+        F.coalesce("_sz", F.lit(1)).alias("cluster_size"),
+        F.coalesce("_canon", F.col(id_col)).alias("canonical_id"),
+        F.coalesce("_keep", F.lit(True)).alias("keep"),
     )
 
 
@@ -1235,8 +1304,6 @@ def cluster_safe_split_stratified(
 
     ``fractions`` maps stratum value → (train, val, test) summing to 1;
     strata not listed use ``default_fractions``."""
-    from pyspark.sql import Window
-
     from .corpus import _hex_bound
 
     fractions = fractions or {}
@@ -1246,15 +1313,25 @@ def cluster_safe_split_stratified(
         if abs(sum(fr) - 1.0) > 1e-9:
             raise ValueError(f"fractions for {key!r} must sum to 1, got {sum(fr)}")
 
-    joined = _cluster_labels(
+    joined, comp = _labels_and_comp(
         df, n, threshold, text_col, id_col, extra=[F.col(stratum_col)]
     )
-    w = (
-        Window.partitionBy("cluster_id")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # the cluster label IS its min member's doc id, so the cluster
+    # stratum is one tiny lookup — distinct component labels joined to
+    # the corpus on label == doc id (graph-cluster count rows, never a
+    # corpus-wide window); singletons fall back to their own stratum
+    cstr_tbl = (
+        comp.select(F.col("label").alias("cluster_id"))
+        .distinct()
+        .join(
+            df.select(
+                F.col(id_col).alias("cluster_id"),
+                F.col(stratum_col).alias("_cstr"),
+            ),
+            "cluster_id",
+        )
     )
-    cstr = F.first(stratum_col).over(w)
+    cstr = F.coalesce("_cstr", F.col(stratum_col))
     h = F.substring(
         F.md5(
             F.concat(
@@ -1277,9 +1354,11 @@ def cluster_safe_split_stratified(
     split = rule(default_fractions)
     for s_val, fr in sorted(fractions.items()):
         split = F.when(F.col("stratum") == s_val, rule(fr)).otherwise(split)
-    return joined.select(
-        id_col, "cluster_id", cstr.alias("stratum")
-    ).select(id_col, "cluster_id", "stratum", split.alias("split"))
+    return (
+        joined.join(cstr_tbl, "cluster_id", "left")
+        .select(id_col, "cluster_id", cstr.alias("stratum"))
+        .select(id_col, "cluster_id", "stratum", split.alias("split"))
+    )
 
 
 def cluster_safe_split_stratified_sql(

@@ -247,13 +247,12 @@ def test_ivf_topk_job_budget(spark):
 
 
 def test_star_cc_job_budget(spark):
-    """Same guard for the r8 fused star-CC rounds: ngram pairs + CC on
-    the dedup corpus converges in 2 contractions, each round ONE action
-    (observe-fused fixpoint — though under AQE every exchange query
-    stage still surfaces as its own Spark job). Measured 18 jobs,
-    stable across runs, for dedup_clusters at sf0.01. Budget 22
-    catches a reintroduced separate per-round diff action or the old
-    join-formulation's broadcast-build jobs (+4 or more each)."""
+    """Same guard for the r8 fused star-CC rounds: the in-round
+    star-forest fixpoint test converges the text graph in ONE action
+    (under AQE every exchange query stage still surfaces as its own
+    Spark job). Measured 15 jobs, stable across runs, for
+    dedup_clusters at sf0.01. Budget 19 catches a reintroduced confirm
+    round or separate per-round diff action (+3 or more each)."""
     from tests.conftest import SF_ORACLE
 
     sc = spark.sparkContext
@@ -265,7 +264,7 @@ def test_star_cc_job_budget(spark):
     finally:
         sc.setJobGroup(None, None)
     n_jobs = len(sc.statusTracker().getJobIdsForGroup("cc_budget"))
-    assert 0 < n_jobs <= 22, n_jobs
+    assert 0 < n_jobs <= 19, n_jobs
 
 
 def test_ngram_jaccard_reuses_shingle_exchange(spark):
