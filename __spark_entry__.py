@@ -1253,8 +1253,15 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs. n_cells=4 / fixed n_salts=4 for the
+    same reason as q_embedding_dedup_clusters: at threshold 0.42 the
+    replication radius covers the sphere, so cells cannot prune and
+    auto-salting's second Arrow assignment pass buys nothing; the pair
+    set is parameter-invariant (pinned in test_data_pipeline)."""
     emb = testdata.load_table(spark, sf_dir, "embeddings")
-    return sim_ops.embedding_neardup_pairs(emb, threshold=0.42)
+    return sim_ops.embedding_neardup_pairs(
+        emb, threshold=0.42, n_cells=4, n_salts=4
+    )
 
 
 def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1593,15 +1600,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     is now pinned by DRIVER_WINDOW in tests).  Layout (r8 rotation,
     oldest-first per the r6 judge directive):
 
-    * 1-5: every query whose PLAN changed this round — the cluster
+    * 1-8: every query whose PLAN changed this round — the cluster
       family riding the fused star-CC rounds (window contraction +
-      observe-fused fixpoint), including the two never-driver-checked
-      splits (cluster_split landed after the r7 window froze;
-      cluster_split_stratified is new) and embedding_dedup_clusters'
-      n_cells=4/n_salts=4 pairs parameters.
-    * 6-38: ALL 33 r5-era rows — the oldest driver evidence in the
+      in-round star-forest fixpoint test + graph-side cluster stats),
+      including the two never-driver-checked splits (cluster_split
+      landed after the r7 window froze; cluster_split_stratified is
+      new); the jaccard-pair consumers that lost the shingle
+      checkpoint to exchange reuse (dedup_ngram, neardup_degrees);
+      and the two embedding near-dup queries on the n_cells=4/
+      n_salts=4 pairs parameters.
+    * 9-41: ALL 33 r5-era rows — the oldest driver evidence in the
       repo after this rotation.
-    * 39-50: the head of the r6-era rows.
+    * 42-50: the head of the r6-era rows.
     * 51+: r6/r7-green queries, re-verified every session by
       tests/test_oracle_parity.py (rotated out to make window room).
       After this round no query's freshest driver row predates r6.
@@ -1611,12 +1621,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- 1-50: oracled, driver-checked window (r8 rotation) ---
-        # plan changed this round (r8): fused star-CC cluster family
+        # plan changed this round (r8): fused star-CC cluster family,
+        # jaccard exchange-reuse consumers, tuned embedding near-dup
         "cluster_split": q_cluster_split,
         "cluster_split_stratified": q_cluster_split_stratified,
         "dedup_clusters": q_dedup_clusters,
         "dedup_canonical": q_dedup_canonical,
         "embedding_dedup_clusters": q_embedding_dedup_clusters,
+        "dedup_ngram": q_dedup_ngram,
+        "neardup_degrees": q_neardup_degrees,
+        "embedding_neardup": q_embedding_neardup,
         # r5-era driver rows — oldest evidence, all 33 rotated in
         "lc_smooth": q_lc_smooth,
         "pricing_summary": q_pricing_summary,
@@ -1661,10 +1675,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "period_pdm": q_period_pdm,
         "periodogram": q_periodogram,
         "period_search": q_period_search,
+        # --- 51+: oracled, driver-green in r6/r7, local parity ---
         "period_significance": q_period_significance,
         "crossmatch": q_crossmatch,
         "crossmatch_full": q_crossmatch_full,
-        # --- 51+: oracled, driver-green in r6/r7, local parity ---
         "cone_nearest": q_cone_nearest,
         "plan_anti_join": q_plan_anti_join,
         "custom_decider": q_custom_decider,
@@ -1682,7 +1696,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": q_text_bpe_tokens,
         "embedding_topk": q_embedding_topk,
         "multimodal_features": q_multimodal_features,
-        "embedding_neardup": q_embedding_neardup,
         "curve_descr_pca": q_curve_descr_pca,
         "detrend": q_detrend,
         "cms_counters": q_cms_counters,
@@ -1702,11 +1715,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_bits": q_bloom_bits,
         "bloom_probe": q_bloom_probe,
         "bloom_probe_fast": q_bloom_probe_fast,
-        "dedup_ngram": q_dedup_ngram,
         "dedup_minhash": q_dedup_minhash,
         "decontamination": q_decontamination,
         "pretraining_corpus": q_pretraining_corpus,
-        "neardup_degrees": q_neardup_degrees,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_ivf_flat_topk": q_embedding_ivf_flat_topk,
         "phase_fold": q_phase_fold,
