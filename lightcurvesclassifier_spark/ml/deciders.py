@@ -113,6 +113,20 @@ class MLlibDecider(BaseDecider):
         est.setFeaturesCol(FEATURES)
         est.setLabelCol(LABEL)
         self.model = est.fit(train)
+        # Drop the training summary: it holds the fitting SparkSession,
+        # which rides model.transform's prediction-UDF closure into
+        # every scoring task — and a classic Spark 4.1 session whose
+        # lazy `observationManager` has been initialized (ANY
+        # DataFrame.observe / Observation use anywhere in the session,
+        # e.g. an earlier run of this engine's CC-era plans or any user
+        # query) is NOT serializable, failing the score job with `Task
+        # not serializable`. The summary is training-time metadata this
+        # decider never reads; shedding it keeps the scoring closure
+        # free of the session no matter what ran before.
+        try:
+            self.model._call_java("setSummary", None)
+        except Exception:
+            pass  # older/newer MLlib without the setter: keep going
         return self
 
     def evaluate(self, df, feature_cols, out_col="prob"):

@@ -669,15 +669,24 @@ def connected_components_star(
     min-label implementation in tests (same components, same canonical
     min label).
 
-    ONE action per round (the r7 verdict's lead directive — the family's
-    cost at local scale is per-round fixed latency, not data): each
-    round chains ``hops_per_round`` :func:`_star_contract` passes (two
-    window exchanges each, no joins → no broadcast-build jobs), dedups
-    the candidate edges with one (u, v) aggregate, then runs the
-    STAR-FOREST FIXPOINT TEST inside the same lineage and materializes
-    the round with an eager ``localCheckpoint`` — the convergence
-    signal is read from a ``DataFrame.observe`` metric collected during
-    the checkpoint job, so it costs zero extra actions.
+    ONE materialization per round (the r7 verdict's lead directive —
+    the family's cost at local scale is per-round fixed latency, not
+    data): each round chains ``hops_per_round`` :func:`_star_contract`
+    passes (two window exchanges each, no joins → no broadcast-build
+    jobs), dedups the candidate edges with one (u, v) aggregate, runs
+    the STAR-FOREST FIXPOINT TEST inside the same lineage, and
+    materializes the round with an eager ``localCheckpoint`` carrying a
+    per-row violation flag; the convergence signal is then one
+    ``isEmpty`` probe over the checkpointed blocks — an early-exit
+    block read, no shuffle, no recompute.  (A ``DataFrame.observe``
+    metric would make the signal fully free, but merely TOUCHING the
+    Observation API initializes ``SparkSession.observationManager`` — a
+    non-transient, non-serializable lazy val in Spark 4.1's classic
+    session — after which any task closure that captures the session,
+    e.g. every MLlib model.transform whose training summary rides the
+    prediction UDF, fails with `Task not serializable`.  Found the hard
+    way: pytest's MLlib decider tests broke only when a CC test ran
+    first in the same session.)
 
     The fixpoint test (replacing r8's first-cut symmetric-difference
     signal, which needed one extra CONFIRM round to see cand == e): a
@@ -695,10 +704,13 @@ def connected_components_star(
     m(x) ≤ m < x.  Either way the edge set changes.)  Both conditions
     are per-NODE: each deduped edge explodes into a source-role and a
     target-role row, one window over the node key counts roles, and the
-    observed metric sums violations — the test detects convergence in
+    per-row flag rides the checkpoint — the test detects convergence in
     the SAME round that produces the final edge set, one full round
     earlier than any output-vs-input comparison (text graph at sf0.1:
-    1 action instead of 2; embedding graph: 3 instead of 4).
+    1 round instead of 2; embedding graph: 3 instead of 4).  Every
+    violating node necessarily has a source-role row (both violation
+    forms require n_src > 0), so keeping only source rows — exactly one
+    per deduped edge — loses no signal.
 
     ``hops_per_round`` > 1 trades plan size (the intermediate
     contraction subtree is re-evaluated by its two bidir references)
@@ -706,7 +718,7 @@ def connected_components_star(
     graphs (the duplicated subplans outgrow the saved actions), kept
     for deep-diameter graphs at real scale.
     """
-    from pyspark.sql import Observation, Window
+    from pyspark.sql import Window
 
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
@@ -753,22 +765,18 @@ def connected_components_star(
         n_src = F.sum("_s").over(wn)
         n_tgt = F.sum("_t").over(wn)
         viol = ((n_src > 0) & (n_tgt > 0)) | (n_src > 1)
-        obs = Observation()
-        new_e = (
-            roles.withColumn("_viol", viol.cast("long"))
-            .observe(
-                obs,
-                F.coalesce(F.sum("_viol"), F.lit(0)).alias("violations"),
-            )
-            # the source-role row is unique per deduped edge — dropping
-            # the target-role rows AFTER the observe keeps the metric
-            # complete while returning exactly the edge set
+        # the source-role row is unique per deduped edge, and every
+        # violating node has one (both violation forms require
+        # n_src > 0) — so the source rows ARE the edge set and carry
+        # the complete convergence signal
+        checked = (
+            roles.withColumn("_viol", viol)
             .filter(F.col("_s") == 1)
-            .select("u", "v")
+            .select("u", "v", "_viol")
             .localCheckpoint(eager=True)
         )
-        e = new_e
-        if obs.get["violations"] == 0:
+        e = checked.select("u", "v")
+        if checked.filter(F.col("_viol")).isEmpty():
             converged = True
             break
     if not converged:

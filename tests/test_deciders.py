@@ -372,3 +372,26 @@ def test_kmeans_decider_persists_and_keeps_invalid_rows(
     n_null = scored.filter(F.col("prob").isNull()).count()
     n_holes = holey.filter(F.col("f0").isNull()).count()
     assert n_null == n_holes > 0
+
+
+def test_mllib_scoring_survives_prior_connected_components(spark):
+    """Session-interaction pin (r8): Spark 4.1's classic SparkSession
+    becomes non-serializable once its lazy observationManager is
+    initialized (any Observation/observe use), and MLlib training
+    summaries capture the session into the prediction-UDF closure.
+    Guard both sides: the CC loop must not touch the Observation API,
+    and MLlibDecider must shed the training summary — so a near-dup
+    clustering followed by MLlib scoring in ONE session works."""
+    from lightcurvesclassifier_spark.operators import dedup as dd
+    from lightcurvesclassifier_spark.sources import testdata
+    from tests.conftest import SF_ORACLE
+
+    corpus = testdata.dedup_corpus(spark, SF_ORACLE)
+    assert dd.dedup_clusters(corpus, threshold=0.6).count() > 0
+
+    dec = make_decider("RandomForestDec")
+    s = _pop(spark, 1.0)
+    o = _pop(spark, 0.0)
+    dec.learn(s, o, FEATURES)
+    scored = dec.evaluate(s.unionByName(o), FEATURES).toPandas()
+    assert len(scored) == s.count() + o.count()
