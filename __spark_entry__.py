@@ -1180,6 +1180,28 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.repeated_spans(corpus, k=12)
 
 
+def q_exact_substr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply-side of ExactSubstr dedup (Lee et al. 2021 §4.2): remove
+    every duplicated k-token span occurrence except the globally first,
+    returning the scrubbed corpus (repeated_spans only measures; this
+    produces the text a pre-training run actually consumes). Two hash
+    exchanges, marked-position explode bounded by the duplicated
+    fraction, map-side higher-order-filter rebuild."""
+    corpus = testdata.dedup_corpus(spark, sf_dir)
+    return dedup_ops.exact_substr_scrub(corpus, k=12)
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index self-evaluation: per-query recall@10 of the IVF path
+    against the exact cosine top-10 — recall was pytest-only before;
+    as a fully-oracled query an index parameter change now shows up as
+    a VALUE diff. Both legs deterministic (rounded-cos, vec_id
+    tie-break), so the intersection is engine-exact."""
+    emb = testdata.load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return sim_ops.ann_recall(emb, queries_df, k=10, n_probe=10)
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply-side of dedup: canonical doc per near-dup cluster (longest
     text, tie-break min id) + keep flags — the delete/redirect map."""
@@ -1609,9 +1631,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       checkpoint to exchange reuse (dedup_ngram, neardup_degrees);
       and the two embedding near-dup queries on the n_cells=4/
       n_salts=4 pairs parameters.
-    * 9-41: ALL 33 r5-era rows — the oldest driver evidence in the
+    * 9-10: the two operators NEW this round (never driver-checked):
+      exact_substr_scrub (ExactSubstr apply side), ann_recall (IVF
+      recall self-eval).
+    * 11-43: ALL 33 r5-era rows — the oldest driver evidence in the
       repo after this rotation.
-    * 42-50: the head of the r6-era rows.
+    * 44-50: the head of the r6-era rows (periodogram + period_search
+      rotated out to 51+ to make room for the two new entries; their
+      freshest rows stay r6).
     * 51+: r6/r7-green queries, re-verified every session by
       tests/test_oracle_parity.py (rotated out to make window room).
       After this round no query's freshest driver row predates r6.
@@ -1631,6 +1658,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram": q_dedup_ngram,
         "neardup_degrees": q_neardup_degrees,
         "embedding_neardup": q_embedding_neardup,
+        # new this round (never driver-checked): ExactSubstr apply side,
+        # IVF recall self-eval
+        "exact_substr_scrub": q_exact_substr_scrub,
+        "ann_recall": q_ann_recall,
         # r5-era driver rows — oldest evidence, all 33 rotated in
         "lc_smooth": q_lc_smooth,
         "pricing_summary": q_pricing_summary,
@@ -1673,9 +1704,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "multimodal_video": q_multimodal_video,
         "period_pdm": q_period_pdm,
+        # --- 51+: oracled, driver-green in r6/r7, local parity ---
         "periodogram": q_periodogram,
         "period_search": q_period_search,
-        # --- 51+: oracled, driver-green in r6/r7, local parity ---
         "period_significance": q_period_significance,
         "crossmatch": q_crossmatch,
         "crossmatch_full": q_crossmatch_full,
@@ -2164,6 +2195,12 @@ FROM corpus GROUP BY md5(text)
         ),
         "repeated_spans": dedup_ops.repeated_spans_sql(
             testdata.DEDUP_CORPUS_SQL, k=12
+        ),
+        "exact_substr_scrub": dedup_ops.exact_substr_scrub_sql(
+            testdata.DEDUP_CORPUS_SQL, k=12
+        ),
+        "ann_recall": sim_ops.ann_recall_sql(
+            k=10, n_probe=10, query_pred="vec_id < 5"
         ),
         "dedup_minhash": dedup_ops.minhash_pairs_sql(
             testdata.DEDUP_CORPUS_SQL, threshold=0.5

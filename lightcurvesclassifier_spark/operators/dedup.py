@@ -972,6 +972,135 @@ FROM toks t LEFT JOIN dup d USING (doc_id)
 """
 
 
+def exact_substr_scrub(
+    df: DataFrame, k: int = SPAN_K, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact repeated-substring REMOVAL — the apply side of the
+    ExactSubstr pass (Lee et al. 2021, arXiv:2107.06499 §4.2: delete
+    every duplicated span occurrence except one, keeping one copy
+    corpus-wide). :func:`repeated_spans` only *measures* duplication;
+    this returns the scrubbed corpus a pre-training pipeline actually
+    feeds downstream.
+
+    Semantics (deterministic on both engines): a k-token span is
+    duplicated if it occurs ≥ 2 times anywhere in the corpus; the
+    globally FIRST occurrence (min ``(doc_id, position)``) is kept,
+    every other occurrence marks its k token positions for removal;
+    overlapping marked ranges merge naturally at the token level.
+    Output: ``(doc_id, n_tokens, n_removed, clean_text)`` — docs shorter
+    than ``k`` tokens pass through untouched.
+
+    Scale shape: explode span positions (O(total tokens)), ONE aggregate
+    on the span hash computing both the occurrence count and the global
+    first occurrence (``min(struct(doc, pos))`` — map-side combinable),
+    one join-back, a k-wide position explode of only the *scrubbed*
+    occurrences (bounded by the duplicated fraction, not the corpus),
+    one per-doc ``collect_set`` of marked positions, and a map-side
+    higher-order ``filter`` rebuild. No pairwise document work, no
+    corpus-wide sort — the suffix array of the paper re-expressed as
+    two hash exchanges. Requires unique ``id_col`` (corpus contract,
+    same as every shingle consumer here).
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.withColumn("_toks", toks)
+    if not df.isStreaming:
+        sc = df.sparkSession.sparkContext
+        if df.rdd.getNumPartitions() < sc.defaultParallelism:
+            base = base.repartition(sc.defaultParallelism, F.col(id_col))
+    grams = F.when(
+        F.size("_toks") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+            lambda i: F.xxhash64(F.array_join(F.slice("_toks", i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    # (doc, 0-based span start, span hash); feeds the count aggregate and
+    # the join-back probe — materialize once (repeated_spans pattern).
+    spans = base.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "span")
+    ).localCheckpoint(eager=False)
+    agg = spans.groupBy("span").agg(
+        F.count("*").alias("n_occ"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+            "keep"
+        ),
+    )
+    marked = (
+        spans.join(agg.filter(F.col("n_occ") >= 2), "span")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("keep.d"))
+                & (F.col("pos") == F.col("keep.p"))
+            )
+        )
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias(
+                "idx"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("idx").alias("_marked"))
+    )
+    joined = base.join(marked, id_col, "left").withColumn(
+        "_marked", F.coalesce(F.col("_marked"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("_toks"), lambda t, i: ~F.array_contains(F.col("_marked"), i)
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size("_marked").cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
+def exact_substr_scrub_sql(corpus_sql: str, k: int = SPAN_K) -> str:
+    """DuckDB mirror of :func:`exact_substr_scrub` (raw span strings for
+    keys — space-joined k-token windows of a space-split text are
+    bijective, so the grouping matches xxhash64's up to hash collisions,
+    same caveat as :func:`repeated_spans_sql`). 1-based positions where
+    Spark uses 0-based; positions never reach the output."""
+    return f"""
+WITH corpus AS ({corpus_sql}),
+toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+spans AS (
+  SELECT doc_id, g AS pos, array_to_string(tk[g:g+{k - 1}], ' ') AS span
+  FROM toks, unnest(generate_series(1, len(tk) - {k - 1})) AS t(g)
+),
+ranked AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY span) AS n_occ,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+  FROM spans
+),
+marked AS (
+  SELECT DISTINCT doc_id, pos + off AS idx
+  FROM ranked, unnest(generate_series(0, {k - 1})) AS o(off)
+  WHERE n_occ >= 2 AND rn > 1
+),
+positions AS (
+  SELECT t.doc_id, g AS idx, tk[g] AS tok
+  FROM toks t, unnest(generate_series(1, len(tk))) AS u(g)
+),
+rebuilt AS (
+  SELECT p.doc_id,
+         count(*) FILTER (WHERE m.idx IS NOT NULL) AS n_removed,
+         string_agg(p.tok, ' ' ORDER BY p.idx)
+           FILTER (WHERE m.idx IS NULL) AS clean_text
+  FROM positions p
+  LEFT JOIN marked m ON m.doc_id = p.doc_id AND m.idx = p.idx
+  GROUP BY p.doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+       coalesce(r.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 SIMHASH_BITS = 60  # md5-prefix width: 15 hex chars, cross-engine exact
 
 

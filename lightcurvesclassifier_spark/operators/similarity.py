@@ -1435,3 +1435,88 @@ ranked AS (
 SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def ann_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = IVF_LLOYD_ITERS,
+    train_size: int = IVF_TRAIN_SIZE,
+) -> DataFrame:
+    """ANN index quality evaluation: per-query recall@k of the IVF path
+    (:func:`ivf_topk`) against the exact cosine top-k
+    (:func:`cosine_topk`) — the eval loop every production ANN
+    deployment runs before trusting an index (faiss's own benchmark
+    protocol). Recall was previously only pinned as a pytest property;
+    this surfaces it as a first-class, fully-oracled query so an index
+    parameter change shows up as a VALUE diff, not a silent quality
+    drift.
+
+    Output: ``(query_id, n_exact, n_hits, recall)``.  ``n_exact`` can be
+    < k on corpora smaller than k+1 vectors; recall divides by the
+    actual exact-set size, so the metric stays honest at any scale.
+    Both legs share the corpus scan shape; the final join/aggregate
+    touches |queries|·k rows — driver-free and O(corpus) end to end.
+    Determinism: both legs already break score ties by (rounded cos
+    desc, vec_id asc), so the intersection is engine-exact.
+    """
+    approx = ivf_topk(
+        corpus, queries, k=k, n_lists=n_lists, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col, n_iter=n_iter,
+        train_size=train_size,
+    ).select("query_id", id_col)
+    exact = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    base = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    hits = (
+        exact.select("query_id", id_col)
+        .join(approx, ["query_id", id_col])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_exact"), 6).alias(
+            "recall"
+        ),
+    )
+
+
+def ann_recall_sql(
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_iter: int = IVF_LLOYD_ITERS,
+    train_size: int = IVF_TRAIN_SIZE,
+    dim: int = 64,
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """DuckDB mirror of :func:`ann_recall`: both legs' full mirrors
+    (:func:`ivf_topk_sql` incl. the unrolled Lloyd training,
+    :func:`cosine_topk_sql`) as parenthesized WITH-subqueries, joined on
+    (query_id, vec_id)."""
+    ivf = ivf_topk_sql(
+        k=k, n_cells=n_cells, n_probe=n_probe, n_iter=n_iter,
+        train_size=train_size, dim=dim, query_pred=query_pred,
+    )
+    exact = cosine_topk_sql(k=k, query_pred=query_pred)
+    return f"""
+WITH approx AS (SELECT query_id, vec_id FROM ({ivf}) a),
+exact AS (SELECT query_id, vec_id FROM ({exact}) e),
+base AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1),
+hits AS (
+  SELECT query_id, count(*) AS n_hits
+  FROM exact JOIN approx USING (query_id, vec_id) GROUP BY 1
+)
+SELECT b.query_id,
+       CAST(b.n_exact AS BIGINT) AS n_exact,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) / b.n_exact, 6) AS recall
+FROM base b LEFT JOIN hits h USING (query_id)
+"""

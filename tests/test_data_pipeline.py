@@ -987,3 +987,72 @@ def test_cluster_safe_split_stratified_leakage_and_fractions(spark):
     s2 = out[cols].sort_values(cols).reset_index(drop=True)
     o2 = o[cols].sort_values(cols).reset_index(drop=True)
     assert s2.equals(o2)
+
+
+def test_exact_substr_scrub_semantics(spark):
+    """Scrub removes every duplicated-span occurrence except the globally
+    first (min (doc_id, pos)); overlapping marks merge at the token
+    level; short docs pass through untouched."""
+    base = "a b c d e f g h"  # 8 tokens -> 5 spans at k=4
+    docs = spark.createDataFrame(
+        [
+            (1, base),               # first occurrence: kept intact
+            (2, base),               # exact copy: fully scrubbed
+            (3, "p q r s p q r s"),  # in-doc repeat: 2nd occurrence cut
+            (4, "u v w x y z zz zzz"),  # unique: untouched
+            (5, "too short"),        # < k tokens: untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.exact_substr_scrub(docs, k=4).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_removed"] == 0 and out.loc[1, "clean_text"] == base
+    assert out.loc[2, "n_removed"] == 8 and out.loc[2, "clean_text"] == ""
+    # doc 3: span 'p q r s' at pos 0 kept, at pos 4 scrubbed -> tokens 4-7
+    assert out.loc[3, "n_removed"] == 4
+    assert out.loc[3, "clean_text"] == "p q r s"
+    assert out.loc[4, "n_removed"] == 0
+    assert out.loc[5, "n_removed"] == 0 and out.loc[5, "clean_text"] == "too short"
+    # token accounting: n_tokens - n_removed == |clean tokens| everywhere
+    for _, r in out.iterrows():
+        kept = len(r["clean_text"].split(" ")) if r["clean_text"] else 0
+        assert r["n_tokens"] - r["n_removed"] == kept
+
+
+def test_exact_substr_scrub_planted_corpus(spark, corpus):
+    """Planted exact copies (+2000000 twins) duplicate the original's
+    every span, and originals sort first: the twin is scrubbed to empty,
+    the original keeps its tokens unless some OTHER duplicated span
+    overlaps it."""
+    out = dedup.exact_substr_scrub(corpus, k=12).toPandas().set_index("doc_id")
+    twins = [i for i in out.index if i >= 2000000 and out.loc[i, "n_tokens"] >= 12]
+    assert twins, "planted corpus must contain long exact twins"
+    for i in twins:
+        assert out.loc[i, "n_removed"] == out.loc[i, "n_tokens"], i
+        assert out.loc[i, "clean_text"] == "", i
+    # the scrub never removes tokens from docs with no duplicated span
+    spans = dedup.repeated_spans(corpus, k=12).toPandas().set_index("doc_id")
+    clean_ids = spans[spans["n_dup_spans"] == 0].index
+    assert (out.loc[clean_ids, "n_removed"] == 0).all()
+
+
+def test_ann_recall_bounds_and_exactness(spark):
+    """ann_recall's per-query recall matches a direct recomputation from
+    the two legs, and stays within [0, 1] with n_exact == k."""
+    emb = testdata.load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.ann_recall(emb, queries, k=10, n_probe=10).toPandas()
+    assert len(out) == 5
+    assert (out["n_exact"] == 10).all()
+    assert ((out["recall"] >= 0.0) & (out["recall"] <= 1.0)).all()
+    # direct recomputation from the legs
+    exact = similarity.cosine_topk(emb, queries, k=10).toPandas()
+    approx = similarity.ivf_topk(emb, queries, k=10, n_probe=10).toPandas()
+    for qid, grp in exact.groupby("query_id"):
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        hits = len(set(grp["vec_id"]) & a)
+        row = out[out["query_id"] == qid].iloc[0]
+        assert row["n_hits"] == hits
+        assert abs(row["recall"] - round(hits / len(grp), 6)) < 1e-12
+    # the synthetic near-uniform corpus at n_probe=10/16 should not
+    # collapse: mean recall well above chance
+    assert out["recall"].mean() >= 0.5

@@ -32,6 +32,7 @@ ARROW_OK = {
     "ekvi_paa_exact",
     "variogram_slope",
     "embedding_topk",
+    "ann_recall",  # exact leg = embedding_topk's blocked-GEMM mapInPandas
     "embedding_neardup",
     "multimodal_features",
     "multimodal_resize",
