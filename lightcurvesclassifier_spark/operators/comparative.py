@@ -145,22 +145,79 @@ def comparative_scores(
             .filter(F.col("t_word").isNotNull())
         )
 
-        @F.pandas_udf(T.DoubleType())
-        def pair_score(wa: pd.Series, wb: pd.Series, sb: pd.Series) -> pd.Series:
-            return pd.Series(
-                [
-                    sax_mod._safe_shift(wa[i], wb[i], alphabet_size, sb[i], slide)
-                    for i in range(len(wa))
-                ]
+        if slide:
+            # only reachable if a caller forces slide on a word-path
+            # kind; the reference's hist/variogram descriptors never do
+            @F.pandas_udf(T.DoubleType())
+            def pair_score(
+                wa: pd.Series, wb: pd.Series, sb: pd.Series
+            ) -> pd.Series:
+                return pd.Series(
+                    [
+                        sax_mod._safe_shift(
+                            wa[i], wb[i], alphabet_size, sb[i], slide
+                        )
+                        for i in range(len(wa))
+                    ]
+                )
+
+            pairs = i_words.crossJoin(F.broadcast(t_words))
+            return pairs.select(
+                "star_id",
+                "template_id",
+                pair_score(
+                    F.col("word"), F.col("t_word"), F.col("t_scale")
+                ).alias("score"),
             )
 
-        pairs = i_words.crossJoin(F.broadcast(t_words))
+        # slide=False: prefix MINDIST is a pure expression — keep the
+        # |inspected|×T pair stage JVM-side (whole-stage codegen) instead
+        # of round-tripping every pair row through Arrow. Letter codes
+        # are 0-based ('a'=0, searchsorted-right), the squared letter
+        # distance is 0 for adjacent letters else
+        # (beta[hi-1] - beta[lo])² (sax.py:154-174); with 1-based
+        # element_at, beta[hi-1] = element_at(beta, hi_code) and
+        # beta[lo] = element_at(beta, lo_code + 1) — the exact indexing
+        # the DuckDB mirror (_d2_sum_sql) uses, so engine parity is
+        # expression-for-expression. Sum runs in position order
+        # (F.aggregate left fold), matching list_sum.
+        beta_arr = F.array(
+            *[F.lit(float(b)) for b in sax_mod.BREAKPOINTS[int(alphabet_size)]]
+        )
+
+        def _codes_col(col):
+            return F.transform(F.split(col, ""), lambda c: F.ascii(c) - 97)
+
+        def _d2(x, y):
+            hi, lo = F.greatest(x, y), F.least(x, y)
+            gap = F.element_at(beta_arr, hi) - F.element_at(beta_arr, lo + 1)
+            return (
+                F.when(F.abs(x - y) <= F.lit(1), F.lit(0.0))
+                .otherwise(gap * gap)
+            )
+
+        pairs = (
+            i_words.withColumn("_ca", _codes_col(F.col("word")))
+            .crossJoin(
+                F.broadcast(
+                    t_words.withColumn("_cb", _codes_col(F.col("t_word")))
+                )
+            )
+        )
+        prefix_len = F.least(F.size("_ca"), F.size("_cb"))
+        d2_sum = F.aggregate(
+            F.zip_with(
+                F.slice(F.col("_ca"), F.lit(1), prefix_len),
+                F.slice(F.col("_cb"), F.lit(1), prefix_len),
+                _d2,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         return pairs.select(
             "star_id",
             "template_id",
-            pair_score(F.col("word"), F.col("t_word"), F.col("t_scale")).alias(
-                "score"
-            ),
+            (F.col("t_scale") * F.sqrt(d2_sum)).alias("score"),
         )
 
     kernel = KERNELS[kind]
