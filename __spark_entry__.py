@@ -1634,11 +1634,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     * 9-10: the two operators NEW this round (never driver-checked):
       exact_substr_scrub (ExactSubstr apply side), ann_recall (IVF
       recall self-eval).
-    * 11-43: ALL 33 r5-era rows — the oldest driver evidence in the
+    * 11-13: the three comparative queries whose pair-scoring stage
+      moved JVM-side this round (prefix MINDIST as a codegen
+      expression; plans changed → window slots).
+    * 14-46: ALL 33 r5-era rows — the oldest driver evidence in the
       repo after this rotation.
-    * 44-50: the head of the r6-era rows (periodogram + period_search
-      rotated out to 51+ to make room for the two new entries; their
-      freshest rows stay r6).
+    * 47-50: the head of the r6-era rows (periodogram, period_search,
+      period_pdm, multimodal_audio/video rotated out to 51+ to make
+      room; their freshest rows stay r6).
     * 51+: r6/r7-green queries, re-verified every session by
       tests/test_oracle_parity.py (rotated out to make window room).
       After this round no query's freshest driver row predates r6.
@@ -1662,6 +1665,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IVF recall self-eval
         "exact_substr_scrub": q_exact_substr_scrub,
         "ann_recall": q_ann_recall,
+        # plan changed this round (session 2): prefix-MINDIST pair
+        # scoring moved JVM-side (was a pandas UDF over the pair table)
+        "comp_hist_shape": q_comp_hist_shape,
+        "comp_variogram_shape": q_comp_variogram_shape,
+        "comp_curves_noslide": q_comp_curves_noslide,
         # r5-era driver rows — oldest evidence, all 33 rotated in
         "lc_smooth": q_lc_smooth,
         "pricing_summary": q_pricing_summary,
@@ -1701,10 +1709,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_concurrency": q_session_concurrency,
         "session_concurrency_sweep": q_session_concurrency_sweep,
         "period_pdm_dense": q_period_pdm_dense,
+        # --- 51+: oracled, driver-green in r6/r7, local parity ---
         "multimodal_audio": q_multimodal_audio,
         "multimodal_video": q_multimodal_video,
         "period_pdm": q_period_pdm,
-        # --- 51+: oracled, driver-green in r6/r7, local parity ---
         "periodogram": q_periodogram,
         "period_search": q_period_search,
         "period_significance": q_period_significance,
@@ -1735,9 +1743,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_calibration": q_asof_calibration,
         "variogram_slope": q_variogram_slope,
         "comp_curves_shape": q_comp_curves_shape,
-        "comp_curves_noslide": q_comp_curves_noslide,
-        "comp_hist_shape": q_comp_hist_shape,
-        "comp_variogram_shape": q_comp_variogram_shape,
         "systematic_search": q_systematic_search,
         "stars_filter_pipeline": q_stars_filter_pipeline,
         "curve_descr": q_curve_descr,
