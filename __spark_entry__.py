@@ -1597,6 +1597,17 @@ def q_cms_point_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_ops.cms_point_estimates(docs, n=2)
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-token mining, sketch-pruned: CMS candidates (est ≥ φN,
+    a provable superset) → exact verify of only the candidates — the
+    two-pass Cormode-Muthukrishnan plan whose full-domain groupBy
+    never happens. The output EQUALS the exact heavy-hitter set, so
+    the oracle is plain SQL. φ=0.02 splits the corpus's 30 uniform
+    vocabulary terms (~3.2-3.5%) from the rare planted 'dup' (0.1%)."""
+    docs = testdata.load_table(spark, sf_dir, "documents")
+    return sketch_ops.cms_heavy_hitters(docs, phi=0.02, n=1)
+
+
 def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide bigram heavy hitters (boilerplate/template mining):
     map-only adjacent-pair expansion → combined count → distributed
@@ -1637,11 +1648,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     * 11-13: the three comparative queries whose pair-scoring stage
       moved JVM-side this round (prefix MINDIST as a codegen
       expression; plans changed → window slots).
-    * 14-46: ALL 33 r5-era rows — the oldest driver evidence in the
+    * 14: cms_heavy_hitters (new in session 2, never driver-checked).
+    * 15-47: ALL 33 r5-era rows — the oldest driver evidence in the
       repo after this rotation.
-    * 47-50: the head of the r6-era rows (periodogram, period_search,
-      period_pdm, multimodal_audio/video rotated out to 51+ to make
-      room; their freshest rows stay r6).
+    * 48-50: the head of the r6-era rows (periodogram, period_search,
+      period_pdm, period_pdm_dense, multimodal_audio/video rotated out
+      to 51+ to make room; their freshest rows stay r6).
     * 51+: r6/r7-green queries, re-verified every session by
       tests/test_oracle_parity.py (rotated out to make window room).
       After this round no query's freshest driver row predates r6.
@@ -1670,6 +1682,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comp_hist_shape": q_comp_hist_shape,
         "comp_variogram_shape": q_comp_variogram_shape,
         "comp_curves_noslide": q_comp_curves_noslide,
+        # new (session 2, never driver-checked): sketch-pruned exact
+        # heavy hitters
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         # r5-era driver rows — oldest evidence, all 33 rotated in
         "lc_smooth": q_lc_smooth,
         "pricing_summary": q_pricing_summary,
@@ -1708,8 +1723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_grouped": q_hll_grouped,
         "session_concurrency": q_session_concurrency,
         "session_concurrency_sweep": q_session_concurrency_sweep,
-        "period_pdm_dense": q_period_pdm_dense,
         # --- 51+: oracled, driver-green in r6/r7, local parity ---
+        "period_pdm_dense": q_period_pdm_dense,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_video": q_multimodal_video,
         "period_pdm": q_period_pdm,
@@ -2262,6 +2277,9 @@ FROM corpus GROUP BY md5(text)
         "session_concurrency_sweep": rangejoin_ops.session_concurrency_sql(),
         "cms_counters": sketch_ops.cms_counters_sql(n=2),
         "cms_point_est": sketch_ops.cms_point_estimates_sql(n=2),
+        "cms_heavy_hitters": sketch_ops.cms_heavy_hitters_sql(
+            phi=0.02, n=1
+        ),
         "sky_zorder": layout_ops.sky_zorder_sql(testdata.STARS_SQL),
         "corpus_diff": text_ops.corpus_diff_sql(
             "SELECT doc_id, text FROM documents",

@@ -394,6 +394,94 @@ GROUP BY p.term
 """
 
 
+def cms_heavy_hitters(
+    df: DataFrame, phi: float = 0.01, text_col: str = "text", n: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frequent ``n``-grams (count ≥ φ·N) by the classic two-pass
+    sketch-prune-then-verify plan (Cormode & Muthukrishnan 2005 §4):
+
+    * pass 1 (map-only + tiny reduces): CMS counter table (≤ d·w rows)
+      and the scalar total N;
+    * candidates: distinct terms whose CMS estimate ≥ φ·N — the CMS
+      overestimates, so this is a SUPERSET of the true heavy hitters
+      (no false negatives), and for φ meaningfully above e/w it is a
+      small superset (overshoot ≤ e·N/w);
+    * pass 2: exact count of ONLY the candidates (term stream joins a
+      broadcast candidate set — the corpus-sized side never shuffles on
+      the full term domain) and the exact φ·N filter.
+
+    The output therefore EQUALS the exact heavy-hitter set — the sketch
+    buys the pruning, not an approximation — which is why the DuckDB
+    oracle (:func:`cms_heavy_hitters_sql`) is the plain exact SQL. At
+    100 TB the full-domain groupBy this replaces is a corpus-wide
+    shuffle of every term occurrence; here the only full-width
+    aggregations have ≤ d·w (counters) or |candidates| (verify) keys.
+    Output: (term, cnt, freq) with freq = round(cnt/N, 6).
+    """
+    from .dedup import _ngram_rows
+
+    def term_rows() -> DataFrame:
+        return _ngram_rows(
+            df, n, text_col, id_col,
+            key_fn=lambda s: s, empty_type="string", out_col="term",
+            distinct=False,
+        )
+
+    counters = cms_counters(df, text_col, n, id_col)
+    total = term_rows().agg(F.count("*").alias("n_total"))
+    probes = (
+        term_rows()
+        .select("term")
+        .distinct()
+        .select("term", F.explode(_cms_coords(F.col("term"))).alias("c"))
+        .select("term", F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["row", "col"])
+        .groupBy("term")
+        .agg(F.min("cnt").alias("est"))
+    )
+    cand = (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("est") >= F.lit(float(phi)) * F.col("n_total"))
+        .select("term")
+    )
+    exact = (
+        term_rows()
+        .join(F.broadcast(cand), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.lit(float(phi)) * F.col("n_total"))
+        .select(
+            "term",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cnt") / F.col("n_total"), 6).alias("freq"),
+        )
+    )
+
+
+def cms_heavy_hitters_sql(
+    corpus_sql: str = "SELECT doc_id, text FROM documents",
+    phi: float = 0.01,
+    n: int = 1,
+) -> str:
+    """DuckDB mirror of :func:`cms_heavy_hitters` — the EXACT
+    heavy-hitter set (the Spark plan's sketch stage only prunes; its
+    verify pass restores exactness, so the mirror needs no CMS)."""
+    return f"""
+WITH {_cms_terms_sql(corpus_sql, n)},
+tot AS (SELECT count(*) AS n_total FROM terms),
+cnt AS (SELECT term, count(*) AS cnt FROM terms GROUP BY 1)
+SELECT term, CAST(cnt AS BIGINT) AS cnt,
+       round(cnt / n_total, 6) AS freq
+FROM cnt, tot WHERE cnt >= {float(phi)!r} * n_total
+"""
+
+
 # Bloom geometry: m=16384 bits (2 KiB), k=5 positions via
 # Kirsch–Mitzenmacher double hashing: bit_i = (h1 + i·h2) mod m from
 # exactly TWO md5s per term instead of k (Kirsch & Mitzenmacher 2006

@@ -390,3 +390,36 @@ def test_grouped_quantiles_match_per_group_global_sketch(spark):
         )[["q", "boundary"]]
         s = solo.sort_values("q").reset_index(drop=True)
         assert g.equals(s), (lang, g, s)
+
+
+def test_cms_heavy_hitters_equals_exact_and_prunes(spark):
+    """The sketch stage is a pure PRUNE: the candidate set (CMS est >=
+    phi*N) is a superset of the true heavy hitters, and the verified
+    output equals the exact phi-frequent set."""
+    docs = testdata.load_table(spark, SF_ORACLE, "documents")
+    out = sketch.cms_heavy_hitters(docs, phi=0.02, n=1).toPandas()
+    # exact reference computed directly
+    toks = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    total = toks.count()
+    exact = (
+        toks.groupBy("term").count()
+        .filter(F.col("count") >= 0.02 * total)
+        .toPandas()
+    )
+    assert set(out["term"]) == set(exact["term"])
+    m = out.merge(exact, on="term")
+    assert (m["cnt"] == m["count"]).all()
+    # the rare planted token must NOT appear
+    assert "dup" not in set(out["term"])
+    # freq is the rounded exact ratio
+    for _, r in m.iterrows():
+        assert abs(r["freq"] - round(r["cnt"] / total, 6)) < 1e-12
+
+
+def test_cms_heavy_hitters_catches_borderline_phi(spark):
+    """phi at the uniform-vocabulary frequency keeps every uniform term;
+    a phi above it empties the result (no false positives survive the
+    exact verify even though CMS overestimates)."""
+    docs = testdata.load_table(spark, SF_SMOKE, "documents")
+    hi = sketch.cms_heavy_hitters(docs, phi=0.2, n=1)
+    assert hi.count() == 0
