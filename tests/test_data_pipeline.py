@@ -1056,3 +1056,52 @@ def test_ann_recall_bounds_and_exactness(spark):
     # the synthetic near-uniform corpus at n_probe=10/16 should not
     # collapse: mean recall well above chance
     assert out["recall"].mean() >= 0.5
+
+
+def _ref_exact_substr_scrub(docs, k):
+    """Pure-Python reference for exact_substr_scrub: global-first kept,
+    every other duplicated-span occurrence marks its k tokens."""
+    toks = {d: t.split(" ") for d, t in docs}
+    spans = {}
+    for d in sorted(toks):
+        tk = toks[d]
+        for p in range(len(tk) - k + 1):
+            spans.setdefault(" ".join(tk[p : p + k]), []).append((d, p))
+    marked = {d: set() for d in toks}
+    for occs in spans.values():
+        if len(occs) >= 2:
+            for d, p in sorted(occs)[1:]:
+                marked[d].update(range(p, p + k))
+    out = {}
+    for d, tk in toks.items():
+        kept = [t for i, t in enumerate(tk) if i not in marked[d]]
+        out[d] = (len(tk), len(marked[d]), " ".join(kept))
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 7, 42])
+def test_exact_substr_scrub_random_differential(spark, seed):
+    """Differential test on repetition-heavy random corpora (tiny vocab
+    so k-spans genuinely repeat within and across docs) against the
+    pure-Python reference."""
+    rng = np.random.default_rng(seed)
+    vocab = ["a", "b", "c", "d"]
+    k = 3
+    docs = []
+    for d in range(40):
+        n = int(rng.integers(0, 14))  # includes < k docs
+        docs.append((d, " ".join(rng.choice(vocab, n)) if n else ""))
+    out = (
+        dedup.exact_substr_scrub(
+            spark.createDataFrame(docs, "doc_id long, text string"), k=k
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    ref = _ref_exact_substr_scrub(docs, k)
+    assert len(out) == len(ref)
+    for d, (n_tok, n_rm, clean) in ref.items():
+        row = out.loc[d]
+        assert row["n_tokens"] == n_tok, d
+        assert row["n_removed"] == n_rm, d
+        assert row["clean_text"] == clean, d

@@ -102,7 +102,14 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--out", default="/tmp/sfprobe")
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--queries", nargs="*", default=None,
+        help="override the probed query list (names from queries()); "
+        "only documents/embeddings/lineitem are replicated, so pick "
+        "queries on those tables",
+    )
     args = ap.parse_args()
+    queries = args.queries if args.queries else QUERIES
 
     base_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -169,7 +176,7 @@ def main() -> None:
 
     import math
 
-    for name in QUERIES:
+    for name in queries:
         fn = qs[name]
         t1 = _best(fn, base_sf)
         tk = _best(fn, big_dir)
