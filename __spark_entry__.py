@@ -1202,6 +1202,16 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.ann_recall(emb, queries_df, k=10, n_probe=10)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup over
+    the embedding table — md5-seed cells, ascending cos-to-seed keep
+    priority, pairwise dominance drop at τ=0.42 (the threshold regime
+    where the synthetic corpus has genuine near-dups). Pairs confined
+    to cells — the quadratic term is per-cell, never corpus-wide."""
+    emb = testdata.load_table(spark, sf_dir, "embeddings")
+    return sim_ops.semantic_dedup(emb, tau=0.42, n_cells=16)
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply-side of dedup: canonical doc per near-dup cluster (longest
     text, tie-break min id) + keep flags — the delete/redirect map."""
@@ -1648,12 +1658,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     * 11-13: the three comparative queries whose pair-scoring stage
       moved JVM-side this round (prefix MINDIST as a codegen
       expression; plans changed → window slots).
-    * 14: cms_heavy_hitters (new in session 2, never driver-checked).
-    * 15-47: ALL 33 r5-era rows — the oldest driver evidence in the
+    * 14-15: cms_heavy_hitters + semantic_dedup (new in session 2,
+      never driver-checked).
+    * 16-48: ALL 33 r5-era rows — the oldest driver evidence in the
       repo after this rotation.
-    * 48-50: the head of the r6-era rows (periodogram, period_search,
-      period_pdm, period_pdm_dense, multimodal_audio/video rotated out
-      to 51+ to make room; their freshest rows stay r6).
+    * 49-50: the head of the r6-era rows (periodogram, period_search,
+      period_pdm, period_pdm_dense, session_concurrency_sweep,
+      multimodal_audio/video rotated out to 51+ to make room; their
+      freshest rows stay r6).
     * 51+: r6/r7-green queries, re-verified every session by
       tests/test_oracle_parity.py (rotated out to make window room).
       After this round no query's freshest driver row predates r6.
@@ -1683,8 +1695,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comp_variogram_shape": q_comp_variogram_shape,
         "comp_curves_noslide": q_comp_curves_noslide,
         # new (session 2, never driver-checked): sketch-pruned exact
-        # heavy hitters
+        # heavy hitters, cluster-scoped semantic dedup
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "semantic_dedup": q_semantic_dedup,
         # r5-era driver rows — oldest evidence, all 33 rotated in
         "lc_smooth": q_lc_smooth,
         "pricing_summary": q_pricing_summary,
@@ -1722,8 +1735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # head of the r6-era rows
         "hll_grouped": q_hll_grouped,
         "session_concurrency": q_session_concurrency,
-        "session_concurrency_sweep": q_session_concurrency_sweep,
         # --- 51+: oracled, driver-green in r6/r7, local parity ---
+        "session_concurrency_sweep": q_session_concurrency_sweep,
         "period_pdm_dense": q_period_pdm_dense,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_video": q_multimodal_video,
@@ -2280,6 +2293,7 @@ FROM corpus GROUP BY md5(text)
         "cms_heavy_hitters": sketch_ops.cms_heavy_hitters_sql(
             phi=0.02, n=1
         ),
+        "semantic_dedup": sim_ops.semantic_dedup_sql(tau=0.42, n_cells=16),
         "sky_zorder": layout_ops.sky_zorder_sql(testdata.STARS_SQL),
         "corpus_diff": text_ops.corpus_diff_sql(
             "SELECT doc_id, text FROM documents",

@@ -1520,3 +1520,163 @@ SELECT b.query_id,
        round(coalesce(h.n_hits, 0) / b.n_exact, 6) AS recall
 FROM base b LEFT JOIN hits h USING (query_id)
 """
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    tau: float = 0.42,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
+    semantic deduplication — partition the embedding space into cells,
+    then drop any point whose cosine to an earlier-ranked point *in the
+    same cell* is ≥ τ. "Earlier-ranked" = lower cosine to the cell
+    seed, ties by id (the paper keeps the point with the LOWEST
+    similarity to the cluster centroid in each duplicate group; its
+    released implementation drops x iff some y before x in that sort
+    order has sim(x, y) ≥ τ — a pairwise dominance rule, deliberately
+    NOT transitive closure, which is what distinguishes this from
+    :func:`dedup.connected_components_star`-based near-dup clustering:
+    pairs are confined to cells, so the quadratic term is per-cell,
+    never corpus-wide).
+
+    Quantizer: the deterministic md5-order seed pick of
+    :func:`ivf_flat_topk` (cells are a partition of the space; SemDeDup
+    does not need trained centroids, and the flat pick keeps the whole
+    path — seeds → assign → rank → dominance — expressible in ANSI SQL
+    and value-checked against DuckDB). At production scale n_cells
+    grows with the corpus (the paper uses 11k clusters for 100M+
+    points) so per-cell pair counts stay bounded; assignment is the
+    shared :func:`_ivf_assign` (broadcast cells, one id-keyed
+    exchange), and the dominance join shuffles on cell_idx only.
+
+    Output: (vec_id, cell_idx, cell_rank, cos_seed, keep) — every
+    corpus row (zero-norm rows dropped, the shared `_vec_rows` rule),
+    keep=false for dominated duplicates.
+    """
+    spark = corpus.sparkSession
+    v = _vec_rows(corpus, id_col, vec_col)
+    seeds = (
+        v.withColumn(
+            "_h", F.md5(F.col(id_col).cast("string").cast("binary"))
+        )
+        .orderBy("_h", id_col)
+        .limit(int(n_cells))
+        .collect()
+    )
+    if not seeds:
+        return spark.createDataFrame(
+            [],
+            f"{id_col} long, cell_idx int, cell_rank int, "
+            "cos_seed double, keep boolean",
+        )
+    seeds.sort(key=lambda r: (r["_h"], r[id_col]))
+    cells_df = _cells_df(
+        spark, [(j, [float(x) for x in r["_v"]]) for j, r in enumerate(seeds)]
+    )
+    assigned = _ivf_assign(v, cells_df, id_col)
+    scored = assigned.join(F.broadcast(cells_df), "cell_idx").select(
+        id_col,
+        "cell_idx",
+        "_v",
+        "_vnrm",
+        F.expr(
+            f"round({_dot_expr('_v', '_cell_v')} / (_vnrm * _cnrm), 6)"
+        ).alias("cos_seed"),
+    )
+    w = Window.partitionBy("cell_idx").orderBy("cos_seed", id_col)
+    ranked = scored.withColumn("cell_rank", F.row_number().over(w))
+    a = ranked.select(
+        "cell_idx",
+        F.col(id_col).alias("_a_id"),
+        F.col("_v").alias("_av"),
+        F.col("_vnrm").alias("_anrm"),
+        F.col("cell_rank").alias("_ra"),
+    )
+    b = ranked.select(
+        "cell_idx",
+        F.col(id_col).alias("_b_id"),
+        F.col("_v").alias("_bv"),
+        F.col("_vnrm").alias("_bnrm"),
+        F.col("cell_rank").alias("_rb"),
+    )
+    dropped = (
+        a.join(b, "cell_idx")
+        .filter(F.col("_ra") < F.col("_rb"))
+        .filter(
+            F.expr(f"round({_dot_expr('_av', '_bv')} / (_anrm * _bnrm), 6)")
+            >= F.lit(float(tau))
+        )
+        .select(F.col("_b_id"))
+        .distinct()
+    )
+    return (
+        ranked.join(
+            dropped, ranked[id_col] == dropped["_b_id"], "left"
+        )
+        .select(
+            id_col,
+            F.col("cell_idx").cast("int").alias("cell_idx"),
+            F.col("cell_rank").cast("int").alias("cell_rank"),
+            "cos_seed",
+            F.col("_b_id").isNull().alias("keep"),
+        )
+    )
+
+
+def semantic_dedup_sql(
+    tau: float = 0.42,
+    n_cells: int = 16,
+) -> str:
+    """DuckDB mirror of :func:`semantic_dedup` — same md5 seed pick,
+    same rounded-cos − cell_idx·1e-9 assignment tie encoding as
+    :func:`ivf_flat_topk_sql`, same ascending (cos_seed, id) keep
+    priority, same pairwise dominance rule."""
+
+    def cos(a: str, b: str) -> str:
+        return _cos_sql(_dot_sql(a, b), _norm_sql(a), _norm_sql(b))
+
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, v FROM (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+  ) WHERE list_sum(list_transform(v, x -> x * x)) > 0.0
+),
+cells AS (
+  SELECT CAST(rn - 1 AS INT) AS cell_idx, v AS cell_v FROM (
+    SELECT v, row_number() OVER (
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM vecs
+  ) WHERE rn <= {n_cells}
+),
+assigned AS (
+  SELECT c.vec_id,
+         arg_max(l.cell_idx, {cos("c.v", "l.cell_v")} - l.cell_idx * 1e-9)
+           AS cell_idx,
+         any_value(c.v) AS v
+  FROM vecs c, cells l GROUP BY c.vec_id
+),
+scored AS (
+  SELECT a.vec_id, a.cell_idx, a.v,
+         {cos("a.v", "l.cell_v")} AS cos_seed
+  FROM assigned a JOIN cells l USING (cell_idx)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cell_idx ORDER BY cos_seed, vec_id) AS cell_rank
+  FROM scored
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM ranked a JOIN ranked b
+    ON a.cell_idx = b.cell_idx AND a.cell_rank < b.cell_rank
+  WHERE {cos("a.v", "b.v")} >= {float(tau)!r}
+)
+SELECT r.vec_id, CAST(r.cell_idx AS INT) AS cell_idx,
+       CAST(r.cell_rank AS INT) AS cell_rank, r.cos_seed,
+       (d.vec_id IS NULL) AS keep
+FROM ranked r LEFT JOIN dropped d USING (vec_id)
+"""

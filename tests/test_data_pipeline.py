@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from lightcurvesclassifier_spark.operators import dedup, multimodal, similarity
 from lightcurvesclassifier_spark.sources import testdata
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 
 @pytest.fixture(scope="module")
@@ -1105,3 +1105,44 @@ def test_exact_substr_scrub_random_differential(spark, seed):
         assert row["n_tokens"] == n_tok, d
         assert row["n_removed"] == n_rm, d
         assert row["clean_text"] == clean, d
+
+
+def test_semantic_dedup_dominance_soundness(spark):
+    """Every dropped point has an earlier-ranked same-cell point with
+    cos >= tau; every kept point has none — recomputed directly with
+    numpy from the operator's own cell/rank assignment."""
+    emb = testdata.load_table(spark, SF_ORACLE, "embeddings")
+    tau = 0.42
+    out = similarity.semantic_dedup(emb, tau=tau, n_cells=16).toPandas()
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=float)
+        for r in emb.collect()
+    }
+    assert (~out["keep"]).sum() > 0  # planted near-dups must drop
+    for cell, grp in out.groupby("cell_idx"):
+        g = grp.sort_values("cell_rank")
+        assert list(g["cell_rank"]) == list(range(1, len(g) + 1))
+        seen = []
+        for _, r in g.iterrows():
+            x = vecs[r["vec_id"]]
+            dominated = any(
+                round(
+                    float(x @ y) / (np.linalg.norm(x) * np.linalg.norm(y)), 6
+                )
+                >= tau
+                for y in seen
+            )
+            assert dominated == (not r["keep"]), (cell, r["vec_id"])
+            seen.append(x)
+
+
+def test_semantic_dedup_keeps_exactly_all_on_high_tau(spark):
+    """tau above every attainable cosine keeps everything; tau <= -1
+    keeps exactly one point per cell (everything dominated by rank 1)."""
+    emb = testdata.load_table(spark, SF_SMOKE, "embeddings")
+    all_keep = similarity.semantic_dedup(emb, tau=1.000001, n_cells=16).toPandas()
+    assert all_keep["keep"].all()
+    one_per_cell = similarity.semantic_dedup(emb, tau=-1.1, n_cells=16).toPandas()
+    kept = one_per_cell[one_per_cell["keep"]]
+    assert (kept["cell_rank"] == 1).all()
+    assert len(kept) == one_per_cell["cell_idx"].nunique()
