@@ -1607,6 +1607,15 @@ def q_cms_point_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_ops.cms_point_estimates(docs, n=2)
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021 §A1.1): word
+    count, mean word length, symbol ratio, stopword presence, and
+    repetition rules as one map-only projection of per-rule booleans +
+    the keep conjunction. Zero shuffle — the 100 TB keep/drop gate."""
+    docs = testdata.load_table(spark, sf_dir, "documents")
+    return text_ops.gopher_quality_filter(docs)
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-token mining, sketch-pruned: CMS candidates (est ≥ φN,
     a provable superset) → exact verify of only the candidates — the
@@ -1658,12 +1667,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     * 11-13: the three comparative queries whose pair-scoring stage
       moved JVM-side this round (prefix MINDIST as a codegen
       expression; plans changed → window slots).
-    * 14-15: cms_heavy_hitters + semantic_dedup (new in session 2,
-      never driver-checked).
-    * 16-48: ALL 33 r5-era rows — the oldest driver evidence in the
+    * 14-16: cms_heavy_hitters + semantic_dedup + gopher_quality (new
+      in session 2, never driver-checked).
+    * 17-49: ALL 33 r5-era rows — the oldest driver evidence in the
       repo after this rotation.
-    * 49-50: the head of the r6-era rows (periodogram, period_search,
-      period_pdm, period_pdm_dense, session_concurrency_sweep,
+    * 50: the head of the r6-era rows (periodogram, period_search,
+      period_pdm, period_pdm_dense, session_concurrency/_sweep,
       multimodal_audio/video rotated out to 51+ to make room; their
       freshest rows stay r6).
     * 51+: r6/r7-green queries, re-verified every session by
@@ -1698,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # heavy hitters, cluster-scoped semantic dedup
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "semantic_dedup": q_semantic_dedup,
+        "gopher_quality": q_gopher_quality,
         # r5-era driver rows — oldest evidence, all 33 rotated in
         "lc_smooth": q_lc_smooth,
         "pricing_summary": q_pricing_summary,
@@ -1734,8 +1744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_features": q_repetition_features,
         # head of the r6-era rows
         "hll_grouped": q_hll_grouped,
-        "session_concurrency": q_session_concurrency,
         # --- 51+: oracled, driver-green in r6/r7, local parity ---
+        "session_concurrency": q_session_concurrency,
         "session_concurrency_sweep": q_session_concurrency_sweep,
         "period_pdm_dense": q_period_pdm_dense,
         "multimodal_audio": q_multimodal_audio,
@@ -2294,6 +2304,7 @@ FROM corpus GROUP BY md5(text)
             phi=0.02, n=1
         ),
         "semantic_dedup": sim_ops.semantic_dedup_sql(tau=0.42, n_cells=16),
+        "gopher_quality": text_ops.gopher_quality_filter_sql(),
         "sky_zorder": layout_ops.sky_zorder_sql(testdata.STARS_SQL),
         "corpus_diff": text_ops.corpus_diff_sql(
             "SELECT doc_id, text FROM documents",

@@ -835,3 +835,108 @@ SELECT c.doc_id,
        coalesce(s.clean_md5, md5('')) AS clean_md5
 FROM (SELECT doc_id FROM corpus) c LEFT JOIN scrubbed s USING (doc_id)
 """
+
+
+# Gopher rule thresholds (Rae et al. 2021, arXiv:2112.11446, Table A1),
+# rescaled where the paper's web-scale bounds are degenerate on this
+# corpus (docs are 10-99 tokens; the paper filters 50-100k-word pages):
+# the RULES are the paper's, the numbers are honest corpus-scale knobs.
+GOPHER_DEFAULTS = {
+    "min_words": 20,
+    "max_words": 100_000,
+    "min_avg_word_len": 3.0,
+    "max_avg_word_len": 10.0,
+    "max_symbol_ratio": 0.1,
+    "min_distinct_stopwords": 1,
+    "max_dup_token_frac": 0.6,
+}
+
+
+def gopher_quality_filter(
+    df: DataFrame, text_col: str = "text", **overrides
+) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1) as
+    one map-only projection: per-document booleans for each rule plus
+    the conjunction ``keep``.
+
+    Rules carried from the paper: word-count bounds, mean-word-length
+    bounds, symbol-to-character ratio cap, minimum distinct stopwords
+    (the paper's "stop word" requirement), and a repetition cap (the
+    paper's duplicate-fraction family, here the duplicate-token
+    fraction — the zero-shuffle member of ``repetition_features``).
+    Every signal is exact integer arithmetic over one projection — no
+    shuffle anywhere, the 100 TB shape of a keep/drop gate — and every
+    expression is shared verbatim with the DuckDB mirror.
+    """
+    p = {**GOPHER_DEFAULTS, **overrides}
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n = F.size(toks)
+    n_chars = F.length(t)
+    avg_len = n_chars / n
+    symbols = n_chars - F.length(F.regexp_replace(t, "[.,!?;:]", ""))
+    dstop = F.size(
+        F.array_distinct(F.filter(toks, lambda x: x.isin(STOPWORDS)))
+    )
+    dup_frac = (n - F.size(F.array_distinct(toks))) / n
+    r_words = (n >= p["min_words"]) & (n <= p["max_words"])
+    r_avg = (avg_len >= p["min_avg_word_len"]) & (
+        avg_len <= p["max_avg_word_len"]
+    )
+    r_sym = F.when(
+        n_chars > 0, (symbols / n_chars) <= p["max_symbol_ratio"]
+    ).otherwise(F.lit(False))
+    r_stop = dstop >= p["min_distinct_stopwords"]
+    r_dup = dup_frac <= p["max_dup_token_frac"]
+    return df.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        r_words.alias("pass_word_count"),
+        r_avg.alias("pass_avg_word_len"),
+        r_sym.alias("pass_symbol_ratio"),
+        r_stop.alias("pass_stopwords"),
+        r_dup.alias("pass_repetition"),
+        (r_words & r_avg & r_sym & r_stop & r_dup).alias("keep"),
+    )
+
+
+def gopher_quality_filter_sql(
+    corpus_sql: str = "SELECT doc_id, text FROM documents", **overrides
+) -> str:
+    """DuckDB mirror of :func:`gopher_quality_filter` — same integer
+    counts, same comparison points."""
+    p = {**GOPHER_DEFAULTS, **overrides}
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH corpus AS ({corpus_sql}),
+f AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+           AS symbols,
+         len(list_distinct(list_filter(string_split(text, ' '),
+                                       x -> x IN ({sw})))) AS dstop,
+         len(string_split(text, ' '))
+           - len(list_distinct(string_split(text, ' '))) AS dups
+  FROM corpus
+),
+rules AS (
+  SELECT doc_id, n,
+         (n >= {p["min_words"]} AND n <= {p["max_words"]}) AS pass_word_count,
+         (n_chars / n >= {p["min_avg_word_len"]!r}
+          AND n_chars / n <= {p["max_avg_word_len"]!r}) AS pass_avg_word_len,
+         CASE WHEN n_chars > 0
+              THEN symbols / n_chars <= {p["max_symbol_ratio"]!r}
+              ELSE FALSE END AS pass_symbol_ratio,
+         (dstop >= {p["min_distinct_stopwords"]}) AS pass_stopwords,
+         (dups / n <= {p["max_dup_token_frac"]!r}) AS pass_repetition
+  FROM f
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       pass_word_count, pass_avg_word_len, pass_symbol_ratio,
+       pass_stopwords, pass_repetition,
+       (pass_word_count AND pass_avg_word_len AND pass_symbol_ratio
+        AND pass_stopwords AND pass_repetition) AS keep
+FROM rules
+"""

@@ -578,3 +578,49 @@ def test_line_scrub_keeps_fully_scrubbed_docs(spark):
     assert out[99].n_kept == 0
     assert out[99].clean_md5 == hashlib.md5(b"").hexdigest()
     assert out[0].n_kept == 1
+
+
+def test_gopher_quality_rules_match_direct_recomputation(spark):
+    """Per-rule booleans recomputed in pure Python from the raw text;
+    keep == conjunction; the corpus must split (both keeps and drops)."""
+    from lightcurvesclassifier_spark.operators import text as text_ops
+    from lightcurvesclassifier_spark.sources import testdata
+    from tests.conftest import SF_ORACLE
+
+    docs = testdata.load_table(spark, SF_ORACLE, "documents")
+    out = (
+        text_ops.gopher_quality_filter(docs).toPandas().set_index("doc_id")
+    )
+    p = text_ops.GOPHER_DEFAULTS
+    sw = set(text_ops.STOPWORDS)
+    raw = docs.select("doc_id", "text").toPandas()
+    assert out["keep"].any() and (~out["keep"]).any()
+    for r in raw.itertuples():
+        toks = r.text.split(" ")
+        n, n_chars = len(toks), len(r.text)
+        row = out.loc[r.doc_id]
+        assert row["pass_word_count"] == (
+            p["min_words"] <= n <= p["max_words"]
+        )
+        assert row["pass_avg_word_len"] == (
+            p["min_avg_word_len"] <= n_chars / n <= p["max_avg_word_len"]
+        )
+        symbols = sum(c in ".,!?;:" for c in r.text)
+        assert row["pass_symbol_ratio"] == (
+            n_chars > 0 and symbols / n_chars <= p["max_symbol_ratio"]
+        )
+        assert row["pass_stopwords"] == (
+            len({t for t in toks if t in sw})
+            >= p["min_distinct_stopwords"]
+        )
+        dup_frac = (n - len(set(toks))) / n
+        assert row["pass_repetition"] == (
+            dup_frac <= p["max_dup_token_frac"]
+        )
+        assert row["keep"] == all(
+            row[c]
+            for c in (
+                "pass_word_count", "pass_avg_word_len",
+                "pass_symbol_ratio", "pass_stopwords", "pass_repetition",
+            )
+        )
