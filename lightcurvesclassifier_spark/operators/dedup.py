@@ -894,6 +894,26 @@ FROM labeled l JOIN sizes s USING (cluster_id)
 SPAN_K = 12  # token span length for exact-substring dedup
 
 
+def span_hash_grams(tokens: Column, k: int) -> Column:
+    """All k-token span hashes of one tokenized document as a row-level
+    array expression: xxhash64 over space-joined k-slices, empty array
+    for docs shorter than ``k`` (the short-doc guard — a descending
+    ``sequence`` would make ``slice`` throw). SINGLE-SOURCED for the
+    batch scrub (:func:`exact_substr_scrub`) and the streaming ingest
+    gate (``streaming/substr_gate_stream.py``) — gate flags mean "the
+    batch pass would see this span duplicated" only while both paths
+    hash identically, so neither may re-implement this. ``tokens`` must
+    be a MATERIALIZED column, not an inline ``split`` (Catalyst does
+    not CSE inside lambdas — the :func:`_ngram_rows` note)."""
+    return F.when(
+        F.size(tokens) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (k - 1)),
+            lambda i: F.xxhash64(F.array_join(F.slice(tokens, i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 def repeated_spans(
     df: DataFrame, k: int = SPAN_K, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -999,21 +1019,17 @@ def exact_substr_scrub(
     higher-order ``filter`` rebuild. No pairwise document work, no
     corpus-wide sort — the suffix array of the paper re-expressed as
     two hash exchanges. Requires unique ``id_col`` (corpus contract,
-    same as every shingle consumer here).
+    same as every shingle consumer here). BATCH-ONLY: the scrub needs a
+    corpus-global first-occurrence order (localCheckpoint + self-join +
+    chained aggregations) — the ingest-time twin is
+    ``streaming/substr_gate_stream.py``.
     """
     toks = F.split(F.col(text_col), " ")
     base = df.withColumn("_toks", toks)
-    if not df.isStreaming:
-        sc = df.sparkSession.sparkContext
-        if df.rdd.getNumPartitions() < sc.defaultParallelism:
-            base = base.repartition(sc.defaultParallelism, F.col(id_col))
-    grams = F.when(
-        F.size("_toks") >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
-            lambda i: F.xxhash64(F.array_join(F.slice("_toks", i, k), " ")),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        base = base.repartition(sc.defaultParallelism, F.col(id_col))
+    grams = span_hash_grams(F.col("_toks"), k)
     # (doc, 0-based span start, span hash); feeds the count aggregate and
     # the join-back probe — materialize once (repeated_spans pattern).
     spans = base.select(

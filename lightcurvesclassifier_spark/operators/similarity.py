@@ -1567,9 +1567,12 @@ def semantic_dedup(
         .collect()
     )
     if not seeds:
+        # empty / all-zero-norm corpus: schema must match the non-empty
+        # branch, including the caller's id column TYPE
+        id_type = corpus.schema[id_col].dataType.simpleString()
         return spark.createDataFrame(
             [],
-            f"{id_col} long, cell_idx int, cell_rank int, "
+            f"{id_col} {id_type}, cell_idx int, cell_rank int, "
             "cos_seed double, keep boolean",
         )
     seeds.sort(key=lambda r: (r["_h"], r[id_col]))

@@ -401,66 +401,67 @@ def cms_heavy_hitters(
     """Frequent ``n``-grams (count ≥ φ·N) by the classic two-pass
     sketch-prune-then-verify plan (Cormode & Muthukrishnan 2005 §4):
 
-    * pass 1 (map-only + tiny reduces): CMS counter table (≤ d·w rows)
-      and the scalar total N;
-    * candidates: distinct terms whose CMS estimate ≥ φ·N — the CMS
-      overestimates, so this is a SUPERSET of the true heavy hitters
-      (no false negatives), and for φ meaningfully above e/w it is a
-      small superset (overshoot ≤ e·N/w);
-    * pass 2: exact count of ONLY the candidates (term stream joins a
-      broadcast candidate set — the corpus-sized side never shuffles on
-      the full term domain) and the exact φ·N filter.
+    * pass 1: the CMS counter table — ≤ d·w integer cells, COLLECTED
+      (the same bounded-sketch-to-driver contract as
+      ``bloom_probe_fast``'s bitmap literal; 2 KiB·d at the default
+      geometry, independent of corpus size). N falls out for free: every
+      occurrence increments exactly one column of every row, so N =
+      Σ row 0 — no separate counting pass;
+    * pass 2, MAP-ONLY prune: each term OCCURRENCE's estimate is a
+      constant-folded array-literal lookup (``least`` over the d salted
+      positions), filtered against φ·N BEFORE any shuffle. CMS only
+      overestimates, so the survivors are a superset of the true heavy
+      hitters' occurrences (no false negatives; for φ meaningfully
+      above e/w the overshoot ≤ e·N/w keeps it a small superset);
+    * exact verify: ONE groupBy over only the surviving occurrences +
+      the exact φ·N filter.
 
-    The output therefore EQUALS the exact heavy-hitter set — the sketch
-    buys the pruning, not an approximation — which is why the DuckDB
-    oracle (:func:`cms_heavy_hitters_sql`) is the plain exact SQL. At
-    100 TB the full-domain groupBy this replaces is a corpus-wide
-    shuffle of every term occurrence; here the only full-width
-    aggregations have ≤ d·w (counters) or |candidates| (verify) keys.
-    Output: (term, cnt, freq) with freq = round(cnt/N, 6).
+    The output EQUALS the exact heavy-hitter set — the sketch buys the
+    pruning, not an approximation — which is why the DuckDB oracle
+    (:func:`cms_heavy_hitters_sql`) is the plain exact SQL. The
+    full-domain term groupBy genuinely never happens: the corpus is
+    scanned twice map-only, and the ONLY shuffle in the returned plan
+    carries the φ-bounded candidate occurrences.
     """
     from .dedup import _ngram_rows
 
-    def term_rows() -> DataFrame:
-        return _ngram_rows(
-            df, n, text_col, id_col,
-            key_fn=lambda s: s, empty_type="string", out_col="term",
-            distinct=False,
-        )
-
-    counters = cms_counters(df, text_col, n, id_col)
-    total = term_rows().agg(F.count("*").alias("n_total"))
-    probes = (
-        term_rows()
-        .select("term")
-        .distinct()
-        .select("term", F.explode(_cms_coords(F.col("term"))).alias("c"))
-        .select("term", F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+    cells = cms_counters(df, text_col, n, id_col).collect()  # ≤ d·w rows
+    arr = [0] * (CMS_D * CMS_W)
+    for r in cells:
+        arr[int(r["row"]) * CMS_W + int(r["col"])] = int(r["cnt"])
+    n_total = sum(arr[:CMS_W])  # Σ row 0 = total occurrences
+    spark = df.sparkSession
+    if n_total == 0:
+        return spark.createDataFrame([], "term string, cnt long, freq double")
+    # foldable 2048-literal array: built as ONE expr string (single py4j
+    # round trip), constant-folded by Catalyst into a Literal
+    cnt_arr = F.expr("array(" + ",".join(f"{x}L" for x in arr) + ")")
+    terms = _ngram_rows(
+        df, n, text_col, id_col,
+        key_fn=lambda s: s, empty_type="string", out_col="term",
+        distinct=False,
+    ).select("term")
+    est = F.least(
+        *[
+            F.element_at(
+                cnt_arr,
+                (F.lit(i * CMS_W) + _cms_col(F.col("term"), i) + 1).cast(
+                    "int"
+                ),
+            )
+            for i in range(CMS_D)
+        ]
     )
-    est = (
-        probes.join(F.broadcast(counters), ["row", "col"])
-        .groupBy("term")
-        .agg(F.min("cnt").alias("est"))
-    )
-    cand = (
-        est.crossJoin(F.broadcast(total))
-        .filter(F.col("est") >= F.lit(float(phi)) * F.col("n_total"))
-        .select("term")
-    )
+    thresh = F.lit(float(phi)) * F.lit(float(n_total))
     exact = (
-        term_rows()
-        .join(F.broadcast(cand), "term")
+        terms.filter(est >= thresh)  # map-only CMS prune
         .groupBy("term")
         .agg(F.count("*").alias("cnt"))
     )
-    return (
-        exact.crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") >= F.lit(float(phi)) * F.col("n_total"))
-        .select(
-            "term",
-            F.col("cnt").cast("long").alias("cnt"),
-            F.round(F.col("cnt") / F.col("n_total"), 6).alias("freq"),
-        )
+    return exact.filter(F.col("cnt") >= thresh).select(
+        "term",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round(F.col("cnt") / F.lit(float(n_total)), 6).alias("freq"),
     )
 
 

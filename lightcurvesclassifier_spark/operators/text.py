@@ -873,7 +873,11 @@ def gopher_quality_filter(
     toks = _tokens(t)
     n = F.size(toks)
     n_chars = F.length(t)
-    avg_len = n_chars / n
+    # TRUE mean word length: separators excluded — a single-space-joined
+    # text has exactly n-1 separator chars, so sum(len(word)) =
+    # n_chars - (n-1). (quality_features' avg_token_len keeps the
+    # chars-per-token convention; the Gopher rule is about WORDS.)
+    avg_len = (n_chars - (n - 1)) / n
     symbols = n_chars - F.length(F.regexp_replace(t, "[.,!?;:]", ""))
     dstop = F.size(
         F.array_distinct(F.filter(toks, lambda x: x.isin(STOPWORDS)))
@@ -924,8 +928,9 @@ f AS (
 rules AS (
   SELECT doc_id, n,
          (n >= {p["min_words"]} AND n <= {p["max_words"]}) AS pass_word_count,
-         (n_chars / n >= {p["min_avg_word_len"]!r}
-          AND n_chars / n <= {p["max_avg_word_len"]!r}) AS pass_avg_word_len,
+         ((n_chars - (n - 1)) / n >= {p["min_avg_word_len"]!r}
+          AND (n_chars - (n - 1)) / n <= {p["max_avg_word_len"]!r})
+           AS pass_avg_word_len,
          CASE WHEN n_chars > 0
               THEN symbols / n_chars <= {p["max_symbol_ratio"]!r}
               ELSE FALSE END AS pass_symbol_ratio,

@@ -32,23 +32,9 @@ like the band-collision contract of the MinHash gate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
-from ..operators.dedup import SPAN_K
-
-
-def _span_hashes(text_col: str, k: int) -> Column:
-    """All k-token span hashes of a document as ONE row-level array
-    expression (the batch operator's keys without the explode — short
-    docs yield an empty array, matching the batch short-doc guard)."""
-    tk = F.col("_toks")
-    return F.when(
-        F.size(tk) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tk) - (k - 1)),
-            lambda i: F.xxhash64(F.array_join(F.slice(tk, i, k), " ")),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+from ..operators.dedup import SPAN_K, span_hash_grams
 
 
 def span_table(
@@ -59,8 +45,9 @@ def span_table(
     parquet on each nightly scrub pass and point the gate at it."""
     toks = corpus.withColumn("_toks", F.split(F.col(text_col), " "))
     return (
-        toks.select(F.explode(_span_hashes(text_col, k)).alias("span"))
-        .distinct()
+        toks.select(
+            F.explode(span_hash_grams(F.col("_toks"), k)).alias("span")
+        ).distinct()
     )
 
 
@@ -78,7 +65,9 @@ def substr_gate_stream(
     spans = toks.select(
         F.col(id_col),
         F.size("_toks").alias("n_tokens"),
-        F.posexplode(_span_hashes(text_col, k)).alias("pos", "span"),
+        F.posexplode(span_hash_grams(F.col("_toks"), k)).alias(
+            "pos", "span"
+        ),
     )
     return spans.join(rest_spans, "span").select(
         id_col, "n_tokens", "pos", "span"

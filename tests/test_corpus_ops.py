@@ -602,9 +602,13 @@ def test_gopher_quality_rules_match_direct_recomputation(spark):
         assert row["pass_word_count"] == (
             p["min_words"] <= n <= p["max_words"]
         )
+        # true mean word length: separators excluded
         assert row["pass_avg_word_len"] == (
-            p["min_avg_word_len"] <= n_chars / n <= p["max_avg_word_len"]
+            p["min_avg_word_len"]
+            <= (n_chars - (n - 1)) / n
+            <= p["max_avg_word_len"]
         )
+        assert (n_chars - (n - 1)) / n == sum(len(t) for t in toks) / n
         symbols = sum(c in ".,!?;:" for c in r.text)
         assert row["pass_symbol_ratio"] == (
             n_chars > 0 and symbols / n_chars <= p["max_symbol_ratio"]

@@ -56,7 +56,6 @@ SINGLE_OK = {
     "confusion_stats",    # single-row stats
     "dq_audit",           # union of one-row check aggregates
     "small_qty_revenue",  # single-row final
-    "cms_heavy_hitters",  # broadcast scalar total N (one-row aggregate)
     "session_concurrency_sweep",  # bounded day-axis cumulative window
 }
 
