@@ -121,8 +121,13 @@ def comparative_scores(
                     m = np.asarray(mag[i], dtype=float)
                     ws = sax_mod.compute_bins(t, days_per_bin)
                     w, s = sax_mod.sax_word(m, ws, alphabet_size)
-                    words.append(w)
-                    scales.append(s)
+                    # empty word (zero-span curve → 0 bins) carries no
+                    # shape; NULL matches _word_udf's degenerate guard
+                    # and keeps the JVM _d2 path off ascii('')-97 = -97,
+                    # which is out of the beta array's element_at range
+                    # under Spark 4 ANSI (r8 advice item)
+                    words.append(w if w else None)
+                    scales.append(s if w else None)
                 return pd.DataFrame({"word": words, "scale": scales})
 
         i_words = (

@@ -1029,12 +1029,33 @@ def exact_substr_scrub(
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         base = base.repartition(sc.defaultParallelism, F.col(id_col))
-    grams = span_hash_grams(F.col("_toks"), k)
-    # (doc, 0-based span start, span hash); feeds the count aggregate and
+    grams = F.when(
+        F.size("_toks") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+            lambda i: F.array_join(F.slice(F.col("_toks"), i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # (doc, 0-based span start, span key); feeds the count aggregate and
     # the join-back probe — materialize once (repeated_spans pattern).
-    spans = base.select(
-        F.col(id_col), F.posexplode(grams).alias("pos", "span")
-    ).localCheckpoint(eager=False)
+    # The key is a 128-bit struct of two independent xxhash64 draws (the
+    # second salted with a literal column): the scrub MUTATES text, so a
+    # key collision would silently delete non-duplicated tokens — unlike
+    # repeated_spans, which only measures and keeps the 64-bit key (r8
+    # advice item). Span strings exist only inside the explode; the
+    # checkpoint stores the 16-byte struct.
+    spans = (
+        base.select(F.col(id_col), F.posexplode(grams).alias("pos", "_s"))
+        .select(
+            F.col(id_col),
+            "pos",
+            F.struct(
+                F.xxhash64("_s").alias("h1"),
+                F.xxhash64(F.lit(1), "_s").alias("h2"),
+            ).alias("span"),
+        )
+        .localCheckpoint(eager=False)
+    )
     agg = spans.groupBy("span").agg(
         F.count("*").alias("n_occ"),
         F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
@@ -1075,9 +1096,10 @@ def exact_substr_scrub(
 def exact_substr_scrub_sql(corpus_sql: str, k: int = SPAN_K) -> str:
     """DuckDB mirror of :func:`exact_substr_scrub` (raw span strings for
     keys — space-joined k-token windows of a space-split text are
-    bijective, so the grouping matches xxhash64's up to hash collisions,
-    same caveat as :func:`repeated_spans_sql`). 1-based positions where
-    Spark uses 0-based; positions never reach the output."""
+    bijective, so the grouping matches the Spark side's 128-bit
+    double-xxhash64 struct key up to a simultaneous collision in BOTH
+    64-bit draws, ~|spans|²/2¹²⁸). 1-based positions where Spark uses
+    0-based; positions never reach the output."""
     return f"""
 WITH corpus AS ({corpus_sql}),
 toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),

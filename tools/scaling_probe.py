@@ -117,6 +117,15 @@ def main() -> None:
     from lightcurvesclassifier_spark.session import get_spark
     from lightcurvesclassifier_spark.sources.testdata import TABLES, load_table
 
+    # fail fast on a typo'd --queries name BEFORE the (expensive)
+    # replicated-dataset build (r8 advice item)
+    known = set(entry_mod.queries())
+    unknown = [n for n in queries if n not in known]
+    if unknown:
+        ap.error(
+            "unknown --queries name(s): " + ", ".join(sorted(unknown))
+        )
+
     spark = get_spark("lcc-scaling-probe")
 
     big_dir = os.path.join(args.out, f"k{args.k}")
