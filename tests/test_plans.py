@@ -228,10 +228,12 @@ def test_ivf_topk_job_budget(spark):
     win was py4j/planning overhead no value oracle can see): one
     embedding_ivf_topk call must stay within a pinned Spark-job budget.
     Measured 13 jobs (stable across runs) after the scoped-AQE eager
-    checkpoint + expr-string folds; a refactor that reintroduces the
+    checkpoint + expr-string folds; 11 after the r9 map-side
+    assignment/probe folds (the corpus max_by exchange and the probe
+    window exchange both gone). A refactor that reintroduces the
     per-call planning storm (e.g. an extra Lloyd materialization per
     iteration, or AQE re-planning the bounded training chain) blows
-    well past the 18 allowed here."""
+    well past the 15 allowed here."""
     from tests.conftest import SF_ORACLE
 
     sc = spark.sparkContext
@@ -243,7 +245,7 @@ def test_ivf_topk_job_budget(spark):
     finally:
         sc.setJobGroup(None, None)
     n_jobs = len(sc.statusTracker().getJobIdsForGroup("ivf_budget"))
-    assert 0 < n_jobs <= 18, n_jobs
+    assert 0 < n_jobs <= 15, n_jobs
 
 
 def test_star_cc_job_budget(spark):
