@@ -609,6 +609,21 @@ def bloom_probe(
     train side is map-only + one per-doc aggregate, and only flagged
     docs proceed to the exact containment pass."""
     bits = bloom_bits(evals, text_col, n, id_col)
+    return bloom_probe_bits(train, bits, text_col, n, id_col)
+
+
+def bloom_probe_bits(
+    train: DataFrame,
+    bits: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`bloom_probe` against a PRECOMPUTED set-bit table — the
+    nightly-artifact contract: build :func:`bloom_bits` once per eval
+    refresh, persist the ≤ m rows, and point every probe (batch or a
+    streaming ingest gate's foreachBatch) at it. Identical output to
+    :func:`bloom_probe`, which delegates here."""
     tr = _distinct_shingles(train, text_col, n, id_col)
     # no DISTINCT on the exploded rows (the r6 plan exchanged the full
     # 5× (doc, shingle, bit) table to dedup collided positions): "all k
