@@ -1649,102 +1649,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     FIRST 50 entries only (r2 lesson — the window silently narrowed when
     new queries were appended; r6 lesson — the window section grew to 52
     entries and two tail entries silently fell outside, so the boundary
-    is now pinned by DRIVER_WINDOW in tests).  Layout (r8 rotation,
+    is now pinned by DRIVER_WINDOW in tests).  Layout (r9 rotation,
     oldest-first per the r6 judge directive):
 
-    * 1-8: every query whose PLAN changed this round — the cluster
-      family riding the fused star-CC rounds (window contraction +
-      in-round star-forest fixpoint test + graph-side cluster stats),
-      including the two never-driver-checked splits (cluster_split
-      landed after the r7 window froze; cluster_split_stratified is
-      new); the jaccard-pair consumers that lost the shingle
-      checkpoint to exchange reuse (dedup_ngram, neardup_degrees);
-      and the two embedding near-dup queries on the n_cells=4/
-      n_salts=4 pairs parameters.
-    * 9-10: the two operators NEW this round (never driver-checked):
-      exact_substr_scrub (ExactSubstr apply side), ann_recall (IVF
-      recall self-eval).
-    * 11-13: the three comparative queries whose pair-scoring stage
-      moved JVM-side this round (prefix MINDIST as a codegen
-      expression; plans changed → window slots).
-    * 14-16: cms_heavy_hitters + semantic_dedup + gopher_quality (new
-      in session 2, never driver-checked).
-    * 17-49: ALL 33 r5-era rows — the oldest driver evidence in the
-      repo after this rotation.
-    * 50: the head of the r6-era rows (periodogram, period_search,
-      period_pdm, period_pdm_dense, session_concurrency/_sweep,
-      multimodal_audio/video rotated out to 51+ to make room; their
-      freshest rows stay r6).
-    * 51+: r6/r7-green queries, re-verified every session by
+    * 1-7: every query whose PLAN changed this round — the IVF family
+      on the map-side argmax assignment + array-fold probe ranking
+      (embedding_ivf_topk/_flat_topk; ann_recall additionally shares
+      one normalized-corpus checkpoint across its legs and fused its
+      recall tail; semantic_dedup rides the same assignment and gained
+      the auto n_cells default — its oracle slot still passes an
+      explicit 16), the stratified split's stratum window fused onto
+      the label subtree, the ExactSubstr scrub's widened 128-bit span
+      key, and comp_curves_noslide's word-UDF empty-word guard.
+    * 8-10: bloom_probe now delegates to the extracted
+      bloom_probe_bits (nightly-artifact contract, new composed
+      streaming ingest); pretraining_corpus composes it;
+      repeated_spans neighbors the scrub edit.
+    * 11-50: ALL 40 r6-era rows (periodogram/PDM family,
+      sessionization, multimodal audio/video, crossmatch pair,
+      stars_filter_pipeline, the r6 text/corpus cohort) — the oldest
+      driver evidence in the repo; after this round no query's
+      freshest driver row predates r7.
+    * 51+: r7/r8-green queries, re-verified every session by
       tests/test_oracle_parity.py (rotated out to make window room).
-      After this round no query's freshest driver row predates r6.
     Every entry carries a full DuckDB oracle — including the
     Lloyd-trained embedding_ivf_topk, whose training is mirrored in SQL
     (engine-exact int-scaled means).
     """
     return {
-        # --- 1-50: oracled, driver-checked window (r8 rotation) ---
-        # plan changed this round (r8): fused star-CC cluster family,
-        # jaccard exchange-reuse consumers, tuned embedding near-dup
-        "cluster_split": q_cluster_split,
-        "cluster_split_stratified": q_cluster_split_stratified,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_canonical": q_dedup_canonical,
-        "embedding_dedup_clusters": q_embedding_dedup_clusters,
-        "dedup_ngram": q_dedup_ngram,
-        "neardup_degrees": q_neardup_degrees,
-        "embedding_neardup": q_embedding_neardup,
-        # new this round (never driver-checked): ExactSubstr apply side,
-        # IVF recall self-eval
-        "exact_substr_scrub": q_exact_substr_scrub,
+        # --- 1-50: oracled, driver-checked window (r9 rotation) ---
+        # 1-7: plan changed this round — map-side IVF assignment/probe
+        # (ivf pair, ann_recall's shared-corpus legs, semantic_dedup's
+        # auto-knob path shares the argmax fold), the stratified
+        # split's fused stratum window, the scrub's 128-bit span key,
+        # and the curves-path word UDF empty-word guard
+        "embedding_ivf_topk": q_embedding_ivf_topk,
+        "embedding_ivf_flat_topk": q_embedding_ivf_flat_topk,
         "ann_recall": q_ann_recall,
-        # plan changed this round (session 2): prefix-MINDIST pair
-        # scoring moved JVM-side (was a pandas UDF over the pair table)
-        "comp_hist_shape": q_comp_hist_shape,
-        "comp_variogram_shape": q_comp_variogram_shape,
-        "comp_curves_noslide": q_comp_curves_noslide,
-        # new (session 2, never driver-checked): sketch-pruned exact
-        # heavy hitters, cluster-scoped semantic dedup
-        "cms_heavy_hitters": q_cms_heavy_hitters,
         "semantic_dedup": q_semantic_dedup,
-        "gopher_quality": q_gopher_quality,
-        # r5-era driver rows — oldest evidence, all 33 rotated in
-        "lc_smooth": q_lc_smooth,
-        "pricing_summary": q_pricing_summary,
-        "nation_revenue": q_nation_revenue,
-        "incremental_stats": q_incremental_stats,
-        "phase_curve": q_phase_curve,
-        "robust_outliers": q_robust_outliers,
-        "cohort_retention": q_cohort_retention,
-        "cmd_histogram": q_cmd_histogram,
-        "monthly_flag_revenue": q_monthly_flag_revenue,
-        "repeat_customers": q_repeat_customers,
-        "late_order_priority": q_late_order_priority,
-        "small_qty_revenue": q_small_qty_revenue,
-        "custdist": q_custdist,
-        "lag_correlation": q_lag_correlation,
-        "churned_customers": q_churned_customers,
-        "line_scrub": q_line_scrub,
-        "lda_holdout": q_lda_holdout,
-        "promo_revenue": q_promo_revenue,
-        "embedding_lsh_topk": q_embedding_lsh_topk,
-        "skew_kurtosis": q_skew_kurtosis,
-        "color_index": q_color_index,
-        "property_descr": q_property_descr,
-        "position_descr": q_position_descr,
-        "obs_meta_json": q_obs_meta_json,
-        "sample_head": q_sample_head,
-        "sample_fraction": q_sample_fraction,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frames": q_multimodal_frames,
-        "mixture_sample": q_mixture_sample,
-        "stratified_sample": q_stratified_sample,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "pii_redact": q_pii_redact,
-        "repetition_features": q_repetition_features,
-        # head of the r6-era rows
-        "hll_grouped": q_hll_grouped,
-        # --- 51+: oracled, driver-green in r6/r7, local parity ---
+        "cluster_split_stratified": q_cluster_split_stratified,
+        "exact_substr_scrub": q_exact_substr_scrub,
+        "comp_curves_noslide": q_comp_curves_noslide,
+        # 8-10: bloom_probe now delegates to bloom_probe_bits (the
+        # nightly-artifact contract); pretraining_corpus composes it;
+        # repeated_spans neighbors the scrub edit (cheap insurance)
+        "bloom_probe": q_bloom_probe,
+        "pretraining_corpus": q_pretraining_corpus,
+        "repeated_spans": q_repeated_spans,
+        # 11-50: ALL 40 r6-era rows — the oldest driver evidence in
+        # the repo; after this rotation no freshest row predates r7
         "session_concurrency": q_session_concurrency,
         "session_concurrency_sweep": q_session_concurrency_sweep,
         "period_pdm_dense": q_period_pdm_dense,
@@ -1785,15 +1738,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stars_filter_pipeline": q_stars_filter_pipeline,
         "curve_descr": q_curve_descr,
         "curve_descr_height": q_curve_descr_height,
-        # r7-era rows (last round's full window)
+        # --- 51+: r7/r8-green queries, re-verified every session by
+        # tests/test_oracle_parity.py (rotated out for window room) ---
+        "cluster_split": q_cluster_split,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_canonical": q_dedup_canonical,
+        "embedding_dedup_clusters": q_embedding_dedup_clusters,
+        "dedup_ngram": q_dedup_ngram,
+        "neardup_degrees": q_neardup_degrees,
+        "embedding_neardup": q_embedding_neardup,
+        "comp_hist_shape": q_comp_hist_shape,
+        "comp_variogram_shape": q_comp_variogram_shape,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "gopher_quality": q_gopher_quality,
+        "lc_smooth": q_lc_smooth,
+        "pricing_summary": q_pricing_summary,
+        "nation_revenue": q_nation_revenue,
+        "incremental_stats": q_incremental_stats,
+        "phase_curve": q_phase_curve,
+        "robust_outliers": q_robust_outliers,
+        "cohort_retention": q_cohort_retention,
+        "cmd_histogram": q_cmd_histogram,
+        "monthly_flag_revenue": q_monthly_flag_revenue,
+        "repeat_customers": q_repeat_customers,
+        "late_order_priority": q_late_order_priority,
+        "small_qty_revenue": q_small_qty_revenue,
+        "custdist": q_custdist,
+        "lag_correlation": q_lag_correlation,
+        "churned_customers": q_churned_customers,
+        "line_scrub": q_line_scrub,
+        "lda_holdout": q_lda_holdout,
+        "promo_revenue": q_promo_revenue,
+        "embedding_lsh_topk": q_embedding_lsh_topk,
+        "skew_kurtosis": q_skew_kurtosis,
+        "color_index": q_color_index,
+        "property_descr": q_property_descr,
+        "position_descr": q_position_descr,
+        "obs_meta_json": q_obs_meta_json,
+        "sample_head": q_sample_head,
+        "sample_fraction": q_sample_fraction,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
+        "mixture_sample": q_mixture_sample,
+        "stratified_sample": q_stratified_sample,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "pii_redact": q_pii_redact,
+        "repetition_features": q_repetition_features,
+        "hll_grouped": q_hll_grouped,
         "bloom_bits": q_bloom_bits,
-        "bloom_probe": q_bloom_probe,
         "bloom_probe_fast": q_bloom_probe_fast,
         "dedup_minhash": q_dedup_minhash,
         "decontamination": q_decontamination,
-        "pretraining_corpus": q_pretraining_corpus,
-        "embedding_ivf_topk": q_embedding_ivf_topk,
-        "embedding_ivf_flat_topk": q_embedding_ivf_flat_topk,
         "phase_fold": q_phase_fold,
         "dedup_simhash": q_dedup_simhash,
         "curve_stats": q_curve_stats,
@@ -1807,7 +1802,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "obs_downsample": q_obs_downsample,
         "doc_chunks": q_doc_chunks,
         "unigram_logprob": q_unigram_logprob,
-        "repeated_spans": q_repeated_spans,
         "bigram_counts": q_bigram_counts,
         "ekvi_paa": q_ekvi_paa,
         "ekvi_paa_exact": q_ekvi_paa_exact,
