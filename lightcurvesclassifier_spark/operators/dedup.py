@@ -993,7 +993,8 @@ FROM toks t LEFT JOIN dup d USING (doc_id)
 
 
 def exact_substr_scrub(
-    df: DataFrame, k: int = SPAN_K, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, k: int = SPAN_K, text_col: str = "text",
+    id_col: str = "doc_id", merge_runs: bool = True,
 ) -> DataFrame:
     """Exact repeated-substring REMOVAL — the apply side of the
     ExactSubstr pass (Lee et al. 2021, arXiv:2107.06499 §4.2: delete
@@ -1009,6 +1010,26 @@ def exact_substr_scrub(
     overlapping marked ranges merge naturally at the token level.
     Output: ``(doc_id, n_tokens, n_removed, clean_text)`` — docs shorter
     than ``k`` tokens pass through untouched.
+
+    ``merge_runs`` (default, r9 — the span-merge refinement toward the
+    paper's maximal-substring semantics): per document, consecutive
+    duplicated-span start positions coalesce into MAXIMAL RUNS (one
+    extra doc-keyed window over the dup occurrences only — bounded by
+    the duplicated fraction, no asymptotic cost), and the keep
+    exemption is decided per RUN: a run survives only if EVERY span in
+    it is the global first occurrence of its content (the passage is
+    canonical here as a whole); otherwise the run's full token extent
+    is marked. Per-span exemption (``merge_runs=False``) can interleave
+    kept fragments across documents — doc A keeps span X but loses
+    overlapping span Y to doc B, which keeps Y but loses X — so no
+    document retains the full passage; run-level exemption keeps whole
+    passages whole. Merged marks are a SUPERSET of per-span marks
+    (pinned in tests): a non-exempt occurrence marks its run's whole
+    extent, which covers its own k tokens. The trade, documented: a
+    span whose first occurrence sits inside a non-canonical run loses
+    that copy too, so its content survives only if some other
+    occurrence's run is canonical — the same boundary behavior as the
+    paper's delete-all-but-one on maximal duplicates.
 
     Scale shape: explode span positions (O(total tokens)), ONE aggregate
     on the span hash computing both the occurrence count and the global
@@ -1062,23 +1083,51 @@ def exact_substr_scrub(
             "keep"
         ),
     )
-    marked = (
-        spans.join(agg.filter(F.col("n_occ") >= 2), "span")
-        .filter(
-            ~(
-                (F.col(id_col) == F.col("keep.d"))
-                & (F.col("pos") == F.col("keep.p"))
-            )
-        )
-        .select(
-            F.col(id_col),
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias(
-                "idx"
-            ),
-        )
-        .groupBy(id_col)
-        .agg(F.collect_set("idx").alias("_marked"))
+    occ = spans.join(agg.filter(F.col("n_occ") >= 2), "span").withColumn(
+        "_exempt",
+        (F.col(id_col) == F.col("keep.d")) & (F.col("pos") == F.col("keep.p")),
     )
+    if merge_runs:
+        # island coalescing: consecutive dup positions share
+        # pos − row_number() (the classic gaps-and-islands key); the
+        # run aggregate rides the SAME doc-keyed exchange the window
+        # created (groupBy on a prefix of the window partitioning), so
+        # the mode costs one exchange over dup occurrences only
+        w_run = Window.partitionBy(id_col).orderBy("pos")
+        runs = (
+            occ.withColumn(
+                "_grp", F.col("pos") - F.row_number().over(w_run)
+            )
+            .groupBy(id_col, "_grp")
+            .agg(
+                F.min("pos").alias("_s"),
+                F.max("pos").alias("_e"),
+                F.min(F.col("_exempt").cast("int")).alias("_all_ex"),
+            )
+            .filter(F.col("_all_ex") == 0)
+        )
+        marked = (
+            runs.select(
+                F.col(id_col),
+                F.explode(
+                    F.sequence(F.col("_s"), F.col("_e") + (k - 1))
+                ).alias("idx"),
+            )
+            .groupBy(id_col)
+            .agg(F.collect_set("idx").alias("_marked"))
+        )
+    else:
+        marked = (
+            occ.filter(~F.col("_exempt"))
+            .select(
+                F.col(id_col),
+                F.explode(
+                    F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+                ).alias("idx"),
+            )
+            .groupBy(id_col)
+            .agg(F.collect_set("idx").alias("_marked"))
+        )
     joined = base.join(marked, id_col, "left").withColumn(
         "_marked", F.coalesce(F.col("_marked"), F.array().cast("array<int>"))
     )
@@ -1093,13 +1142,43 @@ def exact_substr_scrub(
     )
 
 
-def exact_substr_scrub_sql(corpus_sql: str, k: int = SPAN_K) -> str:
+def exact_substr_scrub_sql(
+    corpus_sql: str, k: int = SPAN_K, merge_runs: bool = True
+) -> str:
     """DuckDB mirror of :func:`exact_substr_scrub` (raw span strings for
     keys — space-joined k-token windows of a space-split text are
     bijective, so the grouping matches the Spark side's 128-bit
     double-xxhash64 struct key up to a simultaneous collision in BOTH
     64-bit draws, ~|spans|²/2¹²⁸). 1-based positions where Spark uses
-    0-based; positions never reach the output."""
+    0-based; positions never reach the output. ``merge_runs`` mirrors
+    the run-level exemption via the same gaps-and-islands key
+    (pos − row_number per doc)."""
+    if merge_runs:
+        marked = f"""
+occ AS (
+  SELECT doc_id, pos, (rn = 1) AS exempt FROM ranked WHERE n_occ >= 2
+),
+run_tbl AS (
+  SELECT doc_id, grp, min(pos) AS s, max(pos) AS e,
+         bool_and(exempt) AS all_ex
+  FROM (
+    SELECT doc_id, pos, exempt,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM occ
+  ) GROUP BY doc_id, grp
+),
+marked AS (
+  SELECT DISTINCT doc_id, s + off AS idx
+  FROM run_tbl, unnest(generate_series(0, e - s + {k - 1})) AS o(off)
+  WHERE NOT all_ex
+)"""
+    else:
+        marked = f"""
+marked AS (
+  SELECT DISTINCT doc_id, pos + off AS idx
+  FROM ranked, unnest(generate_series(0, {k - 1})) AS o(off)
+  WHERE n_occ >= 2 AND rn > 1
+)"""
     return f"""
 WITH corpus AS ({corpus_sql}),
 toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
@@ -1112,12 +1191,7 @@ ranked AS (
          count(*) OVER (PARTITION BY span) AS n_occ,
          row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
   FROM spans
-),
-marked AS (
-  SELECT DISTINCT doc_id, pos + off AS idx
-  FROM ranked, unnest(generate_series(0, {k - 1})) AS o(off)
-  WHERE n_occ >= 2 AND rn > 1
-),
+),{marked},
 positions AS (
   SELECT t.doc_id, g AS idx, tk[g] AS tok
   FROM toks t, unnest(generate_series(1, len(tk))) AS u(g)

