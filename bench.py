@@ -100,8 +100,33 @@ def main() -> None:
         total_med += med
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # contention self-adjudication (r8 verdict stretch #8): the three
+    # control queries' committed quiet-box floors ride in the record,
+    # so a bar claim is gradable from THIS artifact alone — controls
+    # near 1.0x mean the bests are quiet-box numbers; higher means the
+    # whole run carries a co-tenancy tax.  Floors are best-of-3 on a
+    # verified-quiet box (tools/time_queries.py provenance); re-baseline
+    # if a control's plan ever changes.
+    control_floors = {"pricing_summary": 0.37, "lc_smooth": 0.48, "detrend": 0.68}
+    # floors are sf0.1 numbers — at any other SF the ratio is meaningless
+    controls = {
+        n: {"best": timings[n], "quiet_floor": fl}
+        for n, fl in control_floors.items()
+        if n in timings and sf_val == 0.1
+    }
+    contention = (
+        round(
+            sum(timings[n] / fl for n, fl in control_floors.items() if n in timings)
+            / len(controls),
+            3,
+        )
+        if controls
+        else None
+    )
     record = {
         "metric": "total_query_wall_time",
+        "controls": controls,
+        "contention_ratio": contention,
         # medians FIRST, bests LAST: the driver's tail capture is
         # bounded (~2 KB), so whatever dict sits nearest the end is the
         # only per-query data visible in the official record.  Bests
@@ -141,6 +166,7 @@ def main() -> None:
                 "value_median": round(total_med, 3),
                 "unit": "sec",
                 "sf": sf_val,
+                "contention_ratio": contention,
             }
         )
     )

@@ -97,15 +97,28 @@ def _shifted_embeddings(emb: DataFrame, k: int) -> DataFrame:
     reps = []
     for r in range(k):
         s = (7 * r) % dim
-        if s == 0:
-            if r == 0:
-                reps.append(emb)
-                continue
-            raise ValueError(f"replica {r} shift collapsed to 0 (dim {dim})")
+        # gcd(7, dim)=1 ⇒ the shift wraps to 0 every `dim` replicas
+        # (first hit at r=64 for dim=64, i.e. any K > 64). Each wrap
+        # additionally applies a norm-preserving alternating sign mask
+        # with a wrap-specific period — a shifted+masked copy of a
+        # near-uniform vector decorrelates from every shift-only copy,
+        # so cross-replica cosine near-dups stay absent at any K.
+        p = r // dim
+        if s == 0 and p == 0:
+            reps.append(emb)
+            continue
         arr = F.col("embedding")
-        shifted = F.concat(
-            F.slice(arr, s + 1, dim - s), F.slice(arr, 1, s)
+        shifted = (
+            F.concat(F.slice(arr, s + 1, dim - s), F.slice(arr, 1, s))
+            if s
+            else arr
         )
+        if p:
+
+            def _mask(per):
+                return lambda x, i: F.when((i % per) == 0, -x).otherwise(x)
+
+            shifted = F.transform(shifted, _mask(p + 1))
         reps.append(
             emb.select(
                 (F.col("vec_id") + r * 10_000_000).alias("vec_id"),
