@@ -849,6 +849,13 @@ GOPHER_DEFAULTS = {
     "max_symbol_ratio": 0.1,
     "min_distinct_stopwords": 1,
     "max_dup_token_frac": 0.6,
+    # the paper's remaining §A1.1 rules (r9): hash/ellipsis symbols per
+    # WORD, bullet-started line fraction, ellipsis-ended line fraction,
+    # alphabetic-word fraction — thresholds verbatim from Rae et al.
+    "max_symbol_word_ratio": 0.1,
+    "max_bullet_line_frac": 0.9,
+    "max_ellipsis_line_frac": 0.3,
+    "min_alpha_word_frac": 0.8,
 }
 
 
@@ -892,15 +899,44 @@ def gopher_quality_filter(
     ).otherwise(F.lit(False))
     r_stop = dstop >= p["min_distinct_stopwords"]
     r_dup = dup_frac <= p["max_dup_token_frac"]
+    # the paper's remaining rules (r9), all map-only integer counts over
+    # the same projection — lines split on \n (the synthetic fixture is
+    # single-line, where these pass trivially; the unit tests plant
+    # line-structured docs), non-overlapping '...' runs counted by
+    # length difference / 3 (both engines scan left-to-right)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)  # ≥ 1 always: split("") = [""]
+    bullets = F.size(
+        F.filter(lines, lambda x: x.rlike("^\\s*[-*•]"))
+    )
+    ell_lines = F.size(
+        F.filter(lines, lambda x: x.rlike("(\\.\\.\\.|…)\\s*$"))
+    )
+    hashes = n_chars - F.length(F.regexp_replace(t, "#", ""))
+    ells = (
+        n_chars - F.length(F.regexp_replace(t, "\\.\\.\\.", ""))
+    ) / 3 + (n_chars - F.length(F.regexp_replace(t, "…", "")))
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    r_symw = (hashes + ells) / n <= p["max_symbol_word_ratio"]
+    r_bullet = bullets / n_lines <= p["max_bullet_line_frac"]
+    r_ell = ell_lines / n_lines <= p["max_ellipsis_line_frac"]
+    r_alpha = alpha_words / n >= p["min_alpha_word_frac"]
     return df.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
         r_words.alias("pass_word_count"),
         r_avg.alias("pass_avg_word_len"),
         r_sym.alias("pass_symbol_ratio"),
+        r_symw.alias("pass_symbol_words"),
+        r_bullet.alias("pass_bullet_lines"),
+        r_ell.alias("pass_ellipsis_lines"),
+        r_alpha.alias("pass_alpha_words"),
         r_stop.alias("pass_stopwords"),
         r_dup.alias("pass_repetition"),
-        (r_words & r_avg & r_sym & r_stop & r_dup).alias("keep"),
+        (
+            r_words & r_avg & r_sym & r_symw & r_bullet & r_ell
+            & r_alpha & r_stop & r_dup
+        ).alias("keep"),
     )
 
 
@@ -919,6 +955,18 @@ f AS (
          length(text) AS n_chars,
          length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
            AS symbols,
+         length(text) - length(regexp_replace(text, '#', '', 'g')) AS hashes,
+         (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3
+           + (length(text) - length(regexp_replace(text, '…', '', 'g')))
+           AS ells,
+         len(string_split(text, chr(10))) AS n_lines,
+         len(list_filter(string_split(text, chr(10)),
+                         x -> regexp_matches(x, '^\\s*[-*•]'))) AS bullets,
+         len(list_filter(string_split(text, chr(10)),
+                         x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$')))
+           AS ell_lines,
+         len(list_filter(string_split(text, ' '),
+                         x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
          len(list_distinct(list_filter(string_split(text, ' '),
                                        x -> x IN ({sw})))) AS dstop,
          len(string_split(text, ' '))
@@ -934,14 +982,25 @@ rules AS (
          CASE WHEN n_chars > 0
               THEN symbols / n_chars <= {p["max_symbol_ratio"]!r}
               ELSE FALSE END AS pass_symbol_ratio,
+         ((hashes + ells) / n <= {p["max_symbol_word_ratio"]!r})
+           AS pass_symbol_words,
+         (bullets / n_lines <= {p["max_bullet_line_frac"]!r})
+           AS pass_bullet_lines,
+         (ell_lines / n_lines <= {p["max_ellipsis_line_frac"]!r})
+           AS pass_ellipsis_lines,
+         (alpha_words / n >= {p["min_alpha_word_frac"]!r})
+           AS pass_alpha_words,
          (dstop >= {p["min_distinct_stopwords"]}) AS pass_stopwords,
          (dups / n <= {p["max_dup_token_frac"]!r}) AS pass_repetition
   FROM f
 )
 SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
        pass_word_count, pass_avg_word_len, pass_symbol_ratio,
-       pass_stopwords, pass_repetition,
+       pass_symbol_words, pass_bullet_lines, pass_ellipsis_lines,
+       pass_alpha_words, pass_stopwords, pass_repetition,
        (pass_word_count AND pass_avg_word_len AND pass_symbol_ratio
+        AND pass_symbol_words AND pass_bullet_lines
+        AND pass_ellipsis_lines AND pass_alpha_words
         AND pass_stopwords AND pass_repetition) AS keep
 FROM rules
 """

@@ -621,10 +621,77 @@ def test_gopher_quality_rules_match_direct_recomputation(spark):
         assert row["pass_repetition"] == (
             dup_frac <= p["max_dup_token_frac"]
         )
+        # r9 rules (paper §A1.1 completions)
+        import re
+
+        lines = r.text.split("\n")
+        hashes = r.text.count("#")
+        ells = (n_chars - len(r.text.replace("...", ""))) / 3 + r.text.count(
+            "…"
+        )
+        assert row["pass_symbol_words"] == (
+            (hashes + ells) / n <= p["max_symbol_word_ratio"]
+        )
+        bullets = sum(bool(re.match(r"^\s*[-*•]", x)) for x in lines)
+        assert row["pass_bullet_lines"] == (
+            bullets / len(lines) <= p["max_bullet_line_frac"]
+        )
+        ell_lines = sum(
+            bool(re.search(r"(\.\.\.|…)\s*$", x)) for x in lines
+        )
+        assert row["pass_ellipsis_lines"] == (
+            ell_lines / len(lines) <= p["max_ellipsis_line_frac"]
+        )
+        alpha = sum(bool(re.search("[A-Za-z]", x)) for x in toks)
+        assert row["pass_alpha_words"] == (alpha / n >= p["min_alpha_word_frac"])
         assert row["keep"] == all(
             row[c]
             for c in (
                 "pass_word_count", "pass_avg_word_len",
-                "pass_symbol_ratio", "pass_stopwords", "pass_repetition",
+                "pass_symbol_ratio", "pass_symbol_words",
+                "pass_bullet_lines", "pass_ellipsis_lines",
+                "pass_alpha_words", "pass_stopwords", "pass_repetition",
             )
         )
+
+
+def test_gopher_line_and_symbol_rules_on_planted_docs(spark):
+    """The synthetic corpus is single-line alphabetic text, where the
+    r9 rules pass trivially — plant line-structured / symbol-heavy docs
+    that exercise every new rule in both directions."""
+    from lightcurvesclassifier_spark.operators import text as text_ops
+
+    def line(i):
+        # distinct alphabetic words per line + stopwords, so only the
+        # rule under test fires (dup fraction stays low, avg len 3-10)
+        return " ".join(f"alpha{i}x{j}" for j in range(12)) + " the and"
+
+    docs = spark.createDataFrame(
+        [
+            # > 90% bullet lines (10/10) -> drop
+            (1, "\n".join("- " + line(i) for i in range(10))),
+            # 50% bullet lines -> pass bullet rule
+            (2, "\n".join(
+                ("- " if i % 2 else "") + line(i) for i in range(10)
+            )),
+            # > 30% ellipsis-ended lines (2/4) -> drop
+            (3, "\n".join(
+                line(i) + ("..." if i < 2 else "") for i in range(4)
+            )),
+            # hash-heavy: > 0.1 symbols per word -> drop
+            (4, line(0) + " " + line(1) + " " + "#" * 20),
+            # numeric tokens: < 80% alphabetic words -> drop
+            (5, line(0) + " " + " ".join(str(i) for i in range(60))),
+            # clean multi-line doc -> keep
+            (6, "\n".join(line(i) for i in range(3))),
+        ],
+        "doc_id long, text string",
+    )
+    out = text_ops.gopher_quality_filter(docs).toPandas().set_index("doc_id")
+    assert not out.loc[1, "pass_bullet_lines"] and out.loc[2, "pass_bullet_lines"]
+    assert not out.loc[3, "pass_ellipsis_lines"]
+    assert not out.loc[4, "pass_symbol_words"]
+    assert not out.loc[5, "pass_alpha_words"]
+    assert out.loc[6, "keep"]
+    for d in (1, 3, 4, 5):
+        assert not out.loc[d, "keep"], d
