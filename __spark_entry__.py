@@ -1285,14 +1285,18 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine near-dup pairs. n_cells=4 / fixed n_salts=4 for the
+    """Exact cosine near-dup pairs. n_cells=4 / n_salts="bound" for the
     same reason as q_embedding_dedup_clusters: at threshold 0.42 the
     replication radius covers the sphere, so cells cannot prune and
-    auto-salting's second Arrow assignment pass buys nothing; the pair
-    set is parameter-invariant (pinned in test_data_pipeline)."""
+    auto-salting's second Arrow assignment pass buys nothing. "bound"
+    (r9) sizes S from one cheap corpus count — it resolves to the old
+    fixed 4 at every driver scale (same plan, same cost) but keeps peak
+    task memory bounded at any corpus size (the r8 fixed-4 crashed the
+    Python workers at the 100x probe point); the pair set is
+    parameter-invariant (pinned in test_data_pipeline)."""
     emb = testdata.load_table(spark, sf_dir, "embeddings")
     return sim_ops.embedding_neardup_pairs(
-        emb, threshold=0.42, n_cells=4, n_salts=4
+        emb, threshold=0.42, n_cells=4, n_salts="bound"
     )
 
 
@@ -1302,13 +1306,16 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per vector — the same transitive-closure step the text path runs,
     over the embedding modality.
 
-    Parameter choice (r8): at threshold 0.42 the replication radius
-    eps = sqrt(2 - 2*0.42) ~ 1.08 covers most of the unit sphere, so
-    cells cannot prune — n_cells=4 / fixed n_salts=4 cuts the scoring
-    fan-out to 4 x 10 groups and skips auto-salting's second Arrow
-    assignment pass (measured 3.19 -> 0.90 s for the pairs subtree at
+    Parameter choice (r8, salts mode r9): at threshold 0.42 the
+    replication radius eps = sqrt(2 - 2*0.42) ~ 1.08 covers most of the
+    unit sphere, so cells cannot prune — n_cells=4 with count-bounded
+    salting (n_salts="bound": S = ceil(N/8192), floored at 4) cuts the
+    scoring fan-out to 4 x 10 groups at driver scales EXACTLY like the
+    r8 fixed 4 did (measured 3.19 -> 0.90 s for the pairs subtree at
     sf0.1; the pair SET is parameter-invariant, pinned in
-    test_similarity). hops_per_round stays 1: chaining contractions
+    test_similarity) while keeping peak task memory bounded at any
+    corpus size — the r8 fixed 4 crashed the Python workers at the
+    K=100 probe point (50k-row GEMM groups). hops_per_round stays 1: chaining contractions
     re-measured SLOWER on this graph even in the fused-window
     formulation (A/B with contention controls: h1 3.62s / h2 4.22 /
     h3 4.13 — the chained round's doubled bidir references inflate the
@@ -1320,7 +1327,7 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = testdata.load_table(spark, sf_dir, "embeddings")
     pairs = sim_ops.embedding_neardup_pairs(
-        emb, threshold=0.42, n_cells=4, n_salts=4
+        emb, threshold=0.42, n_cells=4, n_salts="bound"
     )
     comp = connected_components_star(pairs)
     labeled = (

@@ -489,7 +489,30 @@ def _neardup_salted_assignments(
             ),
         )
     else:
-        s_ = max(1, int(n_salts))
+        if n_salts == "bound":
+            # worst-case-occupancy salting from ONE cheap column-pruned
+            # count (r9 — the K=100 probe crash): occupancy per cell is
+            # ≤ N by construction, so S = ⌈N / CHUNK_TARGET⌉ bounds peak
+            # task memory at ~2·CHUNK_TARGET rows at ANY corpus size
+            # with no second Arrow assignment pass (the cost that made
+            # the latency-tuned wrappers opt out of "auto").  In the
+            # full-sphere regime (low threshold — cells cannot prune,
+            # every cell's occupancy ≈ N) this bound is TIGHT, so
+            # "bound" strictly dominates a hand-fixed S there; in
+            # pruning regimes per-cell "auto" remains sharper (it
+            # spends no replication on cold cells).
+            import math as _math
+
+            n_rows = corpus.select(id_col).count()
+            s_ = min(
+                NEARDUP_MAX_SALTS,
+                max(
+                    NEARDUP_MIN_SALTS,
+                    _math.ceil(n_rows / NEARDUP_CHUNK_TARGET),
+                ),
+            )
+        else:
+            s_ = max(1, int(n_salts))
         assigned = assigned.withColumn(
             "_blk", F.pmod(F.xxhash64("_id"), F.lit(s_)).cast("int")
         ).withColumn(
