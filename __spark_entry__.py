@@ -1212,6 +1212,20 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.semantic_dedup(emb, tau=0.42, n_cells=16)
 
 
+def q_semantic_dedup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's Arrow/GEMM execution (r9) — same seeds, assignment,
+    keep priority and dominance rule as `semantic_dedup`, each stage a
+    numpy matmul instead of interpreted folds: the path that holds up
+    when the auto n_cells knob grows into the hundreds (the K=100
+    probe measured the interpreted assignment at exponent 0.98; the
+    GEMM runs the same flops ~100× cheaper). Shares semantic_dedup's
+    DuckDB oracle — identical values off rounding boundaries, and the
+    fixture is boundary-free (engine equality additionally pinned in
+    test_data_pipeline)."""
+    emb = testdata.load_table(spark, sf_dir, "embeddings")
+    return sim_ops.semantic_dedup(emb, tau=0.42, n_cells=16, method="gemm")
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply-side of dedup: canonical doc per near-dup cluster (longest
     text, tie-break min id) + keep flags — the delete/redirect map."""
@@ -1832,6 +1846,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_profile": q_embedding_profile,
         "dq_audit": q_dq_audit,
         "revenue_cube": q_revenue_cube,
+        # r9, new: SemDeDup's Arrow/GEMM execution — shares the SQL
+        # path's oracle (values identical off rounding boundaries);
+        # enters the driver window at the next rotation
+        "semantic_dedup_gemm": q_semantic_dedup_gemm,
     }
 
 
@@ -2305,6 +2323,12 @@ FROM corpus GROUP BY md5(text)
             phi=0.02, n=1
         ),
         "semantic_dedup": sim_ops.semantic_dedup_sql(tau=0.42, n_cells=16),
+        # the GEMM execution computes the same rounded values — one
+        # mirror serves both (fixture is rounding-boundary-free; the
+        # method equality is additionally pinned in test_data_pipeline)
+        "semantic_dedup_gemm": sim_ops.semantic_dedup_sql(
+            tau=0.42, n_cells=16
+        ),
         "gopher_quality": text_ops.gopher_quality_filter_sql(),
         "sky_zorder": layout_ops.sky_zorder_sql(testdata.STARS_SQL),
         "corpus_diff": text_ops.corpus_diff_sql(

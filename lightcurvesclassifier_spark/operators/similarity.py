@@ -1619,12 +1619,116 @@ def _auto_n_cells(n_corpus: int) -> int:
     return max(16, math.ceil(n_corpus / SEMDEDUP_TARGET_OCCUPANCY))
 
 
+def _semantic_dedup_gemm(
+    v: DataFrame, seed_rows, tau: float, id_col: str
+) -> DataFrame:
+    """The Arrow/GEMM execution of SemDeDup (``method="gemm"``) — same
+    seeds, same assignment/keep/dominance rules as the SQL path, each
+    stage a numpy matmul instead of interpreted zip_with folds.
+
+    Why it exists (r9, the K=100 probe): with the occupancy-constant
+    auto knob the PAIR term is bounded, but assignment work is
+    N·n_cells dots by design (the paper's own faiss shape) — executed
+    as interpreted higher-order folds that becomes the whole query at
+    782 cells (measured exponent 0.98 at K=100). The same flops as one
+    BLAS matmul per Arrow batch are ~100× cheaper. Two stages:
+
+    * assignment: one ``mapInPandas`` pass — rounded-cos matrix against
+      the broadcast seed matrix, enc = cos − idx·1e-9 argmax, emitting
+      (id, cell_idx, cos_seed, vec, nrm); zero exchanges (the map-side
+      argmax shape of :func:`_ivf_assign`, GEMM-powered);
+    * dominance: one ``applyInPandas`` per cell — sort by (cos_seed,
+      id), chunked pairwise GEMM, drop any row with an earlier-ranked
+      cos ≥ τ. Peak memory chunk×occupancy; occupancy is bounded by
+      the auto knob.
+
+    Parity note: BLAS-blocked accumulation can differ from the SQL
+    path's left folds in the last bit, so a cosine landing EXACTLY on a
+    5e-7 rounding boundary could flip between methods — the same
+    documented hazard as :func:`cosine_topk`'s GEMM. Boundary-free
+    data (the fixtures) is bit-equal; the fixture-level equality of
+    both methods is pinned in tests."""
+    import pandas as pd
+
+    spark = v.sparkSession
+    seed_mat = np.vstack(
+        [np.asarray(r["_v"], dtype=np.float64) for r in seed_rows]
+    )
+    seed_nrm = np.linalg.norm(seed_mat, axis=1)
+    b_seed = spark.sparkContext.broadcast((seed_mat, seed_nrm))
+    id_type = v.schema[id_col].dataType.simpleString()
+
+    def assign(batches):
+        sm, sn = b_seed.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf["_v"].to_numpy())
+            nrm = pdf["_vnrm"].to_numpy()
+            sims = _round6_half_away(
+                (mat @ sm.T) / (nrm[:, None] * sn[None, :])
+            )
+            enc = sims - np.arange(sims.shape[1])[None, :] * 1e-9
+            cell = enc.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cell_idx": cell.astype("int32"),
+                    "cos_seed": sims[np.arange(len(cell)), cell],
+                    "_v": list(mat),
+                    "_vnrm": nrm,
+                }
+            )
+
+    assigned = v.mapInPandas(
+        assign,
+        schema=(
+            f"{id_col} {id_type}, cell_idx int, cos_seed double,"
+            " _v array<double>, _vnrm double"
+        ),
+    )
+
+    def dominate(pdf):
+        pdf = pdf.sort_values(["cos_seed", id_col]).reset_index(drop=True)
+        mat = np.vstack(pdf["_v"].to_numpy())
+        nrm = pdf["_vnrm"].to_numpy()
+        n = len(pdf)
+        dropped = np.zeros(n, dtype=bool)
+        idx = np.arange(n)
+        chunk = 2048  # bound the sims temp: chunk × occupancy doubles
+        for s in range(0, n, chunk):
+            e = min(n, s + chunk)
+            sims = _round6_half_away(
+                (mat[s:e] @ mat.T) / (nrm[s:e, None] * nrm[None, :])
+            )
+            earlier = idx[None, :] < idx[s:e, None]
+            dropped[s:e] = ((sims >= tau) & earlier).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cell_idx": pdf["cell_idx"],
+                "cell_rank": (idx + 1).astype("int32"),
+                "cos_seed": pdf["cos_seed"],
+                "keep": ~dropped,
+            }
+        )
+
+    return assigned.groupBy("cell_idx").applyInPandas(
+        dominate,
+        schema=(
+            f"{id_col} {id_type}, cell_idx int, cell_rank int,"
+            " cos_seed double, keep boolean"
+        ),
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     tau: float = 0.42,
     n_cells: int | str = "auto",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "sql",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
     semantic deduplication — partition the embedding space into cells,
@@ -1657,6 +1761,16 @@ def semantic_dedup(
     Output: (vec_id, cell_idx, cell_rank, cos_seed, keep) — every
     corpus row (zero-norm rows dropped, the shared `_vec_rows` rule),
     keep=false for dominated duplicates.
+
+    ``method``: ``"sql"`` (default) keeps every stage an ANSI-SQL
+    expression — the fully DuckDB-mirrored path; ``"gemm"`` executes
+    the same seeds/assignment/dominance via Arrow-batched numpy matmuls
+    (:func:`_semantic_dedup_gemm`) — the path that holds up when the
+    auto knob grows n_cells into the hundreds (assignment work is
+    N·n_cells dots by design; interpreted folds measured exponent 0.98
+    at the K=100 probe point, the GEMM executes the same flops ~100×
+    cheaper). Identical results off rounding boundaries (fixture
+    equality pinned in tests).
     """
     spark = corpus.sparkSession
     v = _vec_rows(corpus, id_col, vec_col)
@@ -1688,6 +1802,10 @@ def semantic_dedup(
             "cos_seed double, keep boolean",
         )
     seeds.sort(key=lambda r: (r["_h"], r[id_col]))
+    if method == "gemm":
+        return _semantic_dedup_gemm(v, seeds, float(tau), id_col)
+    if method != "sql":
+        raise ValueError(f"method must be 'sql' or 'gemm', got {method!r}")
     cells_df = _cells_df(
         spark, [(j, [float(x) for x in r["_v"]]) for j, r in enumerate(seeds)]
     )

@@ -1228,6 +1228,33 @@ def test_semantic_dedup_auto_n_cells(spark):
         similarity.semantic_dedup(emb, n_cells="sixteen")
 
 
+def test_semantic_dedup_gemm_equals_sql(spark):
+    """method='gemm' (Arrow GEMM assignment + per-cell pairwise GEMM
+    dominance) is row-identical to the SQL path on the fixture — same
+    seeds, same rounded cosines, same keep set — for both the explicit
+    and the auto cell counts."""
+    emb = testdata.load_table(spark, SF_ORACLE, "embeddings")
+    cols = ["vec_id", "cell_idx", "cell_rank", "cos_seed", "keep"]
+    for nc in (16, "auto"):
+        sql = (
+            similarity.semantic_dedup(emb, tau=0.42, n_cells=nc)
+            .toPandas()[cols]
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        gemm = (
+            similarity.semantic_dedup(
+                emb, tau=0.42, n_cells=nc, method="gemm"
+            )
+            .toPandas()[cols]
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert sql.equals(gemm), nc
+    with pytest.raises(ValueError):
+        similarity.semantic_dedup(emb, method="numpy")
+
+
 def test_semantic_dedup_keeps_exactly_all_on_high_tau(spark):
     """tau above every attainable cosine keeps everything; tau <= -1
     keeps exactly one point per cell (everything dominated by rank 1)."""

@@ -39,6 +39,7 @@ ARROW_OK = {
     "multimodal_frames",
     "multimodal_audio",  # WAV codec decode in executors (mapInPandas)
     "multimodal_video",  # AVI codec decode in executors (mapInPandas)
+    "semantic_dedup_gemm",  # GEMM assignment + per-cell pairwise GEMM
 }
 
 # Bounded-input single-partition finals: one-row results, broadcast
