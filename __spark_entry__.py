@@ -57,6 +57,7 @@ from lightcurvesclassifier_spark.ml.stars_filter import (
 )
 from lightcurvesclassifier_spark.ml.curve_pca import curve_pca3_oracle_sql
 from lightcurvesclassifier_spark.operators import asof as asof_ops
+from lightcurvesclassifier_spark.operators import bpe as bpe_ops
 from lightcurvesclassifier_spark.operators import corpus as corpus_ops
 from lightcurvesclassifier_spark.operators import decontamination as decon_ops
 from lightcurvesclassifier_spark.operators import fuzzy as fuzzy_ops
@@ -1226,6 +1227,19 @@ def q_semantic_dedup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.semantic_dedup(emb, tau=0.42, n_cells=16, method="gemm")
 
 
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016,
+    arXiv:1508.07909): corpus → (word, count) vocab with ONE
+    corpus-scale shuffle, then 8 merge rounds on the vocab only —
+    adjacent-pair counts, deterministic (count DESC, lexicographic)
+    argmax collected as a bounded driver literal, greedy left-fold
+    merge applied map-side. Fully oracled: the DuckDB mirror unrolls
+    all 8 rounds (the Lloyd-training pattern) with list_reduce running
+    the IDENTICAL fold."""
+    docs = testdata.load_table(spark, sf_dir, "documents")
+    return bpe_ops.bpe_learn(docs, n_merges=8)
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply-side of dedup: canonical doc per near-dup cluster (longest
     text, tie-break min id) + keep flags — the delete/redirect map."""
@@ -1850,6 +1864,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # path's oracle (values identical off rounding boundaries);
         # enters the driver window at the next rotation
         "semantic_dedup_gemm": q_semantic_dedup_gemm,
+        # r9, new: distributed BPE tokenizer training, fully oracled
+        # (8 rounds unrolled in DuckDB); next-rotation window entry
+        "bpe_learn": q_bpe_learn,
     }
 
 
@@ -2328,6 +2345,9 @@ FROM corpus GROUP BY md5(text)
         # method equality is additionally pinned in test_data_pipeline)
         "semantic_dedup_gemm": sim_ops.semantic_dedup_sql(
             tau=0.42, n_cells=16
+        ),
+        "bpe_learn": bpe_ops.bpe_learn_sql(
+            "SELECT doc_id, text FROM documents", n_merges=8
         ),
         "gopher_quality": text_ops.gopher_quality_filter_sql(),
         "sky_zorder": layout_ops.sky_zorder_sql(testdata.STARS_SQL),

@@ -1,0 +1,232 @@
+"""Distributed BPE tokenizer training + application (Sennrich et al.
+2016, arXiv:1508.07909) — the learn side of the tokenizer a pre-training
+pipeline ships with its corpus.
+
+Spark-first shape: the corpus collapses to a (word, count) VOCAB table
+with one hash aggregate (the only corpus-scale shuffle — at 100 TB the
+distinct-word vocab is orders of magnitude smaller than the corpus);
+every merge round then runs on the vocab table only: adjacent-pair
+counts (explode + one vocab-scale aggregate), a deterministic argmax
+(count DESC, pair lexicographic — ONE collected row per round, the
+same bounded driver-literal contract as the IVF centroids), and a
+map-side greedy left-fold applying the merge to each word's symbol
+string. N merges = N bounded rounds; spell lineage is flattened with a
+lazy localCheckpoint per round so round r+1 reads round r's blocks
+instead of recomputing the whole chain.
+
+Engine parity: every step is mirrored, UNROLLED, in DuckDB
+(:func:`bpe_learn_sql`) — same initial character spelling, same pair
+counting, same (count DESC, lhs, rhs) tie rule, and the SAME greedy
+left-fold (Spark ``aggregate`` over the symbol array seeded with its
+first element ≡ DuckDB ``list_reduce``, which folds from the first
+element) — so the learned merge table is value-checked end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+BPE_MERGES = 8
+
+
+def _spell_col(word: Column) -> Column:
+    """Initial spelling: characters joined by single spaces (no
+    end-of-word marker — the corpus words are whitespace tokens, so the
+    word boundary is already explicit in the vocab key)."""
+    return F.array_join(F.split(word, ""), " ")
+
+
+def _merge_fold(sym_col: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right application of merge (a, b) to a
+    space-separated symbol string: fold the symbol array seeded with
+    its first element; at each step, if the accumulator's LAST symbol
+    is ``a`` and the incoming symbol is ``b``, replace that trailing
+    ``a`` with ``a||b`` — the classic BPE single-pass merge ("a a a"
+    under (a,a) → "aa a", non-overlapping). Seeding with element 1
+    matches DuckDB's ``list_reduce`` exactly (no initial-value arg
+    there), so both engines run the identical fold."""
+    ab = a + b
+    la = len(a)
+
+    def step(acc: Column, x: Column) -> Column:
+        last_is_a = (acc == a) | acc.endswith(" " + a)
+        stripped = acc.substr(F.lit(1), F.length(acc) - la)
+        return F.when(
+            last_is_a & (x == b), F.concat(stripped, F.lit(ab))
+        ).otherwise(F.concat(acc, F.lit(" "), x))
+
+    syms = F.split(sym_col, " ")
+    return F.aggregate(
+        F.slice(syms, 2, F.size(syms) - 1),
+        F.element_at(syms, 1),
+        step,
+    )
+
+
+def _pair_counts(spell: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts over the vocab, weighted by word
+    count — vocab-scale explode + ONE aggregate."""
+    syms = F.split(F.col("s"), " ")
+    pairs = F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("lhs"),
+                F.element_at(syms, i + 1).alias("rhs"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+    return (
+        spell.select(F.col("cnt"), F.explode(pairs).alias("p"))
+        .groupBy("p.lhs", "p.rhs")
+        .agg(F.sum("cnt").alias("c"))
+    )
+
+
+def bpe_learn(
+    corpus: DataFrame,
+    n_merges: int = BPE_MERGES,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus.
+
+    Output: (merge_idx, lhs, rhs, merged, pair_count) — one row per
+    learned merge in training order; fewer rows if the vocab runs out
+    of adjacent pairs first. Deterministic: ties on pair count break
+    lexicographically on (lhs, rhs), so the merge table is identical
+    across partition layouts and engines.
+    """
+    spark = corpus.sparkSession
+    words = (
+        corpus.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(_spell_col(F.col("w")).alias("s"), "cnt")
+        # vocab-bounded by contract; referenced by every round
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    spell = words
+    for r in range(int(n_merges)):
+        best = (
+            _pair_counts(spell)
+            .orderBy(F.col("c").desc(), F.col("lhs"), F.col("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, c = best[0]["lhs"], best[0]["rhs"], int(best[0]["c"])
+        merges.append((r, a, b, a + b, c))
+        spell = spell.select(
+            _merge_fold(F.col("s"), a, b).alias("s"), "cnt"
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges,
+        "merge_idx int, lhs string, rhs string, merged string,"
+        " pair_count long",
+    )
+
+
+def bpe_apply(
+    corpus: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a learned merge list: per word, the same greedy
+    left-fold chained once per merge IN TRAINING ORDER (the classic
+    apply rule) — map-only over the corpus, merges ride as plan
+    literals (bounded: the tokenizer contract). Output:
+    (id, tokens array<string>, n_tokens)."""
+    toks = F.flatten(
+        F.transform(
+            F.filter(
+                F.split(F.col(text_col), " "), lambda w: F.length(w) > 0
+            ),
+            lambda w: F.split(_apply_word_expr(w, merges), " "),
+        )
+    )
+    return corpus.select(
+        F.col(id_col),
+        toks.alias("tokens"),
+    ).select(
+        id_col, "tokens", F.size("tokens").cast("long").alias("n_tokens")
+    )
+
+
+def _apply_word_expr(word: Column, merges: list[tuple[str, str]]) -> Column:
+    out = F.array_join(F.split(word, ""), " ")
+    for a, b in merges:
+        out = _merge_fold(out, a, b)
+    return out
+
+
+def _fold_sql(toks: str, a_expr: str, b_expr: str) -> str:
+    """The greedy left-fold as a DuckDB ``list_reduce`` — identical
+    semantics to :func:`_merge_fold` (list_reduce seeds from element 1,
+    matching the Spark fold's element-1 seed)."""
+    return (
+        f"list_reduce({toks}, (acc, x) -> CASE WHEN "
+        f"(acc = {a_expr} OR right(acc, length({a_expr}) + 1) = "
+        f"' ' || {a_expr}) AND x = {b_expr} "
+        f"THEN substr(acc, 1, length(acc) - length({a_expr})) "
+        f"|| {a_expr} || {b_expr} "
+        f"ELSE acc || ' ' || x END)"
+    )
+
+
+def bpe_learn_sql(
+    corpus_sql: str, n_merges: int = BPE_MERGES
+) -> str:
+    """DuckDB mirror of :func:`bpe_learn`: the merge loop UNROLLED as
+    ``n_merges`` chained CTE blocks (the Lloyd-training mirror
+    pattern) — per round, pair counts over the current spelling, the
+    (count DESC, lhs, rhs) argmax as a one-row CTE, and the same
+    list_reduce fold applying it. Assumes the corpus yields at least
+    ``n_merges`` rounds of pairs (the engine breaks early instead; the
+    mirror is built for the fixture query, which never runs dry)."""
+    blocks = [
+        f"""
+spell_0 AS (
+  SELECT array_to_string(string_split(w, ''), ' ') AS s,
+         count(*) AS cnt
+  FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM ({corpus_sql})
+  ) WHERE length(w) > 0
+  GROUP BY w
+)"""
+    ]
+    for r in range(int(n_merges)):
+        prev = f"spell_{r}"
+        blocks.append(
+            f"""
+pairs_{r} AS (
+  SELECT toks[i] AS lhs, toks[i + 1] AS rhs, sum(cnt) AS c
+  FROM (SELECT cnt, string_split(s, ' ') AS toks FROM {prev}),
+       unnest(generate_series(1, len(toks) - 1)) AS g(i)
+  GROUP BY 1, 2
+),
+best_{r} AS (
+  SELECT lhs, rhs, c FROM pairs_{r} ORDER BY c DESC, lhs, rhs LIMIT 1
+),
+spell_{r + 1} AS (
+  SELECT {_fold_sql("string_split(p.s, ' ')", "b.lhs", "b.rhs")} AS s,
+         p.cnt
+  FROM {prev} p, best_{r} b
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS merge_idx, lhs, rhs, lhs || rhs AS merged,"
+        f" CAST(c AS BIGINT) AS pair_count FROM best_{r}"
+        for r in range(int(n_merges))
+    )
+    return (
+        "WITH "
+        + ",".join(blocks)
+        + f"\n{union}\nORDER BY merge_idx"
+    )

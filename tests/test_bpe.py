@@ -1,0 +1,136 @@
+"""Distributed BPE training/application vs a pure-Python reference
+implementation of Sennrich et al.'s algorithm (greedy left-to-right
+single-pass merges, count-desc/lexicographic tie rule)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lightcurvesclassifier_spark.operators import bpe
+from lightcurvesclassifier_spark.sources import testdata
+from tests.conftest import SF_SMOKE
+
+
+def _ref_learn(word_counts, n):
+    spell = {w: list(w) for w in word_counts}
+    merges = []
+    for r in range(n):
+        counts = {}
+        for w, c in word_counts.items():
+            s = spell[w]
+            for i in range(len(s) - 1):
+                k = (s[i], s[i + 1])
+                counts[k] = counts.get(k, 0) + c
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, a, b, a + b, c))
+        for w in spell:
+            spell[w] = _ref_apply_one(spell[w], a, b)
+    return merges, spell
+
+
+def _ref_apply_one(s, a, b):
+    out, i = [], 0
+    while i < len(s):
+        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return out
+
+
+def _word_counts(texts):
+    wc = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    return wc
+
+
+def test_bpe_learn_matches_reference_on_planted_corpus(spark):
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest wide wide wide",
+        "low new wide slow slower",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = (
+        bpe.bpe_learn(docs, n_merges=10)
+        .orderBy("merge_idx")
+        .collect()
+    )
+    exp, _ = _ref_learn(_word_counts(texts), 10)
+    assert len(got) == len(exp)
+    for g, e in zip(got, exp):
+        assert (g["merge_idx"], g["lhs"], g["rhs"], g["merged"],
+                g["pair_count"]) == e
+
+
+def test_bpe_learn_on_fixture_matches_reference(spark):
+    docs = testdata.load_table(spark, SF_SMOKE, "documents")
+    got = bpe.bpe_learn(docs, n_merges=6).orderBy("merge_idx").collect()
+    texts = [r["text"] for r in docs.select("text").collect()]
+    exp, _ = _ref_learn(_word_counts(texts), 6)
+    assert [
+        (g["merge_idx"], g["lhs"], g["rhs"], g["merged"], g["pair_count"])
+        for g in got
+    ] == exp
+
+
+def test_bpe_greedy_fold_edge_cases(spark):
+    """'a a a' under merge (a,a) -> ['aa','a'] (non-overlapping greedy);
+    merged symbols do not cascade within the same pass."""
+    docs = spark.createDataFrame(
+        [(1, "aaa aaaa baab")], "doc_id long, text string"
+    )
+    out = (
+        bpe.bpe_apply(docs, [("a", "a")])
+        .collect()[0]
+    )
+    assert out["tokens"] == ["aa", "a", "aa", "aa", "b", "aa", "b"]
+    assert out["n_tokens"] == 7
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_bpe_apply_matches_reference(spark, seed):
+    rng = np.random.default_rng(seed)
+    vocab = list("abcd")
+    texts = [
+        " ".join(
+            "".join(rng.choice(vocab, int(rng.integers(1, 8))))
+            for _ in range(int(rng.integers(1, 12)))
+        )
+        for _ in range(25)
+    ]
+    merges, _ = _ref_learn(_word_counts(texts), 6)
+    pairs = [(a, b) for _, a, b, _, _ in merges]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe.bpe_apply(docs, pairs).collect()
+    }
+    for i, t in enumerate(texts):
+        exp_toks = []
+        for w in t.split(" "):
+            s = list(w)
+            for a, b in pairs:
+                s = _ref_apply_one(s, a, b)
+            exp_toks.extend(s)
+        assert got[i] == exp_toks, i
+
+
+def test_bpe_learn_stops_when_pairs_run_dry(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    out = bpe.bpe_learn(docs, n_merges=5).collect()
+    assert out == []  # every word is a single symbol: zero pairs
