@@ -1240,6 +1240,22 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_ops.bpe_learn(docs, n_merges=8)
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer pipeline end to end: learn 8 merges, then tokenize
+    the corpus with the vocab-joined apply (fold chain once per
+    DISTINCT word — Zipfian corpora do fold work ∝ |vocab|, not corpus
+    tokens — broadcast spell join + one id-keyed re-assembly). The
+    DuckDB mirror unrolls the learn chain and joins its FINAL spelling
+    table back onto word positions: training fold ≡ apply fold, so a
+    word's tokens ARE its final spelling."""
+    docs = testdata.load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_ops.bpe_learn(docs, n_merges=8).collect()
+    ]
+    return bpe_ops.bpe_tokenize(docs, merges)
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply-side of dedup: canonical doc per near-dup cluster (longest
     text, tie-break min id) + keep flags — the delete/redirect map."""
@@ -1864,9 +1880,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # path's oracle (values identical off rounding boundaries);
         # enters the driver window at the next rotation
         "semantic_dedup_gemm": q_semantic_dedup_gemm,
-        # r9, new: distributed BPE tokenizer training, fully oracled
-        # (8 rounds unrolled in DuckDB); next-rotation window entry
+        # r9, new: distributed BPE tokenizer training + end-to-end
+        # tokenization, fully oracled (8 rounds unrolled in DuckDB);
+        # next-rotation window entries
         "bpe_learn": q_bpe_learn,
+        "bpe_tokenize": q_bpe_tokenize,
     }
 
 
@@ -2347,6 +2365,9 @@ FROM corpus GROUP BY md5(text)
             tau=0.42, n_cells=16
         ),
         "bpe_learn": bpe_ops.bpe_learn_sql(
+            "SELECT doc_id, text FROM documents", n_merges=8
+        ),
+        "bpe_tokenize": bpe_ops.bpe_tokenize_sql(
             "SELECT doc_id, text FROM documents", n_merges=8
         ),
         "gopher_quality": text_ops.gopher_quality_filter_sql(),

@@ -166,6 +166,64 @@ def _apply_word_expr(word: Column, merges: list[tuple[str, str]]) -> Column:
     return out
 
 
+def bpe_tokenize(
+    corpus: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocab-joined tokenization — the skew-robust twin of
+    :func:`bpe_apply`: the (interpreted) merge-fold chain runs once per
+    DISTINCT word, the resulting spell table broadcasts back onto the
+    corpus word positions, and documents re-assemble under one
+    id-keyed aggregate. On natural-language corpora word frequency is
+    Zipfian, so this does fold work ∝ |vocab| instead of ∝ corpus
+    tokens (bpe_apply stays the zero-shuffle choice when the fold is
+    cheap relative to a corpus exchange). Output:
+    (id, n_tokens, tokens_str) — tokens space-joined, every input doc
+    present (empty docs come back with 0 tokens)."""
+    words = (
+        corpus.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .distinct()
+    )
+    spelled = words.select(
+        "w", _apply_word_expr(F.col("w"), merges).alias("_s")
+    )
+    pos = corpus.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("_i", "w"),
+    ).filter(F.length("w") > 0)
+    parts = F.array_sort(
+        F.collect_list(F.struct(F.col("_i"), F.col("_s")))
+    )
+    docs = (
+        pos.join(F.broadcast(spelled), "w")
+        .groupBy(id_col)
+        .agg(parts.alias("_parts"))
+        .select(
+            F.col(id_col),
+            F.size(
+                F.flatten(
+                    F.transform(
+                        "_parts", lambda p: F.split(p["_s"], " ")
+                    )
+                )
+            ).cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform("_parts", lambda p: p["_s"]), " "
+            ).alias("tokens_str"),
+        )
+    )
+    return corpus.select(id_col).join(docs, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("tokens_str", F.lit("")).alias("tokens_str"),
+    )
+
+
 def _fold_sql(toks: str, a_expr: str, b_expr: str) -> str:
     """The greedy left-fold as a DuckDB ``list_reduce`` — identical
     semantics to :func:`_merge_fold` (list_reduce seeds from element 1,
@@ -190,10 +248,18 @@ def bpe_learn_sql(
     list_reduce fold applying it. Assumes the corpus yields at least
     ``n_merges`` rounds of pairs (the engine breaks early instead; the
     mirror is built for the fixture query, which never runs dry)."""
+    blocks, union = _learn_blocks_sql(corpus_sql, int(n_merges))
+    return "WITH " + ",".join(blocks) + f"\n{union}\nORDER BY merge_idx"
+
+
+def _learn_blocks_sql(corpus_sql: str, n_merges: int):
+    """The unrolled learn CTE chain, shared by the learn mirror and the
+    tokenize mirror. Each spell table carries the WORD key so the apply
+    side can join the final spelling back onto corpus positions."""
     blocks = [
         f"""
 spell_0 AS (
-  SELECT array_to_string(string_split(w, ''), ' ') AS s,
+  SELECT w AS word, array_to_string(string_split(w, ''), ' ') AS s,
          count(*) AS cnt
   FROM (
     SELECT unnest(string_split(text, ' ')) AS w FROM ({corpus_sql})
@@ -201,7 +267,7 @@ spell_0 AS (
   GROUP BY w
 )"""
     ]
-    for r in range(int(n_merges)):
+    for r in range(n_merges):
         prev = f"spell_{r}"
         blocks.append(
             f"""
@@ -215,7 +281,7 @@ best_{r} AS (
   SELECT lhs, rhs, c FROM pairs_{r} ORDER BY c DESC, lhs, rhs LIMIT 1
 ),
 spell_{r + 1} AS (
-  SELECT {_fold_sql("string_split(p.s, ' ')", "b.lhs", "b.rhs")} AS s,
+  SELECT p.word, {_fold_sql("string_split(p.s, ' ')", "b.lhs", "b.rhs")} AS s,
          p.cnt
   FROM {prev} p, best_{r} b
 )"""
@@ -223,10 +289,42 @@ spell_{r + 1} AS (
     union = "\nUNION ALL\n".join(
         f"SELECT {r} AS merge_idx, lhs, rhs, lhs || rhs AS merged,"
         f" CAST(c AS BIGINT) AS pair_count FROM best_{r}"
-        for r in range(int(n_merges))
+        for r in range(n_merges)
     )
+    return blocks, union
+
+
+def bpe_tokenize_sql(corpus_sql: str, n_merges: int = BPE_MERGES) -> str:
+    """DuckDB mirror of learn-then-:func:`bpe_apply` end to end: the
+    unrolled learn chain's FINAL spelling table, joined back onto the
+    corpus word positions and re-assembled in word order. A word's
+    tokens after applying all merges in training order ARE its final
+    spelling (the training fold and the apply fold are the same
+    function), so no second fold chain is needed."""
+    n = int(n_merges)
+    blocks, _ = _learn_blocks_sql(corpus_sql, n)
     return (
         "WITH "
         + ",".join(blocks)
-        + f"\n{union}\nORDER BY merge_idx"
+        + f""",
+positions AS (
+  SELECT doc_id, i, toks[i] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        FROM ({corpus_sql})),
+       unnest(generate_series(1, len(toks))) AS g(i)
+  WHERE length(toks[i]) > 0
+),
+docs_t AS (
+  SELECT p.doc_id,
+         string_agg(sp.s, ' ' ORDER BY p.i) AS tokens_str,
+         CAST(sum(len(string_split(sp.s, ' '))) AS BIGINT) AS n_tokens
+  FROM positions p JOIN spell_{n} sp USING (word)
+  GROUP BY p.doc_id
+)
+SELECT c.doc_id,
+       coalesce(d.n_tokens, 0) AS n_tokens,
+       coalesce(d.tokens_str, '') AS tokens_str
+FROM (SELECT doc_id FROM ({corpus_sql})) c
+LEFT JOIN docs_t d USING (doc_id)
+"""
     )
