@@ -134,3 +134,78 @@ def test_bpe_learn_stops_when_pairs_run_dry(spark):
     )
     out = bpe.bpe_learn(docs, n_merges=5).collect()
     assert out == []  # every word is a single symbol: zero pairs
+
+
+def test_bpe_apply_composes_onto_stream_with_batch_parity(spark, tmp_path):
+    """bpe_apply is map-only (chained array folds), so the SAME function
+    with the same learned merges must run unchanged on an unbounded
+    stream — the ingest-time tokenizer. Pinned by feeding fixture docs
+    through a two-batch file stream and comparing tokenizations
+    row-for-row with the batch run."""
+    import json as _json
+
+    from lightcurvesclassifier_spark.streaming.dedup_stream import doc_stream
+
+    docs = (
+        testdata.load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .limit(40)
+        .toPandas()
+    )
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe.bpe_learn(
+            testdata.load_table(spark, SF_SMOKE, "documents"), n_merges=4
+        ).collect()
+    ]
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    half = len(docs) // 2
+    for name, part, m in (("b1.json", docs.iloc[:half], 0),
+                          ("b2.json", docs.iloc[half:], 1)):
+        (d / name).write_text(
+            "\n".join(
+                _json.dumps(
+                    {
+                        "doc_id": int(r.doc_id),
+                        "text": r.text,
+                        "event_time": f"2026-01-01T00:{m:02d}:00.000Z",
+                    }
+                )
+                for r in part.itertuples()
+            )
+        )
+    out_dir = tmp_path / "out"
+    q = (
+        bpe.bpe_apply(doc_stream(spark, str(d)), merges)
+        .withColumn("tokens_str", F.array_join("tokens", " "))
+        .drop("tokens")
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.read.parquet(str(out_dir))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    batch_docs = spark.createDataFrame(
+        [(int(r.doc_id), r.text) for r in docs.itertuples()],
+        "doc_id long, text string",
+    )
+    exp = (
+        bpe.bpe_apply(batch_docs, merges)
+        .withColumn("tokens_str", F.array_join("tokens", " "))
+        .drop("tokens")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) == len(docs)
+    assert (got["doc_id"] == exp["doc_id"]).all()
+    assert (got["n_tokens"] == exp["n_tokens"]).all()
+    assert (got["tokens_str"] == exp["tokens_str"]).all()
