@@ -107,22 +107,18 @@ def main() -> None:
     # whole run carries a co-tenancy tax.  Floors are best-of-3 on a
     # verified-quiet box (tools/time_queries.py provenance); re-baseline
     # if a control's plan ever changes.
-    control_floors = {"pricing_summary": 0.37, "lc_smooth": 0.48, "detrend": 0.68}
+    from lightcurvesclassifier_spark.benchcontrols import (
+        CONTROL_FLOORS,
+        contention_ratio,
+    )
+
     # floors are sf0.1 numbers — at any other SF the ratio is meaningless
     controls = {
         n: {"best": timings[n], "quiet_floor": fl}
-        for n, fl in control_floors.items()
+        for n, fl in CONTROL_FLOORS.items()
         if n in timings and sf_val == 0.1
     }
-    contention = (
-        round(
-            sum(timings[n] / fl for n, fl in control_floors.items() if n in timings)
-            / len(controls),
-            3,
-        )
-        if controls
-        else None
-    )
+    contention = contention_ratio(timings) if controls else None
     record = {
         "metric": "total_query_wall_time",
         "controls": controls,

@@ -46,8 +46,11 @@ QUERIES = [
 
 # control queries timed at BASE scale before and after the probed list:
 # their floors adjudicate whether an exponent was measured on a quiet
-# or contended box (the BARS protocol, r8 verdict stretch #8)
-CONTROLS = {"pricing_summary": 0.37, "lc_smooth": 0.48, "detrend": 0.68}
+# or contended box (the BARS protocol, r8 verdict stretch #8);
+# single-sourced floors — see benchcontrols.py provenance
+from lightcurvesclassifier_spark.benchcontrols import (  # noqa: E402
+    CONTROL_FLOORS as CONTROLS,
+)
 
 
 def _probe_extras():

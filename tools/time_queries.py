@@ -24,9 +24,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# quiet-box floors for the control queries (best-of-3, committed with
-# BENCH_LOCAL provenance; re-baseline when their plans change)
-CONTROLS = {"pricing_summary": 0.37, "lc_smooth": 0.48, "detrend": 0.68}
+# single-sourced quiet-box floors (see benchcontrols.py provenance)
+from lightcurvesclassifier_spark.benchcontrols import (  # noqa: E402
+    CONTROL_FLOORS as CONTROLS,
+)
 
 
 def main() -> None:
