@@ -16,7 +16,7 @@ within shards independently).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def stratified_sample(
@@ -584,4 +584,140 @@ keyed AS (
 )
 SELECT {key}, weight, es_key FROM keyed
 ORDER BY es_key DESC, {key} LIMIT {k}
+"""
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 128,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023): score every raw document by how much its hashed-bigram
+    profile looks like the *target* corpus, and select the top ``k``.
+
+    Per the paper: features are n-grams hashed into ``n_buckets``
+    buckets (here bigrams via the shared md5 hasher); the bucket
+    unigram models ``p_target`` / ``p_raw`` get add-1 smoothing; a
+    document's log importance weight is Σ_f log(p_target(f)/p_raw(f))
+    over its feature OCCURRENCES. (The paper then Gumbel-samples by
+    weight; the deterministic top-``k`` here is its argmax variant so
+    the oracle is exact.)
+
+    Scale shape: two bigram explodes (map-only, the shared
+    ``dedup._ngram_rows`` skeleton), two bucket aggregates whose
+    reduce fan-in is ≤ ``n_buckets`` keys at any corpus size, the
+    log-ratio table BROADCAST back onto the exploded raw side (the
+    corpus-sized side never shuffles for the join), and one doc-keyed
+    aggregate. The rank window for ``selected`` is doc-level rows —
+    at 100 TB replace it with a weight threshold from a quantile
+    sketch, or TakeOrdered for a literal top-k; the weights
+    themselves are shuffle-minimal.
+    """
+    from .dedup import _ngram_rows
+
+    spark = raw.sparkSession
+
+    def bfn(s: Column) -> Column:
+        h = F.conv(F.substring(F.md5(s), 1, 4), 16, 10).cast("long")
+        return h % n_buckets
+
+    rf = _ngram_rows(
+        raw, 2, text_col, id_col,
+        key_fn=bfn, empty_type="long", out_col="bucket", distinct=False,
+    )
+    tf = _ngram_rows(
+        target, 2, text_col, id_col,
+        key_fn=bfn, empty_type="long", out_col="bucket", distinct=False,
+    )
+    rc = rf.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tc = tf.groupBy("bucket").agg(F.count("*").alias("ct"))
+    buckets = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    probs = (
+        buckets.join(rc, "bucket", "left")
+        .join(tc, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+    )
+    tot = probs.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    ratio = probs.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log(F.col("ct") + 1)
+            - F.log(F.col("nt") + n_buckets)
+            - F.log(F.col("cr") + 1)
+            + F.log(F.col("nr") + n_buckets)
+        ).alias("llr"),
+    )
+    scored = (
+        rf.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.round(F.sum("llr"), 6).alias("weight"),
+        )
+    )
+    w = Window.orderBy(F.desc("weight"), F.col(id_col))
+    return scored.select(
+        id_col,
+        "n_feats",
+        "weight",
+        (F.row_number().over(w) <= k).alias("selected"),
+    )
+
+
+def dsir_weights_sql(
+    raw_sql: str,
+    target_sql: str,
+    n_buckets: int = 128,
+    k: int = 50,
+) -> str:
+    """DuckDB mirror of :func:`dsir_weights` — same md5-hex bucket
+    hash, same smoothing constants, same ln expression order."""
+    from .sketch import _hex_to_int_sql
+
+    bucket = f"({_hex_to_int_sql('md5(f)', 4)}) % {n_buckets}"
+
+    def feats(src: str) -> str:
+        return f"""
+  SELECT doc_id, {bucket} AS bucket FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             list_zip(tk[1:len(tk) - 1], tk[2:len(tk)]),
+             p -> p[1] || ' ' || p[2])) AS f
+    FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM ({src}))
+  )"""
+
+    return f"""
+WITH rf AS ({feats(raw_sql)}),
+tf AS ({feats(target_sql)}),
+rc AS (SELECT bucket, count(*) AS cr FROM rf GROUP BY bucket),
+tc AS (SELECT bucket, count(*) AS ct FROM tf GROUP BY bucket),
+b AS (SELECT unnest(range({n_buckets})) AS bucket),
+probs AS (
+  SELECT b.bucket, coalesce(cr, 0) AS cr, coalesce(ct, 0) AS ct
+  FROM b LEFT JOIN rc USING (bucket) LEFT JOIN tc USING (bucket)
+),
+tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM probs),
+ratio AS (
+  SELECT bucket,
+         ln(ct + 1) - ln(nt + {n_buckets})
+           - ln(cr + 1) + ln(nr + {n_buckets}) AS llr
+  FROM probs, tot
+),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         round(sum(llr), 6) AS weight
+  FROM rf JOIN ratio USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, n_feats, weight,
+       (row_number() OVER (ORDER BY weight DESC, doc_id) <= {k})
+         AS selected
+FROM scored
 """

@@ -1004,3 +1004,146 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
         AND pass_stopwords AND pass_repetition) AS keep
 FROM rules
 """
+
+
+def c4_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2, "Colossal Clean
+    Crawled Corpus") as one map-only projection — the line-level rules
+    rebuild the page from its retained lines, the page-level rules
+    decide ``keep``:
+
+    * retain a line only if it ends in terminal punctuation
+      (``. ! ? "``), has ≥ 5 words, and does not mention "javascript";
+    * drop the page if fewer than 3 lines survive (the paper's
+      ≥-3-sentences floor), if it contains "lorem ipsum", or if it
+      contains a curly brace (code markers).
+
+    (The paper's bad-word list and its 3-sentence cross-page dedup are
+    separate operators here: `line_scrub` covers cross-page line dedup;
+    a word-list gate is `gopher_quality_filter`'s stopword machinery
+    with a different list.)  Zero shuffle — the same 100 TB keep/drop
+    gate shape as :func:`gopher_quality_filter`, and every expression
+    is shared verbatim with the DuckDB mirror.
+
+    Reference parity note: the reference engine has no corpus surface;
+    this extends its filter model (lcc/entities/filters) to the
+    training-data pipeline per SURVEY §2.9.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    kept = F.filter(
+        lines,
+        lambda x: x.rlike('[.!?"]$')
+        & (F.size(F.split(x, " ")) >= 5)
+        & ~F.contains(F.lower(x), F.lit("javascript")),
+    )
+    n_kept = F.size(kept)
+    p_lines = n_kept >= 3
+    p_lorem = ~F.contains(F.lower(t), F.lit("lorem ipsum"))
+    p_brace = ~F.contains(t, F.lit("{"))
+    return df.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_lines_kept"),
+        p_lines.alias("pass_min_lines"),
+        p_lorem.alias("pass_lorem_ipsum"),
+        p_brace.alias("pass_no_brace"),
+        (p_lines & p_lorem & p_brace).alias("keep"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
+def c4_filter_sql(corpus_sql: str) -> str:
+    """DuckDB mirror of :func:`c4_filter` — same line predicate, same
+    page rules, same rebuilt text."""
+    line_pred = (
+        "x -> regexp_matches(x, '[.!?\"]$') "
+        "AND len(string_split(x, ' ')) >= 5 "
+        "AND NOT contains(lower(x), 'javascript')"
+    )
+    return f"""
+WITH corpus AS ({corpus_sql}),
+f AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)), {line_pred}) AS kept
+  FROM corpus
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       (len(kept) >= 3) AS pass_min_lines,
+       (NOT contains(lower(text), 'lorem ipsum')) AS pass_lorem_ipsum,
+       (NOT contains(text, '{{')) AS pass_no_brace,
+       (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{{')) AS keep,
+       array_to_string(kept, chr(10)) AS clean_text
+FROM f
+"""
+
+
+def ccnet_ppl_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3):
+    score each document with the corpus unigram LM
+    (:func:`unigram_logprob`, the perplexity proxy), then split every
+    language into head / middle / tail terciles — the paper's quality
+    partition that downstream pipelines sample from (head = most
+    LM-typical text).
+
+    Scale shape: the LM score is the existing two-aggregate plan
+    (bounded vocab broadcast); the tercile is ``ntile(3)`` PARTITIONED
+    BY language — one shuffle on a bounded key over doc-level rows,
+    deterministic via the (score, id) tiebreak. At 100 TB replace the
+    per-language sort with cutoffs from a quantile sketch
+    (``sketch.quantile_sketch``) and a map-side compare; ntile is the
+    oracle-exact form.
+    """
+    from pyspark.sql import Window
+
+    lp = unigram_logprob(df, text_col, id_col)
+    j = lp.join(df.select(id_col, lang_col), id_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.desc("mean_logprob"), F.col(id_col)
+    )
+    b = F.ntile(3).over(w)
+    return j.select(
+        id_col,
+        lang_col,
+        "n_tokens",
+        "mean_logprob",
+        F.round(F.exp(-F.col("mean_logprob")), 6).alias("perplexity"),
+        b.cast("long").alias("ppl_bucket"),
+        F.when(b == 1, "head")
+        .when(b == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_label"),
+    )
+
+
+def ccnet_ppl_buckets_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`ccnet_ppl_buckets` (same LM, same
+    tercile ordering and labels)."""
+    return f"""
+WITH base AS ({unigram_logprob_sql(table)}),
+j AS (
+  SELECT b.doc_id, d.lang, b.n_tokens, b.mean_logprob
+  FROM base b JOIN {table} d USING (doc_id)
+),
+t AS (
+  SELECT *,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY mean_logprob DESC, doc_id) AS nt
+  FROM j
+)
+SELECT doc_id, lang, n_tokens, mean_logprob,
+       round(exp(-mean_logprob), 6) AS perplexity,
+       CAST(nt AS BIGINT) AS ppl_bucket,
+       CASE WHEN nt = 1 THEN 'head' WHEN nt = 2 THEN 'middle'
+            ELSE 'tail' END AS ppl_label
+FROM t
+"""

@@ -522,3 +522,69 @@ def lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"), F.lit("\n"), mid, F.lit("\n"), tail
     )
     return d.select("doc_id", text.alias("text"))
+
+
+# Web-page-shaped corpus for the C4 cleaning rules (Raffel et al. 2020
+# §2.2): every doc becomes 4 newline-separated "lines" with planted
+# rule triggers — a head line whose terminal punctuation varies by
+# doc_id, a short "click here" line (under the 5-word minimum) for
+# doc_id % 5 == 0, a javascript boilerplate line for doc_id % 7 == 0,
+# and a closing line that plants the doc-level poisons ("lorem ipsum"
+# for % 11 == 0, a '{' for % 13 == 0) — so every C4 rule fires on a
+# known doc subset with an exact oracle.
+C4_CORPUS_SQL = (
+    "SELECT doc_id, "
+    "array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') || "
+    "CASE WHEN doc_id % 4 = 3 THEN '' WHEN doc_id % 4 = 2 THEN '!' "
+    "ELSE '.' END || chr(10) || "
+    "CASE WHEN doc_id % 5 = 0 THEN 'click here' "
+    "ELSE 'the quick survey of section ' || CAST(doc_id AS VARCHAR) "
+    "|| ' is complete.' END || chr(10) || "
+    "CASE WHEN doc_id % 7 = 0 "
+    "THEN 'please enable javascript to continue reading this page.' "
+    "ELSE 'archived notes for record ' || CAST(doc_id AS VARCHAR) "
+    "|| ' follow below.' END || chr(10) || "
+    "CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet.' "
+    "WHEN doc_id % 13 = 0 THEN 'config = { verbose } done.' "
+    "ELSE 'standard closing statement for document ' "
+    "|| CAST(doc_id AS VARCHAR) || '.' END AS text "
+    "FROM documents"
+)
+
+
+def c4_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    head = F.concat(
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " "),
+        F.when(did % 4 == 3, F.lit(""))
+        .when(did % 4 == 2, F.lit("!"))
+        .otherwise(F.lit(".")),
+    )
+    l2 = F.when(did % 5 == 0, F.lit("click here")).otherwise(
+        F.concat(
+            F.lit("the quick survey of section "), ds,
+            F.lit(" is complete."),
+        )
+    )
+    l3 = F.when(
+        did % 7 == 0,
+        F.lit("please enable javascript to continue reading this page."),
+    ).otherwise(
+        F.concat(
+            F.lit("archived notes for record "), ds, F.lit(" follow below.")
+        )
+    )
+    l4 = (
+        F.when(did % 11 == 0, F.lit("lorem ipsum dolor sit amet."))
+        .when(did % 13 == 0, F.lit("config = { verbose } done."))
+        .otherwise(
+            F.concat(
+                F.lit("standard closing statement for document "), ds,
+                F.lit("."),
+            )
+        )
+    )
+    text = F.concat_ws("\n", head, l2, l3, l4)
+    return d.select("doc_id", text.alias("text"))

@@ -82,6 +82,7 @@ def pretrain_verdicts(
     n: int = SHINGLE_N,
     num_hashes: int = NUM_HASHES,
     bands: int = BANDS,
+    merges: list | None = None,
 ) -> DataFrame:
     """Per micro-batch probes + final verdict, for a ``foreachBatch``
     sink. One row per first-seen quality-passing arrival:
@@ -95,7 +96,14 @@ def pretrain_verdicts(
     set, then ``contamination_pairs`` verifies containment ≥ threshold
     against the real eval table — sound because a contaminated doc
     shares ≥ 1 shingle with some eval doc and Bloom has no false
-    negatives."""
+    negatives.
+
+    ``merges``: optional learned BPE merge list (``bpe.bpe_learn``
+    output pairs) — when given, kept documents additionally carry
+    training-ready ``tokens_str``/``n_bpe_tokens`` columns
+    (``bpe.bpe_apply``'s map-only folds, running on the already-gated
+    micro-batch rows), completing the ingest: quality → dedup →
+    decontaminate → tokenize in ONE streaming query."""
     rows = num_hashes // bands
     band_cols = ["band_idx"] + [f"v{r}" for r in range(rows)]
     stream_bands = with_minhash_bands(
@@ -123,9 +131,25 @@ def pretrain_verdicts(
         .distinct()
         .withColumn("_contam", F.lit(1))
     )
+    base = batch_df.select("doc_id", "n_tokens", "fingerprint")
+    tok_cols = []
+    if merges is not None:
+        from ..operators.bpe import bpe_apply
+
+        toks = bpe_apply(batch_df, list(merges)).select(
+            "doc_id",
+            F.array_join("tokens", " ").alias("tokens_str"),
+            F.col("n_tokens").alias("n_bpe_tokens"),
+        )
+        base = base.join(toks, "doc_id", "left")
+        tok_cols = [
+            F.coalesce("tokens_str", F.lit("")).alias("tokens_str"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias(
+                "n_bpe_tokens"
+            ),
+        ]
     return (
-        batch_df.select("doc_id", "n_tokens", "fingerprint")
-        .join(band_hits, "doc_id", "left")
+        base.join(band_hits, "doc_id", "left")
         .join(probe, "doc_id", "left")
         .join(F.broadcast(contaminated), "doc_id", "left")
         .select(
@@ -140,5 +164,6 @@ def pretrain_verdicts(
             ),
             F.col("_contam").isNotNull().alias("contaminated"),
             F.col("_contam").isNull().alias("keep"),
+            *tok_cols,
         )
     )

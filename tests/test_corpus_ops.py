@@ -695,3 +695,98 @@ def test_gopher_line_and_symbol_rules_on_planted_docs(spark):
     assert out.loc[6, "keep"]
     for d in (1, 3, 4, 5):
         assert not out.loc[d, "keep"], d
+
+
+def test_c4_filter_rules_on_derived_corpus(spark):
+    """Every C4 rule fires on its planted doc subset: the head line
+    drops without terminal punctuation (doc_id%4==3), 'click here'
+    misses the 5-word floor (%5==0), the javascript boilerplate line
+    drops (%7==0), and the page-level lorem-ipsum / brace poisons kill
+    their docs (%11==0 / %13==0) regardless of line survival."""
+    docs = testdata.c4_corpus(spark, SF_ORACLE)
+    out = text.c4_filter(docs).toPandas().set_index("doc_id")
+    assert len(out) == 500
+    for d, r in out.iterrows():
+        exp_kept = (d % 4 != 3) + (d % 5 != 0) + (d % 7 != 0) + 1
+        assert r.n_lines == 4
+        assert r.n_lines_kept == exp_kept
+        exp_keep = exp_kept >= 3 and d % 11 != 0 and d % 13 != 0
+        assert bool(r.keep) == exp_keep, d
+        assert "javascript" not in r.clean_text
+        assert len(r.clean_text.split("\n")) == exp_kept
+    # every rule must actually fire somewhere
+    assert (~out.pass_min_lines).any()
+    assert (~out.pass_lorem_ipsum).any()
+    assert (~out.pass_no_brace).any()
+    assert out.keep.any() and (~out.keep).any()
+
+
+def test_dsir_weights_match_pure_python_and_prefer_target(spark):
+    """Independent ground truth: recompute every doc's DSIR weight in
+    pure Python (hashlib md5 buckets, add-1 smoothing, same ln
+    expression order) and require exact equality after rounding; the
+    selection must be the top-k by (weight, doc_id) and must prefer
+    the target language far above its base rate."""
+    import hashlib
+    import math
+
+    docs = testdata.load_table(spark, SF_ORACLE, "documents")
+    out = corpus.dsir_weights(
+        docs.select("doc_id", "text"),
+        docs.filter(F.col("lang") == "en").select("doc_id", "text"),
+        n_buckets=128,
+        k=50,
+    ).toPandas().set_index("doc_id")
+    pdf = docs.select("doc_id", "text", "lang").toPandas()
+
+    def buckets(t):
+        w = t.split(" ")
+        return [
+            int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:4], 16) % 128
+            for a, b in zip(w, w[1:])
+        ]
+
+    cr, ct = [0] * 128, [0] * 128
+    feats = {}
+    for r in pdf.itertuples():
+        feats[r.doc_id] = buckets(r.text)
+        for b in feats[r.doc_id]:
+            cr[b] += 1
+            if r.lang == "en":
+                ct[b] += 1
+    nr, nt = sum(cr), sum(ct)
+    llr = [
+        math.log(ct[b] + 1) - math.log(nt + 128)
+        - math.log(cr[b] + 1) + math.log(nr + 128)
+        for b in range(128)
+    ]
+    for r in pdf.itertuples():
+        w = round(sum(llr[b] for b in feats[r.doc_id]), 6)
+        got = out.loc[r.doc_id]
+        assert abs(got.weight - w) < 2e-6, (r.doc_id, got.weight, w)
+        assert got.n_feats == len(feats[r.doc_id])
+    top = set(
+        out.sort_values(["weight", "doc_id"], ascending=[False, True])
+        .head(50).index
+    )
+    assert set(out[out.selected].index) == top
+    sel_langs = pdf.set_index("doc_id").loc[sorted(top)].lang
+    en_rate = (pdf.lang == "en").mean()
+    assert (sel_langs == "en").mean() > en_rate + 0.2
+
+
+def test_ccnet_buckets_balanced_terciles_per_lang(spark):
+    """CCNet semantics: per language the three buckets differ in size
+    by ≤1 (ntile), labels map 1/2/3 → head/middle/tail, and mean
+    perplexity is monotone head ≤ middle ≤ tail."""
+    docs = testdata.load_table(spark, SF_ORACLE, "documents")
+    out = text.ccnet_ppl_buckets(docs).toPandas()
+    assert len(out) == 500
+    assert set(out.ppl_label) == {"head", "middle", "tail"}
+    lab = {1: "head", 2: "middle", 3: "tail"}
+    assert (out.ppl_label == out.ppl_bucket.map(lab)).all()
+    for lang, g in out.groupby("lang"):
+        sizes = g.ppl_bucket.value_counts()
+        assert sizes.max() - sizes.min() <= 1
+        m = g.groupby("ppl_label").perplexity.mean()
+        assert m["head"] <= m["middle"] <= m["tail"]

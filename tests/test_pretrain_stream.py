@@ -11,6 +11,7 @@ import json
 import pytest
 from pyspark.sql import functions as F
 
+from lightcurvesclassifier_spark.operators.bpe import bpe_apply, bpe_learn
 from lightcurvesclassifier_spark.operators.dedup import SHINGLE_N
 from lightcurvesclassifier_spark.operators.pipelines import (
     MIN_TOKENS,
@@ -84,12 +85,21 @@ def run(spark, tmp_path_factory):
     )
     eval_bits = spark.read.parquet(str(tmp / "eval_bits"))
     band_table = spark.read.parquet(str(tmp / "band_table"))
+    # the nightly tokenizer artifact: merges learned from the at-rest
+    # corpus, shipped into the ingest as plan literals
+    merges = [
+        (r.lhs, r.rhs)
+        for r in bpe_learn(at_rest, n_merges=6)
+        .orderBy("merge_idx")
+        .collect()
+    ]
+    assert merges
 
     out_dir = tmp / "out"
 
     def sink(batch_df, _batch_id):
         pretrain_verdicts(
-            batch_df, band_table, eval_bits, evals
+            batch_df, band_table, eval_bits, evals, merges=merges
         ).write.mode("append").parquet(str(out_dir))
 
     q = (
@@ -106,14 +116,14 @@ def run(spark, tmp_path_factory):
         [(i, t) for i, t in rows], "doc_id long, text string"
     )
     expected = pretraining_corpus(full, evals).toPandas()
-    return rows, verdicts, expected
+    return rows, verdicts, expected, full, merges
 
 
 def test_keep_set_equals_batch_pipeline(run):
     """The headline pin: keep=true doc ids == pretraining_corpus's
     batch keep list on the concatenated input, and the carried
     n_tokens/fingerprint match per doc."""
-    _, verdicts, expected = run
+    _, verdicts, expected, _, _ = run
     kept = verdicts[verdicts.keep].set_index("doc_id")
     exp = expected.set_index("doc_id")
     assert set(kept.index) == set(exp.index)
@@ -127,7 +137,7 @@ def test_verdict_rows_are_quality_canonical_survivors(run):
     equals the batch pipeline's quality+canonical stage (keep list ∪
     contaminated), short docs never appear, and every planted exact
     duplicate is absent (its canonical base survived)."""
-    rows, verdicts, _ = run
+    rows, verdicts, *_ = run
     import hashlib
 
     canon = {}
@@ -146,7 +156,7 @@ def test_contaminated_set_is_exact(run):
     contaminated set exactly, and every contaminated doc was
     Bloom-flagged first (soundness: no contamination without a shared
     shingle)."""
-    _, verdicts, expected = run
+    _, verdicts, expected, _, _ = run
     survivors = set(verdicts.doc_id)
     batch_keep = set(expected.doc_id)
     assert set(verdicts[verdicts.contaminated].doc_id) == survivors - batch_keep
@@ -159,7 +169,7 @@ def test_band_matches_flag_planted_near_dups(run):
     """The MinHash signal column fires: the planted +1M near-duplicates
     (distinct fingerprints, ' zz' suffix) band-collide with their
     at-rest bases."""
-    _, verdicts, _ = run
+    _, verdicts, *_ = run
     near = verdicts[
         (verdicts.doc_id >= 1_000_000) & (verdicts.doc_id < 2_000_000)
     ]
@@ -169,3 +179,27 @@ def test_band_matches_flag_planted_near_dups(run):
     # is their own id are not counted
     base = verdicts[verdicts.doc_id < 1_000_000]
     assert (base.n_band_matches >= 0).all()
+
+
+def test_tokenize_stage_matches_batch_bpe_apply(run):
+    """The training-ready output: every verdict row carries
+    tokens_str/n_bpe_tokens equal to batch ``bpe_apply`` with the same
+    merge list on the same text — the tokenizer stage composes onto the
+    gated stream without changing a single token."""
+    _, verdicts, _, full, merges = run
+    exp = {
+        r["doc_id"]: (r["tstr"], r["nt"])
+        for r in bpe_apply(full, merges)
+        .select(
+            "doc_id",
+            F.array_join("tokens", " ").alias("tstr"),
+            F.col("n_tokens").alias("nt"),
+        )
+        .collect()
+    }
+    assert "tokens_str" in verdicts.columns
+    for r in verdicts.itertuples():
+        tstr, nt = exp[r.doc_id]
+        assert r.tokens_str == tstr
+        assert r.n_bpe_tokens == nt
+        assert nt == len(tstr.split(" "))
