@@ -36,31 +36,31 @@ def _spell_col(word: Column) -> Column:
     return F.array_join(F.split(word, ""), " ")
 
 
+def _rx_quote(s: str) -> str:
+    """Quote a symbol for a Java regex pattern (\\Q...\\E literal)."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def _merge_fold(sym_col: Column, a: str, b: str) -> Column:
     """Greedy left-to-right application of merge (a, b) to a
-    space-separated symbol string: fold the symbol array seeded with
-    its first element; at each step, if the accumulator's LAST symbol
-    is ``a`` and the incoming symbol is ``b``, replace that trailing
-    ``a`` with ``a||b`` — the classic BPE single-pass merge ("a a a"
-    under (a,a) → "aa a", non-overlapping). Seeding with element 1
-    matches DuckDB's ``list_reduce`` exactly (no initial-value arg
-    there), so both engines run the identical fold."""
-    ab = a + b
-    la = len(a)
+    space-separated symbol string — the classic BPE single-pass merge
+    ("a a a" under (a,a) → "aa a", non-overlapping), expressed as ONE
+    ``regexp_replace``: Java's replace-all scans left to right and
+    resumes AFTER each match, which is exactly the non-overlapping
+    greedy rule, and the zero-width boundary lookarounds keep matches
+    on whole symbols. Identical output to DuckDB's ``list_reduce``
+    fold in the SQL mirrors (pinned by the oracle suite and
+    test_bpe's pure-Python differentials).
 
-    def step(acc: Column, x: Column) -> Column:
-        last_is_a = (acc == a) | acc.endswith(" " + a)
-        stripped = acc.substr(F.lit(1), F.length(acc) - la)
-        return F.when(
-            last_is_a & (x == b), F.concat(stripped, F.lit(ab))
-        ).otherwise(F.concat(acc, F.lit(" "), x))
-
-    syms = F.split(sym_col, " ")
-    return F.aggregate(
-        F.slice(syms, 2, F.size(syms) - 1),
-        F.element_at(syms, 1),
-        step,
-    )
+    Why regex and not a higher-order ``aggregate`` fold: each fold
+    expression would embed its input subtree ~4×, so a chain of k
+    merges (``_apply_word_expr``) builds a ~4^k-node expression —
+    measured 14 s JUST to evaluate 8 chained folds over a 31-row
+    vocab at sf0.1 (pure expression overhead, not data).
+    ``regexp_replace`` keeps each link linear: 8 merges = 8 nodes."""
+    pat = f"(?<=^| ){_rx_quote(a)} {_rx_quote(b)}(?= |$)"
+    rep = (a + b).replace("\\", "\\\\").replace("$", "\\$")
+    return F.regexp_replace(sym_col, pat, rep)
 
 
 def _pair_counts(spell: DataFrame) -> DataFrame:
