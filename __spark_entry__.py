@@ -1711,6 +1711,15 @@ def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.ccnet_ppl_buckets(docs)
 
 
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH self-evaluation (the text twin of ann_recall):
+    candidate recall/precision of a deliberately weak 16-hash/2-band
+    banding against the exhaustive shingle-Jaccard ground truth at the
+    same threshold — parameter drift becomes a VALUE diff."""
+    docs = testdata.dedup_corpus(spark, sf_dir)
+    return dedup_ops.lsh_recall(docs, threshold=0.5, num_hashes=16, bands=2)
+
+
 def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide bigram heavy hitters (boilerplate/template mining):
     map-only adjacent-pair expansion → combined count → distributed
@@ -1749,18 +1758,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       bloom_probe_bits (nightly-artifact contract, new composed
       streaming ingest); pretraining_corpus composes it;
       repeated_spans neighbors the scrub edit.
-    * 11-16: the SIX queries new this round (semantic_dedup_gemm,
+    * 11-17: the SEVEN queries new this round (semantic_dedup_gemm,
       bpe_learn, bpe_tokenize, c4_filter, dsir_weights,
-      ccnet_ppl_buckets) — never driver-checked before, so they take
+      ccnet_ppl_buckets, lsh_recall) — never driver-checked before, so they take
       window slots ahead of freshness rotation (r7 lesson:
       cluster_split missed its introduction window and the judge
       flagged the cumulative-coverage gap).
-    * 17-50: 34 of the 40 r6-era rows (periodogram/PDM family,
+    * 18-50: 33 of the 40 r6-era rows (periodogram/PDM family,
       sessionization, multimodal audio/video, crossmatch pair,
       stars_filter_pipeline, most of the r6 text/corpus cohort) — the
-      oldest driver evidence in the repo. Six r6 rows (query_dsl,
+      oldest driver evidence in the repo. Seven r6 rows (query_dsl,
       lang_id, text_features, doc_fingerprint, dedup_exact,
-      cms_counters) stay r6-fresh to make room; each family keeps a
+      cms_counters, text_bpe_tokens) stay r6-fresh to make room; each family keeps a
       window representative and every one is value-exact locally every
       session.
     * 51+: r6/r7/r8-green queries, re-verified every session by
@@ -1801,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": q_c4_filter,
         "dsir_weights": q_dsir_weights,
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
+        "lsh_recall": q_lsh_recall,
         # 11-50: ALL 40 r6-era rows — the oldest driver evidence in
         # the repo; after this rotation no freshest row predates r7
         "session_concurrency": q_session_concurrency,
@@ -1823,7 +1833,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_coords": q_best_coords,
         "table_profile": q_table_profile,
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
-        "text_bpe_tokens": q_text_bpe_tokens,
         "embedding_topk": q_embedding_topk,
         "multimodal_features": q_multimodal_features,
         "curve_descr_pca": q_curve_descr_pca,
@@ -1933,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
         "cms_counters": q_cms_counters,
+        "text_bpe_tokens": q_text_bpe_tokens,
     }
 
 
@@ -2546,4 +2556,8 @@ SELECT * FROM pairs WHERE cos >= 0.42
             k=50,
         ),
         "ccnet_ppl_buckets": text_ops.ccnet_ppl_buckets_sql(),
+        "lsh_recall": dedup_ops.lsh_recall_sql(
+            testdata.DEDUP_CORPUS_SQL, threshold=0.5, num_hashes=16,
+            bands=2,
+        ),
     }

@@ -348,6 +348,16 @@ def minhash_pairs(
     rows inflate the exact-verify intersection counts (same map-side
     shingle-distinct contract as :func:`ngram_jaccard_pairs`).
     """
+    sh, sig, cands = _minhash_parts(df, num_hashes, bands, text_col, id_col)
+    return _minhash_verify(sh, sig, cands, threshold, id_col)
+
+
+def _minhash_parts(
+    df: DataFrame, num_hashes: int, bands: int, text_col: str, id_col: str
+):
+    """Signature + banding stages of :func:`minhash_pairs`, shared with
+    :func:`lsh_recall`: returns (shingle rows, signature table,
+    candidate pairs) — code-motion extraction, plan identical."""
     if num_hashes % bands:
         raise ValueError(
             f"bands={bands} must divide num_hashes={num_hashes}: a silent "
@@ -402,7 +412,18 @@ def minhash_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact verify on candidates only (join on the 60-bit keys)
+    return sh, sig, cands
+
+
+def _minhash_verify(
+    sh: DataFrame,
+    sig: DataFrame,
+    cands: DataFrame,
+    threshold: float,
+    id_col: str,
+) -> DataFrame:
+    """Exact-Jaccard verify of :func:`_minhash_parts` candidates (join
+    on the 60-bit keys) — the tail of :func:`minhash_pairs`."""
     sh_a = sh.select(F.col(id_col).alias("id_a"), "key")
     sh_b = sh.select(F.col(id_col).alias("id_b"), "key")
     inter = (
@@ -428,10 +449,12 @@ def minhash_pairs(
 
 def minhash_pairs_sql(
     corpus_sql: str, threshold: float = 0.5, num_hashes: int = 16,
-    bands: int = 8, n: int = SHINGLE_N,
+    bands: int = 8, n: int = SHINGLE_N, emit: str = "pairs",
 ) -> str:
     """DuckDB mirror of :func:`minhash_pairs` — same md5 keys, same
-    affine constants, same banding, same exact verify."""
+    affine constants, same banding, same exact verify.
+    ``emit="cands"`` returns the un-verified band-collision candidate
+    pairs instead (the :func:`lsh_recall` denominator)."""
     if num_hashes % bands:
         raise ValueError(
             f"bands={bands} must divide num_hashes={num_hashes}: a silent "
@@ -458,6 +481,17 @@ def minhash_pairs_sql(
         ["a.band_idx = b.band_idx"]
         + [f"a.v{r} = b.v{r}" for r in range(rows)]
     )
+    if emit == "cands":
+        final = "SELECT id_a, id_b FROM cands"
+    else:
+        final = f"""SELECT i.id_a, i.id_b,
+       round(1.0 - i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 6)
+         AS jaccard_dist
+FROM inter i
+JOIN sig sa ON sa.doc_id = i.id_a
+JOIN sig sb ON sb.doc_id = i.id_b
+WHERE round(1.0 - i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 6)
+      <= {threshold}"""
     return f"""
 WITH corpus AS ({corpus_sql}),
 toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
@@ -488,14 +522,98 @@ inter AS (
   JOIN sh y ON y.doc_id = c.id_b AND y.key = x.key
   GROUP BY c.id_a, c.id_b
 )
-SELECT i.id_a, i.id_b,
-       round(1.0 - i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 6)
-         AS jaccard_dist
-FROM inter i
-JOIN sig sa ON sa.doc_id = i.id_a
-JOIN sig sb ON sb.doc_id = i.id_b
-WHERE round(1.0 - i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 6)
-      <= {threshold}
+{final}
+"""
+
+
+def lsh_recall(
+    df: DataFrame, threshold: float = 0.5, num_hashes: int = 16,
+    bands: int = 2, n: int = SHINGLE_N,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH self-evaluation — the text-dedup counterpart of the
+    embedding family's ``ann_recall``: measure the MinHash banding's
+    candidate recall and precision against the EXHAUSTIVE ground truth
+    at the same threshold, so an (num_hashes, bands) parameter change
+    shows up as a VALUE diff, not a silent quality drift.
+
+    * truth  — every pair with shingle Jaccard ≥ 1−threshold
+      (:func:`ngram_jaccard_pairs`, the inverted-index exhaustive leg:
+      any pair above a positive threshold shares ≥ 1 shingle, so the
+      index join IS exhaustive);
+    * cands  — band-collision candidate pairs;
+    * verified — candidates passing the exact verify at ``threshold``
+      (:func:`minhash_pairs`'s output contract).
+
+    One summary row: counts, recall = hits/truth, precision =
+    hits/cands. Defaults use bands=2 (rows=8) — a deliberately weak
+    banding whose misses make the metric informative; production
+    configs (8×2) saturate recall on the planted corpus.
+
+    Scale shape: every leg is an existing bounded-shuffle plan; the
+    final counts are single-row aggregates crossJoined together, and
+    each leg rides ONE lazy checkpoint because it feeds two consumers
+    (its count and the hit join).
+    """
+    truth = ngram_jaccard_pairs(
+        df, n, 1.0 - threshold, text_col, id_col
+    ).localCheckpoint(eager=False)
+    sh, sig, cands = _minhash_parts(df, num_hashes, bands, text_col, id_col)
+    cands = cands.localCheckpoint(eager=False)
+    verified = _minhash_verify(
+        sh, sig, cands, threshold, id_col
+    ).localCheckpoint(eager=False)
+    hits = verified.join(truth, ["id_a", "id_b"]).agg(
+        F.count("*").alias("n_hit")
+    )
+    row = (
+        truth.agg(F.count("*").alias("n_true"))
+        .crossJoin(cands.agg(F.count("*").alias("n_cand")))
+        .crossJoin(verified.agg(F.count("*").alias("n_verified")))
+        .crossJoin(hits)
+    )
+    return row.select(
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_cand").cast("long").alias("n_cand"),
+        F.col("n_verified").cast("long").alias("n_verified"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall"),
+        F.round(F.col("n_hit") / F.col("n_cand"), 6).alias("precision"),
+    )
+
+
+def lsh_recall_sql(
+    corpus_sql: str, threshold: float = 0.5, num_hashes: int = 16,
+    bands: int = 2, n: int = SHINGLE_N,
+) -> str:
+    """DuckDB mirror of :func:`lsh_recall` — composes the two pair
+    mirrors as subqueries and aggregates the same four counts."""
+    truth = ngram_jaccard_sql(corpus_sql, n, 1.0 - threshold)
+    ver = minhash_pairs_sql(corpus_sql, threshold, num_hashes, bands, n)
+    cand = minhash_pairs_sql(
+        corpus_sql, threshold, num_hashes, bands, n, emit="cands"
+    )
+    return f"""
+WITH truth AS ({truth}),
+ver AS ({ver}),
+cand AS ({cand}),
+hits AS (
+  SELECT count(*) AS n_hit
+  FROM ver JOIN truth USING (id_a, id_b)
+),
+counts AS (
+  SELECT (SELECT count(*) FROM truth) AS n_true,
+         (SELECT count(*) FROM cand) AS n_cand,
+         (SELECT count(*) FROM ver) AS n_verified,
+         (SELECT n_hit FROM hits) AS n_hit
+)
+SELECT CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(n_verified AS BIGINT) AS n_verified,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       round(n_hit / n_true, 6) AS recall,
+       round(n_hit / n_cand, 6) AS precision
+FROM counts
 """
 
 

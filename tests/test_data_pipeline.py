@@ -1265,3 +1265,30 @@ def test_semantic_dedup_keeps_exactly_all_on_high_tau(spark):
     kept = one_per_cell[one_per_cell["keep"]]
     assert (kept["cell_rank"] == 1).all()
     assert len(kept) == one_per_cell["cell_idx"].nunique()
+
+
+def test_lsh_recall_summary_invariants_and_weak_vs_strong(spark):
+    """The self-eval's counts obey the set containments (hits ≤
+    verified ≤ cands on the verified side, hits ≤ truth), the weak
+    2-band config misses real pairs (recall < 1 — the metric is
+    informative), and the production 8-band config saturates recall on
+    the planted corpus. Verified candidates are all true at this
+    threshold, so precision is 1 on both configs."""
+    docs = testdata.dedup_corpus(spark, SF_ORACLE)
+    weak = dedup.lsh_recall(
+        docs, threshold=0.5, num_hashes=16, bands=2
+    ).collect()[0]
+    assert weak.n_hit <= weak.n_verified <= weak.n_cand
+    assert weak.n_hit <= weak.n_true
+    assert 0 < weak.recall < 1.0
+    assert weak.precision == 1.0
+    strong = dedup.lsh_recall(
+        docs, threshold=0.5, num_hashes=16, bands=8
+    ).collect()[0]
+    assert strong.n_true == weak.n_true  # truth leg is config-free
+    assert strong.recall == 1.0
+    # the verified leg equals the production pair query's output count
+    n_pairs = dedup.minhash_pairs(
+        docs, threshold=0.5, num_hashes=16, bands=8
+    ).count()
+    assert strong.n_verified == n_pairs
