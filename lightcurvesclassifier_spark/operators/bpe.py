@@ -17,9 +17,10 @@ instead of recomputing the whole chain.
 Engine parity: every step is mirrored, UNROLLED, in DuckDB
 (:func:`bpe_learn_sql`) — same initial character spelling, same pair
 counting, same (count DESC, lhs, rhs) tie rule, and the SAME greedy
-left-fold (Spark ``aggregate`` over the symbol array seeded with its
-first element ≡ DuckDB ``list_reduce``, which folds from the first
-element) — so the learned merge table is value-checked end to end.
+left-fold semantics (Spark: one boundary-anchored ``regexp_replace``
+per merge, see :func:`_merge_fold`; DuckDB: ``list_reduce`` folding
+from the first element) — so the learned merge table is value-checked
+end to end.
 """
 
 from __future__ import annotations
@@ -328,3 +329,90 @@ FROM (SELECT doc_id FROM ({corpus_sql})) c
 LEFT JOIN docs_t d USING (doc_id)
 """
     )
+
+
+def bpe_fertility(
+    corpus: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer fertility audit (Rust et al. 2021, "How Good is Your
+    Tokenizer?"): per group (language), tokens-per-word — the standard
+    multilingual fairness metric (a tokenizer trained on one language
+    over-segments the others) — plus chars-per-token.
+
+    Built on :func:`bpe_apply` (map-only fold, merges as plan
+    literals); per-doc word/char counts come from the token array
+    itself (chars = joined length − separators, the exact
+    single-space identity), so the whole audit is the apply plan plus
+    ONE bounded-key aggregate. Output: (group, n_docs, n_words,
+    n_bpe_tokens, fertility, chars_per_token).
+    """
+    toked = bpe_apply(corpus, merges, text_col, id_col)
+    base = corpus.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), " "), lambda w: F.length(w) > 0
+            )
+        ).cast("long").alias("_n_words"),
+    )
+    j = base.join(toked, id_col)
+    chars = F.length(F.array_join("tokens", " ")) - (
+        F.col("n_tokens") - F.lit(1)
+    )
+    per_doc = j.select(
+        group_col,
+        "_n_words",
+        "n_tokens",
+        F.when(F.col("n_tokens") > 0, chars)
+        .otherwise(F.lit(0))
+        .alias("_n_chars"),
+    )
+    return (
+        per_doc.groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_n_words").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_bpe_tokens"),
+            F.round(F.sum("n_tokens") / F.sum("_n_words"), 6).alias(
+                "fertility"
+            ),
+            F.round(F.sum("_n_chars") / F.sum("n_tokens"), 6).alias(
+                "chars_per_token"
+            ),
+        )
+    )
+
+
+def bpe_fertility_sql(
+    corpus_sql: str, n_merges: int = BPE_MERGES, group_col: str = "lang"
+) -> str:
+    """DuckDB mirror of learn-then-:func:`bpe_fertility`: the tokenize
+    mirror as a CTE, joined back for the group key, same count and
+    ratio expressions."""
+    tok = bpe_tokenize_sql(corpus_sql, n_merges)
+    return f"""
+WITH toked AS ({tok}),
+per_doc AS (
+  SELECT c.{group_col},
+         len(list_filter(string_split(c.text, ' '),
+                         w -> length(w) > 0)) AS n_words,
+         t.n_tokens,
+         CASE WHEN t.n_tokens > 0
+              THEN length(t.tokens_str) - (t.n_tokens - 1)
+              ELSE 0 END AS n_chars
+  FROM ({corpus_sql}) c JOIN toked t USING (doc_id)
+)
+SELECT {group_col},
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_tokens) AS BIGINT) AS n_bpe_tokens,
+       round(sum(n_tokens) / sum(n_words), 6) AS fertility,
+       round(sum(n_chars) / sum(n_tokens), 6) AS chars_per_token
+FROM per_doc
+GROUP BY {group_col}
+"""

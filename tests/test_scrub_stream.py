@@ -133,3 +133,67 @@ def test_gopher_filter_composes_onto_stream_with_batch_parity(
     )
     assert got[sorted(got.columns)].equals(exp[sorted(exp.columns)])
     assert got["keep"].any() and (~got["keep"]).any()
+
+
+def test_c4_filter_composes_onto_stream_with_batch_parity(spark, tmp_path):
+    """c4_filter is the same zero-shuffle projection shape as the
+    gopher gate, so the SAME function must run unchanged on a stream —
+    pinned by feeding the derived C4 corpus through a two-batch file
+    stream and comparing row-for-row with the batch run (clean_text
+    included, so line retention is byte-identical)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from lightcurvesclassifier_spark.operators import text as text_ops
+    from lightcurvesclassifier_spark.sources import testdata
+    from lightcurvesclassifier_spark.streaming.dedup_stream import doc_stream
+    from tests.conftest import SF_ORACLE
+
+    docs = testdata.c4_corpus(spark, SF_ORACLE).limit(80).toPandas()
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    half = len(docs) // 2
+    for name, part, m in (("b1.json", docs.iloc[:half], 0),
+                          ("b2.json", docs.iloc[half:], 1)):
+        (d / name).write_text(
+            "\n".join(
+                _json.dumps(
+                    {
+                        "doc_id": int(r.doc_id),
+                        "text": r.text,
+                        "event_time": f"2026-01-01T00:{m:02d}:00.000Z",
+                    }
+                )
+                for r in part.itertuples()
+            )
+        )
+    out_dir = tmp_path / "out"
+    q = (
+        text_ops.c4_filter(doc_stream(spark, str(d)))
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.read.parquet(str(out_dir))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ids = [int(i) for i in docs.doc_id]
+    exp = (
+        text_ops.c4_filter(
+            testdata.c4_corpus(spark, SF_ORACLE).filter(
+                F.col("doc_id").isin(ids)
+            )
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got[sorted(got.columns)].equals(exp[sorted(exp.columns)])
+    assert got["keep"].any() and (~got["keep"]).any()
