@@ -587,6 +587,67 @@ ORDER BY es_key DESC, {key} LIMIT {k}
 """
 
 
+def _dsir_bucket(n_buckets: int):
+    """Hashed-bigram bucket function shared by the batch scorer and the
+    streaming gate: md5 top-4-hex → int mod n_buckets."""
+
+    def bfn(s: Column) -> Column:
+        h = F.conv(F.substring(F.md5(s), 1, 4), 16, 10).cast("long")
+        return h % n_buckets
+
+    return bfn
+
+
+def dsir_ratio(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    _rf: DataFrame | None = None,
+) -> DataFrame:
+    """The DSIR log-importance-ratio table — (bucket, llr), one row per
+    hash bucket: add-1-smoothed ln(p_target/p_raw). This is the
+    nightly artifact a streaming DSIR gate broadcasts
+    (``streaming.dsir_gate_stream``); :func:`dsir_weights` builds it
+    in-plan. Bounded: ≤ ``n_buckets`` rows regardless of corpus size.
+    """
+    from .dedup import _ngram_rows
+
+    spark = raw.sparkSession
+    bfn = _dsir_bucket(n_buckets)
+    rf = _rf if _rf is not None else _ngram_rows(
+        raw, 2, text_col, id_col,
+        key_fn=bfn, empty_type="long", out_col="bucket", distinct=False,
+    )
+    tf = _ngram_rows(
+        target, 2, text_col, id_col,
+        key_fn=bfn, empty_type="long", out_col="bucket", distinct=False,
+    )
+    rc = rf.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tc = tf.groupBy("bucket").agg(F.count("*").alias("ct"))
+    buckets = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    probs = (
+        buckets.join(rc, "bucket", "left")
+        .join(tc, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+    )
+    tot = probs.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    return probs.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log(F.col("ct") + 1)
+            - F.log(F.col("nt") + n_buckets)
+            - F.log(F.col("cr") + 1)
+            + F.log(F.col("nr") + n_buckets)
+        ).alias("llr"),
+    )
+
+
 def dsir_weights(
     raw: DataFrame,
     target: DataFrame,
@@ -612,49 +673,19 @@ def dsir_weights(
     reduce fan-in is ≤ ``n_buckets`` keys at any corpus size, the
     log-ratio table BROADCAST back onto the exploded raw side (the
     corpus-sized side never shuffles for the join), and one doc-keyed
-    aggregate. The rank window for ``selected`` is doc-level rows —
-    at 100 TB replace it with a weight threshold from a quantile
-    sketch, or TakeOrdered for a literal top-k; the weights
-    themselves are shuffle-minimal.
+    aggregate. Selection is TakeOrdered (per-partition local
+    top-k, no global sort): the k-th compound key reduces to one row
+    and broadcasts back as a threshold compare — no unbounded
+    single-partition exchange anywhere in the plan.
     """
     from .dedup import _ngram_rows
 
-    spark = raw.sparkSession
-
-    def bfn(s: Column) -> Column:
-        h = F.conv(F.substring(F.md5(s), 1, 4), 16, 10).cast("long")
-        return h % n_buckets
-
+    bfn = _dsir_bucket(n_buckets)
     rf = _ngram_rows(
         raw, 2, text_col, id_col,
         key_fn=bfn, empty_type="long", out_col="bucket", distinct=False,
     )
-    tf = _ngram_rows(
-        target, 2, text_col, id_col,
-        key_fn=bfn, empty_type="long", out_col="bucket", distinct=False,
-    )
-    rc = rf.groupBy("bucket").agg(F.count("*").alias("cr"))
-    tc = tf.groupBy("bucket").agg(F.count("*").alias("ct"))
-    buckets = spark.range(n_buckets).select(F.col("id").alias("bucket"))
-    probs = (
-        buckets.join(rc, "bucket", "left")
-        .join(tc, "bucket", "left")
-        .select(
-            "bucket",
-            F.coalesce("cr", F.lit(0)).alias("cr"),
-            F.coalesce("ct", F.lit(0)).alias("ct"),
-        )
-    )
-    tot = probs.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
-    ratio = probs.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        (
-            F.log(F.col("ct") + 1)
-            - F.log(F.col("nt") + n_buckets)
-            - F.log(F.col("cr") + 1)
-            + F.log(F.col("nr") + n_buckets)
-        ).alias("llr"),
-    )
+    ratio = dsir_ratio(raw, target, n_buckets, text_col, id_col, _rf=rf)
     scored = (
         rf.join(F.broadcast(ratio), "bucket")
         .groupBy(id_col)
@@ -662,13 +693,33 @@ def dsir_weights(
             F.count("*").cast("long").alias("n_feats"),
             F.round(F.sum("llr"), 6).alias("weight"),
         )
+        # feeds the k-th-row threshold AND the final projection
+        .localCheckpoint(eager=False)
     )
-    w = Window.orderBy(F.desc("weight"), F.col(id_col))
-    return scored.select(
-        id_col,
-        "n_feats",
-        "weight",
-        (F.row_number().over(w) <= k).alias("selected"),
+    # top-k WITHOUT a global row_number window (that would be an
+    # unbounded single-partition sort of every doc): orderBy().limit(k)
+    # compiles to TakeOrderedAndProject (each partition ships only its
+    # local top-k), the k-th (weight DESC, id ASC) key — encoded as a
+    # struct whose ASC order is that compound order, doubles negate
+    # exactly — reduces to ONE row, and selection is a broadcast
+    # compare. The only single-partition exchange left holds ≤ k rows.
+    key = F.struct(
+        (-F.col("weight")).alias("nw"), F.col(id_col).alias("tid")
+    )
+    kth = (
+        scored.select(key.alias("_key"))
+        .orderBy("_key")
+        .limit(k)
+        .agg(F.max("_key").alias("_kth"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(kth))
+        .select(
+            id_col,
+            "n_feats",
+            "weight",
+            (key <= F.col("_kth")).alias("selected"),
+        )
     )
 
 

@@ -63,6 +63,10 @@ SINGLE_OK = {
     # broadcast — bounded by the index-metadata contract
     "embedding_ivf_flat_topk",
     "semantic_dedup",
+    # r9 session 2: bounded finals of the new queries
+    "ccnet_ppl_buckets",  # inherits unigram_logprob's broadcast total
+    "lsh_recall",    # four one-row count aggregates crossJoined
+    "dsir_weights",  # k-th-key threshold: ≤k rows reduce to one
 }
 
 QUERIES = sorted(em.queries().keys())
