@@ -1734,6 +1734,14 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_ops.bpe_fertility(docs, merges)
 
 
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-blocklist provenance gate (RefinedWeb/C4): drop pages whose
+    URLs hit a blocked domain (exact host or any subdomain) — map-only
+    JVM regex + a bounded literal predicate, zero shuffle."""
+    docs = testdata.url_corpus(spark, sf_dir)
+    return text_ops.url_blocklist_filter(docs, ["example.org"])
+
+
 def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide bigram heavy hitters (boilerplate/template mining):
     map-only adjacent-pair expansion → combined count → distributed
@@ -1772,20 +1780,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       bloom_probe_bits (nightly-artifact contract, new composed
       streaming ingest); pretraining_corpus composes it;
       repeated_spans neighbors the scrub edit.
-    * 11-18: the EIGHT queries new this round (semantic_dedup_gemm,
+    * 11-19: the NINE queries new this round (semantic_dedup_gemm,
       bpe_learn, bpe_tokenize, c4_filter, dsir_weights,
-      ccnet_ppl_buckets, lsh_recall, bpe_fertility) — never
-      driver-checked before, so they take
+      ccnet_ppl_buckets, lsh_recall, bpe_fertility, url_blocklist) —
+      never driver-checked before, so they take
       window slots ahead of freshness rotation (r7 lesson:
       cluster_split missed its introduction window and the judge
       flagged the cumulative-coverage gap).
-    * 19-50: 32 of the 40 r6-era rows (periodogram/PDM family,
+    * 20-50: 31 of the 40 r6-era rows (periodogram/PDM family,
       sessionization, multimodal audio/video, crossmatch pair,
       stars_filter_pipeline, most of the r6 text/corpus cohort) — the
-      oldest driver evidence in the repo. Eight r6 rows (query_dsl,
+      oldest driver evidence in the repo. Nine r6 rows (query_dsl,
       lang_id, text_features, doc_fingerprint, dedup_exact,
-      cms_counters, text_bpe_tokens, embedding_topk) stay r6-fresh to
-      make room; each family keeps a
+      cms_counters, text_bpe_tokens, embedding_topk,
+      multimodal_features) stay r6-fresh to make room; each family keeps a
       window representative and every one is value-exact locally every
       session.
     * 51+: r6/r7/r8-green queries, re-verified every session by
@@ -1828,6 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
         "lsh_recall": q_lsh_recall,
         "bpe_fertility": q_bpe_fertility,
+        "url_blocklist": q_url_blocklist,
         # 11-50: ALL 40 r6-era rows — the oldest driver evidence in
         # the repo; after this rotation no freshest row predates r7
         "session_concurrency": q_session_concurrency,
@@ -1850,7 +1859,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_coords": q_best_coords,
         "table_profile": q_table_profile,
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
-        "multimodal_features": q_multimodal_features,
         "curve_descr_pca": q_curve_descr_pca,
         "detrend": q_detrend,
         "cms_point_est": q_cms_point_est,
@@ -1960,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counters": q_cms_counters,
         "text_bpe_tokens": q_text_bpe_tokens,
         "embedding_topk": q_embedding_topk,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -2579,5 +2588,8 @@ SELECT * FROM pairs WHERE cos >= 0.42
         ),
         "bpe_fertility": bpe_ops.bpe_fertility_sql(
             "SELECT doc_id, text, lang FROM documents", n_merges=8
+        ),
+        "url_blocklist": text_ops.url_blocklist_filter_sql(
+            testdata.URL_CORPUS_SQL, ["example.org"]
         ),
     }

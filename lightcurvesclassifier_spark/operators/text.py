@@ -1147,3 +1147,62 @@ SELECT doc_id, lang, n_tokens, mean_logprob,
             ELSE 'tail' END AS ppl_label
 FROM t
 """
+
+
+def url_blocklist_filter(
+    df: DataFrame, blocked: list[str], text_col: str = "text"
+) -> DataFrame:
+    """URL-blocklist gate (the RefinedWeb / C4 provenance filter: drop
+    a page if any of its URLs points at a blocked domain, where a
+    blocklist entry matches the exact host AND every subdomain —
+    ``example.org`` blocks ``cdn3.example.org`` but NOT
+    ``notexample.org``).
+
+    Map-only: JVM regex host extraction (the shared
+    :data:`URL_HOST_RE`) + one row-level ``exists`` over a bounded
+    literal blocklist — zero shuffle, the keep/drop gate shape, and it
+    runs unchanged on a stream. At 100 TB a real blocklist (UT1 is
+    ~4M domains) ships as a broadcast join against the exploded hosts
+    instead of a literal chain; the fixture-scale literal keeps the
+    oracle exact.
+    """
+    bl = sorted(set(b.lower() for b in blocked))
+    hosts = F.regexp_extract_all(F.col(text_col), F.lit(URL_HOST_RE), 1)
+
+    def is_blocked(h: Column) -> Column:
+        lh = F.lower(h)
+        cond = F.lit(False)
+        for b in bl:
+            cond = cond | (lh == b) | lh.endswith("." + b)
+        return cond
+
+    n_blocked = F.size(F.filter(hosts, is_blocked))
+    return df.select(
+        "doc_id",
+        F.size(hosts).cast("long").alias("n_urls"),
+        n_blocked.cast("long").alias("n_blocked_urls"),
+        (n_blocked == 0).alias("keep"),
+    )
+
+
+def url_blocklist_filter_sql(corpus_sql: str, blocked: list[str]) -> str:
+    """DuckDB mirror of :func:`url_blocklist_filter` — same regex, same
+    exact-or-dot-suffix rule."""
+    bl = sorted(set(b.lower() for b in blocked))
+    pred = " OR ".join(
+        f"lower(h) = '{b}' OR suffix(lower(h), '.{b}')" for b in bl
+    )
+    return f"""
+WITH corpus AS ({corpus_sql}),
+f AS (
+  SELECT doc_id,
+         regexp_extract_all(text, 'https?://([^/ ]+)', 1) AS hosts
+  FROM corpus
+)
+SELECT doc_id,
+       CAST(len(hosts) AS BIGINT) AS n_urls,
+       CAST(len(list_filter(hosts, h -> {pred})) AS BIGINT)
+         AS n_blocked_urls,
+       (len(list_filter(hosts, h -> {pred})) = 0) AS keep
+FROM f
+"""

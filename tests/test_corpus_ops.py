@@ -790,3 +790,28 @@ def test_ccnet_buckets_balanced_terciles_per_lang(spark):
         assert sizes.max() - sizes.min() <= 1
         m = g.groupby("ppl_label").perplexity.mean()
         assert m["head"] <= m["middle"] <= m["tail"]
+
+
+def test_url_blocklist_subdomain_and_exact_rules(spark):
+    """The suffix rule blocks exact hosts and subdomains but never
+    LOOK-ALIKE domains (notexample.org), and docs without URLs keep."""
+    rows = [
+        (1, "read https://example.org/a now"),          # exact
+        (2, "see https://cdn3.example.org/b too"),      # subdomain
+        (3, "but https://notexample.org/c is fine"),    # look-alike
+        (4, "and http://EXAMPLE.ORG/d uppercase"),      # case-fold
+        (5, "no urls at all here"),
+        (6, "mix https://ok.test/x https://a.example.org/y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        text.url_blocklist_filter(df, ["example.org"])
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert not out.loc[1, "keep"] and out.loc[1, "n_blocked_urls"] == 1
+    assert not out.loc[2, "keep"]
+    assert out.loc[3, "keep"] and out.loc[3, "n_urls"] == 1
+    assert not out.loc[4, "keep"]
+    assert out.loc[5, "keep"] and out.loc[5, "n_urls"] == 0
+    assert not out.loc[6, "keep"] and out.loc[6, "n_blocked_urls"] == 1
