@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from lightcurvesclassifier_spark.operators import bpe
 from lightcurvesclassifier_spark.sources import testdata
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 
 def _ref_learn(word_counts, n):
@@ -209,3 +209,24 @@ def test_bpe_apply_composes_onto_stream_with_batch_parity(spark, tmp_path):
     assert (got["doc_id"] == exp["doc_id"]).all()
     assert (got["n_tokens"] == exp["n_tokens"]).all()
     assert (got["tokens_str"] == exp["tokens_str"]).all()
+
+
+def test_merge_table_round_trips_as_parquet_artifact(spark, tmp_path):
+    """The tokenizer's deployment contract: the learned merge table is
+    a nightly parquet artifact — write, re-read, re-order by merge_idx,
+    and the re-loaded merges must tokenize identically to the in-memory
+    list (order matters: merges apply in training order)."""
+    docs = testdata.load_table(spark, SF_ORACLE, "documents")
+    learned = bpe.bpe_learn(docs, n_merges=8)
+    learned.write.mode("overwrite").parquet(str(tmp_path / "merges"))
+    reloaded = (
+        spark.read.parquet(str(tmp_path / "merges"))
+        .orderBy("merge_idx")
+        .collect()
+    )
+    m1 = [(r["lhs"], r["rhs"]) for r in learned.orderBy("merge_idx").collect()]
+    m2 = [(r["lhs"], r["rhs"]) for r in reloaded]
+    assert m1 == m2 and len(m1) == 8
+    t1 = bpe.bpe_apply(docs, m1).orderBy("doc_id").toPandas()
+    t2 = bpe.bpe_apply(docs, m2).orderBy("doc_id").toPandas()
+    assert t1.equals(t2)
