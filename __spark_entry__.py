@@ -1734,6 +1734,17 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_ops.bpe_fertility(docs, merges)
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing overlap candidates (Schleimer et al. 2003 / MOSS) on
+    the multi-line boilerplate corpus WITH the over-common-fingerprint
+    guard (max_df=20): shared-boilerplate fingerprints are dropped
+    before the self-join (guard kills an 11k-row quadratic blowup down
+    to the 24 real-overlap pairs), true overlaps rank by shared count
+    + containment."""
+    docs = testdata.lines_corpus(spark, sf_dir)
+    return dedup_ops.winnow_pairs(docs, k=4, w=5, min_shared=2, max_df=20)
+
+
 def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-blocklist provenance gate (RefinedWeb/C4): drop pages whose
     URLs hit a blocked domain (exact host or any subdomain) — map-only
@@ -1780,20 +1791,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       bloom_probe_bits (nightly-artifact contract, new composed
       streaming ingest); pretraining_corpus composes it;
       repeated_spans neighbors the scrub edit.
-    * 11-19: the NINE queries new this round (semantic_dedup_gemm,
+    * 11-20: the TEN queries new this round (semantic_dedup_gemm,
       bpe_learn, bpe_tokenize, c4_filter, dsir_weights,
-      ccnet_ppl_buckets, lsh_recall, bpe_fertility, url_blocklist) —
-      never driver-checked before, so they take
+      ccnet_ppl_buckets, lsh_recall, bpe_fertility, url_blocklist,
+      winnow_pairs) — never driver-checked before, so they take
       window slots ahead of freshness rotation (r7 lesson:
       cluster_split missed its introduction window and the judge
       flagged the cumulative-coverage gap).
-    * 20-50: 31 of the 40 r6-era rows (periodogram/PDM family,
+    * 21-50: 30 of the 40 r6-era rows (periodogram/PDM family,
       sessionization, multimodal audio/video, crossmatch pair,
       stars_filter_pipeline, most of the r6 text/corpus cohort) — the
-      oldest driver evidence in the repo. Nine r6 rows (query_dsl,
+      oldest driver evidence in the repo. Ten r6 rows (query_dsl,
       lang_id, text_features, doc_fingerprint, dedup_exact,
       cms_counters, text_bpe_tokens, embedding_topk,
-      multimodal_features) stay r6-fresh to make room; each family keeps a
+      multimodal_features, doc_rolling_fingerprint) stay r6-fresh to
+      make room; each family keeps a
       window representative and every one is value-exact locally every
       session.
     * 51+: r6/r7/r8-green queries, re-verified every session by
@@ -1837,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall": q_lsh_recall,
         "bpe_fertility": q_bpe_fertility,
         "url_blocklist": q_url_blocklist,
+        "winnow_pairs": q_winnow_pairs,
         # 11-50: ALL 40 r6-era rows — the oldest driver evidence in
         # the repo; after this rotation no freshest row predates r7
         "session_concurrency": q_session_concurrency,
@@ -1858,7 +1871,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_sweep": q_roc_sweep,
         "best_coords": q_best_coords,
         "table_profile": q_table_profile,
-        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
         "curve_descr_pca": q_curve_descr_pca,
         "detrend": q_detrend,
         "cms_point_est": q_cms_point_est,
@@ -1969,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": q_text_bpe_tokens,
         "embedding_topk": q_embedding_topk,
         "multimodal_features": q_multimodal_features,
+        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
     }
 
 
@@ -2591,5 +2604,8 @@ SELECT * FROM pairs WHERE cos >= 0.42
         ),
         "url_blocklist": text_ops.url_blocklist_filter_sql(
             testdata.URL_CORPUS_SQL, ["example.org"]
+        ),
+        "winnow_pairs": dedup_ops.winnow_pairs_sql(
+            testdata.LINES_CORPUS_SQL, k=4, w=5, min_shared=2, max_df=20
         ),
     }

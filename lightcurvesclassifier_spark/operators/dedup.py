@@ -526,6 +526,165 @@ inter AS (
 """
 
 
+def winnow_fingerprints(
+    df: DataFrame, k: int = 4, w: int = 5,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003 — the
+    MOSS local fingerprinting algorithm): hash every ``k``-token gram,
+    slide a window of ``w`` consecutive hashes, keep each window's
+    MINIMUM, and emit the distinct minima as the document's
+    fingerprint set. The winnowing guarantee: any shared substring of
+    ≥ w+k−1 tokens contributes at least one SHARED fingerprint, while
+    the set stays a ~2/(w+1) fraction of the grams — a localized,
+    edit-robust signature (``text.rolling_fingerprint`` keeps only the
+    single global min; winnowing keeps one per region, which is what
+    makes overlap LOCATABLE).
+
+    One row per (doc, fingerprint), plus the doc's fingerprint-set
+    size carried map-side (the ``_ngram_rows_counted`` trick). The
+    whole selection is a row-level expression — map-only, zero
+    shuffle; short docs degrade gracefully (fewer than w hashes →
+    their single global min; no grams → no rows)."""
+    tk = F.col("_toks")
+    m = F.size(tk)
+    hs = F.when(
+        m >= k,
+        F.transform(
+            F.sequence(F.lit(1), m - (k - 1)),
+            lambda i: _md5_int60(F.array_join(F.slice(tk, i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    base = df.withColumn("_toks", F.split(F.col(text_col), " ")).select(
+        F.col(id_col), hs.alias("_hs")
+    )
+    nh = F.size(F.col("_hs"))
+    fps = (
+        F.when(
+            nh >= w,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), nh - (w - 1)),
+                    lambda j: F.array_min(F.slice(F.col("_hs"), j, w)),
+                )
+            ),
+        )
+        .when(nh > 0, F.array(F.array_min(F.col("_hs"))))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    rows = base.select(F.col(id_col), fps.alias("_fps")).select(
+        F.col(id_col),
+        F.size("_fps").alias("n_fp"),
+        F.explode("_fps").alias("fp"),
+    )
+    return rows
+
+
+def winnow_pairs(
+    df: DataFrame, k: int = 4, w: int = 5, min_shared: int = 2,
+    max_df: int | None = None,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """MOSS-style overlap candidates: inverted-index self-join on the
+    winnowed fingerprints, pairs ranked by shared-fingerprint count
+    and containment (shared / smaller set). Work scales with real
+    fingerprint collisions — never documents² — and the fingerprint
+    explode is ~2/(w+1) of the gram explode the Jaccard path pays.
+
+    ``max_df`` (MOSS's over-common-fingerprint drop, and the skew
+    guard at scale): a fingerprint present in more than ``max_df``
+    documents is template/boilerplate, contributes a quadratic pair
+    blowup, and is excluded from pairing BEFORE the self-join — as a
+    window count on the fp key, which the self-join then reuses (one
+    exchange, not two). Containment denominators stay the FULL set
+    sizes (the paper's semantics).
+
+    Output: (id_a, id_b, n_shared, containment) with
+    n_shared ≥ ``min_shared``."""
+    fp = winnow_fingerprints(df, k, w, text_col, id_col)
+    if max_df is not None:
+        fp = fp.withColumn(
+            "_df", F.count("*").over(Window.partitionBy("fp"))
+        ).filter(F.col("_df") <= max_df).drop("_df")
+    a = fp.select(
+        F.col(id_col).alias("id_a"), "fp", F.col("n_fp").alias("n_a")
+    )
+    b = fp.select(
+        F.col(id_col).alias("id_b"), "fp", F.col("n_fp").alias("n_b")
+    )
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").cast("long").alias("n_shared"),
+            F.first("n_a").alias("_na"),
+            F.first("n_b").alias("_nb"),
+        )
+        .filter(F.col("n_shared") >= min_shared)
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("_na", "_nb"), 6
+            ).alias("containment"),
+        )
+    )
+
+
+def winnow_pairs_sql(
+    corpus_sql: str, k: int = 4, w: int = 5, min_shared: int = 2,
+    max_df: int | None = None,
+) -> str:
+    """DuckDB mirror of :func:`winnow_pairs` — same md5-60-bit gram
+    hash, same window minima, same distinct + join + containment."""
+    return f"""
+WITH corpus AS ({corpus_sql}),
+toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+hashed AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= {k} THEN
+           list_transform(
+             range(1, len(tk) - {k - 1} + 1),
+             i -> CAST('0x' || substr(
+                    md5(array_to_string(tk[i:i+{k - 1}], ' ')), 1, 15)
+                  AS BIGINT))
+         ELSE [] END AS hs
+  FROM toks
+),
+fpsets AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= {w} THEN
+           list_distinct(list_transform(
+             range(1, len(hs) - {w - 1} + 1),
+             j -> list_min(hs[j:j+{w - 1}])))
+         WHEN len(hs) > 0 THEN [list_min(hs)]
+         ELSE [] END AS fps
+  FROM hashed
+),
+rows_all AS (
+  SELECT doc_id, len(fps) AS n_fp, unnest(fps) AS fp FROM fpsets
+),
+rows_fp AS (
+  SELECT doc_id, n_fp, fp FROM rows_all
+  {"QUALIFY count(*) OVER (PARTITION BY fp) <= " + str(max_df)
+   if max_df is not None else ""}
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         count(*) AS n_shared,
+         first(a.n_fp) AS na, first(b.n_fp) AS nb
+  FROM rows_fp a JOIN rows_fp b
+    ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+       round(n_shared / least(na, nb), 6) AS containment
+FROM pairs WHERE n_shared >= {min_shared}
+"""
+
+
 def lsh_recall(
     df: DataFrame, threshold: float = 0.5, num_hashes: int = 16,
     bands: int = 2, n: int = SHINGLE_N,

@@ -1292,3 +1292,31 @@ def test_lsh_recall_summary_invariants_and_weak_vs_strong(spark):
         docs, threshold=0.5, num_hashes=16, bands=8
     ).count()
     assert strong.n_verified == n_pairs
+
+
+def test_winnow_guarantee_and_boilerplate_guard(spark):
+    """Winnowing's paper guarantee: any shared run of >= w+k-1 tokens
+    yields >= 1 shared fingerprint (the planted near-dups must all
+    pair). The max_df guard: on the boilerplate corpus the hot shared
+    fingerprints would pair ~every doc with every doc — the guard
+    drops them and only real-overlap pairs remain."""
+    dd = testdata.dedup_corpus(spark, SF_ORACLE)
+    pairs = dedup.winnow_pairs(
+        dd, k=4, w=5, min_shared=1, max_df=50
+    ).toPandas()
+    got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    # planted structure: +1M near-dups and +2M exact dups of base ids
+    base_ids = {int(i) for i in dd.filter("doc_id < 1000000")
+                .select("doc_id").toPandas().doc_id}
+    planted = {int(i) for i in dd.filter("doc_id >= 1000000")
+               .select("doc_id").toPandas().doc_id}
+    for p in planted:
+        b = p % 1_000_000
+        if b in base_ids:
+            assert (min(b, p), max(b, p)) in got, (b, p)
+    assert (pairs.containment <= 1.0).all()
+    # boilerplate corpus: the guard collapses the quadratic blowup
+    lc = testdata.lines_corpus(spark, SF_ORACLE)
+    unguarded = dedup.winnow_pairs(lc, 4, 5, 2, max_df=None).count()
+    guarded = dedup.winnow_pairs(lc, 4, 5, 2, max_df=20).count()
+    assert guarded * 50 < unguarded
