@@ -555,9 +555,29 @@ def winnow_fingerprints(
             lambda i: _md5_int60(F.array_join(F.slice(tk, i, k), " ")),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    base = df.withColumn("_toks", F.split(F.col(text_col), " ")).select(
+    # HARD materialization barriers at BOTH array levels, not just
+    # column aliases: CollapseProject inlines an aliased array into
+    # every reference — including INSIDE per-element lambdas, where
+    # higher-order functions re-evaluate captured subtrees per element.
+    # Without them the token split re-runs once per GRAM position and
+    # the m-hash array is rebuilt (m md5s) once per WINDOW position —
+    # measured 167 s for the pair query at sf0.1 vs ~2 s with the
+    # barriers (the same expression-blowup class as the BPE fold's 4^k
+    # tree). Each barrier is one linear map pass; at cluster scale the
+    # equivalent shape is posexplode + a ROWS-window min, one exchange.
+    # expansion-aware spread (the _ngram_rows idiom): the parquet
+    # fixture scans as ONE partition, so without this both barrier
+    # passes — the dominant md5 map work — run single-threaded
+    if not df.isStreaming:
+        sc = df.sparkSession.sparkContext
+        if df.rdd.getNumPartitions() < sc.defaultParallelism:
+            df = df.repartition(sc.defaultParallelism, F.col(id_col))
+    toks_mat = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    ).localCheckpoint(eager=False)
+    base = toks_mat.select(
         F.col(id_col), hs.alias("_hs")
-    )
+    ).localCheckpoint(eager=False)
     nh = F.size(F.col("_hs"))
     fps = (
         F.when(
