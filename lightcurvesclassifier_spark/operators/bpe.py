@@ -343,14 +343,16 @@ def bpe_fertility(
     multilingual fairness metric (a tokenizer trained on one language
     over-segments the others) — plus chars-per-token.
 
-    Built on :func:`bpe_apply` (map-only fold, merges as plan
-    literals); per-doc word/char counts come from the token array
-    itself (chars = joined length − separators, the exact
-    single-space identity), so the whole audit is the apply plan plus
-    ONE bounded-key aggregate. Output: (group, n_docs, n_words,
-    n_bpe_tokens, fertility, chars_per_token).
+    Built on :func:`bpe_tokenize` (the vocab-joined apply: the regex
+    fold runs once per DISTINCT word, not per token occurrence —
+    measured ~1.2 s cheaper than the :func:`bpe_apply` leg at sf0.1);
+    per-doc char counts come from the joined token string (chars =
+    joined length − separators, the exact single-space identity), so
+    the whole audit is the tokenize plan plus ONE bounded-key
+    aggregate. Output: (group, n_docs, n_words, n_bpe_tokens,
+    fertility, chars_per_token).
     """
-    toked = bpe_apply(corpus, merges, text_col, id_col)
+    toked = bpe_tokenize(corpus, merges, text_col, id_col)
     base = corpus.select(
         F.col(id_col),
         F.col(group_col),
@@ -361,9 +363,7 @@ def bpe_fertility(
         ).cast("long").alias("_n_words"),
     )
     j = base.join(toked, id_col)
-    chars = F.length(F.array_join("tokens", " ")) - (
-        F.col("n_tokens") - F.lit(1)
-    )
+    chars = F.length("tokens_str") - (F.col("n_tokens") - F.lit(1))
     per_doc = j.select(
         group_col,
         "_n_words",
