@@ -917,23 +917,41 @@ def gopher_quality_filter(
         n_chars - F.length(F.regexp_replace(t, "\\.\\.\\.", ""))
     ) / 3 + (n_chars - F.length(F.regexp_replace(t, "…", "")))
     alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
-    r_symw = (hashes + ells) / n <= p["max_symbol_word_ratio"]
-    r_bullet = bullets / n_lines <= p["max_bullet_line_frac"]
-    r_ell = ell_lines / n_lines <= p["max_ellipsis_line_frac"]
-    r_alpha = alpha_words / n >= p["min_alpha_word_frac"]
+    # n / n_lines are ≥ 1 for any non-null string (split('') = ['']),
+    # but a NULL text makes them NULL — the same n>0 guard r_sym uses
+    # keeps every rule a real boolean instead of a null (r9 advice).
+    r_symw = F.when(
+        n > 0, (hashes + ells) / n <= p["max_symbol_word_ratio"]
+    ).otherwise(F.lit(False))
+    r_bullet = F.when(
+        n_lines > 0, bullets / n_lines <= p["max_bullet_line_frac"]
+    ).otherwise(F.lit(False))
+    r_ell = F.when(
+        n_lines > 0, ell_lines / n_lines <= p["max_ellipsis_line_frac"]
+    ).otherwise(F.lit(False))
+    r_alpha = F.when(
+        n > 0, alpha_words / n >= p["min_alpha_word_frac"]
+    ).otherwise(F.lit(False))
+    # NULL text nulls every count, so every rule coalesces to a real
+    # False — a keep/drop gate must emit booleans, never NULLs (r9
+    # advice); the division guards above additionally keep the ratio
+    # rules ANSI-safe.
+    def _b(c: Column) -> Column:
+        return F.coalesce(c, F.lit(False))
+
     return df.select(
         "doc_id",
-        n.cast("long").alias("n_tokens"),
-        r_words.alias("pass_word_count"),
-        r_avg.alias("pass_avg_word_len"),
-        r_sym.alias("pass_symbol_ratio"),
-        r_symw.alias("pass_symbol_words"),
-        r_bullet.alias("pass_bullet_lines"),
-        r_ell.alias("pass_ellipsis_lines"),
-        r_alpha.alias("pass_alpha_words"),
-        r_stop.alias("pass_stopwords"),
-        r_dup.alias("pass_repetition"),
-        (
+        F.coalesce(n, F.lit(0)).cast("long").alias("n_tokens"),
+        _b(r_words).alias("pass_word_count"),
+        _b(r_avg).alias("pass_avg_word_len"),
+        _b(r_sym).alias("pass_symbol_ratio"),
+        _b(r_symw).alias("pass_symbol_words"),
+        _b(r_bullet).alias("pass_bullet_lines"),
+        _b(r_ell).alias("pass_ellipsis_lines"),
+        _b(r_alpha).alias("pass_alpha_words"),
+        _b(r_stop).alias("pass_stopwords"),
+        _b(r_dup).alias("pass_repetition"),
+        _b(
             r_words & r_avg & r_sym & r_symw & r_bullet & r_ell
             & r_alpha & r_stop & r_dup
         ).alias("keep"),
@@ -975,26 +993,33 @@ f AS (
 ),
 rules AS (
   SELECT doc_id, n,
-         (n >= {p["min_words"]} AND n <= {p["max_words"]}) AS pass_word_count,
-         ((n_chars - (n - 1)) / n >= {p["min_avg_word_len"]!r}
-          AND (n_chars - (n - 1)) / n <= {p["max_avg_word_len"]!r})
+         coalesce(n >= {p["min_words"]} AND n <= {p["max_words"]}, FALSE)
+           AS pass_word_count,
+         coalesce((n_chars - (n - 1)) / n >= {p["min_avg_word_len"]!r}
+          AND (n_chars - (n - 1)) / n <= {p["max_avg_word_len"]!r}, FALSE)
            AS pass_avg_word_len,
-         CASE WHEN n_chars > 0
+         coalesce(CASE WHEN n_chars > 0
               THEN symbols / n_chars <= {p["max_symbol_ratio"]!r}
-              ELSE FALSE END AS pass_symbol_ratio,
-         ((hashes + ells) / n <= {p["max_symbol_word_ratio"]!r})
-           AS pass_symbol_words,
-         (bullets / n_lines <= {p["max_bullet_line_frac"]!r})
-           AS pass_bullet_lines,
-         (ell_lines / n_lines <= {p["max_ellipsis_line_frac"]!r})
-           AS pass_ellipsis_lines,
-         (alpha_words / n >= {p["min_alpha_word_frac"]!r})
-           AS pass_alpha_words,
-         (dstop >= {p["min_distinct_stopwords"]}) AS pass_stopwords,
-         (dups / n <= {p["max_dup_token_frac"]!r}) AS pass_repetition
+              ELSE FALSE END, FALSE) AS pass_symbol_ratio,
+         coalesce(CASE WHEN n > 0
+              THEN (hashes + ells) / n <= {p["max_symbol_word_ratio"]!r}
+              ELSE FALSE END, FALSE) AS pass_symbol_words,
+         coalesce(CASE WHEN n_lines > 0
+              THEN bullets / n_lines <= {p["max_bullet_line_frac"]!r}
+              ELSE FALSE END, FALSE) AS pass_bullet_lines,
+         coalesce(CASE WHEN n_lines > 0
+              THEN ell_lines / n_lines <= {p["max_ellipsis_line_frac"]!r}
+              ELSE FALSE END, FALSE) AS pass_ellipsis_lines,
+         coalesce(CASE WHEN n > 0
+              THEN alpha_words / n >= {p["min_alpha_word_frac"]!r}
+              ELSE FALSE END, FALSE) AS pass_alpha_words,
+         coalesce(dstop >= {p["min_distinct_stopwords"]}, FALSE)
+           AS pass_stopwords,
+         coalesce(dups / n <= {p["max_dup_token_frac"]!r}, FALSE)
+           AS pass_repetition
   FROM f
 )
-SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+SELECT doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_tokens,
        pass_word_count, pass_avg_word_len, pass_symbol_ratio,
        pass_symbol_words, pass_bullet_lines, pass_ellipsis_lines,
        pass_alpha_words, pass_stopwords, pass_repetition,

@@ -27,11 +27,16 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 def _bigrams(text_col: str) -> Column:
     """Adjacent-token bigrams of a document as ONE row-level array
-    expression (``dedup._ngram_rows``'s n=2 semantics — short-doc
-    guard, occurrence counting — without the explode)."""
-    tk = F.filter(
-        F.split(F.col(text_col), " "), lambda w: F.length(w) > 0
-    )
+    expression — EXACTLY ``dedup._ngram_rows``'s n=2 token multiset
+    (plain ``split(text, ' ')``, empty tokens from doubled spaces kept,
+    occurrence counting, short-doc guard) without the explode, so the
+    gate's weight equals the batch scorer's on any text.  The one
+    residual semantic difference is documented, not hidden: a < 2-token
+    document has NO bigram rows, so batch ``dsir_weights`` omits it
+    entirely, while the gate — which must emit a verdict for every
+    arrival — emits it with ``n_feats = 0`` and ``dsir_weight = 0.0``
+    (pinned in test_dsir_gate_stream)."""
+    tk = F.split(F.col(text_col), " ")
     return F.when(
         F.size(tk) >= 2,
         F.transform(

@@ -1,6 +1,7 @@
 """Corpus-assembly semantics: stratified balance, packing contiguity,
 TF-IDF ordering."""
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from lightcurvesclassifier_spark.operators import corpus, text
@@ -815,3 +816,21 @@ def test_url_blocklist_subdomain_and_exact_rules(spark):
     assert not out.loc[4, "keep"]
     assert out.loc[5, "keep"] and out.loc[5, "n_urls"] == 0
     assert not out.loc[6, "keep"] and out.loc[6, "n_blocked_urls"] == 1
+
+
+def test_gopher_null_text_yields_booleans_not_nulls(spark):
+    """r9 advice: the ratio rules divide by token/line counts that go
+    NULL on a NULL text — every rule column must still come out a real
+    boolean (False), never NULL, and keep must be False."""
+    from lightcurvesclassifier_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a fine ordinary sentence about the stars and such")],
+        "doc_id long, text string",
+    )
+    out = text_ops.gopher_quality_filter(df).toPandas().set_index("doc_id")
+    rule_cols = [c for c in out.columns if c.startswith("pass_")] + ["keep"]
+    row = out.loc[1]
+    for c in rule_cols:
+        assert row[c] is not None and not pd.isna(row[c]), c
+    assert not row["keep"]

@@ -104,3 +104,53 @@ def test_gate_runs_unchanged_on_stream(spark, tmp_path):
     )
     assert got.equals(exp)
     assert got.keep.any() and (~got.keep).any()
+
+
+def test_gate_matches_batch_on_doubled_spaces_and_short_docs(spark):
+    """r9 advice: the gate's bigram multiset must equal the batch
+    scorer's ``_ngram_rows`` n=2 multiset on pathological text —
+    doubled spaces produce empty tokens (and bigrams containing them)
+    on BOTH sides; a < 2-token doc has no bigram rows, so the batch
+    scorer omits it while the gate emits n_feats=0 / weight=0."""
+    from lightcurvesclassifier_spark.operators.corpus import _dsir_bucket
+    from lightcurvesclassifier_spark.operators.dedup import _ngram_rows
+
+    _, llr = _artifact(spark)
+    weird = spark.createDataFrame(
+        [
+            (900001, "the  quick  brown fox"),   # doubled spaces
+            (900002, "word"),                     # 1 token: no bigrams
+            (900003, ""),                          # split('') = ['']
+            (900004, "  "),                        # 3 empty tokens
+            (900005, "alpha beta gamma delta"),   # clean control
+        ],
+        "doc_id long, text string",
+    )
+    gated = (
+        dsir_gate(weird, llr, N_BUCKETS).toPandas().set_index("doc_id")
+    )
+    # the batch scorer's exact feature rows, scored against the SAME
+    # nightly llr artifact the gate carries
+    rf = _ngram_rows(
+        weird, 2, "text", "doc_id",
+        key_fn=_dsir_bucket(N_BUCKETS), empty_type="long",
+        out_col="bucket", distinct=False,
+    ).toPandas()
+    batch = (
+        rf.assign(llr=[llr[int(b)] for b in rf.bucket])
+        .groupby("doc_id")
+        .agg(n_feats=("bucket", "size"), weight=("llr", "sum"))
+    )
+    # batch omits the <2-token docs ('' splits to the 1-token ['']);
+    # everything else scores on both sides
+    assert set(batch.index) == {900001, 900004, 900005}
+    assert set(gated.index) == {900001, 900002, 900003, 900004, 900005}
+    for d in batch.index:
+        assert gated.loc[d, "n_feats"] == batch.loc[d, "n_feats"], d
+        assert (
+            abs(gated.loc[d, "dsir_weight"] - round(batch.loc[d, "weight"], 6))
+            < 2e-6
+        ), d
+    for d in (900002, 900003):
+        assert gated.loc[d, "n_feats"] == 0
+        assert gated.loc[d, "dsir_weight"] == 0.0

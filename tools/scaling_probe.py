@@ -108,6 +108,15 @@ def _shifted_embeddings(emb: DataFrame, k: int) -> DataFrame:
         # so cross-replica cosine near-dups stay absent at any K.
         p = r // dim
         if s == 0 and p == 0:
+            if r > 0:
+                # dim divisible by 7 ⇒ the shift wraps to 0 before the
+                # sign mask kicks in; appending emb verbatim here would
+                # duplicate vec_ids and plant exact-dup vectors in the
+                # replicated probe set (r9 advice) — refuse loudly.
+                raise ValueError(
+                    f"shift collapses to identity at r={r} for dim={dim}"
+                    " (dim divisible by 7); pick a different dim or K"
+                )
             reps.append(emb)
             continue
         arr = F.col("embedding")
