@@ -1203,6 +1203,18 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.ann_recall(emb, queries_df, k=10, n_probe=10)
 
 
+def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall-vs-n_probe operating curve (r9 stretch directive #7):
+    one row per n_probe in {1,2,4,8,16}, every expensive subtree
+    (normalized corpus, Lloyd cells, exact leg) built once and shared —
+    a quantizer regression shifts the whole curve, visible as a VALUE
+    diff. The n_probe = n_lists point probes every cell and so anchors
+    at recall = 1 by construction."""
+    emb = testdata.load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return sim_ops.ivf_recall_curve(emb, queries_df, k=10, n_lists=16)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup over
     the embedding table — md5-seed cells, ascending cos-to-seed keep
@@ -1783,16 +1795,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       embedding_topk, multimodal_features, doc_rolling_fingerprint) —
       the only rows whose freshest driver check predates r7 after the
       r9 window.
-    * 11-50: ALL FORTY r7-fresh rows, so after this round no query's
-      freshest driver row predates r8 (the r9 directive's done
-      condition). 10 + 40 = exactly the window, so this rotation has
-      no freshness slack: r10 plan-edited queries that are r8/r9-fresh
+    * 11: ivf_recall_curve — NEW this round (a never-driver-checked
+      query outranks freshness rotation, the r7 lesson).
+    * 12-50: THIRTY-NINE of the forty r7-fresh rows, so after this
+      round only ONE query's freshest driver row predates r8
+      (ekvi_paa_exact, displaced by the new query; its kernel family
+      keeps ekvi_paa in-window and it is value-exact locally every
+      session). r10 plan-edited queries that are r8/r9-fresh
       (gopher_quality's null-guard, the stratified-split fusion,
-      lsh_recall's shared shingle leg) stay OUTSIDE the window and
-      lean on tests/test_oracle_parity.py's every-session value-exact
-      sweep instead.
-    * 51+: r8-fresh rows, then r9-fresh rows (newest evidence last),
-      re-verified every session by tests/test_oracle_parity.py.
+      lsh_recall's shared shingle leg, batched bpe_learn) stay OUTSIDE
+      the window and lean on tests/test_oracle_parity.py's
+      every-session value-exact sweep instead.
+    * 51+: ekvi_paa_exact, then r8-fresh rows, then r9-fresh rows
+      (newest evidence last), re-verified every session by
+      tests/test_oracle_parity.py.
     Every entry carries a full DuckDB oracle — including the
     Lloyd-trained embedding_ivf_topk, whose training is mirrored in SQL
     (engine-exact int-scaled means).
@@ -1810,7 +1826,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "multimodal_features": q_multimodal_features,
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
-        # 11-50: the forty r7-fresh rows — oldest remaining evidence
+        # 11: NEW this round (never driver-checked — takes a window
+        # slot ahead of freshness rotation, the r7 lesson; it displaces
+        # ekvi_paa_exact, whose kernel family keeps ekvi_paa in-window
+        # and whose exact-fill twin is value-pinned locally every
+        # session)
+        "ivf_recall_curve": q_ivf_recall_curve,
+        # 12-50: thirty-nine of the forty r7-fresh rows — oldest
+        # remaining evidence
         "bloom_bits": q_bloom_bits,
         "bloom_probe_fast": q_bloom_probe_fast,
         "dedup_minhash": q_dedup_minhash,
@@ -1830,7 +1853,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "bigram_counts": q_bigram_counts,
         "ekvi_paa": q_ekvi_paa,
-        "ekvi_paa_exact": q_ekvi_paa_exact,
         "score_quantiles": q_score_quantiles,
         "mag_histogram": q_mag_histogram,
         "token_budget_sample": q_token_budget_sample,
@@ -1851,8 +1873,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_profile": q_embedding_profile,
         "dq_audit": q_dq_audit,
         "revenue_cube": q_revenue_cube,
-        # --- 51+: r8-fresh rows, re-verified every session by
+        # --- 51+: ekvi_paa_exact (displaced by ivf_recall_curve; r7
+        # driver row + every-session local value pin), then r8-fresh
+        # rows, re-verified every session by
         # tests/test_oracle_parity.py (rotated out for window room) ---
+        "ekvi_paa_exact": q_ekvi_paa_exact,
         "cluster_split": q_cluster_split,
         "dedup_clusters": q_dedup_clusters,
         "dedup_canonical": q_dedup_canonical,
@@ -2362,6 +2387,9 @@ FROM corpus GROUP BY md5(text)
         ),
         "ann_recall": sim_ops.ann_recall_sql(
             k=10, n_probe=10, query_pred="vec_id < 5"
+        ),
+        "ivf_recall_curve": sim_ops.ivf_recall_curve_sql(
+            k=10, n_cells=16, query_pred="vec_id < 5"
         ),
         "dedup_minhash": dedup_ops.minhash_pairs_sql(
             testdata.DEDUP_CORPUS_SQL, threshold=0.5

@@ -47,6 +47,7 @@ ARROW_OK = {
     "variogram_slope",
     "embedding_topk",
     "ann_recall",  # exact leg = embedding_topk's blocked-GEMM mapInPandas
+    "ivf_recall_curve",  # same exact leg, one per curve point
     "embedding_neardup",
     "multimodal_features",
     "multimodal_resize",
@@ -182,6 +183,7 @@ PLAN_BUDGET = {
     "embedding_ivf_topk": 165000,
     "embedding_ivf_flat_topk": 165000,
     "ann_recall": 180000,
+    "ivf_recall_curve": 225000,  # one-pass scoring + 5 windowed tails
     "semantic_dedup": 355000,
     "cluster_split_stratified": 190000,
     "exact_substr_scrub": 80000,
