@@ -1064,6 +1064,25 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.mixture_sample(docs, "lang", "doc_id", MIXTURE_WEIGHTS)
 
 
+def q_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023): split a
+    total character budget across languages with a max-epochs cap per
+    language — the paper's ascending-size sequential greedy expressed
+    in its closed water-filling form: one bounded-key aggregate plus
+    single-partition window arithmetic over the |langs| rows. The
+    budget (80% of the 4-epoch demand) forces a genuine split: small
+    languages cap at 4 epochs, the dominant ones share the residual."""
+    docs = testdata.load_table(spark, sf_dir, "documents")
+    # B = 80% of the 4-epoch demand, exact integer arithmetic so the
+    # mirror's scalar subquery lands on the same BIGINT (16/5 = 4*0.8);
+    # the 1-row collect is the bounded-metadata contract (same class as
+    # the broadcast corpus totals)
+    total = docs.agg(F.sum(F.length("text"))).collect()[0][0]
+    return corpus_ops.unimax_budget(
+        docs, total_budget=(16 * int(total)) // 5, max_epochs=4
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed TF-IDF, top-5 terms per doc — tf agg, df agg, broadcast
     corpus-size, per-doc top-k window; deterministic (rounded-score,
@@ -1803,20 +1822,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       embedding_topk, multimodal_features, doc_rolling_fingerprint) —
       the only rows whose freshest driver check predates r7 after the
       r9 window.
-    * 11: ivf_recall_curve — NEW this round (a never-driver-checked
-      query outranks freshness rotation, the r7 lesson).
-    * 12-50: THIRTY-NINE of the forty r7-fresh rows, so after this
-      round only ONE query's freshest driver row predates r8
-      (ekvi_paa_exact, displaced by the new query; its kernel family
-      keeps ekvi_paa in-window and it is value-exact locally every
-      session). r10 plan-edited queries that are r8/r9-fresh
-      (gopher_quality's null-guard, the stratified-split fusion,
-      lsh_recall's shared shingle leg, batched bpe_learn) stay OUTSIDE
-      the window and lean on tests/test_oracle_parity.py's
-      every-session value-exact sweep instead.
-    * 51+: ekvi_paa_exact, then r8-fresh rows, then r9-fresh rows
-      (newest evidence last), re-verified every session by
-      tests/test_oracle_parity.py.
+    * 11-12: ivf_recall_curve and unimax_budget — NEW this round (a
+      never-driver-checked query outranks freshness rotation, the r7
+      lesson).
+    * 13-50: THIRTY-EIGHT of the forty r7-fresh rows, so after this
+      round only TWO queries' freshest driver rows predate r8
+      (ekvi_paa_exact and abbe_filter, displaced by the new queries;
+      each family keeps its sibling in-window — ekvi_paa, abbe_value —
+      and both are value-exact locally every session). r10 plan-edited
+      queries that are r8/r9-fresh (gopher_quality's null-guard, the
+      stratified-split fusion, lsh_recall's shared shingle leg,
+      batched bpe_learn) stay OUTSIDE the window and lean on
+      tests/test_oracle_parity.py's every-session value-exact sweep
+      instead.
+    * 51+: ekvi_paa_exact and abbe_filter, then r8-fresh rows, then
+      r9-fresh rows (newest evidence last), re-verified every session
+      by tests/test_oracle_parity.py.
     Every entry carries a full DuckDB oracle — including the
     Lloyd-trained embedding_ivf_topk, whose training is mirrored in SQL
     (engine-exact int-scaled means).
@@ -1840,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and whose exact-fill twin is value-pinned locally every
         # session)
         "ivf_recall_curve": q_ivf_recall_curve,
+        "unimax_budget": q_unimax_budget,
         # 12-50: thirty-nine of the forty r7-fresh rows — oldest
         # remaining evidence
         "bloom_bits": q_bloom_bits,
@@ -1850,7 +1872,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "curve_stats": q_curve_stats,
         "abbe_value": q_abbe_value,
-        "abbe_filter": q_abbe_filter,
         "hll_registers": q_hll_registers,
         "hll_distinct": q_hll_distinct,
         "cone_search": q_cone_search,
@@ -1886,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows, re-verified every session by
         # tests/test_oracle_parity.py (rotated out for window room) ---
         "ekvi_paa_exact": q_ekvi_paa_exact,
+        "abbe_filter": q_abbe_filter,
         "cluster_split": q_cluster_split,
         "dedup_clusters": q_dedup_clusters,
         "dedup_canonical": q_dedup_canonical,
@@ -2438,6 +2460,14 @@ FROM corpus GROUP BY md5(text)
         "doc_chunks": text_ops.chunk_documents_sql(chunk_size=32, overlap=8),
         "unigram_logprob": text_ops.unigram_logprob_sql(),
         "detrend": detrend_stats_sql(_OBS),
+        "unimax_budget": corpus_ops.unimax_budget_sql(
+            "SELECT lang, text FROM documents",
+            total_budget=(
+                "(16 * (SELECT CAST(sum(length(text)) AS BIGINT)"
+                " FROM documents)) // 5"
+            ),
+            max_epochs=4,
+        ),
         "mixture_sample": corpus_ops.mixture_sample_sql(
             "SELECT doc_id, lang FROM documents", "lang", "doc_id",
             MIXTURE_WEIGHTS, "doc_id, lang",

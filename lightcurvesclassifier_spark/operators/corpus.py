@@ -772,3 +772,155 @@ SELECT doc_id, n_feats, weight,
          AS selected
 FROM scored
 """
+
+
+def unimax_budget(
+    df: DataFrame,
+    total_budget: int,
+    max_epochs: int = 4,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining", ICLR) — split a total character budget
+    across languages so every language is repeated at most
+    ``max_epochs`` times, with the leftover shared as equally as the
+    caps allow.
+
+    The paper's algorithm is sequential (ascending-size greedy: each
+    language takes min(cap, remaining/languages_left)), which is
+    exactly WATER-FILLING and therefore has a closed windowed form —
+    under the ascending (cap, lang) order the capped languages are a
+    prefix, a row is capped iff its cap fits its own as-if-everyone-
+    from-here-split-equally share, and every uncapped language gets
+    the same residual share.  That makes the whole allocation ONE
+    bounded-key aggregate (|langs| rows at any corpus size) plus
+    single-partition window arithmetic over those rows — no driver
+    loop, no collect, and a digit-for-digit DuckDB mirror.  Pinned
+    against a pure-Python transcription of the paper's sequential loop
+    in test_corpus_ops (hypothesis-randomized budgets/caps).
+
+    Output: one row per language —
+    (lang, n_chars, cap_chars, budget_chars, epochs); integer
+    char-count arithmetic stays BIGINT-exact on both engines, the two
+    divisions happen in the same operand order, and float outputs are
+    rounded to 6.
+    """
+    if total_budget < 0:
+        raise ValueError(f"total_budget must be >= 0, got {total_budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    counts = df.groupBy(lang_col).agg(
+        F.sum(F.length(text_col)).cast("long").alias("n_chars")
+    )
+    capped_demand = (F.lit(int(max_epochs)) * F.col("n_chars")).cast("long")
+    w = Window.orderBy("cap_chars", lang_col)
+    full = Window.orderBy("cap_chars", lang_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = (
+        counts.withColumn("cap_chars", capped_demand)
+        .withColumn("_i", F.row_number().over(w))
+        .withColumn(
+            "_prefix",
+            F.coalesce(
+                F.sum("cap_chars").over(
+                    Window.orderBy("cap_chars", lang_col).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn("_L", F.count("*").over(full))
+    )
+    # capped iff cap * (languages from here on) fits the budget left
+    # after every smaller language took its cap — exact BIGINT compare
+    is_capped = (
+        F.col("cap_chars") * (F.col("_L") - F.col("_i") + 1)
+        <= F.lit(int(total_budget)) - F.col("_prefix")
+    )
+    t = t.withColumn("_capped", is_capped).withColumn(
+        "_capped_total",
+        F.coalesce(
+            F.sum(F.when(F.col("_capped"), F.col("cap_chars"))).over(full),
+            F.lit(0).cast("long"),
+        ),
+    ).withColumn(
+        "_n_uncapped",
+        F.col("_L") - F.sum(F.col("_capped").cast("long")).over(full),
+    )
+    residual_share = (
+        F.lit(int(total_budget)) - F.col("_capped_total")
+    ) / F.col("_n_uncapped")
+    budget = F.when(F.col("_capped"), F.col("cap_chars").cast("double")).otherwise(
+        residual_share
+    )
+    return t.select(
+        lang_col,
+        "n_chars",
+        "cap_chars",
+        F.round(budget, 6).alias("budget_chars"),
+        F.round(budget / F.col("n_chars"), 6).alias("epochs"),
+    )
+
+
+def unimax_budget_sql(
+    corpus_sql: str,
+    total_budget: int | str,
+    max_epochs: int = 4,
+) -> str:
+    """DuckDB mirror of :func:`unimax_budget` — same BIGINT prefix
+    arithmetic, same division operand order, same rounding.
+
+    ``total_budget``: an int literal, or a SQL expression string (e.g.
+    a scalar subquery deriving the budget from the corpus) inlined
+    parenthesized."""
+    if isinstance(total_budget, str):
+        B = f"({total_budget})"
+    else:
+        B = str(int(total_budget))
+    return f"""
+WITH corpus AS ({corpus_sql}),
+counts AS (
+  SELECT lang, CAST(sum(length(text)) AS BIGINT) AS n_chars
+  FROM corpus GROUP BY lang
+),
+t AS (
+  SELECT lang, n_chars,
+         CAST({int(max_epochs)} * n_chars AS BIGINT) AS cap_chars,
+         row_number() OVER (ORDER BY {int(max_epochs)} * n_chars, lang)
+           AS _i,
+         coalesce(sum(CAST({int(max_epochs)} * n_chars AS BIGINT)) OVER (
+           ORDER BY {int(max_epochs)} * n_chars, lang
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS _prefix,
+         count(*) OVER () AS _L
+  FROM counts
+),
+c AS (
+  SELECT *,
+         (cap_chars * (_L - _i + 1) <= {B} - _prefix)
+           AS _capped
+  FROM t
+),
+g AS (
+  SELECT *,
+         coalesce(sum(CASE WHEN _capped THEN cap_chars END) OVER (), 0)
+           AS _capped_total,
+         _L - sum(CASE WHEN _capped THEN 1 ELSE 0 END) OVER ()
+           AS _n_uncapped
+  FROM c
+)
+SELECT lang, n_chars, cap_chars,
+       round(CASE WHEN _capped THEN CAST(cap_chars AS DOUBLE)
+                  ELSE ({B} - _capped_total)
+                       / CAST(_n_uncapped AS DOUBLE) END, 6)
+         AS budget_chars,
+       round(CASE WHEN _capped THEN CAST(cap_chars AS DOUBLE)
+                  ELSE ({B} - _capped_total)
+                       / CAST(_n_uncapped AS DOUBLE) END / n_chars, 6)
+         AS epochs
+FROM g
+"""

@@ -2,6 +2,7 @@
 TF-IDF ordering."""
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from lightcurvesclassifier_spark.operators import corpus, text
@@ -834,3 +835,85 @@ def test_gopher_null_text_yields_booleans_not_nulls(spark):
     for c in rule_cols:
         assert row[c] is not None and not pd.isna(row[c]), c
     assert not row["keep"]
+
+
+def _unimax_ref(lang_chars, total_budget, max_epochs):
+    """Pure-Python transcription of UniMax's sequential allocation
+    (Chung et al. 2023, Alg. 1): ascending size, each language takes
+    min(cap, remaining / languages_left)."""
+    order = sorted(lang_chars, key=lambda l: (max_epochs * lang_chars[l], l))
+    remaining = float(total_budget)
+    out = {}
+    for i, lang in enumerate(order):
+        share = remaining / (len(order) - i)
+        alloc = min(float(max_epochs * lang_chars[lang]), share)
+        out[lang] = alloc
+        remaining -= alloc
+    return out
+
+
+def test_unimax_matches_sequential_reference_on_fixture(spark):
+    docs = testdata.load_table(spark, SF_ORACLE, "documents")
+    total_chars = docs.select(
+        F.sum(F.length("text")).alias("s")
+    ).collect()[0]["s"]
+    budget = (16 * int(total_chars)) // 5
+    got = (
+        corpus.unimax_budget(docs, total_budget=budget, max_epochs=4)
+        .toPandas()
+        .set_index("lang")
+    )
+    lang_chars = {
+        r["lang"]: int(r["s"])
+        for r in docs.groupBy("lang")
+        .agg(F.sum(F.length("text")).alias("s"))
+        .collect()
+    }
+    exp = _unimax_ref(lang_chars, budget, 4)
+    assert set(got.index) == set(exp)
+    # the fixture budget forces a real split: some capped, some not
+    assert (got.budget_chars == got.cap_chars).any()
+    assert (got.budget_chars < got.cap_chars).any()
+    for lang, alloc in exp.items():
+        assert abs(got.loc[lang, "budget_chars"] - alloc) < 1e-4, lang
+        assert (
+            abs(got.loc[lang, "epochs"] - alloc / lang_chars[lang]) < 1e-6
+        ), lang
+    # budget is exhausted (sum of allocations == B) unless all capped
+    assert abs(got.budget_chars.sum() - budget) < 1e-3
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_unimax_water_filling_equals_sequential_randomized(spark, seed):
+    """Randomized budgets/size profiles, incl. the all-capped and
+    nothing-capped regimes — the windowed water-filling closed form
+    must equal the paper's sequential loop everywhere."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    langs = [f"l{i}" for i in range(int(rng.integers(1, 9)))]
+    rows = []
+    doc_id = 0
+    lang_chars = {}
+    for lang in langs:
+        n = int(rng.integers(1, 5))
+        chars = 0
+        for _ in range(n):
+            t = "x" * int(rng.integers(5, 400))
+            rows.append((doc_id, lang, t))
+            chars += len(t)
+            doc_id += 1
+        lang_chars[lang] = chars
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    total_cap = 4 * sum(lang_chars.values())
+    for budget in (0, total_cap // 7, total_cap // 2, total_cap, 2 * total_cap):
+        got = (
+            corpus.unimax_budget(docs, total_budget=budget, max_epochs=4)
+            .toPandas()
+            .set_index("lang")
+        )
+        exp = _unimax_ref(lang_chars, budget, 4)
+        for lang, alloc in exp.items():
+            assert abs(got.loc[lang, "budget_chars"] - alloc) < 1e-4, (
+                seed, budget, lang
+            )

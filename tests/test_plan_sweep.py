@@ -82,6 +82,9 @@ SINGLE_OK = {
     "ccnet_ppl_buckets",  # inherits unigram_logprob's broadcast total
     "lsh_recall",    # four one-row count aggregates crossJoined
     "dsir_weights",  # k-th-key threshold: ≤k rows reduce to one
+    # r10: the UniMax allocation windows over the |langs|-row language
+    # table — bounded-key aggregate output, never the corpus
+    "unimax_budget",
 }
 
 PLAN_BUDGET = {
@@ -184,6 +187,7 @@ PLAN_BUDGET = {
     "embedding_ivf_flat_topk": 165000,
     "ann_recall": 180000,
     "ivf_recall_curve": 225000,  # one-pass scoring + 5 windowed tails
+    "unimax_budget": 80000,
     "semantic_dedup": 355000,
     "cluster_split_stratified": 190000,
     "exact_substr_scrub": 80000,
