@@ -244,6 +244,14 @@ QUERIES = sorted(em.queries().keys())
 def plans(spark):
     out = {}
     for name, fn in em.queries().items():
+        # cache-substitution isolation: any earlier test (or an earlier
+        # query in THIS loop — q_stars_filter_pipeline caches the shared
+        # curve-features subtree) that .cache()s a matching subplan makes
+        # later optimized plans swap in an InMemoryRelation, whose JSON
+        # is ~2x the fresh relation — the budgets would then depend on
+        # suite ORDER (found as full-suite-only failures in r10).
+        # Clearing the cache before each build pins the fresh shape.
+        spark.catalog.clearCache()
         qe = fn(spark, SF_SMOKE)._jdf.queryExecution()
         out[name] = (
             qe.executedPlan().toString(),
