@@ -1130,7 +1130,6 @@ def connected_components_star(
 
 def _labels_and_comp(
     df: DataFrame, n: int, threshold: float, text_col: str, id_col: str,
-    extra: list[Column] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared cluster-label subtree: n-gram Jaccard pairs → star CC →
     (labeled, comp) where ``labeled`` = (id_col, cluster_id[, extra...])
@@ -1147,25 +1146,24 @@ def _labels_and_comp(
     ``comp`` re-evaluates from the CC loop's checkpointed edge blocks,
     so a second reference costs block reads, not a recompute.
 
-    ``extra`` columns (evaluated against ``df``) ride the label join so
-    consumers never pay a second corpus join for per-doc attributes."""
+    Per-doc attributes (e.g. the stratified split's stratum) ride the
+    COMP side instead of this join — see cluster_safe_split_stratified
+    for the pattern."""
     pairs = ngram_jaccard_pairs(df, n, threshold, text_col, id_col)
     comp = connected_components_star(pairs)
-    all_docs = df.select(F.col(id_col).alias("node"), *(extra or []))
+    all_docs = df.select(F.col(id_col).alias("node"))
     labeled = all_docs.join(comp, "node", "left").select(
         F.col("node").alias(id_col),
         F.coalesce("label", "node").alias("cluster_id"),
-        *[F.col(c) for c in all_docs.columns if c != "node"],
     )
     return labeled, comp
 
 
 def _cluster_labels(
     df: DataFrame, n: int, threshold: float, text_col: str, id_col: str,
-    extra: list[Column] | None = None,
 ) -> DataFrame:
     """:func:`_labels_and_comp`'s labeled side only."""
-    return _labels_and_comp(df, n, threshold, text_col, id_col, extra)[0]
+    return _labels_and_comp(df, n, threshold, text_col, id_col)[0]
 
 
 def dedup_clusters(
