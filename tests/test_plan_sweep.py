@@ -201,7 +201,9 @@ PLAN_BUDGET = {
     "c4_filter": 70000,
     "dsir_weights": 20000,
     "ccnet_ppl_buckets": 70000,
-    "lsh_recall": 30000,
+    # r10 single-aggregate finale dropped the truth/verified
+    # checkpoints, so their subtrees appear inline (70 KB measured)
+    "lsh_recall": 115000,
     "bpe_fertility": 90000,
     "url_blocklist": 40000,
     "winnow_pairs": 145000,
