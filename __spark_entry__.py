@@ -1757,6 +1757,30 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.lsh_recall(docs, threshold=0.5, num_hashes=16, bands=2)
 
 
+def q_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banding OPERATING CURVE (the text twin of
+    ivf_recall_curve): lsh_recall's recall/precision at every bands ∈
+    {1,2,4,8,16} partition of ONE 16-hash signature — one shingle
+    explode, one signature aggregate, one band-collision join, one
+    exact verify per distinct candidate pair across the whole curve.
+    A banding change now shifts a visible S-curve knee instead of one
+    operating point."""
+    docs = testdata.dedup_corpus(spark, sf_dir)
+    return dedup_ops.lsh_band_curve(
+        docs, threshold=0.5, num_hashes=16, bands_set=(1, 2, 4, 8, 16)
+    )
+
+
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (RedPajama-v2-style duplication-count
+    metadata): keep every document, emit cluster_size and weight =
+    1/cluster_size so samplers draw one expected copy per near-dup
+    cluster — dedup_clusters' graph-side-aggregate plan plus one
+    map-only projection."""
+    docs = testdata.dedup_corpus(spark, sf_dir)
+    return dedup_ops.soft_dedup_weights(docs)
+
+
 def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility audit (Rust et al. 2021): per-language
     tokens-per-word and chars-per-token for the corpus-learned BPE —
@@ -1822,22 +1846,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       embedding_topk, multimodal_features, doc_rolling_fingerprint) —
       the only rows whose freshest driver check predates r7 after the
       r9 window.
-    * 11-12: ivf_recall_curve and unimax_budget — NEW this round (a
-      never-driver-checked query outranks freshness rotation, the r7
-      lesson).
-    * 13-50: THIRTY-EIGHT of the forty r7-fresh rows, so after this
-      round only TWO queries' freshest driver rows predate r8
-      (ekvi_paa_exact and abbe_filter, displaced by the new queries;
-      each family keeps its sibling in-window — ekvi_paa, abbe_value —
-      and both are value-exact locally every session). r10 plan-edited
+    * 11-14: ivf_recall_curve, unimax_budget, lsh_band_curve,
+      soft_dedup_weights — NEW this round (a never-driver-checked
+      query outranks freshness rotation, the r7 lesson).
+    * 15-50: THIRTY-SIX of the forty r7-fresh rows, so after this
+      round only FOUR queries' freshest driver rows predate r8
+      (ekvi_paa_exact, abbe_filter, dq_audit, revenue_cube — displaced
+      by the new queries; each family keeps a sibling in-window and
+      all four are value-exact locally every session). r10 plan-edited
       queries that are r8/r9-fresh (gopher_quality's null-guard, the
       stratified-split fusion, lsh_recall's shared shingle leg,
       batched bpe_learn) stay OUTSIDE the window and lean on
       tests/test_oracle_parity.py's every-session value-exact sweep
       instead.
-    * 51+: ekvi_paa_exact and abbe_filter, then r8-fresh rows, then
-      r9-fresh rows (newest evidence last), re-verified every session
-      by tests/test_oracle_parity.py.
+    * 51+: dq_audit, revenue_cube, ekvi_paa_exact, abbe_filter, then
+      r8-fresh rows, then r9-fresh rows (newest evidence last),
+      re-verified every session by tests/test_oracle_parity.py.
     Every entry carries a full DuckDB oracle — including the
     Lloyd-trained embedding_ivf_topk, whose training is mirrored in SQL
     (engine-exact int-scaled means).
@@ -1862,7 +1886,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session)
         "ivf_recall_curve": q_ivf_recall_curve,
         "unimax_budget": q_unimax_budget,
-        # 12-50: thirty-nine of the forty r7-fresh rows — oldest
+        # 13-14: NEW in the late-r10 session (never driver-checked —
+        # same rule; they push the window tail's dq_audit/revenue_cube
+        # to 51-52: both r7-green, and the profile/warehouse families
+        # keep table_profile/pricing_summary-adjacent rows in recent
+        # driver evidence)
+        "lsh_band_curve": q_lsh_band_curve,
+        "soft_dedup_weights": q_soft_dedup_weights,
+        # 15-50: thirty-seven of the forty r7-fresh rows — oldest
         # remaining evidence
         "bloom_bits": q_bloom_bits,
         "bloom_probe_fast": q_bloom_probe_fast,
@@ -1900,12 +1931,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "stetson_variability": q_stetson_variability,
         "embedding_profile": q_embedding_profile,
+        # --- 51+: dq_audit/revenue_cube (pushed out by the two
+        # late-r10 queries; both r7-green), ekvi_paa_exact (displaced
+        # by ivf_recall_curve; r7 driver row + every-session local
+        # value pin), then r8-fresh rows, re-verified every session by
+        # tests/test_oracle_parity.py (rotated out for window room) ---
         "dq_audit": q_dq_audit,
         "revenue_cube": q_revenue_cube,
-        # --- 51+: ekvi_paa_exact (displaced by ivf_recall_curve; r7
-        # driver row + every-session local value pin), then r8-fresh
-        # rows, re-verified every session by
-        # tests/test_oracle_parity.py (rotated out for window room) ---
         "ekvi_paa_exact": q_ekvi_paa_exact,
         "abbe_filter": q_abbe_filter,
         "cluster_split": q_cluster_split,
@@ -2631,6 +2663,13 @@ SELECT * FROM pairs WHERE cos >= 0.42
         "lsh_recall": dedup_ops.lsh_recall_sql(
             testdata.DEDUP_CORPUS_SQL, threshold=0.5, num_hashes=16,
             bands=2,
+        ),
+        "lsh_band_curve": dedup_ops.lsh_band_curve_sql(
+            testdata.DEDUP_CORPUS_SQL, threshold=0.5, num_hashes=16,
+            bands_set=(1, 2, 4, 8, 16),
+        ),
+        "soft_dedup_weights": dedup_ops.soft_dedup_weights_sql(
+            testdata.DEDUP_CORPUS_SQL
         ),
         "bpe_fertility": bpe_ops.bpe_fertility_sql(
             "SELECT doc_id, text, lang FROM documents", n_merges=8

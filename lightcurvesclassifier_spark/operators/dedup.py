@@ -846,6 +846,242 @@ FROM counts
 """
 
 
+def lsh_band_curve(
+    df: DataFrame, threshold: float = 0.5, num_hashes: int = 16,
+    bands_set: tuple[int, ...] = (1, 2, 4, 8, 16), n: int = SHINGLE_N,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Banding OPERATING CURVE — the text twin of the embedding
+    family's ``ivf_recall_curve``: :func:`lsh_recall`'s
+    recall/precision at EVERY bands ∈ ``bands_set`` partition of the
+    same ``num_hashes`` MinHash signature, one row per operating
+    point.  A single point (lsh_recall) shows parameter drift; the
+    curve shows where the S-curve knee sits, so a banding change that
+    trades recall for precision is visible as a SHAPE change (cf.
+    Leskovec et al., MMDS §3.4: P(candidate | s) = 1 − (1 − s^r)^b).
+
+    One-pass shape (the ivf_recall_curve discipline): ONE shingle
+    explode, ONE 16-min signature aggregate, and ONE band-collision
+    self-join for ALL curve points — every (bands, band_idx) band of
+    every partition becomes a row keyed by an engine-reproducible
+    md5 band key (:func:`_md5_int60` over the joined band values, so
+    variable band widths unify into one 8-byte join column and the
+    DuckDB mirror collides identically).  Exact verification runs
+    once per DISTINCT candidate pair across the whole curve (a pair
+    colliding under three partitions is verified once), and the truth
+    leg is computed once; per-point counts are one bounded groupBy
+    over the (bands, pair) candidate table.  Points with zero
+    candidates (strict single-band partitions on a clean corpus) are
+    kept by a literal bands frame with zeroed counts.
+    """
+    for bc in bands_set:
+        if num_hashes % bc:
+            raise ValueError(
+                f"every bands value must divide num_hashes={num_hashes}: "
+                f"got {bc} in {bands_set}"
+            )
+    if len(set(bands_set)) != len(bands_set):
+        raise ValueError(f"duplicate bands values in {bands_set}")
+    shc = _ngram_rows_counted(
+        df, n, text_col, id_col, _md5_int60, "bigint", "key"
+    ).localCheckpoint(eager=False)
+    truth = _jaccard_from_counted(
+        shc, 1.0 - threshold, "key", id_col
+    ).localCheckpoint(eager=False)
+    # signature table via the shared helper (its bands arg only shapes
+    # the candidate subtree, which is discarded unused — the sig
+    # aggregate is bands-agnostic and arrives checkpointed)
+    _, sig, _ = _minhash_parts(
+        df, num_hashes, 1, text_col, id_col,
+        sh=shc.select(id_col, "key"),
+    )
+    band_structs = []
+    for bc in bands_set:
+        r = num_hashes // bc
+        for i in range(bc):
+            band_structs.append(
+                F.struct(
+                    F.lit(bc).alias("bands"),
+                    _md5_int60(
+                        F.concat_ws(
+                            "_",
+                            F.lit(bc),
+                            F.lit(i),
+                            *[F.col(f"s{i * r + j}") for j in range(r)],
+                        )
+                    ).alias("bk"),
+                )
+            )
+    long = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
+    ).select(id_col, "_b.bands", "_b.bk")
+    a = long.select(F.col(id_col).alias("id_a"), "bands", "bk")
+    b = long.select(F.col(id_col).alias("id_b"), "bands", "bk")
+    cands = (
+        a.join(b, ["bands", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("bands", "id_a", "id_b")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    uniq = cands.select("id_a", "id_b").distinct()
+    verified = _minhash_verify(
+        shc.select(id_col, "key"), sig, uniq, threshold, id_col
+    )
+    flags = (
+        uniq.join(
+            verified.select("id_a", "id_b", F.lit(1).alias("_v")),
+            ["id_a", "id_b"],
+            "left",
+        )
+        .join(
+            truth.select("id_a", "id_b", F.lit(1).alias("_t")),
+            ["id_a", "id_b"],
+            "left",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("_v", F.lit(0)).alias("_v"),
+            F.coalesce("_t", F.lit(0)).alias("_t"),
+        )
+    )
+    perb = (
+        cands.join(flags, ["id_a", "id_b"])
+        .groupBy("bands")
+        .agg(
+            F.count("*").alias("n_cand"),
+            F.sum("_v").alias("n_verified"),
+            F.sum(F.col("_v") * F.col("_t")).alias("n_hit"),
+        )
+    )
+    frame = df.sparkSession.range(1).select(
+        F.explode(
+            F.array(*[F.lit(bc) for bc in sorted(bands_set)])
+        ).alias("bands")
+    )
+    tot = truth.agg(F.count("*").alias("n_true"))
+    out = frame.join(perb, "bands", "left").crossJoin(tot)
+    n_cand = F.coalesce("n_cand", F.lit(0))
+    n_ver = F.coalesce("n_verified", F.lit(0))
+    n_hit = F.coalesce("n_hit", F.lit(0))
+    return out.select(
+        F.col("bands").cast("int").alias("bands"),
+        (F.lit(num_hashes) / F.col("bands")).cast("int").alias(
+            "rows_per_band"
+        ),
+        F.col("n_true").cast("long").alias("n_true"),
+        n_cand.cast("long").alias("n_cand"),
+        n_ver.cast("long").alias("n_verified"),
+        n_hit.cast("long").alias("n_hit"),
+        F.when(
+            F.col("n_true") > 0, F.round(n_hit / F.col("n_true"), 6)
+        ).alias("recall"),
+        F.when(n_cand > 0, F.round(n_hit / n_cand, 6)).alias("precision"),
+    )
+
+
+def lsh_band_curve_sql(
+    corpus_sql: str, threshold: float = 0.5, num_hashes: int = 16,
+    bands_set: tuple[int, ...] = (1, 2, 4, 8, 16), n: int = SHINGLE_N,
+) -> str:
+    """DuckDB mirror of :func:`lsh_band_curve` — same md5 shingle keys,
+    same affine signature constants, same md5 band keys (identical
+    collisions by construction), same one-verify-per-distinct-pair
+    composition."""
+    coeffs = _minhash_coeffs(num_hashes)
+    mins = ",\n         ".join(
+        f"min(({a} * k28 + {b}) % {MINHASH_PRIME}) AS s{h}"
+        for h, (a, b) in enumerate(coeffs)
+    )
+    band_rows = []
+    for bc in bands_set:
+        r = num_hashes // bc
+        for i in range(bc):
+            vals = ", ".join(
+                ["CAST({} AS VARCHAR)".format(bc), f"CAST({i} AS VARCHAR)"]
+                + [f"CAST(s{i * r + j} AS VARCHAR)" for j in range(r)]
+            )
+            band_rows.append(
+                f"SELECT doc_id, {bc} AS bands, "
+                f"CAST('0x' || substr(md5(concat_ws('_', {vals})), 1, 15) "
+                f"AS BIGINT) AS bk FROM sig"
+            )
+    bands_long = "\n  UNION ALL ".join(band_rows)
+    frame_vals = ", ".join(str(bc) for bc in sorted(bands_set))
+    truth = ngram_jaccard_sql(corpus_sql, n, 1.0 - threshold)
+    return f"""
+WITH corpus AS ({corpus_sql}),
+toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CAST('0x' || substr(md5(array_to_string(tk[g:g+{n - 1}], ' ')), 1, 15)
+              AS BIGINT) AS key
+  FROM toks, unnest(generate_series(1, len(tk) - {n - 1})) AS t(g)
+),
+sig AS (
+  SELECT doc_id, count(*) AS n_sh,
+         {mins}
+  FROM (SELECT doc_id, key, key // 4294967296 AS k28 FROM sh)
+  GROUP BY doc_id
+),
+bands_long AS (
+  {bands_long}
+),
+cands AS (
+  SELECT DISTINCT a.bands, a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands_long a JOIN bands_long b
+    ON a.bands = b.bands AND a.bk = b.bk AND a.doc_id < b.doc_id
+),
+uniq AS (SELECT DISTINCT id_a, id_b FROM cands),
+inter AS (
+  SELECT u.id_a, u.id_b, count(*) AS n_inter
+  FROM uniq u
+  JOIN sh a ON a.doc_id = u.id_a
+  JOIN sh b ON b.doc_id = u.id_b AND b.key = a.key
+  GROUP BY 1, 2
+),
+ver AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sig sa ON sa.doc_id = i.id_a
+  JOIN sig sb ON sb.doc_id = i.id_b
+  WHERE round(1.0 - i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 6)
+        <= {threshold}
+),
+truth AS ({truth}),
+flags AS (
+  SELECT u.id_a, u.id_b,
+         CASE WHEN v.id_a IS NOT NULL THEN 1 ELSE 0 END AS _v,
+         CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS _t
+  FROM uniq u
+  LEFT JOIN ver v ON v.id_a = u.id_a AND v.id_b = u.id_b
+  LEFT JOIN truth t ON t.id_a = u.id_a AND t.id_b = u.id_b
+),
+perb AS (
+  SELECT c.bands, count(*) AS n_cand, sum(f._v) AS n_verified,
+         sum(f._v * f._t) AS n_hit
+  FROM cands c JOIN flags f ON f.id_a = c.id_a AND f.id_b = c.id_b
+  GROUP BY 1
+),
+frame AS (SELECT unnest([{frame_vals}]) AS bands),
+tot AS (SELECT count(*) AS n_true FROM truth)
+SELECT CAST(frame.bands AS INTEGER) AS bands,
+       CAST({num_hashes} / frame.bands AS INTEGER) AS rows_per_band,
+       CAST(tot.n_true AS BIGINT) AS n_true,
+       CAST(coalesce(p.n_cand, 0) AS BIGINT) AS n_cand,
+       CAST(coalesce(p.n_verified, 0) AS BIGINT) AS n_verified,
+       CAST(coalesce(p.n_hit, 0) AS BIGINT) AS n_hit,
+       CASE WHEN tot.n_true > 0
+            THEN round(coalesce(p.n_hit, 0) / tot.n_true, 6) END AS recall,
+       CASE WHEN coalesce(p.n_cand, 0) > 0
+            THEN round(coalesce(p.n_hit, 0) / p.n_cand, 6) END AS precision
+FROM frame
+LEFT JOIN perb p ON p.bands = frame.bands
+CROSS JOIN tot
+"""
+
+
 def connected_components(
     pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
     max_iter: int = 20, hops_per_round: int = 3,
@@ -1233,6 +1469,45 @@ sizes AS (
 )
 SELECT l.doc_id, l.cluster_id, s.cluster_size
 FROM labeled l JOIN sizes s USING (cluster_id)
+"""
+
+
+def soft_dedup_weights(
+    df: DataFrame, n: int = SHINGLE_N, threshold: float = 0.6,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """SOFT deduplication: keep every document, down-weight duplicates
+    by their multiplicity — (doc_id, cluster_id, cluster_size,
+    weight = round(1/cluster_size, 6)).
+
+    The hard-dedup alternative to dropping: duplication COUNT is
+    emitted as per-document metadata (the RedPajama-v2 quality-signal
+    pattern) and the training sampler draws each document with
+    probability ∝ weight, so every near-dup CLUSTER contributes one
+    expected copy per epoch while rare phrasings inside the cluster
+    remain reachable.  Exactly :func:`dedup_clusters`' plan (sizes
+    aggregate over the graph side, singletons never shuffle) plus one
+    map-only projection — at 100 TB the weight column is free once the
+    cluster labels exist."""
+    cl = dedup_clusters(df, n, threshold, text_col, id_col)
+    return cl.select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+    )
+
+
+def soft_dedup_weights_sql(
+    corpus_sql: str, n: int = SHINGLE_N, threshold: float = 0.6
+) -> str:
+    """DuckDB mirror of :func:`soft_dedup_weights` — the cluster mirror
+    plus the same weight projection."""
+    return f"""
+WITH cl AS ({dedup_clusters_sql(corpus_sql, n, threshold)})
+SELECT doc_id, cluster_id, cluster_size,
+       round(1.0 / cluster_size, 6) AS weight
+FROM cl
 """
 
 

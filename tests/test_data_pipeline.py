@@ -1320,3 +1320,61 @@ def test_winnow_guarantee_and_boilerplate_guard(spark):
     unguarded = dedup.winnow_pairs(lc, 4, 5, 2, max_df=None).count()
     guarded = dedup.winnow_pairs(lc, 4, 5, 2, max_df=20).count()
     assert guarded * 50 < unguarded
+
+
+def test_lsh_band_curve_nesting_and_point_equivalence(spark):
+    """Divisor-chain nesting: a full b-band match is a concatenation of
+    the finer partition's bands, so candidate sets are NESTED along
+    1|2|4|8|16 — n_cand and recall must be non-decreasing in bands.
+    Each curve row must also equal the single-point lsh_recall run at
+    the same (num_hashes, bands) — the curve is a shared-subtree
+    rewrite, not a different metric."""
+    docs = testdata.dedup_corpus(spark, SF_ORACLE)
+    rows = {
+        r.bands: r
+        for r in dedup.lsh_band_curve(
+            docs, threshold=0.5, num_hashes=16, bands_set=(1, 2, 4, 8, 16)
+        ).collect()
+    }
+    assert sorted(rows) == [1, 2, 4, 8, 16]
+    chain = [rows[b] for b in (1, 2, 4, 8, 16)]
+    for prev, cur in zip(chain, chain[1:]):
+        assert cur.n_cand >= prev.n_cand
+        assert cur.n_hit >= prev.n_hit
+        assert cur.rows_per_band == prev.rows_per_band // 2
+    for r in chain:
+        assert r.n_hit <= r.n_verified <= r.n_cand
+        assert r.n_hit <= r.n_true
+    # cross-pin two points against the standalone self-eval
+    for b in (2, 8):
+        pt = dedup.lsh_recall(
+            docs, threshold=0.5, num_hashes=16, bands=b
+        ).collect()[0]
+        assert (rows[b].n_true, rows[b].n_cand, rows[b].n_verified,
+                rows[b].n_hit) == (pt.n_true, pt.n_cand, pt.n_verified,
+                                   pt.n_hit)
+        assert rows[b].recall == pt.recall
+        assert rows[b].precision == pt.precision
+
+
+def test_lsh_band_curve_validates_bands(spark):
+    docs = testdata.dedup_corpus(spark, SF_ORACLE)
+    with pytest.raises(ValueError, match="divide"):
+        dedup.lsh_band_curve(docs, num_hashes=16, bands_set=(1, 3))
+    with pytest.raises(ValueError, match="duplicate"):
+        dedup.lsh_band_curve(docs, num_hashes=16, bands_set=(2, 2))
+
+
+def test_soft_dedup_weights_sum_to_one_per_cluster(spark, corpus):
+    """Every cluster's weights sum to 1 (one expected copy per cluster
+    per epoch), every doc is kept, and the label/size columns agree
+    with dedup_clusters row for row."""
+    w = dedup.soft_dedup_weights(corpus).toPandas()
+    assert len(w) == corpus.count()  # soft: nothing dropped
+    assert ((w.weight > 0) & (w.weight <= 1.0)).all()
+    per_cluster = w.groupby("cluster_id").weight.sum()
+    assert np.allclose(per_cluster, 1.0, atol=1e-4)
+    cl = dedup.dedup_clusters(corpus).toPandas()
+    merged = w.merge(cl, on="doc_id", suffixes=("", "_cl"))
+    assert (merged.cluster_id == merged.cluster_id_cl).all()
+    assert (merged.cluster_size == merged.cluster_size_cl).all()

@@ -85,6 +85,8 @@ SINGLE_OK = {
     # r10: the UniMax allocation windows over the |langs|-row language
     # table — bounded-key aggregate output, never the corpus
     "unimax_budget",
+    # r10: the curve's literal bands frame + one-row n_true total
+    "lsh_band_curve",
 }
 
 PLAN_BUDGET = {
@@ -204,6 +206,8 @@ PLAN_BUDGET = {
     # r10 single-aggregate finale dropped the truth/verified
     # checkpoints, so their subtrees appear inline (70 KB measured)
     "lsh_recall": 115000,
+    "lsh_band_curve": 130000,
+    "soft_dedup_weights": 55000,
     "bpe_fertility": 90000,
     "url_blocklist": 40000,
     "winnow_pairs": 145000,
