@@ -1767,7 +1767,7 @@ def q_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     operating point."""
     docs = testdata.dedup_corpus(spark, sf_dir)
     return dedup_ops.lsh_band_curve(
-        docs, threshold=0.5, num_hashes=16, bands_set=(1, 2, 4, 8, 16)
+        docs, threshold=0.5, num_hashes=16, bands_set=(1, 2, 4, 8)
     )
 
 
@@ -2666,7 +2666,7 @@ SELECT * FROM pairs WHERE cos >= 0.42
         ),
         "lsh_band_curve": dedup_ops.lsh_band_curve_sql(
             testdata.DEDUP_CORPUS_SQL, threshold=0.5, num_hashes=16,
-            bands_set=(1, 2, 4, 8, 16),
+            bands_set=(1, 2, 4, 8),
         ),
         "soft_dedup_weights": dedup_ops.soft_dedup_weights_sql(
             testdata.DEDUP_CORPUS_SQL

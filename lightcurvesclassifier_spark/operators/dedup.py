@@ -848,7 +848,7 @@ FROM counts
 
 def lsh_band_curve(
     df: DataFrame, threshold: float = 0.5, num_hashes: int = 16,
-    bands_set: tuple[int, ...] = (1, 2, 4, 8, 16), n: int = SHINGLE_N,
+    bands_set: tuple[int, ...] = (1, 2, 4, 8), n: int = SHINGLE_N,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
     """Banding OPERATING CURVE — the text twin of the embedding
@@ -873,6 +873,15 @@ def lsh_band_curve(
     over the (bands, pair) candidate table.  Points with zero
     candidates (strict single-band partitions on a clean corpus) are
     kept by a literal bands frame with zeroed counts.
+
+    The default curve stops at rows_per_band = 2: the rows = 1 point
+    (bands == num_hashes, singleton bands) means "docs sharing ANY
+    single MinHash value" — a popular shingle's min-value puts a
+    constant fraction of the corpus in one band bucket, so its
+    self-join grows QUADRATICALLY with corpus size (measured 1.4 s of
+    the curve's cost at sf0.1 already).  No production banding ships
+    r = 1; pass bands_set including ``num_hashes`` explicitly to
+    measure it on a small corpus.
     """
     for bc in bands_set:
         if num_hashes % bc:
@@ -983,7 +992,7 @@ def lsh_band_curve(
 
 def lsh_band_curve_sql(
     corpus_sql: str, threshold: float = 0.5, num_hashes: int = 16,
-    bands_set: tuple[int, ...] = (1, 2, 4, 8, 16), n: int = SHINGLE_N,
+    bands_set: tuple[int, ...] = (1, 2, 4, 8), n: int = SHINGLE_N,
 ) -> str:
     """DuckDB mirror of :func:`lsh_band_curve` — same md5 shingle keys,
     same affine signature constants, same md5 band keys (identical
