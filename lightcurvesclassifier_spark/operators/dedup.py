@@ -866,13 +866,17 @@ def lsh_band_curve(
     every partition becomes a row keyed by an engine-reproducible
     md5 band key (:func:`_md5_int60` over the joined band values, so
     variable band widths unify into one 8-byte join column and the
-    DuckDB mirror collides identically).  Exact verification runs
-    once per DISTINCT candidate pair across the whole curve (a pair
-    colliding under three partitions is verified once), and the truth
-    leg is computed once; per-point counts are one bounded groupBy
-    over the (bands, pair) candidate table.  Points with zero
-    candidates (strict single-band partitions on a clean corpus) are
-    kept by a literal bands frame with zeroed counts.
+    DuckDB mirror collides identically).  The truth leg is computed
+    once and per-point counts are one bounded groupBy over the
+    (bands, pair) candidate table.  Unlike :func:`lsh_recall`, the
+    curve carries NO separate exact-verify leg: at matching
+    thresholds the verified set IS cands ∩ truth, so a hit flag from
+    the truth join replaces the verify subtree (four joins + an
+    aggregate) — verifier consistency stays pinned by the single-point
+    lsh_recall, whose n_verified/n_hit split exists for exactly that.
+    Points with zero candidates (strict single-band partitions on a
+    clean corpus) are kept by a literal bands frame with zeroed
+    counts.
 
     The default curve stops at rows_per_band = 2: the rows = 1 point
     (bands == num_hashes, singleton bands) means "docs sharing ANY
@@ -931,37 +935,17 @@ def lsh_band_curve(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("bands", "id_a", "id_b")
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    uniq = cands.select("id_a", "id_b").distinct()
-    verified = _minhash_verify(
-        shc.select(id_col, "key"), sig, uniq, threshold, id_col
-    )
-    flags = (
-        uniq.join(
-            verified.select("id_a", "id_b", F.lit(1).alias("_v")),
-            ["id_a", "id_b"],
-            "left",
-        )
-        .join(
+    perb = (
+        cands.join(
             truth.select("id_a", "id_b", F.lit(1).alias("_t")),
             ["id_a", "id_b"],
             "left",
         )
-        .select(
-            "id_a",
-            "id_b",
-            F.coalesce("_v", F.lit(0)).alias("_v"),
-            F.coalesce("_t", F.lit(0)).alias("_t"),
-        )
-    )
-    perb = (
-        cands.join(flags, ["id_a", "id_b"])
         .groupBy("bands")
         .agg(
             F.count("*").alias("n_cand"),
-            F.sum("_v").alias("n_verified"),
-            F.sum(F.col("_v") * F.col("_t")).alias("n_hit"),
+            F.sum(F.coalesce("_t", F.lit(0))).alias("n_hit"),
         )
     )
     frame = df.sparkSession.range(1).select(
@@ -972,7 +956,6 @@ def lsh_band_curve(
     tot = truth.agg(F.count("*").alias("n_true"))
     out = frame.join(perb, "bands", "left").crossJoin(tot)
     n_cand = F.coalesce("n_cand", F.lit(0))
-    n_ver = F.coalesce("n_verified", F.lit(0))
     n_hit = F.coalesce("n_hit", F.lit(0))
     return out.select(
         F.col("bands").cast("int").alias("bands"),
@@ -981,7 +964,6 @@ def lsh_band_curve(
         ),
         F.col("n_true").cast("long").alias("n_true"),
         n_cand.cast("long").alias("n_cand"),
-        n_ver.cast("long").alias("n_verified"),
         n_hit.cast("long").alias("n_hit"),
         F.when(
             F.col("n_true") > 0, F.round(n_hit / F.col("n_true"), 6)
@@ -996,8 +978,7 @@ def lsh_band_curve_sql(
 ) -> str:
     """DuckDB mirror of :func:`lsh_band_curve` — same md5 shingle keys,
     same affine signature constants, same md5 band keys (identical
-    collisions by construction), same one-verify-per-distinct-pair
-    composition."""
+    collisions by construction), same truth-join hit flags."""
     coeffs = _minhash_coeffs(num_hashes)
     mins = ",\n         ".join(
         f"min(({a} * k28 + {b}) % {MINHASH_PRIME}) AS s{h}"
@@ -1042,35 +1023,12 @@ cands AS (
   FROM bands_long a JOIN bands_long b
     ON a.bands = b.bands AND a.bk = b.bk AND a.doc_id < b.doc_id
 ),
-uniq AS (SELECT DISTINCT id_a, id_b FROM cands),
-inter AS (
-  SELECT u.id_a, u.id_b, count(*) AS n_inter
-  FROM uniq u
-  JOIN sh a ON a.doc_id = u.id_a
-  JOIN sh b ON b.doc_id = u.id_b AND b.key = a.key
-  GROUP BY 1, 2
-),
-ver AS (
-  SELECT i.id_a, i.id_b
-  FROM inter i
-  JOIN sig sa ON sa.doc_id = i.id_a
-  JOIN sig sb ON sb.doc_id = i.id_b
-  WHERE round(1.0 - i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 6)
-        <= {threshold}
-),
 truth AS ({truth}),
-flags AS (
-  SELECT u.id_a, u.id_b,
-         CASE WHEN v.id_a IS NOT NULL THEN 1 ELSE 0 END AS _v,
-         CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS _t
-  FROM uniq u
-  LEFT JOIN ver v ON v.id_a = u.id_a AND v.id_b = u.id_b
-  LEFT JOIN truth t ON t.id_a = u.id_a AND t.id_b = u.id_b
-),
 perb AS (
-  SELECT c.bands, count(*) AS n_cand, sum(f._v) AS n_verified,
-         sum(f._v * f._t) AS n_hit
-  FROM cands c JOIN flags f ON f.id_a = c.id_a AND f.id_b = c.id_b
+  SELECT c.bands, count(*) AS n_cand,
+         sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM cands c
+  LEFT JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b
   GROUP BY 1
 ),
 frame AS (SELECT unnest([{frame_vals}]) AS bands),
@@ -1079,7 +1037,6 @@ SELECT CAST(frame.bands AS INTEGER) AS bands,
        CAST({num_hashes} / frame.bands AS INTEGER) AS rows_per_band,
        CAST(tot.n_true AS BIGINT) AS n_true,
        CAST(coalesce(p.n_cand, 0) AS BIGINT) AS n_cand,
-       CAST(coalesce(p.n_verified, 0) AS BIGINT) AS n_verified,
        CAST(coalesce(p.n_hit, 0) AS BIGINT) AS n_hit,
        CASE WHEN tot.n_true > 0
             THEN round(coalesce(p.n_hit, 0) / tot.n_true, 6) END AS recall,

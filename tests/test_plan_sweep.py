@@ -206,7 +206,9 @@ PLAN_BUDGET = {
     # r10 single-aggregate finale dropped the truth/verified
     # checkpoints, so their subtrees appear inline (70 KB measured)
     "lsh_recall": 115000,
-    "lsh_band_curve": 130000,
+    # the band-collision subtree is inline (no checkpoint barrier: one
+    # consumer) — 178 KB of legitimate linear plan content
+    "lsh_band_curve": 285000,
     "soft_dedup_weights": 55000,
     "bpe_fertility": 90000,
     "url_blocklist": 40000,
