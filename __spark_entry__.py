@@ -1797,6 +1797,17 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_ops.bpe_fertility(docs, merges)
 
 
+def q_dedup_token_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level ExactSubstr report — Lee et al. 2021's headline
+    Table-3 number: one summary row (docs, docs touched, tokens,
+    removed tokens, duplicate-token fraction) aggregated over the
+    scrub's per-doc verdicts; Catalyst prunes the clean-text rebuild
+    out of the aggregate, so the report costs the scrub's two hash
+    exchanges plus one single-row reduce."""
+    corpus = testdata.dedup_corpus(spark, sf_dir)
+    return dedup_ops.dedup_token_report(corpus, k=12)
+
+
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing overlap candidates (Schleimer et al. 2003 / MOSS) on
     the multi-line boilerplate corpus WITH the over-common-fingerprint
@@ -1846,22 +1857,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       embedding_topk, multimodal_features, doc_rolling_fingerprint) —
       the only rows whose freshest driver check predates r7 after the
       r9 window.
-    * 11-14: ivf_recall_curve, unimax_budget, lsh_band_curve,
-      soft_dedup_weights — NEW this round (a never-driver-checked
-      query outranks freshness rotation, the r7 lesson).
-    * 15-50: THIRTY-SIX of the forty r7-fresh rows, so after this
-      round only FOUR queries' freshest driver rows predate r8
-      (ekvi_paa_exact, abbe_filter, dq_audit, revenue_cube — displaced
-      by the new queries; each family keeps a sibling in-window and
-      all four are value-exact locally every session). r10 plan-edited
-      queries that are r8/r9-fresh (gopher_quality's null-guard, the
-      stratified-split fusion, lsh_recall's shared shingle leg,
-      batched bpe_learn) stay OUTSIDE the window and lean on
-      tests/test_oracle_parity.py's every-session value-exact sweep
-      instead.
-    * 51+: dq_audit, revenue_cube, ekvi_paa_exact, abbe_filter, then
-      r8-fresh rows, then r9-fresh rows (newest evidence last),
-      re-verified every session by tests/test_oracle_parity.py.
+    * 11-15: ivf_recall_curve, unimax_budget, lsh_band_curve,
+      soft_dedup_weights, dedup_token_report — NEW this round (a
+      never-driver-checked query outranks freshness rotation, the r7
+      lesson).
+    * 16-50: THIRTY-FIVE of the forty r7-fresh rows, so after this
+      round only FIVE queries' freshest driver rows predate r8
+      (ekvi_paa_exact, abbe_filter, embedding_profile, dq_audit,
+      revenue_cube — displaced by the new queries; each family keeps
+      a sibling in-window and all five are value-exact locally every
+      session). r10 plan-edited queries that are r8/r9-fresh
+      (gopher_quality's null-guard, the stratified-split fusion,
+      lsh_recall's shared shingle leg, batched bpe_learn) stay
+      OUTSIDE the window and lean on tests/test_oracle_parity.py's
+      every-session value-exact sweep instead.
+    * 51+: embedding_profile, dq_audit, revenue_cube, ekvi_paa_exact,
+      abbe_filter, then r8-fresh rows, then r9-fresh rows (newest
+      evidence last), re-verified every session by
+      tests/test_oracle_parity.py.
     Every entry carries a full DuckDB oracle — including the
     Lloyd-trained embedding_ivf_topk, whose training is mirrored in SQL
     (engine-exact int-scaled means).
@@ -1893,7 +1906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver evidence)
         "lsh_band_curve": q_lsh_band_curve,
         "soft_dedup_weights": q_soft_dedup_weights,
-        # 15-50: thirty-seven of the forty r7-fresh rows — oldest
+        "dedup_token_report": q_dedup_token_report,
+        # 16-50: thirty-five of the forty r7-fresh rows — oldest
         # remaining evidence
         "bloom_bits": q_bloom_bits,
         "bloom_probe_fast": q_bloom_probe_fast,
@@ -1930,12 +1944,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": q_length_buckets,
         "domain_stats": q_domain_stats,
         "stetson_variability": q_stetson_variability,
-        "embedding_profile": q_embedding_profile,
-        # --- 51+: dq_audit/revenue_cube (pushed out by the two
-        # late-r10 queries; both r7-green), ekvi_paa_exact (displaced
-        # by ivf_recall_curve; r7 driver row + every-session local
-        # value pin), then r8-fresh rows, re-verified every session by
+        # --- 51+: embedding_profile/dq_audit/revenue_cube (pushed out
+        # by the three late-r10 queries; all r7-green with in-window
+        # family siblings), ekvi_paa_exact (displaced by
+        # ivf_recall_curve; r7 driver row + every-session local value
+        # pin), then r8-fresh rows, re-verified every session by
         # tests/test_oracle_parity.py (rotated out for window room) ---
+        "embedding_profile": q_embedding_profile,
         "dq_audit": q_dq_audit,
         "revenue_cube": q_revenue_cube,
         "ekvi_paa_exact": q_ekvi_paa_exact,
@@ -2445,6 +2460,9 @@ FROM corpus GROUP BY md5(text)
             testdata.DEDUP_CORPUS_SQL, k=12
         ),
         "exact_substr_scrub": dedup_ops.exact_substr_scrub_sql(
+            testdata.DEDUP_CORPUS_SQL, k=12
+        ),
+        "dedup_token_report": dedup_ops.dedup_token_report_sql(
             testdata.DEDUP_CORPUS_SQL, k=12
         ),
         "ann_recall": sim_ops.ann_recall_sql(

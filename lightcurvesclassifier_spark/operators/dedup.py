@@ -1728,6 +1728,53 @@ def exact_substr_scrub(
     )
 
 
+def dedup_token_report(
+    df: DataFrame, k: int = SPAN_K, text_col: str = "text",
+    id_col: str = "doc_id", merge_runs: bool = True,
+) -> DataFrame:
+    """Corpus-level ExactSubstr deduplication report — the headline
+    number of Lee et al. 2021 (arXiv:2107.06499, Table 3 reports the
+    fraction of tokens removed by ExactSubstr per corpus): ONE summary
+    row (n_docs, n_docs_touched, n_tokens, n_removed_tokens,
+    dup_token_frac) over :func:`exact_substr_scrub`'s verdicts.
+
+    Composition, not recomputation: the scrub subtree already carries
+    per-doc (n_tokens, n_removed); this adds one single-row aggregate,
+    and Catalyst's column pruning drops the ``clean_text`` rebuild
+    (the higher-order filter + array_join project nothing into the
+    aggregate).  At 100 TB the report costs the scrub's two hash
+    exchanges plus one partial-aggregated reduce to a single row."""
+    s = exact_substr_scrub(df, k, text_col, id_col, merge_runs)
+    return s.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("n_removed") > 0).cast("int")).cast("long").alias(
+            "n_docs_touched"
+        ),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_removed").cast("long").alias("n_removed_tokens"),
+        F.round(F.sum("n_removed") / F.sum("n_tokens"), 6).alias(
+            "dup_token_frac"
+        ),
+    )
+
+
+def dedup_token_report_sql(
+    corpus_sql: str, k: int = SPAN_K, merge_runs: bool = True
+) -> str:
+    """DuckDB mirror of :func:`dedup_token_report` — the scrub mirror
+    plus the same single-row aggregate."""
+    return f"""
+WITH scrub AS ({exact_substr_scrub_sql(corpus_sql, k, merge_runs)})
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_touched,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(n_removed) AS BIGINT) AS n_removed_tokens,
+       round(sum(n_removed) / sum(n_tokens), 6) AS dup_token_frac
+FROM scrub
+"""
+
+
 def exact_substr_scrub_sql(
     corpus_sql: str, k: int = SPAN_K, merge_runs: bool = True
 ) -> str:

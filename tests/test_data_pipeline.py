@@ -1381,3 +1381,21 @@ def test_soft_dedup_weights_sum_to_one_per_cluster(spark, corpus):
     merged = w.merge(cl, on="doc_id", suffixes=("", "_cl"))
     assert (merged.cluster_id == merged.cluster_id_cl).all()
     assert (merged.cluster_size == merged.cluster_size_cl).all()
+
+
+def test_dedup_token_report_consistent_with_scrub(spark, corpus):
+    """The report row IS the column sums of the scrub's per-doc
+    verdicts (composition, not recomputation), and the clean-text
+    rebuild is pruned out of the aggregate's physical plan."""
+    rep = dedup.dedup_token_report(corpus, k=12).collect()[0]
+    per_doc = dedup.exact_substr_scrub(corpus, k=12).toPandas()
+    assert rep.n_docs == len(per_doc)
+    assert rep.n_docs_touched == int((per_doc.n_removed > 0).sum())
+    assert rep.n_tokens == int(per_doc.n_tokens.sum())
+    assert rep.n_removed_tokens == int(per_doc.n_removed.sum())
+    assert 0 < rep.dup_token_frac < 1  # planted dups → nonzero, sane
+    plan = (
+        dedup.dedup_token_report(corpus, k=12)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "array_join" not in plan  # clean_text pruned

@@ -87,6 +87,8 @@ SINGLE_OK = {
     "unimax_budget",
     # r10: the curve's literal bands frame + one-row n_true total
     "lsh_band_curve",
+    # r10: one-row corpus dedup summary (Lee 2021 Table-3 number)
+    "dedup_token_report",
 }
 
 PLAN_BUDGET = {
@@ -210,6 +212,7 @@ PLAN_BUDGET = {
     # consumer) — 178 KB of legitimate linear plan content
     "lsh_band_curve": 285000,
     "soft_dedup_weights": 55000,
+    "dedup_token_report": 85000,
     "bpe_fertility": 90000,
     "url_blocklist": 40000,
     "winnow_pairs": 145000,
