@@ -359,7 +359,10 @@ def q_roc_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _comparative(spark, sf_dir, kind, meth, **params):
-    curves = testdata.curves(spark, sf_dir)
+    # spread=True: the SAX word/kernel stages are compute-heavy but
+    # byte-light, so AQE's byte-based coalescing would run them 1-2
+    # tasks wide at local scale (see testdata.curves)
+    curves = testdata.curves(spark, sf_dir, spread=True)
     templates = curves.filter(F.col("star_id").isin([0, 1, 2]))
     scores = comparative_scores(curves, templates, kind, **params)
     out = reduce_scores(scores, meth, n_templates=3)
@@ -891,7 +894,7 @@ def q_variogram_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     full DuckDB oracle mirrors the whole chain (PAA, ordered-pair lags,
     sort, PAA, log-log, OLS slope) in SQL; exactness vs the numpy kernel
     is also pinned in tests/test_curve_udfs.py."""
-    curves = testdata.curves(spark, sf_dir)
+    curves = testdata.curves(spark, sf_dir, spread=True)
     out = curve_udfs.variogram_slope(curves, bins=20)
     return out.select("star_id", F.round("variogram_slope", 6).alias("variogram_slope"))
 
@@ -902,7 +905,7 @@ def q_ekvi_paa_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs in mapInPandas engine-side; the DuckDB oracle closes the loop
     with the telescoped closed form of the fill recurrence (windowed
     product over each NaN run)."""
-    curves = testdata.curves(spark, sf_dir)
+    curves = testdata.curves(spark, sf_dir, spread=True)
     out = curve_udfs.ekvi_paa_exact(curves, bins=16)
     return out.select(
         "star_id",

@@ -75,7 +75,13 @@ def _word_udf(kind: str, bins: int, alphabet_size: int):
             scales.append(s)
         return pd.DataFrame({"word": words, "scale": scales})
 
-    return to_word
+    # asNondeterministic: callers filter on the word column (NULL-word
+    # degenerate-curve drop), and the optimizer pushes that filter below
+    # the projection by DUPLICATING the Python evaluation — two
+    # ArrowEvalPython nodes, every star paying the kernel twice
+    # (measured 2x the word stage at sf0.1). The function is pure; the
+    # marking only forbids the optimizer from re-evaluating it.
+    return to_word.asNondeterministic()
 
 
 def comparative_scores(
@@ -129,6 +135,10 @@ def comparative_scores(
                     words.append(w if w else None)
                     scales.append(s if w else None)
                 return pd.DataFrame({"word": words, "scale": scales})
+
+            # same duplication guard as _word_udf: the NULL-word filter
+            # below would otherwise clone this ArrowEvalPython node
+            word = word.asNondeterministic()
 
         i_words = (
             inspected.select(

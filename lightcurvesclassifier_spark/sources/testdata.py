@@ -431,16 +431,39 @@ def detections_ident(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def curves(spark: SparkSession, sf_dir: str, per_band: bool = False) -> DataFrame:
+def curves(
+    spark: SparkSession, sf_dir: str, per_band: bool = False,
+    spread: bool = False,
+) -> DataFrame:
     """Collected array view of ``observations`` for per-curve kernels.
 
     One row per star (or per star+band): time/mag arrays sorted by t.
     This is the scale-sensitive step — `collect_list` after an explicit
     in-partition sort; group sizes are bounded by per-star sample counts
     (thousands), not by table size, so it shards cleanly at 100 TB.
+
+    ``spread=True`` is for consumers whose per-curve work is COMPUTE
+    heavy but byte light (SAX words, variogram kernels, sliding
+    comparatives): AQE coalesces the groupBy's shuffle read by BYTES
+    (advisoryPartitionSizeInBytes), so a small-scale curves table lands
+    in one or two partitions and the downstream Python/interpreted-fold
+    stage runs nearly single-threaded (r10 measured: the comparative
+    family spent its whole budget on 1-2-task stages).  The fix pins
+    the SAME shuffle the groupBy already needs to defaultParallelism
+    via a keyed repartition — no extra exchange (the aggregate reuses
+    the clustering), and the pin is applied only when the upstream scan
+    has fewer partitions than the cluster (the repo's expansion-aware
+    spread idiom): at real scale the scan is wide and AQE's byte-based
+    sizing is the right call, so this is a no-op there.
     """
     obs = observations(spark, sf_dir)
     keys = ["star_id", "band"] if per_band else ["star_id"]
+    if spread and not obs.isStreaming:
+        sc = spark.sparkContext
+        if obs.rdd.getNumPartitions() < sc.defaultParallelism:
+            obs = obs.repartition(
+                sc.defaultParallelism, *[F.col(k) for k in keys]
+            )
     pairs = F.array_sort(
         F.collect_list(F.struct(F.col("t"), F.col("mag")))
     )
