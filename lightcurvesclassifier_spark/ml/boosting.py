@@ -131,7 +131,11 @@ class AdaBoostDecider(BaseDecider):
             prob = 1.0 / (1.0 + np.exp(-2.0 * dec))
             return pd.Series(np.nan_to_num(prob, nan=0.0))
 
-        return df.withColumn(out_col, score(F.array(*feature_cols)))
+        # asNondeterministic: see GaussianDecider.evaluate — downstream
+        # prob filters would duplicate the Python evaluation otherwise
+        return df.withColumn(
+            out_col, score.asNondeterministic()(F.array(*feature_cols))
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -248,4 +252,8 @@ class ExtraTreesDecider(BaseDecider):
                 acc += buf
             return pd.Series(np.nan_to_num(acc / len(trees), nan=0.0))
 
-        return df.withColumn(out_col, score(F.array(*feature_cols)))
+        # asNondeterministic: see GaussianDecider.evaluate — downstream
+        # prob filters would duplicate the Python evaluation otherwise
+        return df.withColumn(
+            out_col, score.asNondeterministic()(F.array(*feature_cols))
+        )

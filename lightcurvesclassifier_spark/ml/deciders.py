@@ -217,7 +217,15 @@ class GaussianDecider(BaseDecider):
             prob = w[:, 1] / w.sum(axis=1)
             return pd.Series(np.nan_to_num(prob, nan=0.0))
 
-        return df.withColumn(out_col, score(F.array(*feature_cols)))
+        # asNondeterministic: filter_stars filters on this column, and
+        # the optimizer would otherwise push that filter below the
+        # projection by DUPLICATING the ArrowEvalPython node (two score
+        # evaluations per star — measured in stars_filter_pipeline's
+        # plan). The function is pure; the marking only pins a single
+        # evaluation.
+        return df.withColumn(
+            out_col, score.asNondeterministic()(F.array(*feature_cols))
+        )
 
 
 class MLPDecider(MLlibDecider):

@@ -150,4 +150,8 @@ class NeuronDecider(BaseDecider):
             x = np.vstack(arr.to_numpy())
             return pd.Series(np.nan_to_num(mlp_predict(params, x), nan=0.0))
 
-        return df.withColumn(out_col, score(F.array(*feature_cols)))
+        # asNondeterministic: see GaussianDecider.evaluate — downstream
+        # prob filters would duplicate the Python evaluation otherwise
+        return df.withColumn(
+            out_col, score.asNondeterministic()(F.array(*feature_cols))
+        )

@@ -248,4 +248,8 @@ class SVCDecider(BaseDecider):
             )
             return pd.Series(np.nan_to_num(prob, nan=0.0))
 
-        return df.withColumn(out_col, score(F.array(*feature_cols)))
+        # asNondeterministic: see GaussianDecider.evaluate — downstream
+        # prob filters would duplicate the Python evaluation otherwise
+        return df.withColumn(
+            out_col, score.asNondeterministic()(F.array(*feature_cols))
+        )
