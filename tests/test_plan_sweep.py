@@ -89,6 +89,13 @@ SINGLE_OK = {
     "lsh_band_curve",
     # r10: one-row corpus dedup summary (Lee 2021 Table-3 number)
     "dedup_token_report",
+    # r10 driver-side Lloyd fit: the trained cells are now an
+    # n_cells-row LITERAL table, so _cells_arr's collect_list fold
+    # (bounded by the index-metadata contract, formerly hidden behind
+    # the in-plan chain's eager checkpoint) shows in the final plan
+    "embedding_ivf_topk",
+    "ann_recall",
+    "ivf_recall_curve",
 }
 
 PLAN_BUDGET = {
