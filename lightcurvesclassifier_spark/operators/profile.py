@@ -79,7 +79,27 @@ def numeric_profile(
         sc = df.sparkSession.sparkContext
         spread = df.select(*cols)
         if spread.rdd.getNumPartitions() < sc.defaultParallelism:
-            spread = spread.repartition(sc.defaultParallelism)
+            # keyed, DETERMINISTIC spread instead of round-robin
+            # repartition(n) (r10): every keyless repartition first pays
+            # a local sort of its input (sortBeforeRepartition, needed so
+            # task retries reproduce the row→partition map) — ~0.4 s of
+            # the profile at sf0.1 for rows whose ORDER the exact
+            # percentile never reads. A synthetic key derived from
+            # monotonically_increasing_id is deterministic under retry
+            # (split index + row offset, not rand), and 64× more distinct
+            # values than partitions keeps the hash spread even.
+            p = sc.defaultParallelism
+            spread = (
+                spread.withColumn(
+                    "__rk",
+                    F.pmod(
+                        F.xxhash64(F.monotonically_increasing_id()),
+                        F.lit(p * 64),
+                    ),
+                )
+                .repartition(p, "__rk")
+                .drop("__rk")
+            )
         q_aggs = [
             F.percentile(F.col(c), F.lit(QUARTILES)).alias(f"{c}__q")
             for c in cols
@@ -256,17 +276,72 @@ def dq_audit(
     the check lists mention to DataFrames."""
     referential = DQ_REFERENTIAL_CHECKS if referential is None else referential
     predicate = DQ_PREDICATE_CHECKS if predicate is None else predicate
-    checks = [
-        referential_violations(
-            tables[child], ck, tables[parent], pk, name
+    # ONE scan per audited table (r10): the audit previously ran one
+    # aggregate PER CHECK — the same fact table scanned once per
+    # predicate plus once per referential check (lineitem: 3 scans).
+    # All of a table's checks now ride a single aggregate: referential
+    # checks chain left joins against the DISTINCT parent keys (each
+    # join key is distinct, so child cardinality — and with it every
+    # other check's count — is untouched), predicate sums are
+    # conditional aggregates over the same rows, and stack() unpivots
+    # the one wide row back into the per-check rows. Values are
+    # byte-identical to the per-check aggregates (same sums over the
+    # same rows); the DuckDB mirror is unchanged. Scans drop from
+    # |checks| to |audited tables|.
+    by_table: dict[str, dict] = {}
+    for name, child, ck, parent, pk in referential:
+        by_table.setdefault(child, {"ref": [], "pred": []})["ref"].append(
+            (name, ck, parent, pk)
         )
-        for name, child, ck, parent, pk in referential
-    ] + [
-        predicate_violations(tables[tab], F.expr(pred), name)
-        for name, tab, pred in predicate
-    ]
-    out = checks[0]
-    for c in checks[1:]:
+    for name, tab, pred in predicate:
+        by_table.setdefault(tab, {"ref": [], "pred": []})["pred"].append(
+            (name, pred)
+        )
+    branches = []
+    for tab, checks in by_table.items():
+        df = tables[tab]
+        names, sums = [], []
+        for i, (name, ck, parent, pk) in enumerate(checks["ref"]):
+            pk_col = f"__pk{i}"
+            pkdf = tables[parent].select(
+                F.col(pk).alias(pk_col)
+            ).distinct()
+            df = df.join(pkdf, df[ck] == F.col(pk_col), "left")
+            names.append(name)
+            sums.append(
+                F.sum(
+                    F.when(F.col(pk_col).isNull(), 1).otherwise(0)
+                ).cast("long").alias(f"__bad{len(names) - 1}")
+            )
+        for name, pred in checks["pred"]:
+            names.append(name)
+            sums.append(
+                F.sum(
+                    F.when(F.coalesce(F.expr(pred), F.lit(True)), 1)
+                    .otherwise(0)
+                ).cast("long").alias(f"__bad{len(names) - 1}")
+            )
+        wide = df.agg(F.count(F.lit(1)).alias("n_rows"), *sums)
+        quoted = [n.replace("'", "''") for n in names]
+        stack_args = ", ".join(
+            f"'{q}', __bad{i}" for i, q in enumerate(quoted)
+        )
+        branches.append(
+            wide.selectExpr(
+                f"stack({len(names)}, {stack_args})"
+                " AS (check_name, n_bad)",
+                "n_rows",
+            ).select(
+                "check_name",
+                "n_rows",
+                "n_bad",
+                F.round(
+                    F.col("n_bad") / F.col("n_rows"), 6
+                ).alias("bad_rate"),
+            )
+        )
+    out = branches[0]
+    for c in branches[1:]:
         out = out.unionByName(c)
     return out
 
