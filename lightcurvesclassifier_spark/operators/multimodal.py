@@ -199,6 +199,28 @@ def _plant_image(k: int) -> np.ndarray:
     return ((7 * k + 5 * x + 11 * y + 13 * c) % 256).astype(np.uint8)
 
 
+
+def _spread_ids(ids: DataFrame, id_col: str) -> DataFrame:
+    """Expansion-aware spread for executor-side corpus builds (r10, the
+    _ngram_rows idiom): the id frame comes off a small local scan (1-2
+    partitions), and the mapInPandas encode/decode below it is the
+    whole cost — byte-light input, compute-heavy output, exactly the
+    shape AQE's byte-based sizing cannot see. Keyed repartition up to
+    defaultParallelism, skipped when the scan is already wide (no-op at
+    real scale) and for streaming inputs.
+
+    Applied ONLY where the per-id build is heavy enough to repay the
+    exchange — measured A/B at sf0.1: AVI (multi-frame payloads)
+    1.85 → 1.05 s, but BMP 0.82 → 0.97 and WAV 0.74 → 0.81 LOSE (their
+    single-image/clip builds are cheaper than the added shuffle), so
+    the image/audio builders keep the direct scan."""
+    if ids.isStreaming:
+        return ids
+    sc = ids.sparkSession.sparkContext
+    if ids.rdd.getNumPartitions() < sc.defaultParallelism:
+        return ids.repartition(sc.defaultParallelism, F.col(id_col))
+    return ids
+
 def planted_bmp_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     """(media_id) → MEDIA_SCHEMA rows whose payloads are real BMP
     encodings of the planted pixel rule — generated IN the executors
@@ -777,7 +799,9 @@ def planted_avi_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                 rows, columns=["media_id", "payload", "media_type", "meta"]
             )
 
-    return ids.select(F.col(id_col)).mapInPandas(build, schema=MEDIA_SCHEMA)
+    return _spread_ids(ids.select(F.col(id_col)), id_col).mapInPandas(
+        build, schema=MEDIA_SCHEMA
+    )
 
 
 AVI_FRAME_SCHEMA = (
