@@ -95,6 +95,20 @@ _OBS = testdata.OBS_SQL
 ABBE_RANGES = {"abbe": (None, 0.95), "std_mag": (35.0, None)}
 
 
+def _spread_scan(df: DataFrame, key: str) -> DataFrame:
+    """Expansion-aware input spread for map-only queries whose per-row
+    compute is heavy but whose input scan is 1-2 partitions at local SF
+    (the _ngram_rows idiom, r10): keyed repartition to
+    defaultParallelism, skipped when the scan is already wide — a no-op
+    at real scale, where these gates stay the zero-shuffle shape.  Only
+    applied at query entries whose input is a RAW SCAN (calling .rdd on
+    an AQE-shuffled frame would execute its stages at plan time)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism, F.col(key))
+    return df
+
+
 def _round6(df: DataFrame, *cols: str) -> DataFrame:
     for c in cols:
         df = df.withColumn(c, F.round(F.col(c), 6))
@@ -954,7 +968,7 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = testdata.load_table(spark, sf_dir, "documents")
-    return text_ops.lang_id(docs)
+    return text_ops.lang_id(_spread_scan(docs, "doc_id"))
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -969,7 +983,7 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = testdata.load_table(spark, sf_dir, "documents")
-    return text_ops.rolling_fingerprint(docs, window=8)
+    return text_ops.rolling_fingerprint(_spread_scan(docs, "doc_id"), window=8)
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1704,7 +1718,7 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition rules as one map-only projection of per-rule booleans +
     the keep conjunction. Zero shuffle — the 100 TB keep/drop gate."""
     docs = testdata.load_table(spark, sf_dir, "documents")
-    return text_ops.gopher_quality_filter(docs)
+    return text_ops.gopher_quality_filter(_spread_scan(docs, "doc_id"))
 
 
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
