@@ -1233,13 +1233,29 @@ def lsh_topk(
             )
     signs = _lsh_signs(num_tables, bits, dim, seed)
 
-    def prep(df, name):
-        # the shared zero-norm-drop/cast prep, renamed for this join
-        return _vec_rows(df, id_col, vec_col).select(
-            F.col(id_col).alias(name), F.col("_v").alias(f"{name}_arr")
+    def prep(df, name, spread=False):
+        # the shared zero-norm-drop/cast prep, renamed for this join.
+        # The norm RIDES ALONG (r10): the re-rank cosine previously
+        # re-folded both O(d) norms per candidate pair — the same
+        # interpreted-fold triplication _vec_rows was introduced to
+        # avoid (r6); carrying the materialized _vnrm leaves one dot
+        # fold per pair, bit-identical values.
+        v = _vec_rows(df, id_col, vec_col)
+        if spread and not df.isStreaming:
+            # expansion-aware spread (the _ivf_assign idiom): the 36
+            # SRP projection folds per corpus row are the map-side cost
+            # and the local scan is 1-2 partitions; keyed, no-op at
+            # real scale
+            sc = df.sparkSession.sparkContext
+            if df.rdd.getNumPartitions() < sc.defaultParallelism:
+                v = v.repartition(sc.defaultParallelism, F.col(id_col))
+        return v.select(
+            F.col(id_col).alias(name),
+            F.col("_v").alias(f"{name}_arr"),
+            F.col("_vnrm").alias(f"{name}_nrm"),
         )
 
-    c = prep(corpus, "vec_id_c")
+    c = prep(corpus, "vec_id_c", spread=True)
     q = prep(queries, "query_id")
     tbl = F.explode(
         F.array(
@@ -1271,8 +1287,13 @@ def lsh_topk(
         .select(
             "query_id",
             F.col("vec_id_c").alias(id_col),
+            # same fold expression over the same doubles as the old
+            # inline cosine(), with the two norms read from the carried
+            # columns instead of re-folded per pair — bit-identical
             F.round(
-                cosine(F.col("query_id_arr"), F.col("vec_id_c_arr")), 6
+                F.expr(_dot_expr("query_id_arr", "vec_id_c_arr"))
+                / (F.col("query_id_nrm") * F.col("vec_id_c_nrm")),
+                6,
             ).alias("cos"),
         )
     )
