@@ -862,13 +862,17 @@ def lsh_band_curve(
 
     One-pass shape (the ivf_recall_curve discipline): ONE shingle
     explode, ONE 16-min signature aggregate, and ONE band-collision
-    self-join for ALL curve points — every (bands, band_idx) band of
-    every partition becomes a row keyed by an engine-reproducible
-    md5 band key (:func:`_md5_int60` over the joined band values, so
-    variable band widths unify into one 8-byte join column and the
-    DuckDB mirror collides identically).  The truth leg is computed
-    once and per-point counts are one bounded groupBy over the
-    (bands, pair) candidate table.  Unlike :func:`lsh_recall`, the
+    self-join for ALL curve points — at the FINEST partition
+    fin = max(bands_set) only, keyed by an engine-reproducible md5
+    band key (:func:`_md5_int60` over the joined band values).  Bands
+    nest along divisor chains (a b-band is the concatenation of fin/b
+    contiguous fin-bands), so every coarser operating point's
+    candidate set is DERIVED from the per-pair set of matched
+    fin-band indices with plain array logic — no per-band join legs,
+    fin rows/doc shuffled instead of sum(bands_set).  The truth leg
+    is computed once and left-joined once per distinct candidate
+    pair; per-point counts are one bounded groupBy over the exploded
+    (bands, flag) rows.  Unlike :func:`lsh_recall`, the
     curve carries NO separate exact-verify leg: at matching
     thresholds the verified set IS cands ∩ truth, so a hit flag from
     the truth join replaces the verify subtree (four joins + an
@@ -908,46 +912,143 @@ def lsh_band_curve(
         df, num_hashes, 1, text_col, id_col,
         sh=shc.select(id_col, "key"),
     )
-    band_structs = []
-    for bc in bands_set:
-        r = num_hashes // bc
-        for i in range(bc):
-            band_structs.append(
-                F.struct(
-                    F.lit(bc).alias("bands"),
-                    _md5_int60(
-                        F.concat_ws(
-                            "_",
-                            F.lit(bc),
-                            F.lit(i),
-                            *[F.col(f"s{i * r + j}") for j in range(r)],
-                        )
-                    ).alias("bk"),
-                )
+    # Band-collision legs. Bands nest along divisor chains: a b-band of
+    # width r_b is the concatenation of fin/b contiguous bands of the
+    # FINEST partition fin = max(bands_set), so two docs collide on a
+    # b-band iff they collide on every one of its fin/b sub-bands.  The
+    # self-join therefore runs ONCE, at fin only (fin rows/doc instead
+    # of sum(bands_set)), and every coarser point's candidate set is
+    # derived from the per-pair set of matched fin-band indices with
+    # array logic — no extra shuffle, no per-band join legs, and the
+    # truth left-join runs once per distinct pair instead of once per
+    # (bands, pair).  Bands that do not divide fin (impossible for the
+    # default power-of-2 chain) fall back to their own legs below.
+    fin = max(bands_set)
+    r_fin = num_hashes // fin
+    if fin <= 62:  # the bitmask aggregate needs one long bit per band
+        derivable = sorted(bc for bc in bands_set if fin % bc == 0)
+        rest = sorted(bc for bc in bands_set if fin % bc != 0)
+    else:
+        derivable = []
+        rest = sorted(bands_set)
+    perb = None
+    if derivable:
+        fin_structs = [
+            F.struct(
+                F.lit(i).alias("i"),
+                _md5_int60(
+                    F.concat_ws(
+                        "_",
+                        F.lit(fin),
+                        F.lit(i),
+                        *[F.col(f"s{i * r_fin + j}") for j in range(r_fin)],
+                    )
+                ).alias("bk"),
             )
-    long = sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
-    ).select(id_col, "_b.bands", "_b.bk")
-    a = long.select(F.col(id_col).alias("id_a"), "bands", "bk")
-    b = long.select(F.col(id_col).alias("id_b"), "bands", "bk")
-    cands = (
-        a.join(b, ["bands", "bk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("bands", "id_a", "id_b")
-        .distinct()
-    )
-    perb = (
-        cands.join(
+            for i in range(fin)
+        ]
+        longf = sig.select(
+            F.col(id_col), F.explode(F.array(*fin_structs)).alias("_b")
+        ).select(id_col, "_b.i", "_b.bk")
+        # symmetric projections (rename-only) so the two join sides
+        # share ONE evaluated exchange; the matched-index set
+        # aggregates as a bit_or BITMASK (fin <= 62 checked above) — a
+        # codegen'd HashAggregate with map-side partials, where a
+        # collect_set would plan as ObjectHashAggregate
+        af = longf.select(F.col(id_col).alias("id_a"), "i", "bk")
+        bf = longf.select(
+            F.col(id_col).alias("id_b"), F.col("i").alias("_ib"), "bk"
+        )
+        hitsets = (
+            af.join(bf, "bk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.bit_or(F.expr("shiftleft(1L, i)")).alias("_hits")
+            )
+        )
+
+        def _cand_flag(bc: int) -> Column:
+            g = fin // bc
+            terms = []
+            for j in range(bc):
+                gm = sum(1 << (j * g + k) for k in range(g))
+                terms.append(
+                    F.col("_hits").bitwiseAND(F.lit(gm)) == F.lit(gm)
+                )
+            out = terms[0]
+            for t in terms[1:]:
+                out = out | t
+            return out
+
+        flagged = hitsets.join(
             truth.select("id_a", "id_b", F.lit(1).alias("_t")),
             ["id_a", "id_b"],
             "left",
+        ).select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bc).alias("bands"),
+                            _cand_flag(bc).alias("_c"),
+                        )
+                        for bc in derivable
+                    ]
+                )
+            ).alias("_f"),
+            "_t",
         )
-        .groupBy("bands")
-        .agg(
-            F.count("*").alias("n_cand"),
-            F.sum(F.coalesce("_t", F.lit(0))).alias("n_hit"),
+        perb = (
+            flagged.filter(F.col("_f._c"))
+            .groupBy(F.col("_f.bands").alias("bands"))
+            .agg(
+                F.count("*").alias("n_cand"),
+                F.sum(F.coalesce("_t", F.lit(0))).alias("n_hit"),
+            )
         )
-    )
+    if rest:
+        band_structs = []
+        for bc in rest:
+            r = num_hashes // bc
+            for i in range(bc):
+                band_structs.append(
+                    F.struct(
+                        F.lit(bc).alias("bands"),
+                        _md5_int60(
+                            F.concat_ws(
+                                "_",
+                                F.lit(bc),
+                                F.lit(i),
+                                *[F.col(f"s{i * r + j}") for j in range(r)],
+                            )
+                        ).alias("bk"),
+                    )
+                )
+        long = sig.select(
+            F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
+        ).select(id_col, "_b.bands", "_b.bk")
+        a = long.select(F.col(id_col).alias("id_a"), "bands", "bk")
+        b = long.select(F.col(id_col).alias("id_b"), "bands", "bk")
+        cands = (
+            a.join(b, ["bands", "bk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("bands", "id_a", "id_b")
+            .distinct()
+        )
+        perb_rest = (
+            cands.join(
+                truth.select("id_a", "id_b", F.lit(1).alias("_t")),
+                ["id_a", "id_b"],
+                "left",
+            )
+            .groupBy("bands")
+            .agg(
+                F.count("*").alias("n_cand"),
+                F.sum(F.coalesce("_t", F.lit(0))).alias("n_hit"),
+            )
+        )
+        perb = perb_rest if perb is None else perb.unionByName(perb_rest)
     frame = df.sparkSession.range(1).select(
         F.explode(
             F.array(*[F.lit(bc) for bc in sorted(bands_set)])
