@@ -39,16 +39,26 @@ def pretraining_corpus(
 ) -> DataFrame:
     """corpus → quality gate → exact-dedup canonical keep →
     decontaminated keep-list: (doc_id, n_tokens, fingerprint)."""
+    from pyspark.sql import Window
+
     q = corpus.select(
         "doc_id",
         "text",
         token_count(F.col("text")).cast("long").alias("n_tokens"),
         F.md5(F.col("text")).alias("fingerprint"),
     ).filter(F.col("n_tokens") >= min_tokens)
-    canon = q.groupBy("fingerprint").agg(
-        F.min("doc_id").alias("doc_id")
-    ).select("doc_id")
-    kept = q.join(canon, "doc_id")
+    # canonical keep as ONE fingerprint-keyed window: doc_id is unique,
+    # so "doc_id in (min(doc_id) per fingerprint)" is exactly "this row
+    # IS its group's min" — one exchange, where the aggregate + join-back
+    # shape paid the fingerprint exchange PLUS a doc_id join and
+    # re-evaluated the q subtree on both sides (Catalyst does not CSE)
+    kept = (
+        q.withColumn(
+            "_min_id", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+        )
+        .filter(F.col("doc_id") == F.col("_min_id"))
+        .drop("_min_id")
+    )
     contaminated = (
         contamination_pairs(
             kept.select("doc_id", "text"), evals, threshold=threshold
