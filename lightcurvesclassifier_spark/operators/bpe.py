@@ -421,48 +421,69 @@ def bpe_fertility(
     multilingual fairness metric (a tokenizer trained on one language
     over-segments the others) — plus chars-per-token.
 
-    Built on :func:`bpe_tokenize` (the vocab-joined apply: the regex
-    fold runs once per DISTINCT word, not per token occurrence —
-    measured ~1.2 s cheaper than the :func:`bpe_apply` leg at sf0.1);
-    per-doc char counts come from the joined token string (chars =
-    joined length − separators, the exact single-space identity), so
-    the whole audit is the tokenize plan plus ONE bounded-key
-    aggregate. Output: (group, n_docs, n_words, n_bpe_tokens,
-    fertility, chars_per_token).
+    Audit-only shape (r10): the metric needs per-GROUP sums, never the
+    re-assembled documents, and every sum is derivable from the word
+    stream — a word's token count rides the broadcast spelled vocab
+    (the fold still runs once per DISTINCT word, the
+    :func:`bpe_tokenize` economics), and a word's token chars ARE its
+    chars (BPE merges partition the word:
+    concat(tokens(w)) == w, the identity the tokenize oracle pins), so
+    the per-doc tokens_str re-assembly the previous shape paid — an
+    id-keyed collect_list/array_sort exchange plus two corpus-scale
+    id joins — drops out entirely.  What remains: one map-side per-doc
+    projection folded into a bounded-key (group) aggregate, one vocab
+    distinct + broadcast, one word-stream aggregate.  Per-group sums
+    of per-doc sums equal per-group sums over words, so the output is
+    row-identical to the tokenize-join formulation (same oracle).
+    Output: (group, n_docs, n_words, n_bpe_tokens, fertility,
+    chars_per_token).
     """
-    toked = bpe_tokenize(corpus, merges, text_col, id_col)
-    base = corpus.select(
-        F.col(id_col),
-        F.col(group_col),
-        F.size(
-            F.filter(
-                F.split(F.col(text_col), " "), lambda w: F.length(w) > 0
-            )
-        ).cast("long").alias("_n_words"),
-    )
-    j = base.join(toked, id_col)
-    chars = F.length("tokens_str") - (F.col("n_tokens") - F.lit(1))
-    per_doc = j.select(
-        group_col,
-        "_n_words",
-        "n_tokens",
-        F.when(F.col("n_tokens") > 0, chars)
-        .otherwise(F.lit(0))
-        .alias("_n_chars"),
-    )
-    return (
-        per_doc.groupBy(group_col)
+    per_group_docs = (
+        corpus.select(
+            F.col(group_col),
+            F.size(
+                F.filter(
+                    F.split(F.col(text_col), " "), lambda w: F.length(w) > 0
+                )
+            ).cast("long").alias("_n_words"),
+        )
+        .groupBy(group_col)
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("_n_words").cast("long").alias("n_words"),
-            F.sum("n_tokens").cast("long").alias("n_bpe_tokens"),
-            F.round(F.sum("n_tokens") / F.sum("_n_words"), 6).alias(
-                "fertility"
-            ),
-            F.round(F.sum("_n_chars") / F.sum("n_tokens"), 6).alias(
-                "chars_per_token"
-            ),
         )
+    )
+    words = (
+        corpus.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .distinct()
+    )
+    spelled = words.select(
+        "w",
+        F.size(F.split(_apply_word_expr(F.col("w"), merges), " "))
+        .cast("long")
+        .alias("_n_tok"),
+    )
+    pos = corpus.select(
+        F.col(group_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    per_group_tok = (
+        pos.join(F.broadcast(spelled), "w")
+        .groupBy(group_col)
+        .agg(
+            F.sum("_n_tok").alias("_sum_tok"),
+            F.sum(F.length("w").cast("long")).alias("_sum_chars"),
+        )
+    )
+    st = F.coalesce("_sum_tok", F.lit(0))
+    sc = F.coalesce("_sum_chars", F.lit(0))
+    return per_group_docs.join(per_group_tok, group_col, "left").select(
+        group_col,
+        "n_docs",
+        "n_words",
+        st.cast("long").alias("n_bpe_tokens"),
+        F.round(st / F.col("n_words"), 6).alias("fertility"),
+        F.round(sc / st, 6).alias("chars_per_token"),
     )
 
 
