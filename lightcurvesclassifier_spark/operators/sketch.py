@@ -304,6 +304,31 @@ def cms_counters(
     )
 
 
+def _cms_literal_lookup(df: DataFrame, term_col: str = "term") -> Column:
+    """CMS point estimate of ``term_col`` as a MAP-ONLY expression: the
+    ≤ d·w counter table is collected (the bounded-sketch-to-driver
+    contract shared with :func:`cms_heavy_hitters` — 2 KiB·d at the
+    default geometry, independent of corpus size) and each term's d
+    cells are O(1) ``element_at`` lookups into the constant-folded
+    array literal.  Returns the ``least`` over the d salted rows."""
+    cells = df.collect()  # ≤ d·w rows by construction
+    arr = [0] * (CMS_D * CMS_W)
+    for r in cells:
+        arr[int(r["row"]) * CMS_W + int(r["col"])] = int(r["cnt"])
+    cnt_arr = F.expr("array(" + ",".join(f"{x}L" for x in arr) + ")")
+    return F.least(
+        *[
+            F.element_at(
+                cnt_arr,
+                (F.lit(i * CMS_W) + _cms_col(F.col(term_col), i) + 1).cast(
+                    "int"
+                ),
+            )
+            for i in range(CMS_D)
+        ]
+    )
+
+
 def cms_point_estimates(
     df: DataFrame, text_col: str = "text", n: int = 1,
     id_col: str = "doc_id",
@@ -312,9 +337,43 @@ def cms_point_estimates(
     the d salted counters — (term, est).  est ≥ true count always;
     the overshoot is bounded by e·N/w per the CMS guarantee.
 
-    The probe side joins each term to its d counters via a broadcast of
-    the ≤ d·w counter table — the sketch is the small side by
-    construction, so the corpus-sized probe stream never shuffles."""
+    Plan shape (r10): the counter table is COLLECTED (≤ d·w integer
+    cells — the same bounded-sketch contract as
+    :func:`cms_heavy_hitters`) and the estimate of each distinct term
+    is a constant-folded array-literal lookup (``least`` over the d
+    salted positions) — the probe side is map-only after the term
+    DISTINCT.  Every coordinate of every distinct term is present in
+    the counter table by construction (the term itself incremented
+    those cells), so the lookup equals the former broadcast-join +
+    ``min`` aggregate row for row (pinned by
+    ``test_cms_point_lookup_equals_join``); the join build, the 4×
+    probe explode, and the final groupBy(term) exchange all drop out."""
+    from .dedup import _ngram_rows
+
+    counters = cms_counters(df, text_col, n, id_col)
+    terms = (
+        _ngram_rows(
+            df, n, text_col, id_col,
+            key_fn=lambda s: s, empty_type="string", out_col="term",
+            distinct=False,
+        )
+        .select("term")
+        .distinct()
+    )
+    return terms.select(
+        "term", _cms_literal_lookup(counters).alias("est")
+    )
+
+
+def cms_point_estimates_join(
+    df: DataFrame, text_col: str = "text", n: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The broadcast-join formulation of :func:`cms_point_estimates`
+    (the pre-r10 default), kept as the no-plan-literal baseline and
+    pinned value-identical to the lookup form: each term explodes into
+    its d (row, col) probes, joins the broadcast ≤ d·w counter table,
+    and takes ``min(cnt)`` per term."""
     from .dedup import _ngram_rows
 
     counters = cms_counters(df, text_col, n, id_col)

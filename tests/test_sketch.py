@@ -185,15 +185,35 @@ def test_cms_counters_merge_composes(spark):
     assert got == want
 
 
-def test_cms_probe_join_broadcasts_the_sketch(spark):
+def test_cms_probe_is_join_free_literal_lookup(spark):
+    """r10 shape: the probe side is map-only after the term DISTINCT —
+    the ≤ d·w counter table rides the plan as a constant-folded array
+    literal, so there is no join, no probe explode, and exactly one
+    exchange (the distinct)."""
     plan = (
         em.queries()["cms_point_est"](spark, SF_SMOKE)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan, plan
+    assert "Join" not in plan, plan
+    # exactly ONE Generate: the n-gram tokenizer explode — the 4-way
+    # probe-coordinate explode of the join form is gone
+    assert plan.count("Generate") == 1, plan
     assert "Python" not in plan
+
+
+def test_cms_point_lookup_equals_join(spark):
+    """The literal-lookup estimate must equal the broadcast-join +
+    min(cnt) baseline row for row (every coordinate of every distinct
+    term is in the counter table by construction, so the join never
+    misses and min == least-of-lookups)."""
+    docs = testdata.load_table(spark, SF_ORACLE, "documents")
+    fast = sketch.cms_point_estimates(docs, n=2).toPandas()
+    join = sketch.cms_point_estimates_join(docs, n=2).toPandas()
+    fast = fast.sort_values("term").reset_index(drop=True)
+    join = join.sort_values("term").reset_index(drop=True)
+    assert fast.equals(join)
 
 
 def test_bloom_no_false_negatives_and_low_fp(spark):
