@@ -304,17 +304,22 @@ def cms_counters(
     )
 
 
-def _cms_literal_lookup(df: DataFrame, term_col: str = "term") -> Column:
-    """CMS point estimate of ``term_col`` as a MAP-ONLY expression: the
-    ≤ d·w counter table is collected (the bounded-sketch-to-driver
-    contract shared with :func:`cms_heavy_hitters` — 2 KiB·d at the
-    default geometry, independent of corpus size) and each term's d
-    cells are O(1) ``element_at`` lookups into the constant-folded
-    array literal.  Returns the ``least`` over the d salted rows."""
-    cells = df.collect()  # ≤ d·w rows by construction
+def _cms_collect(counters: DataFrame) -> list[int]:
+    """Collect a counter table into the flat d·w cell array — the
+    bounded-sketch-to-driver contract (2 KiB·d at the default geometry,
+    independent of corpus size)."""
     arr = [0] * (CMS_D * CMS_W)
-    for r in cells:
+    for r in counters.collect():  # ≤ d·w rows by construction
         arr[int(r["row"]) * CMS_W + int(r["col"])] = int(r["cnt"])
+    return arr
+
+
+def _cms_lookup_expr(arr: list[int], term_col: str = "term") -> Column:
+    """CMS point estimate of ``term_col`` as a MAP-ONLY expression:
+    each term's d cells are O(1) ``element_at`` lookups into the
+    constant-folded array literal (built as ONE expr string — a single
+    py4j round trip — and collapsed by ConstantFolding before codegen).
+    Returns the ``least`` over the d salted rows."""
     cnt_arr = F.expr("array(" + ",".join(f"{x}L" for x in arr) + ")")
     return F.least(
         *[
@@ -361,7 +366,7 @@ def cms_point_estimates(
         .distinct()
     )
     return terms.select(
-        "term", _cms_literal_lookup(counters).alias("est")
+        "term", _cms_lookup_expr(_cms_collect(counters)).alias("est")
     )
 
 
@@ -484,33 +489,17 @@ def cms_heavy_hitters(
     """
     from .dedup import _ngram_rows
 
-    cells = cms_counters(df, text_col, n, id_col).collect()  # ≤ d·w rows
-    arr = [0] * (CMS_D * CMS_W)
-    for r in cells:
-        arr[int(r["row"]) * CMS_W + int(r["col"])] = int(r["cnt"])
+    arr = _cms_collect(cms_counters(df, text_col, n, id_col))
     n_total = sum(arr[:CMS_W])  # Σ row 0 = total occurrences
     spark = df.sparkSession
     if n_total == 0:
         return spark.createDataFrame([], "term string, cnt long, freq double")
-    # foldable 2048-literal array: built as ONE expr string (single py4j
-    # round trip), constant-folded by Catalyst into a Literal
-    cnt_arr = F.expr("array(" + ",".join(f"{x}L" for x in arr) + ")")
     terms = _ngram_rows(
         df, n, text_col, id_col,
         key_fn=lambda s: s, empty_type="string", out_col="term",
         distinct=False,
     ).select("term")
-    est = F.least(
-        *[
-            F.element_at(
-                cnt_arr,
-                (F.lit(i * CMS_W) + _cms_col(F.col("term"), i) + 1).cast(
-                    "int"
-                ),
-            )
-            for i in range(CMS_D)
-        ]
-    )
+    est = _cms_lookup_expr(arr)
     thresh = F.lit(float(phi)) * F.lit(float(n_total))
     exact = (
         terms.filter(est >= thresh)  # map-only CMS prune
