@@ -2127,13 +2127,18 @@ def dedup_canonical(
     window quantity is trivial for a singleton: size 1, canonical
     itself, keep true), so the cluster-keyed exchange and sort carry
     the near-dup subset, never the corpus (r8; the r7 shape windowed
-    every document)."""
+    every document).
+
+    The corpus joins ONCE (r10): the window output carries ``label``,
+    so the corpus resolves cluster_id/size/canonical/keep through one
+    node-keyed left join against the comp-bounded window table — the
+    r9 shape materialized a separate docs⋈comp ``labeled`` table and
+    re-joined it to the window output, a second corpus-scale join that
+    only re-derived coalesce(label, node)."""
     from pyspark.sql import Window
 
-    labeled, comp = _labels_and_comp(df, n, threshold, text_col, id_col)
-    # member lengths come from the raw corpus projection, NOT from
-    # `labeled` — referencing labeled twice would re-execute its
-    # docs⋈comp join (Spark does not dedupe common subtrees)
+    pairs = ngram_jaccard_pairs(df, n, threshold, text_col, id_col)
+    comp = connected_components_star(pairs)
     members = comp.join(
         df.select(
             F.col(id_col).alias("node"), F.length(text_col).alias("_len")
@@ -2148,18 +2153,23 @@ def dedup_canonical(
     mem_res = (
         members.withColumn("_rk", F.row_number().over(w))
         .select(
-            F.col("node").alias(id_col),
+            "node",
+            "label",
             F.first("node").over(w_full).alias("_canon"),
             F.count("*").over(w_cnt).alias("_sz"),
             (F.col("_rk") == 1).alias("_keep"),
         )
     )
-    return labeled.join(mem_res, id_col, "left").select(
-        id_col,
-        "cluster_id",
-        F.coalesce("_sz", F.lit(1)).alias("cluster_size"),
-        F.coalesce("_canon", F.col(id_col)).alias("canonical_id"),
-        F.coalesce("_keep", F.lit(True)).alias("keep"),
+    return (
+        df.select(F.col(id_col).alias("node"))
+        .join(mem_res, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("label", "node").alias("cluster_id"),
+            F.coalesce("_sz", F.lit(1)).alias("cluster_size"),
+            F.coalesce("_canon", F.col("node")).alias("canonical_id"),
+            F.coalesce("_keep", F.lit(True)).alias("keep"),
+        )
     )
 
 
