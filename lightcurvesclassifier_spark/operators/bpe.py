@@ -260,7 +260,15 @@ def bpe_tokenize(
     tokens (bpe_apply stays the zero-shuffle choice when the fold is
     cheap relative to a corpus exchange). Output:
     (id, n_tokens, tokens_str) — tokens space-joined, every input doc
-    present (empty docs come back with 0 tokens)."""
+    present (empty docs come back with 0 tokens).
+
+    Empty-word positions ride THROUGH the vocab join (r10): `split`
+    gives every document ≥ 1 position row (an empty doc splits to
+    ['']), so carrying the empty positions as spell-NULL rows into the
+    id aggregate (collect_list drops NULL entries, so they vanish at
+    re-assembly) keeps every doc present without the separate
+    corpus⋈docs left join the r9 shape paid — one corpus-scale join
+    and its exchanges removed at any corpus size."""
     words = (
         corpus.select(
             F.explode(F.split(F.col(text_col), " ")).alias("w")
@@ -274,12 +282,20 @@ def bpe_tokenize(
     pos = corpus.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), " ")).alias("_i", "w"),
-    ).filter(F.length("w") > 0)
-    parts = F.array_sort(
-        F.collect_list(F.struct(F.col("_i"), F.col("_s")))
     )
-    docs = (
-        pos.join(F.broadcast(spelled), "w")
+    # empty words (consecutive/leading spaces, empty docs) join to a
+    # NULL spell; the when() makes the collected entry NULL so
+    # collect_list drops it — a non-empty word always spells non-NULL
+    parts = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("_s").isNotNull(),
+                F.struct(F.col("_i"), F.col("_s")),
+            )
+        )
+    )
+    return (
+        pos.join(F.broadcast(spelled), "w", "left")
         .groupBy(id_col)
         .agg(parts.alias("_parts"))
         .select(
@@ -295,11 +311,6 @@ def bpe_tokenize(
                 F.transform("_parts", lambda p: p["_s"]), " "
             ).alias("tokens_str"),
         )
-    )
-    return corpus.select(id_col).join(docs, id_col, "left").select(
-        id_col,
-        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-        F.coalesce("tokens_str", F.lit("")).alias("tokens_str"),
     )
 
 
