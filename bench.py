@@ -142,14 +142,40 @@ def main() -> None:
     # the OFFICIAL-scale record only (sf0.1) — an sf0.001 smoke probe
     # silently clobbered the committed r7 record in r8; off-scale runs
     # land in BENCH_LAST.json instead.
+    here = os.path.dirname(os.path.abspath(__file__))
+    name = "BENCH_LOCAL.json" if sf_val == 0.1 else "BENCH_LAST.json"
+    # top per-query movers vs the COMMITTED record (read before the
+    # overwrite below): the driver's bounded ~2 KB tail drops the
+    # 150-entry queries dict, so PERF_r10.per_query came back empty —
+    # one compact line of the 15 largest |delta|s restores per-query
+    # visibility inside the tail window (r10 verdict directive #7).
+    # Additions-only: printed BEFORE the final contract line so the
+    # driver still parses the same trailing record it always did.
+    top_deltas = None
     try:
-        here = os.path.dirname(os.path.abspath(__file__))
-        name = "BENCH_LOCAL.json" if sf_val == 0.1 else "BENCH_LAST.json"
+        with open(os.path.join(here, name)) as f:
+            prev = json.load(f).get("queries", {})
+        deltas = {
+            q: round(timings[q] - prev[q], 3)
+            for q in timings
+            if q in prev
+        }
+        top = sorted(deltas, key=lambda q: -abs(deltas[q]))[:15]
+        top_deltas = {q: deltas[q] for q in top}
+    except (OSError, ValueError, KeyError):
+        pass  # no committed record yet: skip the line, never fail the run
+    try:
         with open(os.path.join(here, name), "w") as f:
             json.dump(record, f, indent=1)
     except OSError:
         pass  # read-only checkout: stdout record still stands
     print(json.dumps(record))
+    if top_deltas is not None:
+        print(
+            json.dumps(
+                {"metric": "top_deltas_vs_committed", "queries": top_deltas}
+            )
+        )
     # FINAL compact line so the total always lands inside the driver's
     # bounded tail window and parses — r4's 122-query map pushed
     # "value" out of the capture and the official record was

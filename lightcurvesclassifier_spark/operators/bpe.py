@@ -268,7 +268,11 @@ def bpe_tokenize(
     id aggregate (collect_list drops NULL entries, so they vanish at
     re-assembly) keeps every doc present without the separate
     corpus⋈docs left join the r9 shape paid — one corpus-scale join
-    and its exchanges removed at any corpus size."""
+    and its exchanges removed at any corpus size.  NULL text coalesces
+    to '' before the split (r11): ``split(NULL)`` is NULL and
+    ``posexplode(NULL)`` emits ZERO rows, which would silently drop a
+    NULL-text doc from the output — the oracle's trailing corpus LEFT
+    JOIN re-emits such docs as (id, 0, ''), so the engine must too."""
     words = (
         corpus.select(
             F.explode(F.split(F.col(text_col), " ")).alias("w")
@@ -281,7 +285,9 @@ def bpe_tokenize(
     )
     pos = corpus.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("_i", "w"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).alias("_i", "w"),
     )
     # empty words (consecutive/leading spaces, empty docs) join to a
     # NULL spell; the when() makes the collected entry NULL so

@@ -564,6 +564,37 @@ def _vec_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return v.filter(F.col("_vnrm") > 0.0)
 
 
+def _raw_scan_width(df: DataFrame):
+    """Partition count of ``df``'s scan, or ``None`` when ``df`` is not
+    a plain projection/filter over a leaf relation.  The spread guards
+    below size their keyed repartition with ``df.rdd.getNumPartitions()``
+    — metadata-only for a raw scan, but on an AQE-shuffled/derived frame
+    ``.rdd`` EXECUTES the upstream stages at plan-construction time
+    (r10 advice item: lsh_topk's corpus arg is caller-supplied, unlike
+    the ``__spark_entry__`` call sites which are raw scans by
+    construction).  So: walk the optimized logical plan's tree string;
+    touch ``.rdd`` only when every node is Project/Filter over a
+    Relation/LocalRelation leaf, else return None (spread skipped —
+    a derived frame has already been through an exchange or a local
+    collect, so the 1-2-partition-local-scan problem the spread exists
+    for cannot arise).  ``LogicalRDD`` is allowed too: it is a
+    localCheckpoint()ed frame whose RDD already exists — probing its
+    partition count runs nothing (and the IVF corpus prep is exactly
+    such a frame)."""
+    _ALLOWED = (
+        "Project", "Filter", "Relation", "LocalRelation", "LogicalRDD"
+    )
+    try:
+        tree = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in tree.splitlines():
+            node = line.lstrip(" +-:").split(" ", 1)[0].split("[", 1)[0]
+            if node and node not in _ALLOWED:
+                return None
+        return df.rdd.getNumPartitions()
+    except Exception:
+        return None
+
+
 def _round6_engine(a: np.ndarray) -> np.ndarray:
     """Round to 6 decimals with the ENGINES' exact rule — Spark's
     Round(double, 6) is ``BigDecimal.valueOf(x)`` (i.e. the shortest
@@ -575,14 +606,24 @@ def _round6_engine(a: np.ndarray) -> np.ndarray:
     so floor(+0.5) rounds DOWN where the engines round UP — caught by
     test_lloyd_local_equals_inplan).  Fast path everywhere, exact
     decimal-string path only for values within float noise of a
-    boundary."""
+    boundary.
+
+    The suspicion window scales with the ulp of the scaled value
+    (r11, per the r10 advice): a fixed 1e-8 window only covers |a| up
+    to ~O(10) — beyond that ulp(|a|·1e6) exceeds 1e-8 and a true .5
+    boundary could take the fast path.  Widening the window is always
+    safe: the decimal path IS the engine rule, so routing more values
+    through it never changes a result, only costs a few string
+    round-trips.  (Current callers pass unit-normalized cosines and
+    centroid means, all |a| ≤ O(1), where both windows agree.)"""
     import decimal
 
     r = _round6_half_away(a)
     with np.errstate(invalid="ignore"):
         scaled = np.abs(a) * 1e6
         frac = scaled - np.floor(scaled)
-        sus = np.isfinite(a) & (np.abs(frac - 0.5) < 1e-8)
+        tol = np.maximum(1e-8, 4.0 * np.spacing(scaled))
+        sus = np.isfinite(a) & (np.abs(frac - 0.5) < tol)
     if sus.any():
         q = decimal.Decimal("0.000001")
         flat = r.ravel()
@@ -984,10 +1025,13 @@ def _ivf_assign(
     # Expansion-aware input spread (the periodogram idiom): the
     # interpreted dot folds are the whole cost — a single-row-group
     # local scan would run them on ONE core. Keyed on the id
-    # (deterministic content). No-op at real scale.
+    # (deterministic content). No-op at real scale; skipped entirely
+    # (width=None) when v is a derived frame where .rdd would execute
+    # upstream stages at plan time (r11 guard, r10 advice).
     if not v.isStreaming:
         sc = v.sparkSession.sparkContext
-        if v.rdd.getNumPartitions() < sc.defaultParallelism:
+        width = _raw_scan_width(v)
+        if width is not None and width < sc.defaultParallelism:
             v = v.repartition(sc.defaultParallelism, F.col(id_col))
     return v.crossJoin(F.broadcast(_cells_arr(cells_df))).select(
         F.col(id_col),
@@ -1245,9 +1289,13 @@ def lsh_topk(
             # expansion-aware spread (the _ivf_assign idiom): the 36
             # SRP projection folds per corpus row are the map-side cost
             # and the local scan is 1-2 partitions; keyed, no-op at
-            # real scale
+            # real scale.  Width probe guarded (r11): the corpus arg is
+            # caller-supplied — on a derived frame .rdd would execute
+            # its upstream stages at plan time, so the guard returns
+            # None there and the spread is skipped (r10 advice).
             sc = df.sparkSession.sparkContext
-            if df.rdd.getNumPartitions() < sc.defaultParallelism:
+            width = _raw_scan_width(df)
+            if width is not None and width < sc.defaultParallelism:
                 v = v.repartition(sc.defaultParallelism, F.col(id_col))
         return v.select(
             F.col(id_col).alias(name),

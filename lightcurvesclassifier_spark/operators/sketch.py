@@ -352,7 +352,16 @@ def cms_point_estimates(
     those cells), so the lookup equals the former broadcast-join +
     ``min`` aggregate row for row (pinned by
     ``test_cms_point_lookup_equals_join``); the join build, the 4×
-    probe explode, and the final groupBy(term) exchange all drop out."""
+    probe explode, and the final groupBy(term) exchange all drop out.
+
+    Contract note (r11, per the r10 advice): building this query is
+    EAGER — the collect runs Spark jobs at call time (inside the timed
+    window when benched) and embeds a d·w-element literal per
+    invocation — and the input must therefore be a BATCH frame;
+    streaming callers should use :func:`cms_point_estimates_join`,
+    whose lazy broadcast-join formulation composes onto readStream
+    (:func:`cms_heavy_hitters` has always shared this eager
+    bounded-sketch-to-driver contract)."""
     from .dedup import _ngram_rows
 
     counters = cms_counters(df, text_col, n, id_col)
