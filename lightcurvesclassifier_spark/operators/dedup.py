@@ -369,6 +369,104 @@ def minhash_pairs(
     return _minhash_verify(sh, sig, cands, threshold, id_col)
 
 
+def _minhash_sig(sh: DataFrame, num_hashes: int, id_col: str) -> DataFrame:
+    """The MinHash signature aggregate over a prebuilt md5-keyed shingle
+    table (id, key[, …]) — UN-checkpointed (r11 extraction): the fused
+    eval paths consume the signature exactly once, so they skip the
+    materialization job :func:`_minhash_parts` pays for its four
+    consumers."""
+    coeffs = _minhash_coeffs(num_hashes)
+    # 28-bit key = top 7 hex chars of the 60-bit key. Integer shift, NOT
+    # `/` + cast: Spark's `/` is double division, and a 60-bit key does
+    # not round-trip through a 53-bit mantissa. The DuckDB mirror's
+    # `key // 4294967296` is exact integer floor-div — identical for
+    # the non-negative keys here.
+    k28 = F.shiftright(F.col("key"), 32)
+    return sh.withColumn("_k", k28).groupBy(id_col).agg(
+        F.count("*").alias("n_sh"),
+        *[
+            F.min(
+                (F.lit(a) * F.col("_k") + F.lit(b)) % F.lit(MINHASH_PRIME)
+            ).alias(f"s{h}")
+            for h, (a, b) in enumerate(coeffs)
+        ],
+    )
+
+
+def _fused_eval_pairs(
+    shc: DataFrame, bandf: DataFrame, id_col: str
+) -> DataFrame:
+    """ONE self-join for the truth AND banding legs of the LSH eval
+    queries (r11, r10 verdict directive #6): the counted shingle rows
+    (id, key, n_sh) and the band rows (id, i, bk) ride a tagged union
+    whose join key packs the kind bit into the low bit of the 60-bit
+    md5 key (both kinds fit 61 bits), so the self-join runs ONCE over
+    one ReuseExchange'd subtree and ONE per-pair aggregate computes the
+    exact-Jaccard ingredients and the matched-band evidence together:
+
+      (id_a, id_b, n_inter, n_a, n_b, _hits)
+
+    * n_inter — count of matched SHINGLE keys (the
+      :func:`_jaccard_from_counted` intersection, row for row);
+    * n_a/n_b — the pair docs' distinct-shingle counts (NULL for pairs
+      that only band-collide: their jaccard is NULL and every
+      truth/verify flag computed from it is false, exactly as those
+      pairs were absent from the old truth/verify outputs);
+    * _hits — ``bit_or(1L << band_index)`` over matched band rows
+      (NULL when no band matched), so callers derive any banding
+      partition's candidate flag without a second join.
+
+    This replaces: the separate band self-join + pair aggregate, the
+    per-distinct-pair truth left-join (lsh_band_curve), and the
+    four-join exact-verify leg (lsh_recall) — each an extra
+    corpus-collision-scale exchange at any corpus size.  Only eval
+    queries use it: their exhaustive-truth contract already pays the
+    full shingle self-join, so the band rows ride a shuffle that must
+    happen anyway (production banding paths keep verifying candidates
+    only)."""
+    u = shc.select(
+        F.col(id_col),
+        F.shiftleft(F.col("key"), 1).alias("_jk"),
+        F.col("n_sh"),
+        F.lit(None).cast("int").alias("_i"),
+    ).unionByName(
+        bandf.select(
+            F.col(id_col),
+            (F.shiftleft(F.col("bk"), 1) + 1).alias("_jk"),
+            F.lit(None).cast("long").alias("n_sh"),
+            F.col("i").cast("int").alias("_i"),
+        )
+    )
+    a = u.select(
+        F.col(id_col).alias("id_a"),
+        "_jk",
+        F.col("n_sh").alias("n_a"),
+        "_i",
+    )
+    b = u.select(
+        F.col(id_col).alias("id_b"), "_jk", F.col("n_sh").alias("n_b")
+    )
+    return (
+        a.join(b, "_jk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.when(F.col("_i").isNull(), F.lit(1))).alias(
+                "n_inter"
+            ),
+            # constant within the group (one doc, one shingle-set size);
+            # NULL on band rows, hence ignorenulls
+            F.first("n_a", ignorenulls=True).alias("n_a"),
+            F.first("n_b", ignorenulls=True).alias("n_b"),
+            F.bit_or(
+                F.when(
+                    F.col("_i").isNotNull(), F.expr("shiftleft(1L, _i)")
+                )
+            ).alias("_hits"),
+        )
+    )
+
+
 def _minhash_parts(
     df: DataFrame, num_hashes: int, bands: int, text_col: str, id_col: str,
     sh: DataFrame | None = None,
@@ -389,31 +487,16 @@ def _minhash_parts(
             "probability different from the requested configuration"
         )
     rows = num_hashes // bands
-    coeffs = _minhash_coeffs(num_hashes)
     if sh is None:
         sh = shingles_md5(df, SHINGLE_N, text_col, id_col).localCheckpoint(
             eager=False
         )
-    # 28-bit key = top 7 hex chars of the 60-bit key. Integer shift, NOT
-    # `/` + cast: Spark's `/` is double division, and a 60-bit key does
-    # not round-trip through a 53-bit mantissa. The DuckDB mirror's
-    # `key // 4294967296` is exact integer floor-div — identical for
-    # the non-negative keys here.
-    k28 = F.shiftright(F.col("key"), 32)
-    sig = sh.withColumn("_k", k28).groupBy(id_col).agg(
-        F.count("*").alias("n_sh"),
-        *[
-            F.min(
-                (F.lit(a) * F.col("_k") + F.lit(b)) % F.lit(MINHASH_PRIME)
-            ).alias(f"s{h}")
-            for h, (a, b) in enumerate(coeffs)
-        ],
     # the signature table feeds FOUR subplans (both banding join sides
     # and both size lookups) and Spark does not dedupe common subtrees —
     # without the lazy checkpoint the H-min aggregate over every shingle
     # row ran four times (same idiom as sh above; released by the
     # ContextCleaner when unreferenced)
-    ).localCheckpoint(eager=False)
+    sig = _minhash_sig(sh, num_hashes, id_col).localCheckpoint(eager=False)
     band_structs = F.array(
         *[
             F.struct(
@@ -755,12 +838,20 @@ def lsh_recall(
     banding whose misses make the metric informative; production
     configs (8×2) saturate recall on the planted corpus.
 
-    Scale shape: every leg is an existing bounded-shuffle plan; the
-    truth/verified/hit counts fold in ONE aggregate over a tagged
-    union of the two (distinct-by-construction) pair sets, so only the
-    subtrees with two consumers (the shared shingle table; the
-    candidate pairs, feeding both the verify and their count) ride a
-    lazy checkpoint.
+    Scale shape (r11, the fused-eval discipline of
+    :func:`_fused_eval_pairs`): ONE shingle explode, ONE signature
+    aggregate, ONE self-join over the tagged shingle∪band union, ONE
+    per-pair aggregate — all four counts then fold in a single global
+    aggregate over the per-pair flags.  The r10 shape paid a separate
+    band self-join + pair distinct, a FOUR-join exact-verify leg
+    (cands⋈sh⋈sh + two size lookups), a tagged-union pair groupBy and
+    two checkpoints; each was a corpus-collision-scale exchange at any
+    corpus size.  The per-pair flags are the same expressions row for
+    row: truth = round(jaccard,6) ≥ 1−threshold over the matched
+    shingle counts; cand = any band matched; verified = cand ∧
+    round(1−jaccard,6) ≤ threshold (a pair that only band-collides has
+    NULL jaccard → every flag false, exactly as it was absent from the
+    old verify output).
     """
     # ONE shingle explode for the whole evaluation (r10): the truth leg
     # and the banding leg both consume the md5-keyed counted shingle
@@ -770,37 +861,55 @@ def lsh_recall(
     shc = _ngram_rows_counted(
         df, n, text_col, id_col, _md5_int60, "bigint", "key"
     ).localCheckpoint(eager=False)
-    truth = _jaccard_from_counted(shc, 1.0 - threshold, "key", id_col)
-    sh, sig, cands = _minhash_parts(
-        df, num_hashes, bands, text_col, id_col,
-        sh=shc.select(id_col, "key"),
-    )
-    cands = cands.localCheckpoint(eager=False)
-    verified = _minhash_verify(sh, sig, cands, threshold, id_col)
-    # both pair sets are distinct (id_a, id_b) by construction, so a
-    # tagged union + one per-pair flag-OR + one global sum yields all
-    # three counts (and the intersection) in a single aggregate — the
-    # r9 shape ran four single-row aggregates + a hit join, each
-    # behind its own checkpoint
-    tagged = truth.select(
-        "id_a", "id_b", F.lit(1).alias("_t"), F.lit(0).alias("_v")
-    ).unionByName(
-        verified.select(
-            "id_a", "id_b", F.lit(0).alias("_t"), F.lit(1).alias("_v")
+    # lazy checkpoint: the fused self-join evaluates the union on BOTH
+    # sides (build + probe), so an inline sig subtree would compute the
+    # 16-min aggregate twice and double the optimized-plan size
+    sig = _minhash_sig(
+        shc.select(id_col, "key"), num_hashes, id_col
+    ).localCheckpoint(eager=False)
+    rows = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(bidx).alias("i"),
+            _md5_int60(
+                F.concat_ws(
+                    "_",
+                    F.lit(bands),
+                    F.lit(bidx),
+                    *[F.col(f"s{bidx * rows + r}") for r in range(rows)],
+                )
+            ).alias("bk"),
         )
+        for bidx in range(bands)
+    ]
+    bandf = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
+    ).select(id_col, "_b.i", "_b.bk")
+    pairs = _fused_eval_pairs(shc, bandf, id_col)
+    jac = F.col("n_inter") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
     )
-    counts = (
-        tagged.groupBy("id_a", "id_b")
-        .agg(F.max("_t").alias("_t"), F.max("_v").alias("_v"))
-        .agg(
-            F.coalesce(F.sum("_t"), F.lit(0)).alias("n_true"),
-            F.coalesce(F.sum("_v"), F.lit(0)).alias("n_verified"),
-            F.coalesce(
-                F.sum(F.col("_t") * F.col("_v")), F.lit(0)
-            ).alias("n_hit"),
-        )
+    t_flag = F.round(jac, 6) >= F.lit(1.0 - threshold)
+    cand_flag = F.col("_hits").isNotNull()
+    # the EXACT verify expression of _minhash_verify: dist rounded,
+    # compared at threshold (round(1-j,6) and round(j,6) can disagree
+    # on half-boundary values, so the two flags keep their own
+    # roundings)
+    ver_flag = cand_flag & (F.round(1.0 - jac, 6) <= F.lit(threshold))
+    row = pairs.agg(
+        F.coalesce(
+            F.sum(F.when(t_flag, 1).otherwise(0)), F.lit(0)
+        ).alias("n_true"),
+        F.coalesce(
+            F.sum(F.when(cand_flag, 1).otherwise(0)), F.lit(0)
+        ).alias("n_cand"),
+        F.coalesce(
+            F.sum(F.when(ver_flag, 1).otherwise(0)), F.lit(0)
+        ).alias("n_verified"),
+        F.coalesce(
+            F.sum(F.when(t_flag & ver_flag, 1).otherwise(0)), F.lit(0)
+        ).alias("n_hit"),
     )
-    row = counts.crossJoin(cands.agg(F.count("*").alias("n_cand")))
     return row.select(
         F.col("n_true").cast("long").alias("n_true"),
         F.col("n_cand").cast("long").alias("n_cand"),
@@ -860,19 +969,22 @@ def lsh_band_curve(
     trades recall for precision is visible as a SHAPE change (cf.
     Leskovec et al., MMDS §3.4: P(candidate | s) = 1 − (1 − s^r)^b).
 
-    One-pass shape (the ivf_recall_curve discipline): ONE shingle
-    explode, ONE 16-min signature aggregate, and ONE band-collision
-    self-join for ALL curve points — at the FINEST partition
-    fin = max(bands_set) only, keyed by an engine-reproducible md5
-    band key (:func:`_md5_int60` over the joined band values).  Bands
+    One-pass shape (the ivf_recall_curve discipline, fused r11): ONE
+    shingle explode, ONE 16-min signature aggregate, and ONE self-join
+    for ALL curve points AND the truth leg together
+    (:func:`_fused_eval_pairs`) — the fin = max(bands_set) band rows
+    (keyed by an engine-reproducible md5 band key, :func:`_md5_int60`
+    over the joined band values) ride the same tagged union as the
+    shingle rows, so one per-pair aggregate carries the exact-jaccard
+    ingredients and the matched fin-band bitmask side by side.  Bands
     nest along divisor chains (a b-band is the concatenation of fin/b
     contiguous fin-bands), so every coarser operating point's
-    candidate set is DERIVED from the per-pair set of matched
-    fin-band indices with plain array logic — no per-band join legs,
-    fin rows/doc shuffled instead of sum(bands_set).  The truth leg
-    is computed once and left-joined once per distinct candidate
-    pair; per-point counts are one bounded groupBy over the exploded
-    (bands, flag) rows.  Unlike :func:`lsh_recall`, the
+    candidate set is DERIVED from the bitmask with plain bit logic —
+    no per-band join legs, fin rows/doc shuffled instead of
+    sum(bands_set), and no separate truth join at all (the hit flag is
+    the pair's own jaccard flag).  Per-point counts are one bounded
+    groupBy over the exploded (bands, flag) rows.  Unlike
+    :func:`lsh_recall`, the
     curve carries NO separate exact-verify leg: at matching
     thresholds the verified set IS cands ∩ truth, so a hit flag from
     the truth join replaces the verify subtree (four joins + an
@@ -902,16 +1014,6 @@ def lsh_band_curve(
     shc = _ngram_rows_counted(
         df, n, text_col, id_col, _md5_int60, "bigint", "key"
     ).localCheckpoint(eager=False)
-    truth = _jaccard_from_counted(
-        shc, 1.0 - threshold, "key", id_col
-    ).localCheckpoint(eager=False)
-    # signature table via the shared helper (its bands arg only shapes
-    # the candidate subtree, which is discarded unused — the sig
-    # aggregate is bands-agnostic and arrives checkpointed)
-    _, sig, _ = _minhash_parts(
-        df, num_hashes, 1, text_col, id_col,
-        sh=shc.select(id_col, "key"),
-    )
     # Band-collision legs. Bands nest along divisor chains: a b-band of
     # width r_b is the concatenation of fin/b contiguous bands of the
     # FINEST partition fin = max(bands_set), so two docs collide on a
@@ -919,10 +1021,16 @@ def lsh_band_curve(
     # self-join therefore runs ONCE, at fin only (fin rows/doc instead
     # of sum(bands_set)), and every coarser point's candidate set is
     # derived from the per-pair set of matched fin-band indices with
-    # array logic — no extra shuffle, no per-band join legs, and the
-    # truth left-join runs once per distinct pair instead of once per
-    # (bands, pair).  Bands that do not divide fin (impossible for the
-    # default power-of-2 chain) fall back to their own legs below.
+    # array logic — no extra shuffle, no per-band join legs.  FUSED
+    # with the truth leg (r11, _fused_eval_pairs): the fin band rows
+    # ride the SAME self-join as the shingle rows, so the per-pair
+    # aggregate carries the exact-jaccard ingredients AND the matched
+    # fin-band bitmask together — the separate band self-join, its
+    # pair aggregate, and the per-distinct-pair truth left-join of the
+    # r10 shape all drop out (r10 verdict directive #6).  Bands that do
+    # not divide fin (impossible for the default power-of-2 chain)
+    # fall back to their own legs below, left-joining the truth pairs
+    # derived from the same fused table.
     fin = max(bands_set)
     r_fin = num_hashes // fin
     if fin <= 62:  # the bitmask aggregate needs one long bit per band
@@ -931,42 +1039,47 @@ def lsh_band_curve(
     else:
         derivable = []
         rest = sorted(bands_set)
+    # lazy checkpoint: the fused self-join evaluates the union on BOTH
+    # sides (build + probe), so an inline sig subtree would compute the
+    # 16-min aggregate twice (and each non-empty `rest` fallback leg
+    # adds two more consumers)
+    sig = _minhash_sig(
+        shc.select(id_col, "key"), num_hashes, id_col
+    ).localCheckpoint(eager=False)
+    fin_structs = [
+        F.struct(
+            F.lit(i).alias("i"),
+            _md5_int60(
+                F.concat_ws(
+                    "_",
+                    F.lit(fin),
+                    F.lit(i),
+                    *[F.col(f"s{i * r_fin + j}") for j in range(r_fin)],
+                )
+            ).alias("bk"),
+        )
+        for i in range(fin)
+    ]
+    longf = sig.select(
+        F.col(id_col), F.explode(F.array(*fin_structs)).alias("_b")
+    ).select(id_col, "_b.i", "_b.bk")
+    if not derivable:
+        # fin > 62: no bitmask — the union carries no band rows and the
+        # fused table degenerates to the plain exhaustive-jaccard pairs
+        longf = longf.filter(F.lit(False))
+    # two consumers (per-band counts + the n_true aggregate; plus the
+    # rest-leg truth joins when non-empty) → lazy checkpoint, exactly
+    # the role the old standalone truth table played
+    pairs = _fused_eval_pairs(shc, longf, id_col).localCheckpoint(
+        eager=False
+    )
+    jac = F.col("n_inter") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    t_flag = F.round(jac, 6) >= F.lit(1.0 - threshold)
+    truth = pairs.filter(t_flag).select("id_a", "id_b")
     perb = None
     if derivable:
-        fin_structs = [
-            F.struct(
-                F.lit(i).alias("i"),
-                _md5_int60(
-                    F.concat_ws(
-                        "_",
-                        F.lit(fin),
-                        F.lit(i),
-                        *[F.col(f"s{i * r_fin + j}") for j in range(r_fin)],
-                    )
-                ).alias("bk"),
-            )
-            for i in range(fin)
-        ]
-        longf = sig.select(
-            F.col(id_col), F.explode(F.array(*fin_structs)).alias("_b")
-        ).select(id_col, "_b.i", "_b.bk")
-        # symmetric projections (rename-only) so the two join sides
-        # share ONE evaluated exchange; the matched-index set
-        # aggregates as a bit_or BITMASK (fin <= 62 checked above) — a
-        # codegen'd HashAggregate with map-side partials, where a
-        # collect_set would plan as ObjectHashAggregate
-        af = longf.select(F.col(id_col).alias("id_a"), "i", "bk")
-        bf = longf.select(
-            F.col(id_col).alias("id_b"), F.col("i").alias("_ib"), "bk"
-        )
-        hitsets = (
-            af.join(bf, "bk")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(
-                F.bit_or(F.expr("shiftleft(1L, i)")).alias("_hits")
-            )
-        )
 
         def _cand_flag(bc: int) -> Column:
             g = fin // bc
@@ -981,11 +1094,7 @@ def lsh_band_curve(
                 out = out | t
             return out
 
-        flagged = hitsets.join(
-            truth.select("id_a", "id_b", F.lit(1).alias("_t")),
-            ["id_a", "id_b"],
-            "left",
-        ).select(
+        flagged = pairs.select(
             F.explode(
                 F.array(
                     *[
@@ -997,14 +1106,14 @@ def lsh_band_curve(
                     ]
                 )
             ).alias("_f"),
-            "_t",
+            F.when(t_flag, F.lit(1)).otherwise(F.lit(0)).alias("_t"),
         )
         perb = (
             flagged.filter(F.col("_f._c"))
             .groupBy(F.col("_f.bands").alias("bands"))
             .agg(
                 F.count("*").alias("n_cand"),
-                F.sum(F.coalesce("_t", F.lit(0))).alias("n_hit"),
+                F.sum("_t").alias("n_hit"),
             )
         )
     if rest:

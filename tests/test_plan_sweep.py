@@ -212,12 +212,14 @@ PLAN_BUDGET = {
     "c4_filter": 70000,
     "dsir_weights": 20000,
     "ccnet_ppl_buckets": 70000,
-    # r10 single-aggregate finale dropped the truth/verified
-    # checkpoints, so their subtrees appear inline (70 KB measured)
+    # r11 fused-eval shape: the tagged shingle∪band union self-join —
+    # shc + sig ride checkpoints, the fused pair aggregate is inline
+    # (107 KB measured)
     "lsh_recall": 115000,
-    # the band-collision subtree is inline (no checkpoint barrier: one
-    # consumer) — 178 KB of legitimate linear plan content
-    "lsh_band_curve": 285000,
+    # r11 fused-eval shape: the pairs table is checkpointed (two
+    # consumers), so the final plan holds only the per-band derivation
+    # (51 KB measured; the r10 inline band subtree was 178 KB)
+    "lsh_band_curve": 85000,
     "soft_dedup_weights": 55000,
     "dedup_token_report": 85000,
     "bpe_fertility": 90000,
