@@ -323,22 +323,31 @@ def embedding_neardup_pairs(
 
     def _score(h_mat, h_ids, mat, ids):
         """home-rows × candidate-rows GEMM; keep cos ≥ thr, home id <
-        other id (the global exactly-once rule)."""
+        other id (the global exactly-once rule).
+
+        The threshold test runs on the RAW products first (r11, guide
+        §4.2): rounding the full sims matrix cost ~17× the GEMM itself
+        (7 allocating array passes over chunk×|rhs| elements, measured
+        72 ms GEMM vs 1270 ms round+where per 4096×8192 block).
+        |round6(x) − x| ≤ 5e-7 always, so round6(x) ≥ thr implies
+        x ≥ thr − 5e-7 — prefiltering at thr − 1e-6 loses no pair, and
+        the exact rounded test then runs on the surviving entries only
+        (output values bit-identical)."""
         if len(h_ids) == 0 or len(ids) == 0:
             return []
         out = []
         chunk = 4096  # bound the GEMM temp: chunk × |rhs| doubles
         for s in range(0, len(h_ids), chunk):
-            sims = _round6_half_away(h_mat[s : s + chunk] @ mat.T)
-            ri, rj = np.where(sims >= thr)
-            ia, ib = h_ids[s + ri], ids[rj]
-            keep = ia < ib
+            raw = h_mat[s : s + chunk] @ mat.T
+            ri, rj = np.where(raw >= thr - 1e-6)
+            cos = _round6_half_away(raw[ri, rj])
+            keep = (cos >= thr) & (h_ids[s + ri] < ids[rj])
             out.append(
                 pd.DataFrame(
                     {
-                        "id_a": ia[keep],
-                        "id_b": ib[keep],
-                        "cos": sims[ri, rj][keep],
+                        "id_a": h_ids[s + ri][keep],
+                        "id_b": ids[rj][keep],
+                        "cos": cos[keep],
                     }
                 )
             )
@@ -2093,11 +2102,19 @@ def _semantic_dedup_gemm(
         chunk = 2048  # bound the sims temp: chunk × occupancy doubles
         for s in range(0, n, chunk):
             e = min(n, s + chunk)
-            sims = _round6_half_away(
-                (mat[s:e] @ mat.T) / (nrm[s:e, None] * nrm[None, :])
-            )
+            # raw-first threshold test (r11, same derivation as
+            # embedding_neardup_pairs._score): |round6(x) − x| ≤ 5e-7,
+            # so candidates at raw ≥ τ − 1e-6 are a superset and the
+            # exact rounded test runs only on them — the full-matrix
+            # rounding cost ~17× the GEMM itself
+            raw = (mat[s:e] @ mat.T) / (nrm[s:e, None] * nrm[None, :])
+            cand = raw >= tau - 1e-6
+            if cand.any():
+                ci, cj = np.nonzero(cand)
+                ok = _round6_half_away(raw[ci, cj]) >= tau
+                cand[ci[~ok], cj[~ok]] = False
             earlier = idx[None, :] < idx[s:e, None]
-            dropped[s:e] = ((sims >= tau) & earlier).any(axis=1)
+            dropped[s:e] = (cand & earlier).any(axis=1)
         return pd.DataFrame(
             {
                 id_col: pdf[id_col],
