@@ -36,6 +36,7 @@ def _ngram_rows(
     empty_type: str,
     out_col: str,
     distinct: bool = True,
+    spread: bool = True,
 ) -> DataFrame:
     """Shared token-n-gram explode skeleton: one row per (doc, n-gram
     key), where ``key_fn`` maps the joined n-gram string to the key
@@ -63,8 +64,14 @@ def _ngram_rows(
     partitions). Keyed, so downstream doc-keyed aggregates keep their
     map-side partials complete; every value here is md5/integer
     domain, so no float-sum ordering can shift.
+
+    ``spread=False`` skips the repartition (r11): callers hashing a
+    BOUNDED side (an eval suite feeding a driver-collected sketch)
+    would pay an AQE exchange job to parallelize work that is small by
+    contract — the bloom_probe_fast bits build went 3 collect jobs →
+    1 map-only job with the spread (and the ≤ m-row distinct) dropped.
     """
-    if not df.isStreaming:
+    if spread and not df.isStreaming:
         sc = df.sparkSession.sparkContext
         if df.rdd.getNumPartitions() < sc.defaultParallelism:
             df = df.repartition(sc.defaultParallelism, F.col(id_col))
