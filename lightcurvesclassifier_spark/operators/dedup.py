@@ -2129,10 +2129,9 @@ def simhash_pairs(
     md5-keyed fingerprints → oracle-checkable (:func:`simhash_pairs_sql`)."""
     fp = simhash(df, text_col, id_col).localCheckpoint(eager=False)
     # band rows carry the doc's FULL fingerprint (4 scalar longs — no
-    # array-retention hazard): the candidate aggregate then reads both
-    # fingerprints with first() and verifies hamming inline, replacing
-    # the r6 shape's DISTINCT + two fingerprint lookup joins (three
-    # plan stages) with one aggregate — the jaccard size-carry trade.
+    # array-retention hazard): the hamming verify runs map-side on the
+    # join output, replacing the r6 shape's DISTINCT + two fingerprint
+    # lookup joins (three plan stages) — the jaccard size-carry trade.
     long = fp.select(
         F.col(id_col),
         F.explode(
@@ -2151,22 +2150,28 @@ def simhash_pairs(
         F.col(id_col).alias("id_b"), "band_idx", "band_val",
         *[F.col(f"band{i}").alias(f"b{i}") for i in range(4)],
     )
-    cands = (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            *[F.first(f"a{i}").alias(f"a{i}") for i in range(4)],
-            *[F.first(f"b{i}").alias(f"b{i}") for i in range(4)],
-        )
-    )
+    # Hamming verify BEFORE the pair dedup (r11): the joined row
+    # already carries BOTH fingerprints, so the ≤ max_hamming test is
+    # a map-side codegen filter and only PASSING pairs reach the
+    # distinct exchange (≤ 4 duplicate rows per pair — one per shared
+    # band; hamming is a pure function of the pair, so the distinct is
+    # exact). The r10 shape aggregated first — groupBy(id_a, id_b)
+    # with eight first()s over EVERY band collision — which is
+    # quadratic shuffle state at corpus sizes where the 15-bit
+    # band-value space (32k buckets) saturates: the K=1000 probe
+    # (5M docs → ~150 docs/bucket → ~1.5B collision rows) spilled
+    # >76 GB in that aggregate and died; the filtered shape shuffles
+    # only the true near-dup pairs at ANY corpus size.
     ham = sum(
         F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}"))) for i in range(4)
     )
     return (
-        cands.withColumn("hamming", ham.cast("int"))
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

@@ -178,23 +178,17 @@ def _probe_extras():
             FF.col("doc_id").alias("id_b"), "band_idx", "band_val",
             *[FF.col(f"band{i}").alias(f"b{i}") for i in range(4)],
         )
-        cands = (
-            a.join(b2, ["band_idx", "band_val"])
-            .filter(FF.col("id_a") < FF.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(
-                *[FF.first(f"a{i}").alias(f"a{i}") for i in range(4)],
-                *[FF.first(f"b{i}").alias(f"b{i}") for i in range(4)],
-            )
-        )
         ham = sum(
             FF.bit_count(FF.col(f"a{i}").bitwiseXOR(FF.col(f"b{i}")))
             for i in range(4)
         )
         return (
-            cands.withColumn("hamming", ham.cast("int"))
+            a.join(b2, ["band_idx", "band_val"])
+            .filter(FF.col("id_a") < FF.col("id_b"))
+            .withColumn("hamming", ham.cast("int"))
             .filter(FF.col("hamming") <= 3)
             .select("id_a", "id_b", "hamming")
+            .distinct()
         )
 
     return {
