@@ -259,6 +259,43 @@ def test_star_cc_raises_on_exhaustion(spark):
         dedup.connected_components_star(path_edges, max_iter=1)
 
 
+def test_star_cc_hops_knob_is_label_invariant(spark, monkeypatch):
+    """SPARK_GRAFT_CC_HOPS is a scale knob (fewer round
+    materializations at multi-million-doc corpora), never a semantic
+    one: any hops_per_round must yield byte-identical (node, label)
+    output, whether passed explicitly or through the env default."""
+    import random
+
+    rng = random.Random(11)
+    edges = list(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(80), rng.randrange(80)) for _ in range(100)
+            )
+            if a != b
+        }
+    ) + [(i, i + 1) for i in range(200, 215)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    def labels(**kw):
+        return (
+            dedup.connected_components_star(pairs, **kw)
+            .toPandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+
+    base = labels(hops_per_round=1)
+    for hops in (2, 3):
+        got = labels(hops_per_round=hops)
+        assert got.node.tolist() == base.node.tolist(), hops
+        assert got.label.tolist() == base.label.tolist(), hops
+    monkeypatch.setenv("SPARK_GRAFT_CC_HOPS", "2")
+    via_env = labels()
+    assert via_env.label.tolist() == base.label.tolist()
+
+
 def test_simhash_finds_exact_and_near(spark, corpus):
     pairs = dedup.simhash_pairs(corpus, max_hamming=3).toPandas()
     pair_set = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
