@@ -2560,10 +2560,18 @@ def neardup_degree_dist(
     histogram covers the whole corpus.
 
     Cost = the pairs join itself; the two extra aggregates are keyed by
-    doc then by degree (≤ max-degree distinct groups)."""
+    doc then by degree (≤ max-degree distinct groups).
+
+    Both pair endpoints ride ONE ``explode`` (r11) instead of a
+    ``unionAll`` of two projections of ``pairs``: Catalyst does not CSE
+    the two union branches, so the union shape evaluated the ENTIRE
+    pairs subtree — shingle explode, collision join, per-pair
+    aggregate — twice (15 parquet scans / 2 collision joins in the
+    committed before-plan, zero ReusedExchange).  The explode emits the
+    identical (id) row multiset from a single evaluation."""
     pairs = ngram_jaccard_pairs(df, n, threshold, text_col, id_col)
-    ends = pairs.select(F.col("id_a").alias(id_col)).unionAll(
-        pairs.select(F.col("id_b").alias(id_col))
+    ends = pairs.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
     )
     deg = ends.groupBy(id_col).agg(F.count(F.lit(1)).alias("degree"))
     all_deg = (
